@@ -1,0 +1,40 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tiny_lingua_spark.corpus import CORPUS_VERSION  # noqa: E402
+from tiny_lingua_spark.session import get_spark  # noqa: E402
+
+MODELS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".cache",
+    f"models_v{CORPUS_VERSION}",
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tiny-lingua-spark-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def models_path(spark):
+    """Train the deterministic n-gram models once per machine (cached)."""
+    marker = os.path.join(MODELS_DIR, "_SUCCESS")
+    if not os.path.exists(marker):
+        from tiny_lingua_spark.models.train import train_and_write
+
+        train_and_write(spark, MODELS_DIR)
+    return MODELS_DIR
+
+
+@pytest.fixture(scope="session")
+def registry(spark, models_path):
+    from tiny_lingua_spark.models.registry import ModelRegistry
+
+    return ModelRegistry(spark, models_path)

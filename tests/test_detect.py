@@ -1,0 +1,90 @@
+"""End-to-end detection tests: model ETL → broadcast → pandas UDF →
+accuracy/F1 on the held-out eval corpus.
+
+Mirrors the reference's accuracy-regression harness
+(AbstractLanguageDetectionAccuracyReport.kt) at test scale.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import corpus, langmeta as lm
+from tiny_lingua_spark.functions.cleaning import cleaned_text_col
+from tiny_lingua_spark.operators.detect import make_detect_udf
+
+
+@pytest.fixture(scope="module")
+def detected(spark, registry):
+    rows = corpus.eval_corpus(n_per_category=60)
+    df = spark.createDataFrame(rows, "expected string, category string, text string")
+    udf = make_detect_udf(registry.bc_low, registry.bc_high)
+    out = (
+        df.withColumn("cleaned", cleaned_text_col(F.col("text")))
+        .withColumn("det", udf(F.col("text"), F.col("cleaned")))
+        .select("expected", "category", "text", "det.lang", "det.confidence")
+    )
+    return out.toPandas()
+
+
+def test_sentence_accuracy(detected):
+    s = detected[detected.category == "sentences"]
+    acc = (s.lang == s.expected).mean()
+    assert acc >= 0.99, f"sentence accuracy {acc:.4f}"
+
+
+def test_word_pair_accuracy(detected):
+    s = detected[detected.category == "word-pairs"]
+    acc = (s.lang == s.expected).mean()
+    # reference publishes 89.09% mean on word pairs (BASELINE.md); our
+    # synthetic corpus is cleaner, so the bar sits higher but below the
+    # intrinsic ambiguity ceiling of 2-word items in related Latin languages
+    assert acc >= 0.92, f"word-pair accuracy {acc:.4f}"
+
+
+def test_single_word_accuracy(detected):
+    s = detected[detected.category == "single-words"]
+    acc = (s.lang == s.expected).mean()
+    # reference publishes 74.12% mean on single words (BASELINE.md);
+    # many short function words are genuinely shared between languages
+    assert acc >= 0.80, f"single-word accuracy {acc:.4f}"
+
+
+def test_per_language_f1(detected):
+    """Macro F1 over languages on sentences must clear the BASELINE bar."""
+    s = detected[detected.category == "sentences"]
+    f1s = []
+    for iso in lm.ISO_CODES:
+        tp = ((s.lang == iso) & (s.expected == iso)).sum()
+        fp = ((s.lang == iso) & (s.expected != iso)).sum()
+        fn = ((s.lang != iso) & (s.expected == iso)).sum()
+        if tp + fp + fn == 0:
+            continue
+        f1s.append(2 * tp / (2 * tp + fp + fn))
+    macro = sum(f1s) / len(f1s)
+    assert macro >= 0.99, f"macro F1 {macro:.4f}"
+
+
+def test_script_unique_languages_are_rule_shortcut(detected):
+    """Languages with unique scripts must detect with confidence 1.0
+    (rule shortcut — LanguageDetector.kt:233-242)."""
+    s = detected[
+        (detected.category == "sentences")
+        & detected.expected.isin(["ru", "el", "he", "hi", "ko", "ar"])
+    ]
+    assert (s.confidence == 1.0).all()
+    assert (s.lang == s.expected).all()
+
+
+def test_empty_and_no_letter_rows(spark, registry):
+    udf = make_detect_udf(registry.bc_low, registry.bc_high)
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("123 ... !?",), ("🙂 🙃",)], "text string"
+    )
+    out = (
+        df.withColumn("cleaned", cleaned_text_col(F.col("text")))
+        .withColumn("det", udf(F.col("text"), F.col("cleaned")))
+        .select("det.lang")
+        .toPandas()
+    )
+    assert (out.lang == lm.UNKNOWN).all()

@@ -1,0 +1,16 @@
+"""tiny-lingua-spark: a PySpark-native language-ID + quality-filter engine.
+
+A from-scratch rebuild of the detection semantics of umaircha3/tiny-lingua
+(reference: /root/reference, Kotlin/JVM) re-expressed Spark-first:
+
+- declarative DataFrame/SQL plans for cleaning, aggregation, dedup, eval
+- one vectorized pandas UDF family for the per-row n-gram detector
+  (broadcast hash-map model tables, numpy over the language axis)
+- Arrow-batched audio decode, regex PII/toxicity scrub, heuristic quality
+  rules, KenLM-style perplexity — the quality_filter pipeline around it
+
+Nothing is copied from the reference; file:line citations in docstrings
+point at the behavior being reproduced.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,204 @@
+"""Deterministic synthetic per-language corpus.
+
+Provides training text for the n-gram model ETL and evaluation text for
+the accuracy/F1 harness — the in-repo stand-in for the reference's
+Leipzig-Wortschatz accuracy corpus (reference: README.md:218-225,
+language-testdata/{single-words,word-pairs,sentences}/{iso}.txt).
+
+Word inventories are small sets of common words per language (public
+knowledge). Everything is seeded → models, corpora, and expected labels
+are reproducible bit-for-bit. Train/eval splits use disjoint RNG streams.
+"""
+
+from __future__ import annotations
+
+import random
+
+# ~60-90 common words per language. Latin-script languages carry their
+# characteristic diacritics so the rule engine's char tables get exercised.
+WORDS: dict[str, list[str]] = {
+    "en": """the be to of and a in that have it for not on with he as you do at
+    this but his by from they we say her she or an will my one all would there
+    their what so up out if about who get which go me when make can like time
+    just him know take people into year your good some could them see other
+    than then now look only come its over think also back after use two how
+    our work first well way even new want because any these give day most us
+    house water great little world school never under might while country"""
+        .split(),
+    "de": """der die das und ist nicht ein eine ich sie wir ihr es auch auf für
+    mit sich des dem den einer eines haben werden kann müssen über zwischen
+    während straße größe weiß heißt schließlich natürlich tatsächlich möglich
+    gehören hören schön können dürfen mädchen früher jahr zeit leben welt
+    mensch kind tag haus wasser land stadt arbeit schule vater mutter freund
+    immer schon noch nur sehr hier dort wenn dann aber oder doch weil dass"""
+        .split(),
+    "es": """el la los las de que y a en un una ser se no haber por con su para
+    como estar tener le lo todo pero más hacer o poder decir este ir otro ese
+    si me ya ver porque dar cuando él muy sin vez mucho saber qué sobre mi
+    alguno mismo yo también hasta año dos querer entre así primero desde
+    grande eso ni nos llegar pasar tiempo ella sí día uno bien poco deber
+    entonces poner cosa tanto hombre parecer nuestro tan donde ahora parte
+    después vida quedar siempre creer hablar llevar dejar nada cada seguir
+    menos nuevo encontrar señor niño mañana español país ciudad corazón"""
+        .split(),
+    "fr": """le de un être et à il avoir ne je son que se qui ce dans en du elle
+    au pour pas vouloir sur faire plus dire me on mon lui nous comme mais
+    pouvoir avec tout y aller voir bien où sans tu ou leur homme si deux mari
+    moi vie jour monsieur demander alors après trouver personne rendre part
+    dont même lieu temps très savoir falloir petit chose beaucoup comprendre
+    français été déjà ménage hôtel forêt île âge cœur
+    garçon leçon façon reçu fenêtre tête père mère frère"""
+        .split(),
+    "it": """il di che e la a un essere per in una mi sono ho lo ha le ti con si
+    no tu questo qui io ci del come cosa della bene sei molto me così ma
+    perché andare tutto fare quando lei noi anche più chi su mio era loro
+    vita sempre grazie signore essere tempo casa uomo giorno anno mano occhio
+    parte mondo città perché però già più lì là università possibilità
+    caffè niente davvero allora ancora dopo prima adesso insieme ragazzo"""
+        .split(),
+    "pt": """o que de a e do da em um para é com não uma os no se na por mais as
+    dos como mas foi ao ele das tem à seu sua ou ser quando muito há nos já
+    está eu também só pelo pela até isso ela entre era depois sem mesmo aos
+    ter seus quem nas me esse eles estão você tinha foram essa num nem suas
+    meu às minha têm numa pelos elas havia seja qual será nós tenho lhe
+    deles essas esses pelas este fosse dele coração não ação informação"""
+        .split(),
+    "nl": """de het een van ik te dat die in en zij is niet op aan met als voor
+    had er maar om hem dan zou of wat mijn men dit zo door over ze zich bij
+    ook tot je mij uit der daar haar naar heb hoe heeft hebben deze niets
+    onder tegen na reeds wil kon geen omdat iets worden toch al waren veel
+    meer doen toen moet ben zonder kan hun dus alles onder zelf tussen"""
+        .split(),
+    "pl": """w i nie na się to jest że do co tak jak mnie za ja ciebie jego już
+    czy tylko jej ale po tym może być dla was nas mój ten tego pan tu teraz
+    coś wszystko który gdzie łatwo może właśnie żeby źle świat życie człowiek
+    dzień czas ręka praca miejsce sposób koniec wiedzieć móc chcieć musieć
+    powiedzieć zobaczyć również później dziś jutro wczoraj zawsze nigdy"""
+        .split(),
+    "sv": """och i att det som en på är av för med till den har de inte om ett
+    han men var jag sig från vi så kan när år säger få två alla skulle kommer
+    vad mycket också här bara bli upp ut få över göra hade efter vara andra
+    sin finns många även får hur du kunde något henne honom sedan båda måste
+    någon värld människa dag tid liv hand arbete plats sätt slut veta kunna"""
+        .split(),
+    "tr": """bir bu ne için o ben de var mı ama gibi çok daha sen ki ya da mi
+    ile sonra kadar değil olarak en kendi diye onun bana beni şey her göre
+    yüzden şu biz siz onlar hiç ancak şimdi bütün başka aynı yeni büyük küçük
+    güzel iyi kötü uzun kısa yüksek düşük olmak etmek yapmak gelmek gitmek
+    görmek bilmek istemek vermek almak bulmak kalmak çıkmak geçmek türkçe"""
+        .split(),
+    "ru": """и в не на я быть он с что а по это она этот к но они мы как из у
+    который то за свой весь год от так о для ты же все тот мочь вы человек
+    такой его сказать только или ещё бы себя один как уже до время если
+    сам когда другой вот говорить наш мой знать стать при чтобы дело жизнь
+    кто первый очень два день её новый рука даже во со раз где там под"""
+        .split(),
+    "el": """και το να του η της που με τον την τα ο σε αυτό για δεν από θα είναι
+    μου ως αλλά ένα στο μας σας τους δύο πολύ εδώ εκεί τώρα μετά πριν πάνω
+    κάτω μέσα έξω καλά κακά μεγάλος μικρός νέος παλιός ζωή χρόνος ημέρα
+    άνθρωπος κόσμος χέρι δουλειά θέση τρόπος τέλος ξέρω μπορώ θέλω πρέπει
+    λέω βλέπω έχω κάνω πηγαίνω έρχομαι"""
+        .split(),
+    "ar": """في من على أن إلى عن مع هذا هذه ذلك التي الذي كان كانت يكون لا ما لم
+    لن هو هي هم أنا أنت نحن كل بعض غير بين عند قد لقد ثم أو إذا حتى كيف أين
+    متى لماذا الآن اليوم غدا أمس دائما أبدا إنسان عالم حياة وقت يوم يد عمل
+    مكان طريق نهاية معرفة قدرة إرادة قول رؤية فعل ذهاب مجيء"""
+        .split(),
+    "he": """של את על לא אני זה הוא היא אתה אנחנו הם כל יש אין עם מה מי איפה מתי
+    למה עכשיו היום מחר אתמול תמיד אף פעם אדם עולם חיים זמן יום יד עבודה מקום
+    דרך סוף דעת יכולת רצון אמירה ראייה עשייה הליכה ביאה גם רק עוד כבר אבל
+    אולי בין אחרי לפני תחת מעל בתוך מחוץ טוב רע גדול קטן חדש ישן"""
+        .split(),
+    "hi": """के में की है और से को पर यह था कि जो कर मैं तुम वह हम वे सब कुछ नहीं
+    क्या कौन कहाँ कब क्यों अब आज कल हमेशा कभी इंसान दुनिया जीवन समय दिन हाथ
+    काम जगह रास्ता अंत ज्ञान शक्ति इच्छा कहना देखना करना जाना आना भी सिर्फ
+    अभी पहले बाद नीचे ऊपर अंदर बाहर अच्छा बुरा बड़ा छोटा नया पुराना"""
+        .split(),
+    # zh/ja: space-free writing; "words" here are 1-3 char units the
+    # generator concatenates without spaces.
+    "zh": """的 一 是 不 了 人 我 在 有 他 这 中 大 来 上 国 个 到 说 们 为 子 和
+    你 地 出 道 也 时 年 得 就 那 要 下 以 生 会 自 着 去 之 过 家 学 对 可 她
+    里 后 小 么 心 多 天 而 能 好 都 然 没 日 于 起 还 发 成 事 只 作 当 想 看
+    文 无 开 手 十 用 主 行 方 又 如 前 所 本 见 经 头 面 公 同 三 已 老 从
+    世界 时间 生活 工作 地方 知道 可以 什么 现在 因为 所以 但是 我们 他们"""
+        .split(),
+    "ja": """の に は を た が で て と し れ さ ある いる も する から な こと
+    として い や など なっ ない この ため その あっ よう また もの という
+    あり まで られ なる へ か だ これ によって により おり より による ず
+    なり られる において ば なかっ なく しかし について せ だっ その後
+    できる それ う ので なお のみ でき き つ における および いう さらに
+    でも らしい とても 日本 世界 時間 生活 仕事 場所 今日 明日 昨日 いつも
+    ひと みず そら やま かわ うみ はな とり かぜ つき ほし ゆめ こころ"""
+        .split(),
+    "ko": """이 그 저 것 수 있다 없다 하다 되다 보다 가다 오다 주다 받다 만들다
+    알다 모르다 좋다 나쁘다 크다 작다 새롭다 오래되다 사람 세상 삶 시간 날
+    손 일 곳 길 끝 지식 힘 뜻 말 눈 발 집 물 불 땅 하늘 바다 산 강 꽃 새
+    바람 달 별 꿈 마음 나 너 우리 그들 모두 어떤 무엇 누구 어디 언제 왜
+    지금 오늘 내일 어제 항상 결코 그리고 그러나 그래서 하지만 또한 만약"""
+        .split(),
+}
+
+# Languages written without spaces between words.
+NO_SPACE_LANGS = frozenset({"zh", "ja"})
+
+# Bump when WORDS / generation logic changes — cached model artifacts key
+# on this so stale models are never reused.
+CORPUS_VERSION = 2
+
+ISO_LANGS = tuple(sorted(WORDS))
+
+
+def _rng(lang: str, split: str, seed: int) -> random.Random:
+    return random.Random(f"{seed}:{lang}:{split}")
+
+
+def make_sentence(rng: random.Random, lang: str, n_words: int) -> str:
+    words = WORDS[lang]
+    toks = [words[rng.randrange(len(words))] for _ in range(n_words)]
+    sep = "" if lang in NO_SPACE_LANGS else " "
+    return sep.join(toks)
+
+
+def sentences(lang: str, n: int, split: str = "train", seed: int = 42,
+              min_words: int = 6, max_words: int = 18) -> list[str]:
+    """n deterministic sentences for (lang, split)."""
+    rng = _rng(lang, split, seed)
+    return [make_sentence(rng, lang, rng.randint(min_words, max_words)) for _ in range(n)]
+
+
+def word_pairs(lang: str, n: int, split: str = "train", seed: int = 42) -> list[str]:
+    rng = _rng(lang, split + ":pairs", seed)
+    return [make_sentence(rng, lang, 2) for _ in range(n)]
+
+
+def single_words(lang: str, n: int, split: str = "train", seed: int = 42) -> list[str]:
+    rng = _rng(lang, split + ":words", seed)
+    words = WORDS[lang]
+    return [words[rng.randrange(len(words))] for _ in range(n)]
+
+
+def training_corpus(langs: tuple[str, ...] | None = None, n_sentences: int = 400,
+                    seed: int = 42) -> list[tuple[str, str]]:
+    """(lang, text) rows for the model-training ETL."""
+    langs = langs or ISO_LANGS
+    rows: list[tuple[str, str]] = []
+    for lang in langs:
+        for s in sentences(lang, n_sentences, split="train", seed=seed):
+            rows.append((lang, s))
+    return rows
+
+
+def eval_corpus(langs: tuple[str, ...] | None = None, n_per_category: int = 100,
+                seed: int = 42) -> list[tuple[str, str, str]]:
+    """(lang, category, text) rows mirroring the reference's 3-category
+    accuracy corpus (single-words / word-pairs / sentences)."""
+    langs = langs or ISO_LANGS
+    rows: list[tuple[str, str, str]] = []
+    for lang in langs:
+        for t in single_words(lang, n_per_category, split="eval", seed=seed):
+            rows.append((lang, "single-words", t))
+        for t in word_pairs(lang, n_per_category, split="eval", seed=seed):
+            rows.append((lang, "word-pairs", t))
+        for t in sentences(lang, n_per_category, split="eval", seed=seed):
+            rows.append((lang, "sentences", t))
+    return rows

@@ -1,0 +1,40 @@
+"""Text cleaning as pure Catalyst expressions (no UDF).
+
+Reproduces the reference's cleanUpInputText (LanguageDetector.kt:310-318,
+regexes Constant.kt:164-166): trim → lowercase → delete numbers and
+punctuation (\\p{N}, \\p{P}) → collapse whitespace runs to one space.
+
+Expressed as built-in functions so it stays inside whole-stage codegen and
+works identically in the DuckDB oracle (same RE2/Java-compatible pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Shared with oracle SQL. [\p{N}\p{P}] is valid in both Java regex (Spark)
+# and RE2 (DuckDB).
+NUMBERS_AND_PUNCT_RE = r"[\p{N}\p{P}]"
+MULTI_WS_RE = r"\s+"
+
+
+def cleaned_text_col(col: Column) -> Column:
+    """trim → lower → strip digits/punct → collapse whitespace → trim."""
+    c = F.lower(F.trim(col))
+    c = F.regexp_replace(c, NUMBERS_AND_PUNCT_RE, "")
+    c = F.regexp_replace(c, MULTI_WS_RE, " ")
+    return F.trim(c)
+
+
+def cleaned_text_sql(expr: str) -> str:
+    """Same transform as ANSI/DuckDB SQL text, for oracle parity."""
+    return (
+        "trim(regexp_replace(regexp_replace("
+        f"lower(trim({expr})), '[\\p{{N}}\\p{{P}}]', '', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+
+
+def has_letter_col(col: Column) -> Column:
+    """Guard for the empty/no-letter short-circuit (LanguageDetector.kt:226-228)."""
+    return col.rlike(r"\p{L}")

@@ -1,0 +1,251 @@
+"""Static language metadata for the detector.
+
+Rebuilds, for an 18-language subset spanning 10 Unicode scripts, the
+compile-time metadata of the reference:
+
+- language list with ISO codes + scripts + unique characters
+  (reference: Language.kt:186-273)
+- script → single-language shortcuts, computed per configured language
+  set (reference: LanguageDetector.kt:83-97, Language.kt:295-312)
+- char → candidate-languages disambiguation table
+  (reference: Constant.kt:73-144, restricted to the subset)
+- codepoint → Unicode script classification as a numpy lookup table
+  (reference uses java.lang.Character.UnicodeScript; here the ranges are
+  transcribed from the public Unicode block data and pinned in-repo so
+  results do not depend on the host Python's unicodedata version)
+
+Language declaration order below is the canonical tie-break order for
+confidence sorting (reference: EnumDoubleMap.kt:96-100 sorts by enum
+ordinal on ties; the reference declares languages alphabetically).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# Scripts we classify. 0 is reserved for "other/common".
+SCRIPTS = [
+    "OTHER",
+    "LATIN",
+    "CYRILLIC",
+    "GREEK",
+    "ARABIC",
+    "HEBREW",
+    "DEVANAGARI",
+    "HAN",
+    "HIRAGANA",
+    "KATAKANA",
+    "HANGUL",
+]
+SCRIPT_ID = {s: i for i, s in enumerate(SCRIPTS)}
+
+# Public Unicode block ranges (inclusive) per script. Approximation pinned
+# in-repo: covers all characters producible by our corpus generator and the
+# overwhelming share of real-world text in these scripts.
+_SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    "LATIN": [
+        (0x41, 0x5A), (0x61, 0x7A), (0xAA, 0xAA), (0xBA, 0xBA),
+        (0xC0, 0xD6), (0xD8, 0xF6), (0xF8, 0x24F),
+        (0x1E00, 0x1EFF), (0x2C60, 0x2C7F), (0xA720, 0xA7FF),
+    ],
+    "GREEK": [(0x370, 0x373), (0x375, 0x377), (0x37A, 0x37F),
+              (0x384, 0x38A), (0x38C, 0x38C), (0x38E, 0x3A1),
+              (0x3A3, 0x3E1), (0x3F0, 0x3FF), (0x1F00, 0x1FFF)],
+    "CYRILLIC": [(0x400, 0x484), (0x487, 0x52F), (0x1C80, 0x1C88),
+                 (0x2DE0, 0x2DFF), (0xA640, 0xA69F)],
+    "ARABIC": [(0x600, 0x604), (0x606, 0x60B), (0x60D, 0x61A),
+               (0x61E, 0x61E), (0x620, 0x63F), (0x641, 0x64A),
+               (0x656, 0x66F), (0x671, 0x6DC), (0x6DE, 0x6FF),
+               (0x750, 0x77F), (0x8A0, 0x8FF),
+               (0xFB50, 0xFDFF), (0xFE70, 0xFEFF)],
+    "HEBREW": [(0x591, 0x5C7), (0x5D0, 0x5EA), (0x5EF, 0x5F4),
+               (0xFB1D, 0xFB4F)],
+    "DEVANAGARI": [(0x900, 0x950), (0x953, 0x963), (0x966, 0x97F)],
+    "HIRAGANA": [(0x3041, 0x3096), (0x309D, 0x309F)],
+    "KATAKANA": [(0x30A1, 0x30FA), (0x30FD, 0x30FF), (0x31F0, 0x31FF),
+                 (0xFF66, 0xFF6F), (0xFF71, 0xFF9D)],
+    "HANGUL": [(0x1100, 0x11FF), (0x3131, 0x318E), (0xA960, 0xA97C),
+               (0xAC00, 0xD7A3), (0xD7B0, 0xD7FB)],
+    "HAN": [(0x2E80, 0x2EF3), (0x3005, 0x3005), (0x3007, 0x3007),
+            (0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAD9),
+            (0x20000, 0x2FFFF)],
+}
+
+_TABLE_SIZE = 0x30000  # BMP + SIP (Han extension B) — covers our scripts
+
+
+def build_script_table() -> np.ndarray:
+    """uint8 codepoint → script-id table; vectorized script lookup."""
+    table = np.zeros(_TABLE_SIZE, dtype=np.uint8)
+    for script, ranges in _SCRIPT_RANGES.items():
+        sid = SCRIPT_ID[script]
+        for lo, hi in ranges:
+            table[lo : hi + 1] = sid
+    return table
+
+
+# Built once per process; ~192 KB, shipped to executors inside the UDF
+# closure (cheap; no broadcast needed).
+SCRIPT_TABLE = build_script_table()
+
+# Letter classification for the same table: True where codepoint is a
+# letter. Built from str.isalpha over the table range, cached.
+def build_letter_table() -> np.ndarray:
+    cps = np.arange(_TABLE_SIZE, dtype=np.uint32)
+    # chr() loop once at import; ~0.2 s, fine
+    return np.frombuffer(
+        bytearray(chr(c).isalpha() for c in range(_TABLE_SIZE)), dtype=np.bool_
+    ).copy()
+
+
+LETTER_TABLE = build_letter_table()
+
+# Logogram scripts: a 1-char word in one of these scripts is a logogram
+# (reference: CharExtensions.kt:31-38 — scripts of zh/ja/ko).
+LOGOGRAM_SCRIPT_IDS = frozenset(
+    SCRIPT_ID[s] for s in ("HAN", "HIRAGANA", "KATAKANA", "HANGUL")
+)
+JAPANESE_SCRIPT_IDS = frozenset(SCRIPT_ID[s] for s in ("HIRAGANA", "KATAKANA", "HAN"))
+
+
+@dataclass(frozen=True)
+class LangSpec:
+    name: str           # enum-style name, declaration order = tie-break order
+    iso639_1: str
+    scripts: tuple[str, ...]
+    unique_chars: str = ""   # chars unique to this language (Language.kt:210,233,244)
+
+
+# Declaration order mirrors the reference's alphabetical enum order
+# (Language.kt:186-273); this order is the confidence-sort tie-break.
+LANGUAGES: tuple[LangSpec, ...] = (
+    LangSpec("ARABIC", "ar", ("ARABIC",)),
+    LangSpec("CHINESE", "zh", ("HAN",)),
+    LangSpec("DUTCH", "nl", ("LATIN",)),
+    LangSpec("ENGLISH", "en", ("LATIN",)),
+    LangSpec("FRENCH", "fr", ("LATIN",)),
+    LangSpec("GERMAN", "de", ("LATIN",), "ß"),
+    LangSpec("GREEK", "el", ("GREEK",)),
+    LangSpec("HEBREW", "he", ("HEBREW",)),
+    LangSpec("HINDI", "hi", ("DEVANAGARI",)),
+    LangSpec("ITALIAN", "it", ("LATIN",)),
+    LangSpec("JAPANESE", "ja", ("HIRAGANA", "KATAKANA", "HAN")),
+    LangSpec("KOREAN", "ko", ("HANGUL",)),
+    LangSpec("POLISH", "pl", ("LATIN",), "ŁłŃńŚśŹź"),
+    LangSpec("PORTUGUESE", "pt", ("LATIN",)),
+    LangSpec("RUSSIAN", "ru", ("CYRILLIC",)),
+    LangSpec("SPANISH", "es", ("LATIN",), "¿¡"),
+    LangSpec("SWEDISH", "sv", ("LATIN",)),
+    LangSpec("TURKISH", "tr", ("LATIN",)),
+)
+
+LANG_NAMES = tuple(l.name for l in LANGUAGES)
+ISO_CODES = tuple(l.iso639_1 for l in LANGUAGES)
+LANG_INDEX = {l.iso639_1: i for i, l in enumerate(LANGUAGES)}
+N_LANGS = len(LANGUAGES)
+UNKNOWN = "unknown"
+
+# Languages supporting logograms (Constant.kt:161-162) — get the 0.85
+# per-length probability bonus (LanguageDetector.kt:565-574) and the 0.7
+# logogram word value (LanguageDetector.kt:58-66).
+LOGOGRAM_LANG_IDXS = tuple(LANG_INDEX[c] for c in ("zh", "ja", "ko"))
+
+# Char → candidate languages disambiguation (Constant.kt:73-144), with
+# entries restricted to languages present in this subset. Keys are
+# individual characters; values are iso codes.
+_CHARS_TO_LANGS_SRC: dict[str, tuple[str, ...]] = {
+    "Ãã": ("pt",),
+    "ĄąĘę": ("pl",),
+    "Żż": ("pl",),
+    "Îî": ("fr",),
+    "Ññ": ("es",),
+    "İıĞğ": ("tr",),
+    "Ûû": ("fr",),
+    "Şş": ("tr",),
+    "Ćć": ("pl",),
+    "Ìì": ("it",),
+    "Ëë": ("nl", "fr"),
+    "ÈèÙù": ("fr", "it"),
+    "Êê": ("fr", "pt"),
+    "Õõ": ("pt",),
+    "Ôô": ("fr", "pt"),
+    "ЁёЫыЭэ": ("ru",),
+    "ЩщЪъ": ("ru",),
+    "Òò": ("it",),
+    "Åå": ("sv",),
+    "Ýý": ("tr",),
+    "Ää": ("de", "sv"),
+    "Àà": ("fr", "it", "pt"),
+    "Ââ": ("fr", "pt", "tr"),
+    "Üü": ("de", "es", "tr"),
+    "Çç": ("fr", "pt", "tr"),
+    "Öö": ("de", "sv", "tr"),
+    "Óó": ("pl", "pt", "es"),
+    "ÁáÍíÚú": ("pt", "es"),
+    "Éé": ("fr", "it", "pt", "es"),
+}
+
+
+def build_chars_to_langs() -> dict[str, tuple[int, ...]]:
+    out: dict[str, tuple[int, ...]] = {}
+    for chars, isos in _CHARS_TO_LANGS_SRC.items():
+        idxs = tuple(LANG_INDEX[c] for c in isos)
+        for ch in chars:
+            out[ch] = idxs
+    return out
+
+
+CHARS_TO_LANGS: dict[str, tuple[int, ...]] = build_chars_to_langs()
+
+
+def alphabets_supporting_exactly_one_language(
+    lang_idxs: tuple[int, ...] | None = None,
+) -> dict[int, int]:
+    """script-id → language index, for scripts used by exactly one of the
+    configured languages (reference: LanguageDetector.kt:83-97).
+
+    HAN is excluded — it is shared by zh/ja and special-cased in the rules
+    (LanguageDetector.kt:377-383).
+    """
+    lang_idxs = lang_idxs or tuple(range(N_LANGS))
+    by_script: dict[int, list[int]] = {}
+    for i in lang_idxs:
+        for s in LANGUAGES[i].scripts:
+            by_script.setdefault(SCRIPT_ID[s], []).append(i)
+    return {
+        sid: langs[0]
+        for sid, langs in by_script.items()
+        if len(langs) == 1 and sid != SCRIPT_ID["HAN"]
+    }
+
+
+def unique_chars_map(lang_idxs: tuple[int, ...] | None = None) -> dict[str, int]:
+    """char → language index for language-unique characters
+    (reference: Language.kt uniqueCharacters + LanguageDetector.kt:389-396)."""
+    lang_idxs = lang_idxs or tuple(range(N_LANGS))
+    out: dict[str, int] = {}
+    for i in lang_idxs:
+        for ch in LANGUAGES[i].unique_chars:
+            out[ch] = i
+    return out
+
+
+# script-id sets per language index (used by filterLanguagesByRules).
+LANG_SCRIPT_IDS: tuple[frozenset[int], ...] = tuple(
+    frozenset(SCRIPT_ID[s] for s in l.scripts) for l in LANGUAGES
+)
+
+
+def script_ids_of(text: str) -> np.ndarray:
+    """Vectorized script-id per char of ``text`` (0 = other)."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    clipped = np.minimum(cps, _TABLE_SIZE - 1)
+    return SCRIPT_TABLE[clipped]
+
+
+def is_letter_mask(text: str) -> np.ndarray:
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    clipped = np.minimum(cps, _TABLE_SIZE - 1)
+    return LETTER_TABLE[clipped]

@@ -1,0 +1,91 @@
+"""Broadcast model registry.
+
+Turns the `ngram_freq` Parquet model table into the runtime form consumed
+by the detector UDF: per n-gram length, a dict mapping gram → float32
+vector over the configured language axis. Lookup of one gram yields the
+frequency for *all* languages at once — the numpy equivalent of the
+reference's per-(language × gram) map probes
+(UniBiTrigramLookup.kt:29-54, ImmutableLong2FloatMap.kt:64-68); we always
+take the hash-map semantics of withIncreasedDetectionSpeed()
+(UniBiTrigramLookup.kt:195-203), which is accuracy-neutral.
+
+Broadcast once per session (`sc.broadcast`) ↔ the reference's shared
+lazy-loaded model holders (LanguageDetector.kt:683-711). uni/bi/tri and
+quadri/five groups are separate broadcasts so short-text-only workloads
+can skip shipping the big group (mirrors the lazy QuadriFivegramLookup,
+LanguageDetector.kt:545-549).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.broadcast import Broadcast
+from pyspark.sql import SparkSession
+
+from ..langmeta import ISO_CODES, N_LANGS
+
+ModelDicts = dict[int, dict[str, np.ndarray]]
+
+
+def build_model_dicts(
+    rows: list[tuple[str, int, str, float]],
+    langs: tuple[str, ...] = ISO_CODES,
+) -> ModelDicts:
+    """rows of (lang, n, gram, freq) → {n: {gram: float32[len(langs)]}}."""
+    idx = {c: i for i, c in enumerate(langs)}
+    out: ModelDicts = {}
+    for lang, n, gram, freq in rows:
+        li = idx.get(lang)
+        if li is None:
+            continue
+        d = out.setdefault(int(n), {})
+        vec = d.get(gram)
+        if vec is None:
+            vec = np.zeros(len(langs), dtype=np.float32)
+            d[gram] = vec
+        vec[li] = freq
+    return out
+
+
+def load_model_dicts(spark: SparkSession, path: str,
+                     langs: tuple[str, ...] = ISO_CODES,
+                     max_n: int = 5) -> ModelDicts:
+    df = spark.read.parquet(path).where(f"n <= {max_n}")
+    # model tables are vocabulary-bounded (small); collect → dict is the
+    # broadcast-build step, same role as the reference's binary model load
+    rows = [(r["lang"], r["n"], r["gram"], r["freq"]) for r in df.collect()]
+    return build_model_dicts(rows, langs)
+
+
+class ModelRegistry:
+    """Session-scoped broadcast holder with lazy high-order group."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 langs: tuple[str, ...] = ISO_CODES):
+        self.langs = langs
+        dicts = load_model_dicts(spark, path, langs)
+        low = {n: dicts.get(n, {}) for n in (1, 2, 3)}
+        high = {n: dicts.get(n, {}) for n in (4, 5)}
+        sc = spark.sparkContext
+        self.bc_low: Broadcast = sc.broadcast(low)
+        self.bc_high: Broadcast = sc.broadcast(high)
+
+    def unpersist(self) -> None:
+        """↔ unloadLanguageModels() (LanguageDetector.kt:303-308)."""
+        self.bc_low.unpersist()
+        self.bc_high.unpersist()
+
+
+_REGISTRY: ModelRegistry | None = None
+
+
+def get_registry(spark: SparkSession, path: str) -> ModelRegistry:
+    global _REGISTRY
+    if _REGISTRY is None:
+        _REGISTRY = ModelRegistry(spark, path)
+    return _REGISTRY
+
+
+def reset_registry() -> None:
+    global _REGISTRY
+    _REGISTRY = None

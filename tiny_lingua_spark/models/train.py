@@ -1,0 +1,125 @@
+"""N-gram model training ETL — a declarative Spark job.
+
+Rebuilds the reference's model-generation pipeline
+(GenerateLanguageModelsTask.kt:43-155) with upstream Lingua's fraction
+semantics (GenerateLanguageModelsTask.kt:173-186: each model value is a
+num/denom fraction): the relative frequency of an n-gram is
+
+    freq(g[0..n]) = count(g[0..n]) / count(g[0..n-1])     for n > 1
+    freq(g[0])    = count(g[0])    / total letter count    for n = 1
+
+i.e. conditional probability on the (n-1)-prefix — which is exactly what
+the detector's prefix back-off (LanguageDetector.kt:581-642,
+Ngram.kt:44-52) assumes.
+
+The whole job is DataFrame-native: ngram extraction is
+`posexplode(sequence(...)) + substring` (no Python in the hot path), the
+counts are hash aggregates, the denominator join is a shuffle join on
+(lang, prefix) that AQE will plan as broadcast at small model sizes.
+At 100 TB-corpus scale this is the same plan one would run for real:
+counts partial-aggregate map-side; the wide shuffle is on (lang, gram)
+whose cardinality is bounded by vocabulary, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.cleaning import cleaned_text_col
+
+MAX_N = 5
+
+
+def explode_ngrams(df: DataFrame, n: int, text_col: str = "cleaned") -> DataFrame:
+    """Explode letter-only n-grams of length n from ``text_col``.
+
+    Pure Catalyst expressions: sequence → transform(substring) → explode →
+    regex filter. Stays inside whole-stage codegen until the aggregate.
+    """
+    return (
+        df.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
+                    f" i -> substring({text_col}, i, {n}))"
+                )
+            ).alias("gram"),
+        )
+        # keep windows made of letters only (no spaces)
+        .where(F.col("gram").rlike(r"^\p{L}+$"))
+    )
+
+
+def train_ngram_models(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    max_n: int = MAX_N,
+    min_count: int = 1,
+) -> DataFrame:
+    """corpus_df(lang, text) → model DataFrame (lang, n, gram, freq).
+
+    freq is float32; detection accumulates ln(freq) in float64
+    (parity with UniBiTrigramLookup.kt:20-25 / LanguageDetector.kt:586).
+    """
+    base = corpus_df.select("lang", cleaned_text_col(F.col("text")).alias("cleaned"))
+    base = base.where(F.length("cleaned") > 0).cache()
+
+    counts: dict[int, DataFrame] = {}
+    for n in range(1, max_n + 1):
+        counts[n] = (
+            explode_ngrams(base, n)
+            .groupBy("lang", "gram")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= min_count)
+        )
+
+    models = []
+    # n = 1: denominator is the total letter count per language
+    uni_tot = counts[1].groupBy("lang").agg(F.sum("cnt").alias("denom"))
+    models.append(
+        counts[1]
+        .join(uni_tot, "lang")
+        .select(
+            "lang",
+            F.lit(1).alias("n"),
+            "gram",
+            (F.col("cnt") / F.col("denom")).cast("float").alias("freq"),
+        )
+    )
+    # n > 1: denominator is the (n-1)-prefix count
+    for n in range(2, max_n + 1):
+        prefix_counts = counts[n - 1].select(
+            "lang", F.col("gram").alias("prefix"), F.col("cnt").alias("denom")
+        )
+        models.append(
+            counts[n]
+            .withColumn("prefix", F.expr(f"substring(gram, 1, {n - 1})"))
+            .join(prefix_counts, ["lang", "prefix"])
+            .select(
+                "lang",
+                F.lit(n).alias("n"),
+                "gram",
+                (F.col("cnt") / F.col("denom")).cast("float").alias("freq"),
+            )
+        )
+
+    out = models[0]
+    for m in models[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def write_models(models: DataFrame, path: str) -> None:
+    models.write.mode("overwrite").partitionBy("n").parquet(path)
+
+
+def train_and_write(spark: SparkSession, path: str, n_sentences: int = 400,
+                    seed: int = 42) -> str:
+    """Train from the in-repo deterministic corpus and persist."""
+    from .. import corpus as corpus_mod
+
+    rows = corpus_mod.training_corpus(n_sentences=n_sentences, seed=seed)
+    df = spark.createDataFrame(rows, "lang string, text string")
+    write_models(train_ngram_models(spark, df), path)
+    return path

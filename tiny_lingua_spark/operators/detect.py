@@ -1,0 +1,417 @@
+"""Language detection — the reference's core pipeline as one vectorized
+pandas UDF over broadcast n-gram model tables.
+
+Reproduces, stage by stage (reference file:line):
+- word split at spaces + logograms        WordList.kt:18-80
+- rule-based single-language detection    LanguageDetector.kt:367-464
+- candidate filtering by script + chars   LanguageDetector.kt:466-533
+- n-gram length plan (3 vs 1..5, len≥120) LanguageDetector.kt:244-254
+- dedup letters-only n-gram extraction    TestDataLanguageModel.kt:34-67
+- prefix back-off frequency lookup        LanguageDetector.kt:581-642, Ngram.kt:44-52
+- per-length log-prob sum, 0.85 logogram  LanguageDetector.kt:561-578
+- unigram-count normalization             LanguageDetector.kt:325-362
+- confidence = max/score, sorted, ties by
+  declaration order                       LanguageDetector.kt:276-285, EnumDoubleMap.kt:91-121
+- decision: tie / min-distance → unknown  LanguageDetector.kt:119-133
+
+Execution model: Spark's data parallelism across Arrow batches replaces
+the reference's per-(language × length) thread pool
+(LanguageDetector.kt:535-560); the language axis is a numpy vector, and
+each gram is probed once for all languages (broadcast hash-map lookup —
+the distributive analog of a broadcast hash join on (lang, gram)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .. import langmeta as lm
+
+HIGH_ACCURACY_MAX_TEXT_LEN = 120  # LanguageDetector.kt:691
+LOGOGRAM_WORD_VALUE = 0.7         # LanguageDetector.kt:58-66
+FULL_WORD_VALUE = 1.0
+LOGOGRAM_BONUS = 0.85             # LanguageDetector.kt:571
+
+_HAN = lm.SCRIPT_ID["HAN"]
+_LATIN = lm.SCRIPT_ID["LATIN"]
+_CYRILLIC = lm.SCRIPT_ID["CYRILLIC"]
+_DEVANAGARI = lm.SCRIPT_ID["DEVANAGARI"]
+_ZH = lm.LANG_INDEX["zh"]
+_JA = lm.LANG_INDEX["ja"]
+_UNIQUE_SCRIPTS = frozenset((_LATIN, _CYRILLIC, _DEVANAGARI))
+
+_ALPHA_ONE = lm.alphabets_supporting_exactly_one_language()
+_UNIQUE_CHARS = lm.unique_chars_map()
+
+
+@dataclass(frozen=True)
+class DetectorParams:
+    minimum_relative_distance: float = 0.0
+    low_accuracy: bool = False
+
+
+def split_words(text: str) -> list[str]:
+    """Split at literal spaces; every logogram char is its own word
+    (WordList.kt:18-80, CharExtensions.kt:31-38)."""
+    words: list[str] = []
+    for token in text.split(" "):
+        if not token:
+            continue
+        sids = lm.script_ids_of(token)
+        logo = np.isin(sids, tuple(lm.LOGOGRAM_SCRIPT_IDS))
+        if not logo.any():
+            words.append(token)
+            continue
+        start = 0
+        for j in np.flatnonzero(logo):
+            j = int(j)
+            if start < j:
+                words.append(token[start:j])
+            words.append(token[j])
+            start = j + 1
+        if start < len(token):
+            words.append(token[start:])
+    return words
+
+
+def _is_logogram_word(word: str, sids: np.ndarray) -> bool:
+    return len(word) == 1 and int(sids[0]) in lm.LOGOGRAM_SCRIPT_IDS
+
+
+def detect_with_rules(words: list[str], word_sids: list[np.ndarray]) -> int:
+    """detectLanguageWithRules (LanguageDetector.kt:367-464).
+    Returns a language index or -1 for unknown."""
+    totals = np.zeros(lm.N_LANGS, dtype=np.float64)
+    unknown_total = 0.0
+    adjusted = 0.0
+    for word, sids in zip(words, word_sids):
+        counts: dict[int, int] = {}
+        for ch, sid in zip(word, sids):
+            sid = int(sid)
+            one = _ALPHA_ONE.get(sid)
+            if one is not None:
+                counts[one] = counts.get(one, 0) + 1
+            elif sid == _HAN:
+                counts[_ZH] = counts.get(_ZH, 0) + 1
+            elif sid in lm.JAPANESE_SCRIPT_IDS:
+                counts[_JA] = counts.get(_JA, 0) + 1
+            elif sid in _UNIQUE_SCRIPTS:
+                li = _UNIQUE_CHARS.get(ch)
+                if li is not None:
+                    counts[li] = counts.get(li, 0) + 1
+
+        word_value = FULL_WORD_VALUE
+        if not counts:
+            unknown_total += word_value
+        elif len(counts) == 1:
+            lang = next(iter(counts))
+            if _is_logogram_word(word, sids):
+                word_value = LOGOGRAM_WORD_VALUE
+            totals[lang] += word_value
+        else:
+            ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (top_lang, top_cnt), (_, second_cnt) = ordered[0], ordered[1]
+            if top_cnt > second_cnt:
+                totals[top_lang] += word_value
+            else:
+                unknown_total += word_value
+        adjusted += word_value
+
+    if unknown_total < 0.4 * adjusted:
+        unknown_total = 0.0
+
+    nonzero = np.flatnonzero(totals)
+    n_langs = len(nonzero) + (1 if unknown_total > 0 else 0)
+    if n_langs == 0:
+        return -1
+    if n_langs == 1:
+        return int(nonzero[0]) if len(nonzero) == 1 else -1
+    if len(nonzero) == 2 and unknown_total == 0 and totals[_ZH] > 0 and totals[_JA] > 0:
+        return _JA
+    # top-2 over languages + unknown pseudo-entry
+    vals = [(totals[i], -i) for i in nonzero]
+    if unknown_total > 0:
+        vals.append((unknown_total, -lm.N_LANGS))
+    vals.sort(reverse=True)
+    first_v, first_key = vals[0]
+    second_v = vals[1][0]
+    if second_v / first_v > 0.8:
+        return -1
+    idx = -first_key
+    return -1 if idx == lm.N_LANGS else int(idx)
+
+
+def filter_by_rules(words: list[str], word_sids: list[np.ndarray]) -> np.ndarray:
+    """filterLanguagesByRules (LanguageDetector.kt:466-533).
+    Returns a boolean candidate mask over the language axis."""
+    script_counts: dict[int, float] = {}
+    adjusted = 0.0
+    for word, sids in zip(words, word_sids):
+        word_value = FULL_WORD_VALUE
+        if len(sids) > 0:
+            s0 = int(sids[0])
+            if s0 != 0 and (sids == sids[0]).all():
+                if _is_logogram_word(word, sids):
+                    word_value = LOGOGRAM_WORD_VALUE
+                script_counts[s0] = script_counts.get(s0, 0.0) + word_value
+        adjusted += word_value
+
+    all_langs = np.ones(lm.N_LANGS, dtype=bool)
+    if not script_counts:
+        return all_langs
+
+    ordered = sorted(script_counts.items(), key=lambda kv: -kv[1])
+    top_count = ordered[0][1]
+    kept_scripts = {ordered[0][0]}
+    for sid, cnt in ordered[1:]:
+        if cnt / top_count >= 0.8:
+            kept_scripts.add(sid)
+        else:
+            break
+
+    mask = np.array(
+        [bool(lm.LANG_SCRIPT_IDS[i] & kept_scripts) for i in range(lm.N_LANGS)],
+        dtype=bool,
+    )
+    if not mask.any():
+        return all_langs
+
+    # char-based disambiguation (count each language at most once per word)
+    char_counts = np.zeros(lm.N_LANGS, dtype=np.int64)
+    for word in words:
+        seen: set[int] = set()
+        for ch in word:
+            for li in lm.CHARS_TO_LANGS.get(ch, ()):
+                if mask[li] and li not in seen:
+                    seen.add(li)
+                    char_counts[li] += 1
+    subset = char_counts >= (adjusted / 2.0)
+    if subset.any():
+        return mask & subset
+    return mask
+
+
+def extract_ngrams(cleaned: str, n: int) -> list[str]:
+    """Dedup letters-only sliding windows (TestDataLanguageModel.kt:34-67)."""
+    letters = lm.is_letter_mask(cleaned)
+    out: dict[str, None] = {}
+    limit = len(cleaned) - n
+    i = 0
+    next_check = 0
+    while i <= limit:
+        ok = True
+        while next_check < i + n:
+            if not letters[next_check]:
+                next_check += 1
+                i = next_check
+                ok = False
+                break
+            next_check += 1
+        if not ok:
+            continue
+        out[cleaned[i : i + n]] = None
+        i += 1
+    return list(out)
+
+
+class GramVectorCache:
+    """Memoized back-off frequency lookup: gram → float32[L] with the
+    prefix back-off already applied (LanguageDetector.kt:581-642).
+
+    The back-off result for a gram is row-independent, so it is cached
+    across rows and batches per executor process — the reference's
+    object-reuse tricks (ReusableObjectNgram) become one dict probe.
+    """
+
+    def __init__(self, models: dict[int, dict[str, np.ndarray]], max_size: int = 2_000_000):
+        self.models = models
+        self.cache: dict[str, np.ndarray] = {}
+        self.max_size = max_size
+
+    def freq_vec(self, gram: str) -> np.ndarray:
+        hit = self.cache.get(gram)
+        if hit is not None:
+            return hit
+        found = None
+        remaining = None  # mask of langs still missing
+        g = gram
+        while g:
+            fv = self.models.get(len(g), {}).get(g)
+            if fv is not None:
+                if found is None:
+                    found = fv.copy()
+                else:
+                    upd = (found == 0) & (fv > 0)
+                    if upd.any():
+                        found[upd] = fv[upd]
+                if (found > 0).all():
+                    break
+            g = g[:-1]
+        if found is None:
+            found = np.zeros(lm.N_LANGS, dtype=np.float32)
+        if len(self.cache) >= self.max_size:
+            self.cache.clear()
+        self.cache[gram] = found
+        return found
+
+
+class Detector:
+    """Per-executor detector instance over broadcast model dicts."""
+
+    def __init__(self, models: dict[int, dict[str, np.ndarray]],
+                 params: DetectorParams = DetectorParams()):
+        self.params = params
+        self.models = models
+        self.cache = GramVectorCache(models)
+        self.uni = models.get(1, {})
+        self.logo_idx = np.array(lm.LOGOGRAM_LANG_IDXS, dtype=np.int64)
+
+    # ---- statistics ----
+
+    def _sum_for_length(self, grams: list[str]) -> np.ndarray:
+        acc = np.zeros(lm.N_LANGS, dtype=np.float64)
+        for g in grams:
+            v = self.cache.freq_vec(g)
+            nz = v > 0
+            if nz.any():
+                acc[nz] += np.log(v[nz], dtype=np.float64)
+        return acc
+
+    def confidence_values(self, raw: str, cleaned: str) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (sorted language indexes, sorted confidences); empty
+        arrays mean unknown. Mirrors computeLanguageConfidenceValues
+        (LanguageDetector.kt:221-286)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if not cleaned or not lm.is_letter_mask(cleaned).any():
+            return empty
+
+        words = split_words(raw)
+        word_sids = [lm.script_ids_of(w) for w in words]
+
+        rule_lang = detect_with_rules(words, word_sids)
+        if rule_lang >= 0:
+            return (np.array([rule_lang]), np.array([1.0]))
+
+        cand = filter_by_rules(words, word_sids)
+        if cand.sum() == 1:
+            return (np.flatnonzero(cand), np.array([1.0]))
+
+        p = self.params
+        if p.low_accuracy and len(cleaned) < 3:
+            return empty
+
+        if len(cleaned) >= HIGH_ACCURACY_MAX_TEXT_LEN or p.low_accuracy:
+            lengths = [3]
+        else:
+            lengths = [n for n in range(1, 6) if len(cleaned) >= n]
+
+        total = np.zeros(lm.N_LANGS, dtype=np.float64)
+        uni_counts = np.zeros(lm.N_LANGS, dtype=np.int64)
+        for n in lengths:
+            grams = extract_ngrams(cleaned, n)
+            acc = self._sum_for_length(grams)
+            # keep only negative sums; logogram-language bonus ×0.85
+            plen = np.where(acc < 0, acc, 0.0)
+            li = self.logo_idx
+            plen[li] = np.where(plen[li] < 0, plen[li] * LOGOGRAM_BONUS, plen[li])
+            total += plen
+            if n == 1:
+                # direct (no back-off) unigram hit counts
+                for g in grams:
+                    fv = self.uni.get(g)
+                    if fv is not None:
+                        uni_counts += fv > 0
+
+        total[~cand] = 0.0
+        uni_counts[~cand] = 0
+        div = uni_counts > 0
+        total[div] = total[div] / uni_counts[div]
+
+        nonzero = total < 0
+        if not nonzero.any():
+            return empty
+        best = total[nonzero].max()
+        idxs = np.flatnonzero(nonzero)
+        confs = best / total[idxs]
+        # sort by confidence desc, tie-break by declaration order asc
+        order = np.lexsort((idxs, -confs))
+        return idxs[order], confs[order]
+
+    def decide(self, idxs: np.ndarray, confs: np.ndarray) -> str:
+        """getLanguageFromConfidenceValues (LanguageDetector.kt:119-133)."""
+        if len(idxs) == 0:
+            return lm.UNKNOWN
+        if len(idxs) == 1:
+            return lm.ISO_CODES[idxs[0]]
+        if confs[0] == confs[1]:
+            return lm.UNKNOWN
+        if (confs[0] - confs[1]) < self.params.minimum_relative_distance:
+            return lm.UNKNOWN
+        return lm.ISO_CODES[idxs[0]]
+
+    # ---- batch API (called from the pandas UDF) ----
+
+    def detect_batch(self, raw: pd.Series, cleaned: pd.Series) -> pd.DataFrame:
+        langs, confs, langs2, confs2 = [], [], [], []
+        for r, c in zip(raw.to_numpy(), cleaned.to_numpy()):
+            idxs, cv = self.confidence_values(r or "", c or "")
+            lang = self.decide(idxs, cv)
+            langs.append(lang)
+            confs.append(float(cv[0]) if len(cv) else 0.0)
+            langs2.append(lm.ISO_CODES[idxs[1]] if len(idxs) > 1 else None)
+            confs2.append(float(cv[1]) if len(cv) > 1 else None)
+        return pd.DataFrame(
+            {"lang": langs, "confidence": confs,
+             "second_lang": langs2, "second_confidence": confs2}
+        )
+
+    def confidence_batch(self, raw: pd.Series, cleaned: pd.Series) -> pd.Series:
+        out = []
+        for r, c in zip(raw.to_numpy(), cleaned.to_numpy()):
+            idxs, cv = self.confidence_values(r or "", c or "")
+            out.append({lm.ISO_CODES[i]: float(v) for i, v in zip(idxs, cv)})
+        return pd.Series(out)
+
+
+DETECT_SCHEMA = (
+    "lang string, confidence double, second_lang string, second_confidence double"
+)
+
+
+def make_detect_udf(bc_low, bc_high, params: DetectorParams = DetectorParams()):
+    """Scalar pandas UDF (raw, cleaned) → struct<lang, confidence,
+    second_lang, second_confidence>, models from broadcast."""
+    from pyspark.sql.functions import pandas_udf
+
+    detector_holder: list[Detector] = []
+
+    @pandas_udf(DETECT_SCHEMA)
+    def detect(raw: pd.Series, cleaned: pd.Series) -> pd.DataFrame:
+        if not detector_holder:
+            models = dict(bc_low.value)
+            models.update(bc_high.value)
+            detector_holder.append(Detector(models, params))
+        return detector_holder[0].detect_batch(raw, cleaned)
+
+    return detect
+
+
+def make_confidence_udf(bc_low, bc_high, params: DetectorParams = DetectorParams()):
+    """Scalar pandas UDF (raw, cleaned) → map<string,double> of sorted
+    confidence values (computeLanguageConfidenceValues analog)."""
+    from pyspark.sql.functions import pandas_udf
+
+    detector_holder: list[Detector] = []
+
+    @pandas_udf("map<string,double>")
+    def confidences(raw: pd.Series, cleaned: pd.Series) -> pd.Series:
+        if not detector_holder:
+            models = dict(bc_low.value)
+            models.update(bc_high.value)
+            detector_holder.append(Detector(models, params))
+        return detector_holder[0].confidence_batch(raw, cleaned)
+
+    return confidences
