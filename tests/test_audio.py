@@ -1,0 +1,61 @@
+"""Codec round-trip correctness: decoded PCM must match the encoder's
+source at SNR ≥ 30 dB (BASELINE.json input_hint)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio
+
+
+def _ref_signal(n=8000, seed=7):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float64) / 16000
+    sig = 0.6 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1333 * t)
+    sig += 0.02 * rng.standard_normal(n)
+    return np.clip(sig, -0.99, 0.99).astype(np.float32)
+
+
+@pytest.mark.parametrize("codec", audio.SUPPORTED_CODECS)
+def test_round_trip_snr(codec):
+    sig = _ref_signal()
+    dec = audio.decode(audio.encode(sig, codec), codec)
+    assert audio.snr_db(sig, dec) >= 30.0
+
+
+@pytest.mark.parametrize("codec", ["mulaw", "alaw"])
+def test_silence_round_trip(codec):
+    z = np.zeros(256, dtype=np.float32)
+    dec = audio.decode(audio.encode(z, codec), codec)
+    assert np.abs(dec).max() < 1e-3
+
+
+def test_decode_features_udf(spark):
+    sig = _ref_signal()
+    rows = [(c, bytearray(audio.encode(sig, c))) for c in audio.SUPPORTED_CODECS]
+    rows.append(("opus", bytearray(b"\x00\x01")))  # unsupported codec
+    df = spark.createDataFrame(rows, "codec string, bytes binary")
+    out = (
+        df.withColumn("f", audio.decode_features_udf()(F.col("bytes"), F.col("codec")))
+        .select("codec", "f.*")
+        .toPandas()
+        .set_index("codec")
+    )
+    for c in audio.SUPPORTED_CODECS:
+        assert bool(out.loc[c, "decode_ok"])
+        assert out.loc[c, "n_samples"] == len(sig)
+        assert 0.3 < out.loc[c, "rms"] < 0.6
+    assert not bool(out.loc["opus", "decode_ok"])
+
+
+def test_decode_pcm_udf_allclose(spark):
+    sig = _ref_signal(n=1000)
+    df = spark.createDataFrame(
+        [("pcm_f32le", bytearray(audio.encode(sig, "pcm_f32le")))],
+        "codec string, bytes binary",
+    )
+    pcm = (
+        df.select(audio.decode_pcm_udf()(F.col("bytes"), F.col("codec")).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert np.allclose(np.array(pcm, dtype=np.float32), sig)

@@ -1,0 +1,64 @@
+"""End-to-end quality_filter pipeline: keep/drop F1 ≥ 0.99 vs generation
+labels, scrubbed-transcript exact match, resumable bucketed runs
+(BASELINE.json north_rule acceptance criteria at test scale)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.data.clips import clips_dataframes
+from tiny_lingua_spark.pipeline import completed_buckets, quality_filter, run_resumable
+
+
+@pytest.fixture(scope="module")
+def result(spark, registry):
+    clips, labels = clips_dataframes(spark, n=400)
+    out = quality_filter(clips, registry, n_partitions=8)
+    joined = out.join(labels, "clip_id").toPandas()
+    assert len(joined) == 400
+    return joined
+
+
+def test_keep_drop_f1(result):
+    tp = (result.keep & result.expected_keep).sum()
+    fp = (result.keep & ~result.expected_keep).sum()
+    fn = (~result.keep & result.expected_keep).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"keep/drop F1 {f1:.4f} (fp={fp}, fn={fn})"
+
+
+def test_scrubbed_exact_match(result):
+    mism = result[result.scrubbed != result.expected_scrubbed]
+    assert len(mism) == 0, mism[["transcript", "scrubbed", "expected_scrubbed"]].head()
+
+
+def test_language_f1_on_kept(result):
+    kept = result[result.expected_keep]
+    acc = (kept.lang == kept.true_lang).mean()
+    assert acc >= 0.99, f"lang accuracy on kept rows {acc:.4f}"
+
+
+def test_audio_gates(result):
+    # every synthesized clip decodes and is non-silent
+    assert result.decode_ok.all()
+    assert (result.rms > 0.005).all()
+
+
+def test_resumable_run(spark, registry, tmp_path):
+    clips, _ = clips_dataframes(spark, n=120)
+    out_dir = str(tmp_path / "out")
+    stats1 = run_resumable(spark, clips, registry, out_dir, n_buckets=4)
+    assert stats1["rows"] == 120
+    assert len(completed_buckets(out_dir)) == 4
+
+    # simulate crash recovery: drop one bucket's manifest → only that
+    # bucket reruns
+    victim = os.path.join(out_dir, "_manifest", "bucket-00002.json")
+    os.remove(victim)
+    stats2 = run_resumable(spark, clips, registry, out_dir, n_buckets=4)
+    assert stats2["buckets_skipped"] == 3
+    assert 0 < stats2["rows"] < 120
+
+    total = spark.read.parquet(os.path.join(out_dir, "bucket=*")).count()
+    assert total == 120

@@ -1,0 +1,47 @@
+"""Scrub + quality-rule unit tests (FIXTURES.md §7 shapes)."""
+
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.functions.quality import with_quality_metrics
+from tiny_lingua_spark.functions.scrub import scrubbed_col
+
+SCRUB_CASES = [
+    ("mail me at a.b-c_d@example.co.uk thanks", "mail me at <EMAIL> thanks"),
+    ("see https://ex.com/a?b=1&c=2 and http://x.org", "see <URL> and <URL>"),
+    ("ssn is 123-45-6789.", "ssn is <ID>."),
+    ("call (555) 123-4567 or 555-123-4567", "call <PHONE> or <PHONE>"),
+    ("+1 555-123-4567 works too", "<PHONE> works too"),
+    ("you BadWord and toxicword", "you <TOX> and <TOX>"),
+    ("clean text stays clean", "clean text stays clean"),
+    ("not-a-phone 12-34 or 1234-5678", "not-a-phone 12-34 or 1234-5678"),
+]
+
+
+def test_scrub_cases(spark):
+    df = spark.createDataFrame(SCRUB_CASES, "raw string, expected string")
+    out = df.withColumn("got", scrubbed_col(F.col("raw"))).toPandas()
+    for _, r in out.iterrows():
+        assert r.got == r.expected, f"{r.raw!r}: {r.got!r} != {r.expected!r}"
+
+
+def test_quality_metrics(spark):
+    rows = [
+        ("normal", "The quick brown fox jumps over the lazy dog"),
+        ("digits", "12345 67890 11111 22222"),
+        ("runs", "aaaaaaaaaaaaaaaaaaaa"),
+        ("empty", ""),
+        ("zh", "我们的世界很大而且很好"),
+    ]
+    df = spark.createDataFrame(rows, "k string, transcript string")
+    m = with_quality_metrics(df).toPandas().set_index("k")
+
+    assert m.loc["normal", "n_tokens"] == 9
+    assert m.loc["normal", "alpha_ratio"] > 0.75
+    assert m.loc["normal", "stopword_ratio"] > 0.2
+    assert m.loc["digits", "digit_ratio"] > 0.7
+    assert m.loc["runs", "max_char_run"] == 20
+    assert m.loc["empty", "n_chars"] == 0
+    assert m.loc["empty", "n_tokens"] == 0
+    assert m.loc["empty", "max_char_run"] == 0
+    assert m.loc["zh", "alpha_ratio"] == 1.0
+    assert m.loc["zh", "char_entropy"] > 2.5

@@ -1,0 +1,195 @@
+"""Per-codec audio decode — Arrow-batched UDFs (target-spec component,
+SURVEY.md §2.6; BASELINE.json input_hint: decoded PCM allclose to the
+encoder's source at SNR ≥ 30 dB).
+
+Codecs: pcm_s16le, pcm_f32le, mulaw (ITU-T G.711 µ-law), alaw (G.711
+A-law) — all implemented from the public standard formulas, vectorized
+in numpy over whole Arrow batches (no per-sample Python).
+
+The heavy path (`decode_features_udf`) returns per-clip features only
+(rms / peak / clipping / sample count), never materializing PCM into the
+Spark plan — at 10^12-clip scale the decoded waveform must stay inside
+the executor batch. `decode_pcm_udf` (full PCM) exists for tests and
+downstream feature extraction that genuinely needs samples.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_BIAS = 0x84
+_CLIP = 32635
+
+SUPPORTED_CODECS = ("pcm_s16le", "pcm_f32le", "mulaw", "alaw")
+
+
+# ---------- G.711 µ-law ----------
+
+def _msb_pos(x: np.ndarray) -> np.ndarray:
+    """Position of the most significant set bit for uint arrays (>=1)."""
+    out = np.zeros_like(x)
+    v = x.copy()
+    for shift in (8, 4, 2, 1):
+        m = v >= (1 << shift)
+        out[m] += shift
+        v[m] >>= shift
+    return out
+
+
+def mulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 → µ-law uint8 (G.711)."""
+    x = pcm.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), _CLIP) + _BIAS
+    exponent = _msb_pos(mag.astype(np.uint32)).astype(np.int32) - 7
+    exponent = np.clip(exponent, 0, 7)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(data: np.ndarray) -> np.ndarray:
+    """µ-law uint8 → int16."""
+    u = (~data.astype(np.int32)) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + _BIAS) << exponent) - _BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+# ---------- G.711 A-law ----------
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    x = pcm.astype(np.int32)
+    sign = np.where(x >= 0, 0x80, 0).astype(np.int32)
+    ax = np.abs(x)
+    big = ax >= 256
+    exponent = np.zeros_like(ax)
+    exponent[big] = _msb_pos((ax[big] >> 8).astype(np.uint32)) + 1
+    mantissa = np.where(big, (ax >> (exponent + 3)) & 0x0F, ax >> 4)
+    return (((sign | (exponent << 4) | mantissa) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
+def alaw_decode(data: np.ndarray) -> np.ndarray:
+    c = data.astype(np.int32) ^ 0x55
+    sign = c & 0x80
+    exponent = (c >> 4) & 0x07
+    mantissa = c & 0x0F
+    mag = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    return np.where(sign != 0, mag, -mag).astype(np.int16)
+
+
+# ---------- codec dispatch ----------
+
+def encode(pcm_f32: np.ndarray, codec: str) -> bytes:
+    """float32 [-1,1] → encoded bytes (fixture generation + round-trips)."""
+    if codec == "pcm_f32le":
+        return pcm_f32.astype("<f4").tobytes()
+    i16 = np.clip(np.round(pcm_f32 * 32767.0), -32768, 32767).astype(np.int16)
+    if codec == "pcm_s16le":
+        return i16.astype("<i2").tobytes()
+    if codec == "mulaw":
+        return mulaw_encode(i16).tobytes()
+    if codec == "alaw":
+        return alaw_encode(i16).tobytes()
+    raise ValueError(f"unsupported codec: {codec}")
+
+
+def decode(data: bytes, codec: str) -> np.ndarray:
+    """encoded bytes → float32 [-1,1]."""
+    if codec == "pcm_f32le":
+        return np.frombuffer(data, dtype="<f4").astype(np.float32)
+    if codec == "pcm_s16le":
+        return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if codec == "mulaw":
+        return mulaw_decode(raw).astype(np.float32) / 32768.0
+    if codec == "alaw":
+        return alaw_decode(raw).astype(np.float32) / 32768.0
+    raise ValueError(f"unsupported codec: {codec}")
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """Signal-to-noise ratio of decoded vs reference, in dB."""
+    n = min(len(reference), len(decoded))
+    ref = reference[:n].astype(np.float64)
+    err = ref - decoded[:n].astype(np.float64)
+    p_sig = float((ref**2).sum())
+    p_err = float((err**2).sum())
+    if p_err == 0:
+        return float("inf")
+    return 10.0 * math_log10(p_sig / p_err)
+
+
+def math_log10(x: float) -> float:
+    import math
+
+    return math.log10(x)
+
+
+# ---------- Spark UDFs ----------
+
+AUDIO_FEATURES_SCHEMA = (
+    "decode_ok boolean, n_samples int, rms double, peak double, clipped_ratio double"
+)
+
+
+def _features_batch(bytes_s: pd.Series, codec_s: pd.Series) -> pd.DataFrame:
+    ok, ns, rms, peak, clip = [], [], [], [], []
+    for b, c in zip(bytes_s.to_numpy(), codec_s.to_numpy()):
+        try:
+            if b is None or c not in SUPPORTED_CODECS:
+                raise ValueError("bad input")
+            pcm = decode(bytes(b), c)
+            ok.append(True)
+            ns.append(int(len(pcm)))
+            if len(pcm):
+                rms.append(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))))
+                peak.append(float(np.abs(pcm).max()))
+                clip.append(float((np.abs(pcm) >= 0.999).mean()))
+            else:
+                rms.append(0.0)
+                peak.append(0.0)
+                clip.append(0.0)
+        except Exception:
+            ok.append(False)
+            ns.append(0)
+            rms.append(0.0)
+            peak.append(0.0)
+            clip.append(0.0)
+    return pd.DataFrame(
+        {"decode_ok": ok, "n_samples": ns, "rms": rms, "peak": peak,
+         "clipped_ratio": clip}
+    )
+
+
+def decode_features_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(AUDIO_FEATURES_SCHEMA)
+    def decode_features(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        return _features_batch(b, codec)
+
+    return decode_features
+
+
+def decode_pcm_udf():
+    """Full-PCM decode (tests / sample-level feature extraction only)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def decode_pcm(b: pd.Series, codec: pd.Series) -> pd.Series:
+        out = []
+        for raw, c in zip(b.to_numpy(), codec.to_numpy()):
+            try:
+                out.append(decode(bytes(raw), c).tolist())
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    return decode_pcm

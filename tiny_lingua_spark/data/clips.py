@@ -1,0 +1,125 @@
+"""Deterministic synthetic clips table (BASELINE.json input_hint shape):
+
+    clips(clip_id string, bytes binary, sr_hz int, dur_ms int,
+          codec string, transcript string)
+
+plus the hidden label table used only by tests/eval (FIXTURES.md §1):
+
+    clips_labels(clip_id, true_lang, expected_keep, expected_scrubbed)
+
+Everything is seeded. PII injections are placed from templates, so
+`expected_scrubbed` is constructed from generation knowledge — NOT by
+running the pipeline's own scrub regexes (no circularity). Junk rows are
+constructed to sit unambiguously on the drop side of the quality
+thresholds; clean rows unambiguously on the keep side.
+
+dur_ms follows a heavy-tailed log-normal (drives skew handling tests);
+the actual synthesized waveform is capped at 2 s so fixtures stay small.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+
+from .. import audio, corpus
+from ..langmeta import ISO_CODES
+
+CODECS = ("pcm_s16le", "mulaw", "alaw", "pcm_f32le")
+SR_CHOICES = (8000, 16000, 44100)
+_MAX_SYNTH_MS = 2000
+
+# (raw_pii, placeholder) pairs; raws are matched by the scrub regexes and
+# placeholders are what the scrubber must emit.
+PII_INJECTIONS = (
+    ("contact me at john.doe@example.com please", "contact me at <EMAIL> please"),
+    ("visit https://example.com/page?x=1 now", "visit <URL> now"),
+    ("my number is (555) 123-4567 ok", "my number is <PHONE> ok"),
+    ("ssn 123-45-6789 here", "ssn <ID> here"),
+    ("that badword again", "that <TOX> again"),
+    ("call 555-123-4567 tomorrow", "call <PHONE> tomorrow"),
+)
+
+JUNK_TEXTS = (
+    "1234567890 9876543210 1111111 222222 3333333 44444444",
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbb",
+    "!!!! ???? .... ,,,, ;;;; :::: @@@@ ####",
+    "x",
+    "",
+)
+
+
+def _waveform(i: int, sr: int, dur_ms: int) -> np.ndarray:
+    n = int(sr * min(dur_ms, _MAX_SYNTH_MS) / 1000)
+    rng = np.random.default_rng(1000 + i)
+    t = np.arange(n, dtype=np.float64) / sr
+    f0 = 200 + (i * 37) % 800
+    sig = 0.55 * np.sin(2 * np.pi * f0 * t) + 0.15 * np.sin(2 * np.pi * 2.7 * f0 * t)
+    sig += 0.02 * rng.standard_normal(n)
+    return np.clip(sig, -0.99, 0.99).astype(np.float32)
+
+
+def generate_clips(n: int = 500, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Returns (clips_df, labels_df) as pandas frames."""
+    rng = random.Random(seed)
+    clip_rows, label_rows = [], []
+    for i in range(n):
+        clip_id = f"clip-{i:08d}"
+        lang = ISO_CODES[rng.randrange(len(ISO_CODES))]
+        sr = SR_CHOICES[rng.randrange(len(SR_CHOICES))]
+        dur_ms = int(min(max(rng.lognormvariate(6.5, 1.0), 200), 120_000))
+        codec = CODECS[rng.randrange(len(CODECS))]
+
+        kind = rng.random()
+        if kind < 0.70:  # clean sentence
+            text = corpus.sentences(lang, 1, split=f"clips:{i}", seed=seed)[0]
+            expected_scrubbed = text
+            expected_keep = True
+        elif kind < 0.85:  # clean sentence + PII injection (English carrier)
+            lang = "en"
+            base = corpus.sentences("en", 1, split=f"clips:{i}", seed=seed)[0]
+            raw, placeholder = PII_INJECTIONS[rng.randrange(len(PII_INJECTIONS))]
+            text = f"{base} {raw}"
+            expected_scrubbed = f"{base} {placeholder}"
+            expected_keep = True
+        else:  # junk → drop
+            text = JUNK_TEXTS[rng.randrange(len(JUNK_TEXTS))]
+            expected_scrubbed = text
+            expected_keep = False
+            lang = "junk"
+
+        wav = _waveform(i, sr, dur_ms)
+        clip_rows.append(
+            (clip_id, audio.encode(wav, codec), sr, dur_ms, codec, text)
+        )
+        label_rows.append((clip_id, lang, expected_keep, expected_scrubbed))
+
+    clips = pd.DataFrame(
+        clip_rows,
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+    )
+    labels = pd.DataFrame(
+        label_rows,
+        columns=["clip_id", "true_lang", "expected_keep", "expected_scrubbed"],
+    )
+    return clips, labels
+
+
+CLIPS_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string,"
+    " transcript string"
+)
+LABELS_SCHEMA = (
+    "clip_id string, true_lang string, expected_keep boolean,"
+    " expected_scrubbed string"
+)
+
+
+def clips_dataframes(spark, n: int = 500, seed: int = 42):
+    clips, labels = generate_clips(n, seed)
+    return (
+        spark.createDataFrame(clips, CLIPS_SCHEMA),
+        spark.createDataFrame(labels, LABELS_SCHEMA),
+    )

@@ -1,0 +1,155 @@
+"""Heuristic quality rules — target-spec component (SURVEY.md §2.6).
+
+Two tiers:
+- `quality_metrics_cols`: pure Catalyst expressions (codegen, pushdown-
+  friendly, DuckDB-oracle-checkable 1:1)
+- `quality_extra_udf`: metrics that need backreference regex or per-char
+  numerics (max repeated-char run, char entropy) — Arrow-batched pandas
+  UDF, rows-only oracle
+
+Keep/drop thresholds follow common web-corpus filtering practice
+(C4/Gopher-style rules, public literature).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+# English stopword slice used by the stopword-ratio rule (public list).
+STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "was", "on", "are", "as", "with", "his", "they", "at", "be", "this",
+)
+
+
+def quality_metrics_cols(text_col: str = "transcript") -> list[Column]:
+    c = F.col(text_col)
+    toks = F.split(F.trim(c), r"\s+")
+    n_chars = F.length(c)
+    # ratios guard n_chars == 0 → 0.0
+    def ratio(stripped: Column) -> Column:
+        return F.when(n_chars > 0, stripped / n_chars).otherwise(F.lit(0.0))
+
+    # \p{M} included: combining marks (Devanagari matras, Arabic harakat)
+    # are part of letters for ratio purposes
+    n_alpha = F.length(F.regexp_replace(c, r"[^\p{L}\p{M}]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^\p{N}]", ""))
+    n_upper = F.length(F.regexp_replace(c, r"[^\p{Lu}]", ""))
+    n_space = F.length(F.regexp_replace(c, r"[^\s]", ""))
+    n_tokens = F.when(F.length(F.trim(c)) > 0, F.size(toks)).otherwise(F.lit(0))
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(lower(trim({text_col})), '\\\\s+'), t -> t in ({sw})))"
+    )
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.expr(
+            f"aggregate(split(trim({text_col}), '\\\\s+'), 0L, (a, t) -> a + length(t))"
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    return [
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        ratio(n_alpha).alias("alpha_ratio"),
+        ratio(n_digit).alias("digit_ratio"),
+        ratio(n_upper).alias("upper_ratio"),
+        ratio(n_space).alias("space_ratio"),
+        F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+    ]
+
+
+def quality_metrics_sql(text_expr: str = "transcript") -> dict[str, str]:
+    """Same metrics as DuckDB SQL snippets (oracle parity)."""
+    c = text_expr
+    n = f"length({c})"
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = f"regexp_split_to_array(trim({c}), '\\s+')"
+    n_tok = f"case when length(trim({c})) > 0 then len({toks}) else 0 end"
+    return {
+        "n_chars": n,
+        "n_tokens": n_tok,
+        "alpha_ratio": f"case when {n} > 0 then length(regexp_replace({c}, '[^\\p{{L}}\\p{{M}}]', '', 'g')) / {n} else 0.0 end",
+        "digit_ratio": f"case when {n} > 0 then length(regexp_replace({c}, '[^\\p{{N}}]', '', 'g')) / {n} else 0.0 end",
+        "upper_ratio": f"case when {n} > 0 then length(regexp_replace({c}, '[^\\p{{Lu}}]', '', 'g')) / {n} else 0.0 end",
+        "space_ratio": f"case when {n} > 0 then length(regexp_replace({c}, '[^\\s]', '', 'g')) / {n} else 0.0 end",
+        "stopword_ratio": f"case when {n_tok} > 0 then len(list_filter({toks}, t -> lower(t) in ({sw}))) / ({n_tok}) else 0.0 end",
+        "mean_token_len": f"case when {n_tok} > 0 then list_sum(list_transform({toks}, t -> length(t))) / ({n_tok}) else 0.0 end",
+    }
+
+
+QUALITY_EXTRA_SCHEMA = "max_char_run int, char_entropy double"
+
+
+def quality_extra_udf():
+    """max repeated-char run + char entropy (needs Python; Arrow-batched)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(QUALITY_EXTRA_SCHEMA)
+    def extra(text: pd.Series) -> pd.DataFrame:
+        runs, ents = [], []
+        for t in text.to_numpy():
+            if not t:
+                runs.append(0)
+                ents.append(0.0)
+                continue
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            if len(cps) == 1:
+                runs.append(1)
+            else:
+                change = np.flatnonzero(np.diff(cps) != 0)
+                bounds = np.concatenate(([-1], change, [len(cps) - 1]))
+                runs.append(int(np.diff(bounds).max()))
+            _, counts = np.unique(cps, return_counts=True)
+            p = counts / counts.sum()
+            ents.append(float(-(p * np.log2(p)).sum()))
+        return pd.DataFrame({"max_char_run": runs, "char_entropy": ents})
+
+    return extra
+
+
+# Default keep/drop thresholds (tunable; C4/Gopher-inspired)
+DEFAULT_THRESHOLDS = {
+    "min_chars": 10,
+    # logogram scripts pack a sentence into few codepoints — a 6-char
+    # Chinese sentence is ~6 words; use a lower char floor there
+    "min_chars_cjk": 4,
+    "max_chars": 100_000,
+    # 1, not 2: zh/ja write without spaces — whitespace token count is 1
+    # for a full sentence; min_chars is the effective length gate there
+    "min_tokens": 1,
+    "min_alpha_ratio": 0.5,
+    "max_digit_ratio": 0.3,
+    "max_char_run": 10,
+    "min_entropy": 1.5,
+}
+
+
+def keep_decision_col(th: dict | None = None) -> Column:
+    """Boolean keep/drop over the metric columns (must already exist)."""
+    t = {**DEFAULT_THRESHOLDS, **(th or {})}
+    min_chars = F.when(
+        F.col("lang").isin("zh", "ja", "ko"), F.lit(t["min_chars_cjk"])
+    ).otherwise(F.lit(t["min_chars"]))
+    return (
+        (F.col("n_chars") >= min_chars)
+        & (F.col("n_chars") <= t["max_chars"])
+        & (F.col("n_tokens") >= t["min_tokens"])
+        & (F.col("alpha_ratio") >= t["min_alpha_ratio"])
+        & (F.col("digit_ratio") <= t["max_digit_ratio"])
+        & (F.col("max_char_run") <= t["max_char_run"])
+        & (F.col("char_entropy") >= t["min_entropy"])
+        & (F.col("lang") != "unknown")
+    )
+
+
+def with_quality_metrics(df: DataFrame, text_col: str = "transcript") -> DataFrame:
+    extra = quality_extra_udf()
+    return df.select(
+        "*", *quality_metrics_cols(text_col), extra(F.col(text_col)).alias("_x")
+    ).select("*", "_x.max_char_run", "_x.char_entropy").drop("_x")

@@ -1,0 +1,55 @@
+"""PII / toxicity scrubbing as pure Catalyst regexp_replace chains.
+
+Target-spec component (BASELINE.json north_rule) with no reference
+counterpart (SURVEY.md §2.6). Patterns are written in the common subset
+of Java regex (Spark) and RE2 (DuckDB oracle): no backreferences, no
+lookaround. Replacement order is fixed — URL → EMAIL → ID → PHONE → TOX —
+so composed outputs are deterministic and oracle-checkable byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+PHONE_RE = r"(\+\d{1,3}[ -]?)?(\(\d{3}\)[ -]?|\b\d{3}[-.])\d{3}[-.]\d{4}\b"
+
+# Fixed public-safe placeholder list (FIXTURES.md §7) — stands in for a
+# real toxicity lexicon, which would be swapped in at deploy time.
+TOX_WORDS = ("badword", "toxicword", "slurword", "curseword")
+TOX_RE = r"(?i)\b(" + "|".join(TOX_WORDS) + r")\b"
+
+# (pattern, replacement) in application order
+SCRUB_RULES: tuple[tuple[str, str], ...] = (
+    (URL_RE, "<URL>"),
+    (EMAIL_RE, "<EMAIL>"),
+    (SSN_RE, "<ID>"),
+    (PHONE_RE, "<PHONE>"),
+    (TOX_RE, "<TOX>"),
+)
+
+
+def scrubbed_col(col: Column) -> Column:
+    for pat, repl in SCRUB_RULES:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def scrubbed_sql(expr: str) -> str:
+    """Identical transform as DuckDB SQL (RE2, global flag)."""
+    out = expr
+    for pat, repl in SCRUB_RULES:
+        pat_sql = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat_sql}', '{repl}', 'g')"
+    return out
+
+
+def has_pii_col(col: Column) -> Column:
+    return (
+        col.rlike(URL_RE)
+        | col.rlike(EMAIL_RE)
+        | col.rlike(SSN_RE)
+        | col.rlike(PHONE_RE)
+    )

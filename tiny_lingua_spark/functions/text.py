@@ -1,0 +1,93 @@
+"""Text-analysis functions for training-data pipelines.
+
+- token counting (whitespace + BPE-ish subword estimate)
+- document fingerprinting (normalized md5 — exact-dup key)
+- fast stopword-based language heuristic (SQL-expressible screener that
+  runs before the full n-gram detector; cheap first pass at 100 TB)
+
+All pure Catalyst expressions with DuckDB-SQL twins for oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# BPE-ish token estimate: word chunks of ≤4 chars count 1, longer words
+# count ceil(len/4) — a deterministic, vectorizable stand-in for a real
+# tokenizer's token count.
+BPE_CHUNK = 4
+
+
+def ws_token_count_col(c: Column) -> Column:
+    return F.when(
+        F.length(F.trim(c)) > 0, F.size(F.split(F.trim(c), r"\s+"))
+    ).otherwise(F.lit(0))
+
+
+def bpe_token_estimate_col(text_col: str) -> Column:
+    return F.expr(
+        f"aggregate(split(trim({text_col}), '\\\\s+'), 0L,"
+        f" (a, t) -> a + cast(ceil(length(t) / {BPE_CHUNK}.0) as long))"
+    )
+
+
+def bpe_token_estimate_sql(text_expr: str) -> str:
+    return (
+        f"list_sum(list_transform(regexp_split_to_array(trim({text_expr}), '\\s+'),"
+        f" t -> cast(ceil(length(t) / {BPE_CHUNK}.0) as bigint)))"
+    )
+
+
+def fingerprint_col(c: Column) -> Column:
+    """md5 of casefolded, whitespace-collapsed text — exact-dup key."""
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def fingerprint_sql(text_expr: str) -> str:
+    return f"md5(regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g'))"
+
+
+# Stopword screener: top-N function words per language (public lists).
+# Deliberately small — this is the cheap pre-filter, not the detector.
+SCREEN_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "you", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ich", "mit"),
+    "es": ("el", "la", "los", "que", "de", "y", "es", "para"),
+    "fr": ("le", "la", "les", "et", "est", "que", "dans", "pour"),
+    "it": ("il", "la", "che", "e", "di", "un", "per", "sono"),
+}
+SCREEN_LANGS = tuple(SCREEN_STOPWORDS)  # tie-break order
+
+
+def _score_expr_spark(text_col: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter(split(lower(trim({text_col})), '\\\\s+'), t -> t in ({lst})))"
+
+
+def screen_lang_col(text_col: str) -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) when all 0.
+    Ties break by SCREEN_LANGS order."""
+    scores = [F.expr(_score_expr_spark(text_col, SCREEN_STOPWORDS[l])) for l in SCREEN_LANGS]
+    best = F.greatest(*scores)
+    out = F.lit("und")
+    # build reversed so earlier langs win ties
+    for lang, sc in reversed(list(zip(SCREEN_LANGS, scores))):
+        out = F.when((sc == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def screen_lang_sql(text_expr: str) -> str:
+    def score(words: tuple[str, ...]) -> str:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return (
+            f"len(list_filter(regexp_split_to_array(lower(trim({text_expr})), '\\s+'),"
+            f" t -> t in ({lst})))"
+        )
+
+    scores = {l: score(SCREEN_STOPWORDS[l]) for l in SCREEN_LANGS}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"when {scores[l]} = {best} and {best} > 0 then '{l}'" for l in SCREEN_LANGS
+    )
+    return f"(case {whens} else 'und' end)"

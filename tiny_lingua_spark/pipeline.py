@@ -1,0 +1,173 @@
+"""The quality-filter pipeline (BASELINE.json north_rule):
+
+    clips(clip_id, bytes, sr_hz, dur_ms, codec, transcript)
+      → salted repartition on clip_id        (skew: decode cost ∝ dur_ms)
+      → per-codec audio decode features      (Arrow UDF)
+      → SQL clean → language detection       (broadcast models, pandas UDF)
+      → heuristic quality metrics            (Catalyst exprs + extra UDF)
+      → PII/toxicity scrub                   (Catalyst regexp chain)
+      → keep/drop decision                   (Catalyst boolean expr)
+
+Scale design notes:
+- The only shuffle in the whole pipeline is the explicit salted
+  repartition; everything after is narrow (per-partition UDFs + projections),
+  so the plan is scan → exchange → one long codegen+UDF pipeline.
+- Models ride a broadcast, never a join shuffle.
+- Decoded PCM never enters the plan — only per-clip features.
+- Resume: hash-bucketed runs with per-bucket commit manifests
+  (Iceberg-snapshot analog with plain parquet; per-partition lineage +
+  row counters recorded in the manifest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .audio import decode_features_udf
+from .functions.cleaning import cleaned_text_col
+from .functions.quality import (
+    DEFAULT_THRESHOLDS,
+    keep_decision_col,
+    quality_extra_udf,
+    quality_metrics_cols,
+)
+from .functions.scrub import scrubbed_col
+from .models.registry import ModelRegistry
+from .operators.detect import DetectorParams, make_detect_udf
+
+AUDIO_THRESHOLDS = {
+    "min_rms": 0.005,        # non-silent
+    "max_clipped_ratio": 0.5,
+    "min_dur_ms": 150,
+    "max_dur_ms": 600_000,
+}
+
+
+def salted_repartition(df: DataFrame, n_partitions: int) -> DataFrame:
+    """Break dur_ms-driven cost skew: hash-scatter rows on clip_id so long
+    clips spread uniformly across partitions (SURVEY.md §7 risk list)."""
+    return df.repartition(n_partitions, F.xxhash64("clip_id"))
+
+
+def quality_filter(
+    clips: DataFrame,
+    registry: ModelRegistry,
+    params: DetectorParams = DetectorParams(),
+    thresholds: dict | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Full pipeline → one row per clip with decision + diagnostics."""
+    th = {**DEFAULT_THRESHOLDS, **AUDIO_THRESHOLDS, **(thresholds or {})}
+    detect = make_detect_udf(registry.bc_low, registry.bc_high, params)
+    audio_feats = decode_features_udf()
+    extra = quality_extra_udf()
+
+    df = clips
+    if n_partitions:
+        df = salted_repartition(df, n_partitions)
+
+    df = (
+        df.withColumn("audio", audio_feats(F.col("bytes"), F.col("codec")))
+        .withColumn("cleaned", cleaned_text_col(F.col("transcript")))
+        .withColumn("det", detect(F.col("transcript"), F.col("cleaned")))
+        .withColumn("_x", extra(F.col("transcript")))
+        .select(
+            "clip_id",
+            "sr_hz",
+            "dur_ms",
+            "codec",
+            "transcript",
+            F.col("det.lang").alias("lang"),
+            F.col("det.confidence").alias("lang_confidence"),
+            F.col("audio.decode_ok").alias("decode_ok"),
+            F.col("audio.n_samples").alias("n_samples"),
+            F.col("audio.rms").alias("rms"),
+            F.col("audio.clipped_ratio").alias("clipped_ratio"),
+            *quality_metrics_cols("transcript"),
+            F.col("_x.max_char_run").alias("max_char_run"),
+            F.col("_x.char_entropy").alias("char_entropy"),
+            scrubbed_col(F.col("transcript")).alias("scrubbed"),
+        )
+    )
+
+    audio_ok = (
+        F.col("decode_ok")
+        & (F.col("rms") >= th["min_rms"])
+        & (F.col("clipped_ratio") <= th["max_clipped_ratio"])
+        & (F.col("dur_ms") >= th["min_dur_ms"])
+        & (F.col("dur_ms") <= th["max_dur_ms"])
+    )
+    return df.withColumn("audio_ok", audio_ok).withColumn(
+        "keep", keep_decision_col(th) & audio_ok
+    )
+
+
+# ---------- resumable bucketed runs ----------
+
+def _manifest_path(out_dir: str, bucket: int) -> str:
+    return os.path.join(out_dir, "_manifest", f"bucket-{bucket:05d}.json")
+
+
+def completed_buckets(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for f in os.listdir(mdir):
+        if f.startswith("bucket-") and f.endswith(".json"):
+            out.add(int(f[len("bucket-") : -len(".json")]))
+    return out
+
+
+def run_resumable(
+    spark: SparkSession,
+    clips: DataFrame,
+    registry: ModelRegistry,
+    out_dir: str,
+    n_buckets: int = 16,
+    thresholds: dict | None = None,
+) -> dict:
+    """Checkpointed pipeline run: input hash-bucketed on clip_id; each
+    bucket commits atomically (parquet partition + manifest JSON with
+    per-partition lineage + counters). Re-running after a crash skips
+    committed buckets — the plain-parquet analog of resuming from an
+    Iceberg snapshot.
+    """
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    done = completed_buckets(out_dir)
+    bucketed = clips.withColumn(
+        "_bucket", F.pmod(F.xxhash64("clip_id"), F.lit(n_buckets)).cast("int")
+    )
+    stats = {"buckets_total": n_buckets, "buckets_skipped": len(done), "rows": 0,
+             "kept": 0}
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
+        result = quality_filter(part, registry, thresholds=thresholds)
+        result.persist()
+        t0 = time.time()
+        result.write.mode("overwrite").parquet(os.path.join(out_dir, f"bucket={b}"))
+        agg = result.agg(
+            F.count("*").alias("rows"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        ).collect()[0]
+        result.unpersist()
+        manifest = {
+            "bucket": b,
+            "rows": agg["rows"],
+            "kept": int(agg["kept"] or 0),
+            "wall_sec": round(time.time() - t0, 3),
+            "lineage": {"source": "clips", "bucket_expr": f"pmod(xxhash64(clip_id), {n_buckets})"},
+        }
+        tmp = _manifest_path(out_dir, b) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, _manifest_path(out_dir, b))
+        stats["rows"] += agg["rows"]
+        stats["kept"] += int(agg["kept"] or 0)
+    return stats

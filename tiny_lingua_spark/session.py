@@ -26,14 +26,16 @@ def ship_package(spark: SparkSession) -> None:
     repo root (pandas UDF closures unpickle the package on workers)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(tempfile.gettempdir(), "tiny_lingua_spark_pkg.zip")
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+    # always rebuild — a stale zip silently drops newly added modules
+    tmp = zip_path + f".{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
 
 
