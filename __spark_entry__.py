@@ -1,38 +1,377 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()     — flagship: full language-ID + quality pipeline on sf0.001.
+queries()   — one entry per implemented operator (SURVEY.md §2 + the
+              training-data-pipeline extensions: dedup, similarity
+              search, text analysis).
+oracle_sql()— DuckDB twins; keys absent here (detector / simhash / LSH /
+              audio UDFs) get the driver's rows-only check, because bit
+              math and broadcast-model UDFs are not SQL-expressible.
+
+Column names and value rounding are kept identical between each Spark
+query and its oracle so the driver's order-insensitive value hash
+matches (floats rounded to 6 dp on both sides).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from tiny_lingua_spark.corpus import CORPUS_VERSION  # noqa: E402
+from tiny_lingua_spark.functions.cleaning import cleaned_text_col, cleaned_text_sql  # noqa: E402
+from tiny_lingua_spark.functions.quality import (  # noqa: E402
+    quality_metrics_cols,
+    quality_metrics_sql,
+)
+from tiny_lingua_spark.functions.scrub import scrubbed_col, scrubbed_sql  # noqa: E402
+from tiny_lingua_spark.functions.text import (  # noqa: E402
+    bpe_token_estimate_col,
+    bpe_token_estimate_sql,
+    fingerprint_col,
+    fingerprint_sql,
+    screen_lang_col,
+    screen_lang_sql,
+    ws_token_count_col,
+)
+from tiny_lingua_spark.operators import dedup, similarity  # noqa: E402
+
+MODELS_DIR = os.path.join(_REPO, ".cache", f"models_v{CORPUS_VERSION}")
+EMB_DIM = 64
+
+_REG = None
+
+
+def _registry(spark: SparkSession):
+    """Train-once (cached on disk), broadcast-once n-gram model registry."""
+    global _REG
+    if _REG is None:
+        from tiny_lingua_spark.models.registry import ModelRegistry
+        from tiny_lingua_spark.models.train import train_and_write
+        from tiny_lingua_spark.session import ship_package
+
+        ship_package(spark)
+        if not os.path.exists(os.path.join(MODELS_DIR, "_SUCCESS")):
+            train_and_write(spark, MODELS_DIR)
+        _REG = ModelRegistry(spark, MODELS_DIR)
+    return _REG
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _detected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiny_lingua_spark.operators.detect import make_detect_udf
+
+    reg = _registry(spark)
+    detect = make_detect_udf(reg.bc_low, reg.bc_high)
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        cleaned_text_col(F.col("text")).alias("cleaned"),
+        "text",
+    ).withColumn("det", detect(F.col("text"), F.col("cleaned"))).select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        F.col("det.lang").alias("lang"),
+        F.col("det.confidence").alias("confidence"),
+    )
+
+
+def _synth_clips(spark: SparkSession, n: int = 300) -> DataFrame:
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.session import ship_package
+
+    ship_package(spark)
+    clips_pd, _labels = generate_clips(n=n, seed=42)
+    return spark.createDataFrame(clips_pd)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: detect language over sf0.001 documents with the full
+    n-gram engine, join quality metrics, aggregate per detected lang."""
+    sf_dir = "/root/testdata/sf0.001"
+    det = _detected(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", *quality_metrics_cols("text"))
+    return (
+        det.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("confidence"), 6).alias("avg_conf"),
+            F.round(F.avg("alpha_ratio"), 6).alias("avg_alpha_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------- queries
+
+def _q_clean(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", cleaned_text_col(F.col("text")).alias("cleaned")
+    )
+
+
+def _q_quality(spark, sf_dir):
+    cols = quality_metrics_cols("text")
+    out = _docs(spark, sf_dir).select("doc_id", *cols)
+    ints = ("n_chars", "n_tokens")
+    return out.select(
+        "doc_id",
+        *[
+            F.col(c).cast("long").alias(c) if c in ints
+            else F.round(F.col(c).cast("double"), 6).alias(c)
+            for c in [x for x in out.columns if x != "doc_id"]
+        ],
+    )
+
+
+def _q_scrub(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", scrubbed_col(F.col("text")).alias("scrubbed")
+    )
+
+
+def _q_tokens(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ws_token_count_col(F.col("text")).cast("long").alias("ws_tokens"),
+        F.coalesce(bpe_token_estimate_col("text"), F.lit(0)).cast("long").alias("bpe_tokens"),
+        fingerprint_col(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_screen_confusion(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select(F.col("lang").alias("label_lang"), screen_lang_col("text").alias("screen_lang"))
+        .groupBy("label_lang", "screen_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _q_screen_accuracy(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", screen_lang_col("text").alias("screen_lang"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.avg((F.col("screen_lang") == F.col("lang")).cast("double")) * 100, 4
+            ).alias("acc_pct"),
+        )
+    )
+
+
+def _q_lang_stats(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def _q_trigrams(spark, sf_dir):
+    from tiny_lingua_spark.models.train import explode_ngrams
+
+    base = _docs(spark, sf_dir).select(
+        "lang", cleaned_text_col(F.col("text")).alias("cleaned")
+    )
+    counts = (
+        explode_ngrams(base, 3)
+        .groupBy("lang", "gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("gram"), F.col("lang"))
+    return counts.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= 200
+    )
+
+
+def _q_minhash_bands(spark, sf_dir):
+    return dedup.minhash_bands(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", "source")
+
+
+def _q_cosine_topk(spark, sf_dir):
+    return similarity.topk_vs_query(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def _q_knn_graph(spark, sf_dir):
+    return similarity.knn_graph(_emb(spark, sf_dir), n_src=20, k=3)
+
+
+# ---- UDF-backed (rows-only oracle) ----
+
+def _q_detect_labels(spark, sf_dir):
+    return _detected(spark, sf_dir).select(
+        "doc_id", "label_lang", "lang", F.round("confidence", 6).alias("confidence")
+    )
+
+
+def _q_detect_counts(spark, sf_dir):
+    return (
+        _detected(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return similarity.ann_lsh_candidates(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def _q_pipeline_keep(spark, sf_dir):
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    reg = _registry(spark)
+    clips = _synth_clips(spark)
+    out = quality_filter(clips, reg)
+    return out.groupBy("lang", "keep").agg(
+        F.count("*").cast("long").alias("n_clips"),
+        F.round(F.avg("rms"), 6).alias("avg_rms"),
+    )
+
+
+def _q_audio_features(spark, sf_dir):
+    from tiny_lingua_spark.audio import decode_features_udf
+
+    clips = _synth_clips(spark)
+    feats = decode_features_udf()
+    return clips.select(
+        "clip_id", "codec",
+        feats(F.col("bytes"), F.col("codec")).alias("a")
+    ).select(
+        "clip_id", "codec",
+        F.col("a.decode_ok").alias("decode_ok"),
+        F.col("a.n_samples").cast("long").alias("n_samples"),
+        F.round(F.col("a.rms"), 6).alias("rms"),
+        F.round(F.col("a.clipped_ratio"), 6).alias("clipped_ratio"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "clean_project": _q_clean,
+        "quality_metrics": _q_quality,
+        "scrub_text": _q_scrub,
+        "token_stats": _q_tokens,
+        "exact_dedup": _q_exact_dedup,
+        "screen_lang_confusion": _q_screen_confusion,
+        "screen_lang_accuracy": _q_screen_accuracy,
+        "lang_doc_stats": _q_lang_stats,
+        "trigram_counts": _q_trigrams,
+        "minhash_bands": _q_minhash_bands,
+        "minhash_pairs": _q_minhash_pairs,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "knn_graph": _q_knn_graph,
+        "detect_doc_labels": _q_detect_labels,
+        "detect_lang_counts": _q_detect_counts,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_lsh_topk": _q_ann_lsh,
+        "pipeline_keep_stats": _q_pipeline_keep,
+        "audio_decode_features": _q_audio_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qm = quality_metrics_sql("text")
+    qm_cols = ", ".join(
+        f"{expr}::BIGINT AS {name}" if name in ("n_chars", "n_tokens")
+        else f"round(({expr})::DOUBLE, 6) AS {name}"
+        for name, expr in qm.items()
+    )
+    return {
+        "clean_project": (
+            f"SELECT doc_id, {cleaned_text_sql('text')} AS cleaned FROM documents"
+        ),
+        "quality_metrics": f"SELECT doc_id, {qm_cols} FROM documents",
+        "scrub_text": (
+            f"SELECT doc_id, {scrubbed_sql('text')} AS scrubbed FROM documents"
+        ),
+        "token_stats": f"""
+            SELECT doc_id,
+                   (CASE WHEN length(trim(text)) > 0
+                         THEN len(regexp_split_to_array(trim(text), '\\s+'))
+                         ELSE 0 END)::BIGINT AS ws_tokens,
+                   coalesce({bpe_token_estimate_sql('text')}, 0)::BIGINT AS bpe_tokens,
+                   {fingerprint_sql('text')} AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup": dedup.exact_dedup_groups_sql("documents", "doc_id", "text"),
+        "screen_lang_confusion": f"""
+            SELECT lang AS label_lang, {screen_lang_sql('text')} AS screen_lang,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "screen_lang_accuracy": f"""
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   round(100.0 * avg(CASE WHEN {screen_lang_sql('text')} = lang
+                                          THEN 1.0 ELSE 0.0 END), 4) AS acc_pct
+            FROM documents GROUP BY lang
+        """,
+        "lang_doc_stats": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "trigram_counts": f"""
+            WITH cleaned AS (
+                SELECT lang, {cleaned_text_sql('text')} AS c FROM documents
+            ), grams AS (
+                SELECT lang, substring(c, i, 3) AS gram
+                FROM cleaned, LATERAL unnest(range(1, greatest(length(c) - 1, 1))) AS u(i)
+                WHERE length(c) >= 3
+            ), counts AS (
+                SELECT lang, gram, count(*)::BIGINT AS cnt FROM grams
+                WHERE regexp_matches(gram, '^\\p{{L}}+$')
+                GROUP BY lang, gram
+            )
+            SELECT lang, gram, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, gram, lang)::BIGINT AS rnk
+            FROM counts QUALIFY rnk <= 200
+        """,
+        "minhash_bands": dedup.minhash_bands_sql("documents", "doc_id", "text"),
+        "minhash_pairs": dedup.minhash_pairs_sql("documents", "doc_id", "text"),
+        "jaccard_pairs": dedup.jaccard_pairs_sql(
+            "documents", "doc_id", "text", "source"
+        ),
+        "cosine_topk": similarity.topk_vs_query_sql("embeddings", 0, 10, EMB_DIM),
+        "knn_graph": similarity.knn_graph_sql("embeddings", 20, 3, EMB_DIM),
+    }

@@ -1,0 +1,80 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full compute, no
+write cost). Model training is pre-warmed (disk-cached) outside timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tiny_lingua_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = (
+    "detect_doc_labels",      # full n-gram detector (pandas UDF, broadcast models)
+    "quality_metrics",        # codegen'd quality metric projections
+    "scrub_text",             # regexp_replace scrub chain
+    "exact_dedup",            # fingerprint groupBy
+    "minhash_pairs",          # shingle → minhash → LSH band join
+    "trigram_counts",         # model-ETL style explode + agg + top-k window
+    "knn_graph",              # brute-force cosine top-k (zip_with/aggregate)
+    "pipeline_keep_stats",    # clips: decode + detect + quality + scrub + decision
+)
+
+
+def force(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    spark = get_spark("tiny-lingua-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    # pre-warm: model training (disk-cached) + broadcast, outside timing
+    entrymod._registry(spark)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        t0 = time.time()
+        force(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,13 +36,17 @@ def explode_ngrams(df: DataFrame, n: int, text_col: str = "cleaned") -> DataFram
     Pure Catalyst expressions: sequence → transform(substring) → explode →
     regex filter. Stays inside whole-stage codegen until the aggregate.
     """
+    # sequence(1, stop) DESCENDS when stop < 1, so texts shorter than n must
+    # short-circuit to an empty array, not rely on an empty sequence
     return (
         df.select(
             "lang",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
-                    f" i -> substring({text_col}, i, {n}))"
+                    f"if(length({text_col}) >= {n},"
+                    f" transform(sequence(1, length({text_col}) - {n - 1}),"
+                    f" i -> substring({text_col}, i, {n})),"
+                    f" array())"
                 )
             ).alias("gram"),
         )

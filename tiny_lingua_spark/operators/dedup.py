@@ -1,0 +1,293 @@
+"""Deduplication operators for training-data pipelines.
+
+Target-spec components (SURVEY.md §2.6) with no reference counterpart —
+the reference is a language-ID library; a 100 TB corpus pipeline built on
+it needs dedup. Four tiers, cheapest first:
+
+- exact:        md5 fingerprint of normalized text → groupBy (one shuffle
+                on a 32-char key; at 10^12 rows this is the canonical
+                hash-partitioned dedup and AQE handles skew on empty/
+                boilerplate fingerprints)
+- minhash+LSH:  token-shingle MinHash signatures, banded; candidate pairs
+                meet only inside a band bucket → the O(n²) pair space
+                collapses to per-bucket joins. Signatures/bands are
+                md5-hex based so the DuckDB oracle reproduces them
+                byte-for-byte (no engine-specific hash()).
+- n-gram Jaccard: exact Jaccard on distinct token shingles for candidate
+                pairs (verification step after LSH, or per-group brute
+                force when a grouping key bounds n²).
+- simhash:      64-bit simhash over token md5s — Hamming-ball near-dup;
+                pandas UDF (bit math), rows-only oracle.
+
+Scale notes: every op here shuffles on a bounded-cardinality key
+(fingerprint / band hash / group key), never on raw text; pair
+generation is always join-within-bucket, never a cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------- exact
+
+def normalized_col(c: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct normalized text: canonical (min) id + copy count."""
+    return (
+        df.select(
+            F.md5(normalized_col(F.col(text_col))).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_groups_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    SELECT md5(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')) AS fingerprint,
+           min({id_col}) AS keep_id,
+           count(*)::BIGINT AS n_copies
+    FROM {table}
+    GROUP BY 1
+    """
+
+
+# ------------------------------------------------------- token shingles
+
+def shingles_expr(text_col: str, k: int = 3) -> str:
+    """Spark SQL expr: array of k-token shingles (space-joined) of the
+    lowercased, whitespace-split text. Empty array when < k tokens."""
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    return (
+        f"if(length(trim({text_col})) > 0 AND size({toks}) >= {k},"
+        f" transform(sequence(1, size({toks}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {k}))),"
+        f" array())"
+    )
+
+
+def shingles_sql(text_col: str, k: int = 3) -> str:
+    """DuckDB twin of shingles_expr (1-based inclusive list slicing)."""
+    toks = f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
+    return (
+        f"CASE WHEN length(trim({text_col})) > 0 AND len({toks}) >= {k}"
+        f" THEN list_transform(range(1, len({toks}) - {k - 2}),"
+        f" i -> array_to_string(({toks})[i:i+{k - 1}], ' '))"
+        f" ELSE [] END"
+    )
+
+
+# ------------------------------------------------------- minhash + LSH
+
+N_HASHES = 8
+BAND_SIZE = 2  # → 4 bands; P(candidate) = 1-(1-j^2)^4
+
+
+def minhash_bands(df: DataFrame, id_col: str, text_col: str,
+                  n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
+                  k_shingle: int = 3) -> DataFrame:
+    """(id, band_idx, band_hash) — one row per LSH band per document.
+
+    MinHash_i(doc) = min over shingles of md5(i || '|' || shingle); hex
+    strings are fixed-length so lexicographic min == numeric min. A band
+    hashes `band_size` consecutive signature slots together.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(shingles_expr(text_col, k_shingle))).alias("shingle"),
+    ).dropDuplicates(["id", "shingle"])
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    bands = []
+    for b in range(n_hashes // band_size):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("band_hash"))
+        )
+    return mins.select(
+        "id", F.explode(F.array(*bands)).alias("band")
+    ).select("id", F.col("band.band_idx").alias("band_idx"),
+             F.col("band.band_hash").alias("band_hash"))
+
+
+def minhash_bands_sql(table: str, id_col: str, text_col: str,
+                      n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
+                      k_shingle: int = 3) -> str:
+    mh_cols = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(n_hashes)
+    )
+    band_rows = ", ".join(
+        "({b}, md5({concat}))".format(
+            b=b,
+            concat=" || ".join(f"mh{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(n_hashes // band_size)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT {id_col} AS id, unnest({shingles_sql(text_col, k_shingle)}) AS shingle
+        FROM {table}
+    ), sig AS (
+        SELECT id, {mh_cols} FROM sh GROUP BY id
+    )
+    SELECT id, b.band_idx::BIGINT AS band_idx, b.band_hash
+    FROM sig, LATERAL (VALUES {band_rows}) AS b(band_idx, band_hash)
+    """
+
+
+def minhash_pairs(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+    The join key is (band_idx, band_hash) — per-bucket, never cross."""
+    bands = minhash_bands(df, id_col, text_col, **kw)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_pairs_sql(table: str, id_col: str, text_col: str, **kw) -> str:
+    bands = minhash_bands_sql(table, id_col, text_col, **kw)
+    return f"""
+    WITH bands AS ({bands})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    """
+
+
+# ---------------------------------------------------- n-gram Jaccard
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, group_col: str,
+                  threshold: float = 0.2, k_shingle: int = 3) -> DataFrame:
+    """Exact shingle-Jaccard within a grouping key (bounds the n² blowup;
+    at scale the group is the LSH bucket from minhash_pairs)."""
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.expr(shingles_expr(text_col, k_shingle))).alias("sh"),
+    ).where(F.size("sh") > 0)
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, "grp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_sql(table: str, id_col: str, text_col: str, group_col: str,
+                      threshold: float = 0.2, k_shingle: int = 3) -> str:
+    return f"""
+    WITH base AS (
+        SELECT {group_col} AS grp, {id_col} AS id,
+               list_distinct({shingles_sql(text_col, k_shingle)}) AS sh
+        FROM {table}
+    ), nz AS (SELECT * FROM base WHERE len(sh) > 0)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+    FROM nz a JOIN nz b ON a.grp = b.grp AND a.id < b.id
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) >= {threshold}
+    """
+
+
+# ----------------------------------------------------------- simhash
+
+def simhash64_udf():
+    """64-bit SimHash over token md5s (weighted bit-vote), Arrow-batched.
+
+    Bit math over per-token 64-bit hashes is not SQL-portable, so this is
+    the one dedup tier with a rows-only oracle. Near-dups = pairs within
+    a small Hamming distance; at scale, bucket by 4×16-bit chunks
+    (pigeonhole: distance ≤3 → ≥1 identical chunk) and join per chunk.
+    """
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for row, t in enumerate(text.to_numpy()):
+            if not t:
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in t.lower().split():
+                h = np.uint64(int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                ))
+                bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+                votes += 2 * bits - 1
+            sig = 0
+            for i in range(64):
+                if votes[i] > 0:
+                    sig |= 1 << i
+            # two's-complement into int64
+            out[row] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, chunk_idx, chunk_val): 4×16-bit chunks of the simhash — the
+    LSH bucketing for Hamming-distance ≤3 candidate pairs."""
+    sh = simhash64_udf()
+    sig = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("sig"))
+    chunks = [
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.shiftright("sig", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+        )
+        for i in range(4)
+    ]
+    return sig.select(
+        "id", "sig", F.explode(F.array(*chunks)).alias("c")
+    ).select("id", "sig", F.col("c.chunk_idx").alias("chunk_idx"),
+             F.col("c.chunk_val").alias("chunk_val"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(sig_a, sig_b) ≤ max_hamming, found via
+    per-chunk joins (never a cross join)."""
+    chunks = simhash_chunks(df, id_col, text_col)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    xor = F.expr("a.sig ^ b.sig")
+    hamming = F.bit_count(xor)
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

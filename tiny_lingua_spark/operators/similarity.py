@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+Target-spec component (SURVEY.md §2.6): ANN over `embeddings.parquet`
+(embedding: float[64]).
+
+- Brute-force cosine top-k: pure Catalyst (`zip_with` dot product +
+  `aggregate` fold, double precision) — the correctness baseline, and a
+  broadcast-join at scale when the query set is small.
+- KNN graph: per-source-row top-k via window rank over a bucketed join.
+- LSH-bucketed scale path: random-hyperplane signature (sign of dot with
+  md5-seeded ±1 hyperplanes) → candidates share a signature chunk; the
+  O(n²) pair space becomes per-bucket joins, same shape as simhash dedup.
+
+All Catalyst versions fold left-to-right in double, matching the DuckDB
+twins' `list_sum(list_transform(...))` element order, so rounded values
+hash-match in the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _vecd(col: str) -> str:
+    return f"transform({col}, x -> cast(x AS double))"
+
+
+def dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({_vecd(a)}, {_vecd(b)}, (x, y) -> x * y),"
+        f" cast(0.0 AS double), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> str:
+    return f"sqrt({dot_expr(a, a)})"
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return F.expr(f"{dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)})")
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> ({a})[i]::DOUBLE * ({b})[i]::DOUBLE))"
+    )
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"({dot_sql(a, b, dim)}"
+        f" / (sqrt({dot_sql(a, a, dim)}) * sqrt({dot_sql(b, b, dim)})))"
+    )
+
+
+def topk_vs_query(emb: DataFrame, query_id: int, k: int = 10) -> DataFrame:
+    """Top-k most-similar vectors to the vector with vec_id=query_id.
+    The 1-row query side is crossJoin(broadcast(...)) — at scale this is
+    exactly the plan for scoring a corpus against a small query batch."""
+    q = emb.where(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sim = F.round(cosine_expr("embedding", "q_emb"), 6)
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        emb.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").cast("long").alias("vec_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def topk_vs_query_sql(table: str, query_id: int, k: int, dim: int) -> str:
+    cos = cosine_sql("e.embedding", "q.embedding", dim)
+    return f"""
+    WITH q AS (SELECT embedding FROM {table} WHERE vec_id = {query_id}),
+    scored AS (
+        SELECT e.vec_id::BIGINT AS vec_id, round({cos}, 6) AS sim
+        FROM {table} e, q WHERE e.vec_id != {query_id}
+    )
+    SELECT vec_id, sim,
+           row_number() OVER (ORDER BY sim DESC, vec_id)::BIGINT AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+def knn_graph(emb: DataFrame, n_src: int = 20, k: int = 3) -> DataFrame:
+    """Top-k neighbors for each of the first n_src vectors (brute force —
+    the oracle baseline; the LSH path below is the 100 TB strategy)."""
+    src = emb.where(F.col("vec_id") < n_src).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_emb")
+    )
+    sim = F.round(cosine_expr("src_emb", "embedding"), 6)
+    w = Window.partitionBy("src_id").orderBy(F.col("sim").desc(), F.col("nbr_id"))
+    return (
+        F.broadcast(src)
+        .crossJoin(emb.select(F.col("vec_id").alias("nbr_id"), "embedding"))
+        .where(F.col("src_id") != F.col("nbr_id"))
+        .select(
+            F.col("src_id").cast("long").alias("src_id"),
+            F.col("nbr_id").cast("long").alias("nbr_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def knn_graph_sql(table: str, n_src: int, k: int, dim: int) -> str:
+    cos = cosine_sql("s.embedding", "e.embedding", dim)
+    return f"""
+    WITH scored AS (
+        SELECT s.vec_id::BIGINT AS src_id, e.vec_id::BIGINT AS nbr_id,
+               round({cos}, 6) AS sim
+        FROM {table} s JOIN {table} e ON s.vec_id != e.vec_id
+        WHERE s.vec_id < {n_src}
+    )
+    SELECT src_id, nbr_id, sim,
+           row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, nbr_id)::BIGINT AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+# ------------------------------------------------ LSH scale path
+
+def hyperplanes(dim: int, n_bits: int = 16, seed: int = 7) -> np.ndarray:
+    """Deterministic ±1 hyperplanes from a seeded RNG (driver-side, tiny;
+    broadcast by closure into the signature UDF)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).astype(np.float64)
+
+
+def lsh_signature_udf(planes: np.ndarray):
+    """embedding → int signature (sign bits of hyperplane projections).
+    Arrow-batched; the matmul is one BLAS call per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_bits = planes.shape[0]
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf("long")
+    def signature(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+        proj = mat @ planes.T                              # (batch, n_bits)
+        return pd.Series(((proj > 0).astype(np.int64) @ weights))
+
+    return signature
+
+
+def ann_lsh_candidates(emb: DataFrame, query_id: int, k: int = 10,
+                       n_bits: int = 16, dim: int = 64) -> DataFrame:
+    """IVF/LSH-style ANN: rank only vectors whose signature matches the
+    query's in ≥1 of two 8-bit halves (pigeonhole over Hamming ≤ 7).
+    Same output schema as topk_vs_query; recall < 1 by design — this is
+    the plan that survives 10^12 rows (per-bucket joins, no cross join).
+    """
+    sig = lsh_signature_udf(hyperplanes(dim, n_bits))
+    with_sig = emb.select("vec_id", "embedding", sig("embedding").alias("sig"))
+    halves = [
+        F.struct(
+            F.lit(i).alias("h"),
+            F.shiftright("sig", i * 8).bitwiseAND(F.lit(0xFF)).alias("hv"),
+        )
+        for i in range(n_bits // 8)
+    ]
+    exploded = with_sig.select(
+        "vec_id", "embedding", F.explode(F.array(*halves)).alias("c")
+    ).select("vec_id", "embedding", "c.h", "c.hv")
+    q = exploded.where(F.col("vec_id") == query_id).select(
+        "h", "hv", F.col("embedding").alias("q_emb")
+    )
+    sim = F.round(cosine_expr("embedding", "q_emb"), 6)
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        exploded.join(F.broadcast(q), ["h", "hv"])
+        .where(F.col("vec_id") != query_id)
+        .select(F.col("vec_id").cast("long").alias("vec_id"), sim.alias("sim"))
+        .dropDuplicates(["vec_id"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
