@@ -65,7 +65,15 @@ def _registry(spark: SparkSession):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # Small-SF files arrive as one split, starving the UDF/explode stages;
+    # scatter only when the scan is narrower than the core count. At real
+    # scale the scan has thousands of splits and this branch never fires
+    # (a blind repartition of 100 TB would be a pure-cost shuffle).
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par * 2)
+    return df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,9 +16,13 @@ Reproduces, stage by stage (reference file:line):
 
 Execution model: Spark's data parallelism across Arrow batches replaces
 the reference's per-(language × length) thread pool
-(LanguageDetector.kt:535-560); the language axis is a numpy vector, and
-each gram is probed once for all languages (broadcast hash-map lookup —
-the distributive analog of a broadcast hash join on (lang, gram)).
+(LanguageDetector.kt:535-560). Scoring is batch-vectorized: all
+(row, length, gram) triples in an Arrow batch become one scatter-add
+(`np.add.at`) of cached log-frequency rows into a (rows × lengths ×
+langs) tensor — per-gram work is a single dict probe into a gram →
+matrix-row cache, so throughput is bounded by string slicing, not numpy
+call overhead. The back-off result per gram is row-independent and
+cached across batches per executor process.
 """
 
 from __future__ import annotations
@@ -45,6 +49,32 @@ _UNIQUE_SCRIPTS = frozenset((_LATIN, _CYRILLIC, _DEVANAGARI))
 
 _ALPHA_ONE = lm.alphabets_supporting_exactly_one_language()
 _UNIQUE_CHARS = lm.unique_chars_map()
+_UNIQUE_CHAR_SET = frozenset(_UNIQUE_CHARS)
+
+# script-id → rule-credited language (-1 = none): unique alphabets, then
+# HAN → zh, then Japanese scripts → ja (LanguageDetector.kt:377-396).
+_SID_RULE_LANG = np.full(len(lm.SCRIPTS), -1, dtype=np.int64)
+for _sid, _li in _ALPHA_ONE.items():
+    _SID_RULE_LANG[_sid] = _li
+_SID_RULE_LANG[_HAN] = _ZH
+for _sid in lm.JAPANESE_SCRIPT_IDS:
+    if _SID_RULE_LANG[_sid] < 0:
+        _SID_RULE_LANG[_sid] = _JA
+
+_LOGO_SIDS = np.zeros(len(lm.SCRIPTS), dtype=bool)
+for _sid in lm.LOGOGRAM_SCRIPT_IDS:
+    _LOGO_SIDS[_sid] = True
+
+# language → bitmask over script-ids (filterLanguagesByRules)
+_LANG_SCRIPT_MASK = np.zeros((lm.N_LANGS, len(lm.SCRIPTS)), dtype=bool)
+for _li, _sids in enumerate(lm.LANG_SCRIPT_IDS):
+    for _sid in _sids:
+        _LANG_SCRIPT_MASK[_li, _sid] = True
+
+_CHARS_TO_LANGS_KEYS = frozenset(lm.CHARS_TO_LANGS)
+
+MAX_N = 5
+_SLOT = MAX_N + 1  # per-row accumulator slots indexed by n (1..5)
 
 
 @dataclass(frozen=True)
@@ -53,32 +83,45 @@ class DetectorParams:
     low_accuracy: bool = False
 
 
-def split_words(text: str) -> list[str]:
+def split_words_with_sids(text: str) -> tuple[list[str], list[np.ndarray]]:
     """Split at literal spaces; every logogram char is its own word
-    (WordList.kt:18-80, CharExtensions.kt:31-38)."""
+    (WordList.kt:18-80, CharExtensions.kt:31-38). Script ids are computed
+    once for the whole text and sliced per word."""
+    sids_all = lm.script_ids_of(text)
     words: list[str] = []
+    word_sids: list[np.ndarray] = []
+    off = 0
     for token in text.split(" "):
-        if not token:
-            continue
-        sids = lm.script_ids_of(token)
-        logo = np.isin(sids, tuple(lm.LOGOGRAM_SCRIPT_IDS))
-        if not logo.any():
-            words.append(token)
-            continue
-        start = 0
-        for j in np.flatnonzero(logo):
-            j = int(j)
-            if start < j:
-                words.append(token[start:j])
-            words.append(token[j])
-            start = j + 1
-        if start < len(token):
-            words.append(token[start:])
-    return words
+        tl = len(token)
+        if tl:
+            sids = sids_all[off : off + tl]
+            logo = _LOGO_SIDS[sids]
+            if not logo.any():
+                words.append(token)
+                word_sids.append(sids)
+            else:
+                start = 0
+                for j in np.flatnonzero(logo):
+                    j = int(j)
+                    if start < j:
+                        words.append(token[start:j])
+                        word_sids.append(sids[start:j])
+                    words.append(token[j])
+                    word_sids.append(sids[j : j + 1])
+                    start = j + 1
+                if start < tl:
+                    words.append(token[start:])
+                    word_sids.append(sids[start:])
+        off += tl + 1
+    return words, word_sids
+
+
+def split_words(text: str) -> list[str]:
+    return split_words_with_sids(text)[0]
 
 
 def _is_logogram_word(word: str, sids: np.ndarray) -> bool:
-    return len(word) == 1 and int(sids[0]) in lm.LOGOGRAM_SCRIPT_IDS
+    return len(word) == 1 and bool(_LOGO_SIDS[sids[0]])
 
 
 def detect_with_rules(words: list[str], word_sids: list[np.ndarray]) -> int:
@@ -88,36 +131,38 @@ def detect_with_rules(words: list[str], word_sids: list[np.ndarray]) -> int:
     unknown_total = 0.0
     adjusted = 0.0
     for word, sids in zip(words, word_sids):
-        counts: dict[int, int] = {}
-        for ch, sid in zip(word, sids):
-            sid = int(sid)
-            one = _ALPHA_ONE.get(sid)
-            if one is not None:
-                counts[one] = counts.get(one, 0) + 1
-            elif sid == _HAN:
-                counts[_ZH] = counts.get(_ZH, 0) + 1
-            elif sid in lm.JAPANESE_SCRIPT_IDS:
-                counts[_JA] = counts.get(_JA, 0) + 1
-            elif sid in _UNIQUE_SCRIPTS:
-                li = _UNIQUE_CHARS.get(ch)
-                if li is not None:
-                    counts[li] = counts.get(li, 0) + 1
+        mapped = _SID_RULE_LANG[sids]
+        hit = mapped >= 0
+        if hit.any():
+            counts = np.bincount(mapped[hit], minlength=lm.N_LANGS)
+        else:
+            counts = None
+        if not _UNIQUE_CHAR_SET.isdisjoint(word):
+            if counts is None:
+                counts = np.zeros(lm.N_LANGS, dtype=np.int64)
+            for ch, sid in zip(word, sids):
+                if sid in _UNIQUE_SCRIPTS:
+                    li = _UNIQUE_CHARS.get(ch)
+                    if li is not None:
+                        counts[li] += 1
 
         word_value = FULL_WORD_VALUE
-        if not counts:
+        if counts is None or not counts.any():
             unknown_total += word_value
-        elif len(counts) == 1:
-            lang = next(iter(counts))
-            if _is_logogram_word(word, sids):
-                word_value = LOGOGRAM_WORD_VALUE
-            totals[lang] += word_value
         else:
-            ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-            (top_lang, top_cnt), (_, second_cnt) = ordered[0], ordered[1]
-            if top_cnt > second_cnt:
-                totals[top_lang] += word_value
+            nz = np.flatnonzero(counts)
+            if len(nz) == 1:
+                lang = int(nz[0])
+                if _is_logogram_word(word, sids):
+                    word_value = LOGOGRAM_WORD_VALUE
+                totals[lang] += word_value
             else:
-                unknown_total += word_value
+                order = nz[np.argsort(counts[nz], kind="stable")]
+                top_lang, second = int(order[-1]), int(order[-2])
+                if counts[top_lang] > counts[second]:
+                    totals[top_lang] += word_value
+                else:
+                    unknown_total += word_value
         adjusted += word_value
 
     if unknown_total < 0.4 * adjusted:
@@ -165,84 +210,103 @@ def filter_by_rules(words: list[str], word_sids: list[np.ndarray]) -> np.ndarray
 
     ordered = sorted(script_counts.items(), key=lambda kv: -kv[1])
     top_count = ordered[0][1]
-    kept_scripts = {ordered[0][0]}
+    kept_scripts = [ordered[0][0]]
     for sid, cnt in ordered[1:]:
         if cnt / top_count >= 0.8:
-            kept_scripts.add(sid)
+            kept_scripts.append(sid)
         else:
             break
 
-    mask = np.array(
-        [bool(lm.LANG_SCRIPT_IDS[i] & kept_scripts) for i in range(lm.N_LANGS)],
-        dtype=bool,
-    )
+    mask = _LANG_SCRIPT_MASK[:, kept_scripts].any(axis=1)
     if not mask.any():
         return all_langs
 
     # char-based disambiguation (count each language at most once per word)
     char_counts = np.zeros(lm.N_LANGS, dtype=np.int64)
+    any_disamb = False
     for word in words:
+        if _CHARS_TO_LANGS_KEYS.isdisjoint(word):
+            continue
         seen: set[int] = set()
         for ch in word:
             for li in lm.CHARS_TO_LANGS.get(ch, ()):
                 if mask[li] and li not in seen:
                     seen.add(li)
                     char_counts[li] += 1
-    subset = char_counts >= (adjusted / 2.0)
-    if subset.any():
-        return mask & subset
+                    any_disamb = True
+    if any_disamb:
+        subset = char_counts >= (adjusted / 2.0)
+        if subset.any():
+            return mask & subset
     return mask
 
 
-def extract_ngrams(cleaned: str, n: int) -> list[str]:
-    """Dedup letters-only sliding windows (TestDataLanguageModel.kt:34-67)."""
+def extract_ngrams_multi(cleaned: str, lengths: list[int]) -> dict[int, list[str]]:
+    """Dedup letters-only sliding windows for every requested length
+    (TestDataLanguageModel.kt:34-67). The letter mask and its prefix sums
+    are computed once; a window [i, i+n) is valid iff it contains n
+    letters. Dedup preserves first-seen order (reference parity)."""
     letters = lm.is_letter_mask(cleaned)
-    out: dict[str, None] = {}
-    limit = len(cleaned) - n
-    i = 0
-    next_check = 0
-    while i <= limit:
-        ok = True
-        while next_check < i + n:
-            if not letters[next_check]:
-                next_check += 1
-                i = next_check
-                ok = False
-                break
-            next_check += 1
-        if not ok:
+    cum = np.zeros(len(cleaned) + 1, dtype=np.int64)
+    np.cumsum(letters, out=cum[1:])
+    out: dict[int, list[str]] = {}
+    for n in lengths:
+        if len(cleaned) < n:
+            out[n] = []
             continue
-        out[cleaned[i : i + n]] = None
-        i += 1
-    return list(out)
+        starts = np.flatnonzero(cum[n:] - cum[:-n] == n)
+        out[n] = list(dict.fromkeys(cleaned[i : i + n] for i in starts))
+    return out
 
 
-class GramVectorCache:
-    """Memoized back-off frequency lookup: gram → float32[L] with the
-    prefix back-off already applied (LanguageDetector.kt:581-642).
+def extract_ngrams(cleaned: str, n: int) -> list[str]:
+    return extract_ngrams_multi(cleaned, [n])[n]
 
-    The back-off result for a gram is row-independent, so it is cached
-    across rows and batches per executor process — the reference's
-    object-reuse tricks (ReusableObjectNgram) become one dict probe.
+
+class GramMatrixCache:
+    """gram → row index into a growing (grams × langs) float64 matrix of
+    ln(freq) with the prefix back-off pre-applied
+    (LanguageDetector.kt:581-642); 0.0 where no language knows the gram.
+
+    For 1-char grams a parallel int8 matrix records *direct* unigram hits
+    (no back-off) for the unigram-count normalization
+    (LanguageDetector.kt:325-342).
+
+    Back-off is row-independent, so entries are shared across rows and
+    Arrow batches for the lifetime of the executor process — the
+    reference's object-reuse tricks become one dict probe per gram.
     """
 
-    def __init__(self, models: dict[int, dict[str, np.ndarray]], max_size: int = 2_000_000):
+    def __init__(self, models: dict[int, dict[str, np.ndarray]],
+                 capacity: int = 1 << 14, max_grams: int = 4_000_000):
         self.models = models
-        self.cache: dict[str, np.ndarray] = {}
-        self.max_size = max_size
+        self.uni = models.get(1, {})
+        self.index: dict[str, int] = {}
+        self.logs = np.zeros((capacity, lm.N_LANGS), dtype=np.float64)
+        self.uni_hits = np.zeros((capacity, lm.N_LANGS), dtype=np.int8)
+        self.n = 0
+        self.max_grams = max_grams
 
-    def freq_vec(self, gram: str) -> np.ndarray:
-        hit = self.cache.get(gram)
-        if hit is not None:
-            return hit
-        found = None
-        remaining = None  # mask of langs still missing
+    def _grow(self) -> None:
+        cap = self.logs.shape[0] * 2
+        logs = np.zeros((cap, lm.N_LANGS), dtype=np.float64)
+        logs[: self.n] = self.logs[: self.n]
+        hits = np.zeros((cap, lm.N_LANGS), dtype=np.int8)
+        hits[: self.n] = self.uni_hits[: self.n]
+        self.logs, self.uni_hits = logs, hits
+
+    def gram_id(self, gram: str) -> int:
+        gid = self.index.get(gram)
+        if gid is not None:
+            return gid
+        # prefix back-off: first hit per language wins (Ngram.kt:44-52)
+        found: np.ndarray | None = None
         g = gram
         while g:
             fv = self.models.get(len(g), {}).get(g)
             if fv is not None:
                 if found is None:
-                    found = fv.copy()
+                    found = fv.astype(np.float64)
                 else:
                     upd = (found == 0) & (fv > 0)
                     if upd.any():
@@ -250,12 +314,26 @@ class GramVectorCache:
                 if (found > 0).all():
                     break
             g = g[:-1]
-        if found is None:
-            found = np.zeros(lm.N_LANGS, dtype=np.float32)
-        if len(self.cache) >= self.max_size:
-            self.cache.clear()
-        self.cache[gram] = found
-        return found
+        if self.n >= self.max_grams:
+            # unbounded-vocabulary inputs (adversarial): reset the cache
+            self.index.clear()
+            self.n = 0
+        if self.n >= self.logs.shape[0]:
+            self._grow()
+        gid = self.n
+        row = self.logs[gid]
+        if found is not None:
+            nz = found > 0
+            row[nz] = np.log(found[nz])
+            row[~nz] = 0.0
+        else:
+            row[:] = 0.0
+        if len(gram) == 1:
+            uv = self.uni.get(gram)
+            self.uni_hits[gid] = (uv > 0).astype(np.int8) if uv is not None else 0
+        self.index[gram] = gid
+        self.n += 1
+        return gid
 
 
 class Detector:
@@ -265,80 +343,132 @@ class Detector:
                  params: DetectorParams = DetectorParams()):
         self.params = params
         self.models = models
-        self.cache = GramVectorCache(models)
-        self.uni = models.get(1, {})
+        self.cache = GramMatrixCache(models)
         self.logo_idx = np.array(lm.LOGOGRAM_LANG_IDXS, dtype=np.int64)
 
-    # ---- statistics ----
+    # ---- per-row front half: shortcuts + plan ----
 
-    def _sum_for_length(self, grams: list[str]) -> np.ndarray:
-        acc = np.zeros(lm.N_LANGS, dtype=np.float64)
-        for g in grams:
-            v = self.cache.freq_vec(g)
-            nz = v > 0
-            if nz.any():
-                acc[nz] += np.log(v[nz], dtype=np.float64)
-        return acc
-
-    def confidence_values(self, raw: str, cleaned: str) -> tuple[np.ndarray, np.ndarray]:
-        """Returns (sorted language indexes, sorted confidences); empty
-        arrays mean unknown. Mirrors computeLanguageConfidenceValues
-        (LanguageDetector.kt:221-286)."""
+    def _plan(self, raw: str, cleaned: str):
+        """Returns (resolved, payload): resolved=(idxs, confs) when a
+        shortcut decided; else payload=(cand_mask, lengths)."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         if not cleaned or not lm.is_letter_mask(cleaned).any():
-            return empty
+            return empty, None
 
-        words = split_words(raw)
-        word_sids = [lm.script_ids_of(w) for w in words]
+        words, word_sids = split_words_with_sids(raw)
 
         rule_lang = detect_with_rules(words, word_sids)
         if rule_lang >= 0:
-            return (np.array([rule_lang]), np.array([1.0]))
+            return (np.array([rule_lang]), np.array([1.0])), None
 
         cand = filter_by_rules(words, word_sids)
         if cand.sum() == 1:
-            return (np.flatnonzero(cand), np.array([1.0]))
+            return (np.flatnonzero(cand), np.array([1.0])), None
 
         p = self.params
         if p.low_accuracy and len(cleaned) < 3:
-            return empty
+            return empty, None
 
         if len(cleaned) >= HIGH_ACCURACY_MAX_TEXT_LEN or p.low_accuracy:
             lengths = [3]
         else:
             lengths = [n for n in range(1, 6) if len(cleaned) >= n]
+        return None, (cand, lengths)
 
-        total = np.zeros(lm.N_LANGS, dtype=np.float64)
-        uni_counts = np.zeros(lm.N_LANGS, dtype=np.int64)
-        for n in lengths:
-            grams = extract_ngrams(cleaned, n)
-            acc = self._sum_for_length(grams)
-            # keep only negative sums; logogram-language bonus ×0.85
-            plen = np.where(acc < 0, acc, 0.0)
-            li = self.logo_idx
-            plen[li] = np.where(plen[li] < 0, plen[li] * LOGOGRAM_BONUS, plen[li])
-            total += plen
-            if n == 1:
-                # direct (no back-off) unigram hit counts
-                for g in grams:
-                    fv = self.uni.get(g)
-                    if fv is not None:
-                        uni_counts += fv > 0
+    # ---- batch back half: vectorized scoring ----
 
-        total[~cand] = 0.0
-        uni_counts[~cand] = 0
+    def _score_batch(self, stat_rows: list[tuple[int, np.ndarray]],
+                     keys: np.ndarray, gids: np.ndarray,
+                     uni_keys: np.ndarray, uni_gids: np.ndarray,
+                     n_stat: int) -> np.ndarray:
+        """One scatter-add for the whole batch → per-row per-lang scores
+        (0 = no evidence; more-negative = worse). Statistical rows only."""
+        L = lm.N_LANGS
+        acc = np.zeros((n_stat * _SLOT, L), dtype=np.float64)
+        if len(keys):
+            np.add.at(acc, keys, self.cache.logs[gids])
+        acc = acc.reshape(n_stat, _SLOT, L)
+        # keep only negative per-length sums (LanguageDetector.kt:561-578);
+        # ×0.85 logogram bonus per length, then sum across lengths
+        np.minimum(acc, 0.0, out=acc)
+        acc[:, :, self.logo_idx] *= LOGOGRAM_BONUS
+        total = acc.sum(axis=1)
+
+        uni_counts = np.zeros((n_stat, L), dtype=np.int64)
+        if len(uni_keys):
+            np.add.at(uni_counts, uni_keys, self.cache.uni_hits[uni_gids])
+        # unigram-count normalization (LanguageDetector.kt:344-362)
         div = uni_counts > 0
         total[div] = total[div] / uni_counts[div]
 
-        nonzero = total < 0
+        for si, (_r, cand) in enumerate(stat_rows):
+            total[si, ~cand] = 0.0
+        return total
+
+    @staticmethod
+    def _rank(scores_row: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        nonzero = scores_row < 0
         if not nonzero.any():
-            return empty
-        best = total[nonzero].max()
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         idxs = np.flatnonzero(nonzero)
-        confs = best / total[idxs]
+        best = scores_row[idxs].max()
+        confs = best / scores_row[idxs]
         # sort by confidence desc, tie-break by declaration order asc
         order = np.lexsort((idxs, -confs))
         return idxs[order], confs[order]
+
+    def confidence_values_batch(
+        self, raw_arr, cleaned_arr
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Vectorized computeLanguageConfidenceValues over a batch."""
+        results: list[tuple[np.ndarray, np.ndarray] | None] = []
+        stat_rows: list[tuple[int, np.ndarray]] = []
+        keys_l: list[np.ndarray] = []
+        gids_l: list[np.ndarray] = []
+        uni_keys_l: list[np.ndarray] = []
+        uni_gids_l: list[np.ndarray] = []
+        gram_id = self.cache.gram_id
+
+        for r, (raw, cleaned) in enumerate(zip(raw_arr, cleaned_arr)):
+            resolved, payload = self._plan(raw or "", cleaned or "")
+            if resolved is not None:
+                results.append(resolved)
+                continue
+            cand, lengths = payload
+            si = len(stat_rows)
+            stat_rows.append((r, cand))
+            grams_by_n = extract_ngrams_multi(cleaned, lengths)
+            for n, grams in grams_by_n.items():
+                if not grams:
+                    continue
+                ids = np.fromiter(
+                    (gram_id(g) for g in grams), dtype=np.int64, count=len(grams)
+                )
+                keys_l.append(np.full(len(ids), si * _SLOT + n, dtype=np.int64))
+                gids_l.append(ids)
+                if n == 1:
+                    uni_keys_l.append(np.full(len(ids), si, dtype=np.int64))
+                    uni_gids_l.append(ids)
+            results.append(None)
+
+        if stat_rows:
+            cat = np.concatenate
+            scores = self._score_batch(
+                stat_rows,
+                cat(keys_l) if keys_l else np.empty(0, np.int64),
+                cat(gids_l) if gids_l else np.empty(0, np.int64),
+                cat(uni_keys_l) if uni_keys_l else np.empty(0, np.int64),
+                cat(uni_gids_l) if uni_gids_l else np.empty(0, np.int64),
+                len(stat_rows),
+            )
+            for si, (r, _cand) in enumerate(stat_rows):
+                results[r] = self._rank(scores[si])
+        return results  # type: ignore[return-value]
+
+    def confidence_values(self, raw: str, cleaned: str) -> tuple[np.ndarray, np.ndarray]:
+        """Single-row API (tests / golden cases) — same code path as the
+        batch, so results are bit-identical."""
+        return self.confidence_values_batch([raw], [cleaned])[0]
 
     def decide(self, idxs: np.ndarray, confs: np.ndarray) -> str:
         """getLanguageFromConfidenceValues (LanguageDetector.kt:119-133)."""
@@ -356,10 +486,10 @@ class Detector:
 
     def detect_batch(self, raw: pd.Series, cleaned: pd.Series) -> pd.DataFrame:
         langs, confs, langs2, confs2 = [], [], [], []
-        for r, c in zip(raw.to_numpy(), cleaned.to_numpy()):
-            idxs, cv = self.confidence_values(r or "", c or "")
-            lang = self.decide(idxs, cv)
-            langs.append(lang)
+        for idxs, cv in self.confidence_values_batch(
+            raw.to_numpy(), cleaned.to_numpy()
+        ):
+            langs.append(self.decide(idxs, cv))
             confs.append(float(cv[0]) if len(cv) else 0.0)
             langs2.append(lm.ISO_CODES[idxs[1]] if len(idxs) > 1 else None)
             confs2.append(float(cv[1]) if len(cv) > 1 else None)
@@ -369,10 +499,12 @@ class Detector:
         )
 
     def confidence_batch(self, raw: pd.Series, cleaned: pd.Series) -> pd.Series:
-        out = []
-        for r, c in zip(raw.to_numpy(), cleaned.to_numpy()):
-            idxs, cv = self.confidence_values(r or "", c or "")
-            out.append({lm.ISO_CODES[i]: float(v) for i, v in zip(idxs, cv)})
+        out = [
+            {lm.ISO_CODES[i]: float(v) for i, v in zip(idxs, cv)}
+            for idxs, cv in self.confidence_values_batch(
+                raw.to_numpy(), cleaned.to_numpy()
+            )
+        ]
         return pd.Series(out)
 
 
@@ -381,20 +513,43 @@ DETECT_SCHEMA = (
 )
 
 
+# Executor-process-level detector singletons. UDF closures are
+# deserialized per task; holding the Detector here (module scope, keyed
+# by broadcast id + params) keeps the gram-backoff cache warm across
+# every task a reused Python worker runs — the distributed analog of the
+# reference's shared lazy model holders (LanguageDetector.kt:683-711).
+_DETECTORS: dict[tuple, Detector] = {}
+_MAX_DETECTORS = 4
+
+
+def _executor_detector(key: tuple, bc_low, bc_high,
+                       params: DetectorParams) -> Detector:
+    det = _DETECTORS.get(key)
+    if det is None:
+        models = dict(bc_low.value)
+        models.update(bc_high.value)
+        det = Detector(models, params)
+        if len(_DETECTORS) >= _MAX_DETECTORS:
+            _DETECTORS.clear()
+        _DETECTORS[key] = det
+    return det
+
+
 def make_detect_udf(bc_low, bc_high, params: DetectorParams = DetectorParams()):
     """Scalar pandas UDF (raw, cleaned) → struct<lang, confidence,
     second_lang, second_confidence>, models from broadcast."""
+    import uuid
+
     from pyspark.sql.functions import pandas_udf
 
-    detector_holder: list[Detector] = []
+    # driver-stamped identity, stable across every task of this UDF
+    key = (uuid.uuid4().hex, params)
 
     @pandas_udf(DETECT_SCHEMA)
     def detect(raw: pd.Series, cleaned: pd.Series) -> pd.DataFrame:
-        if not detector_holder:
-            models = dict(bc_low.value)
-            models.update(bc_high.value)
-            detector_holder.append(Detector(models, params))
-        return detector_holder[0].detect_batch(raw, cleaned)
+        return _executor_detector(key, bc_low, bc_high, params).detect_batch(
+            raw, cleaned
+        )
 
     return detect
 
@@ -402,16 +557,16 @@ def make_detect_udf(bc_low, bc_high, params: DetectorParams = DetectorParams()):
 def make_confidence_udf(bc_low, bc_high, params: DetectorParams = DetectorParams()):
     """Scalar pandas UDF (raw, cleaned) → map<string,double> of sorted
     confidence values (computeLanguageConfidenceValues analog)."""
+    import uuid
+
     from pyspark.sql.functions import pandas_udf
 
-    detector_holder: list[Detector] = []
+    key = (uuid.uuid4().hex, params)
 
     @pandas_udf("map<string,double>")
     def confidences(raw: pd.Series, cleaned: pd.Series) -> pd.Series:
-        if not detector_holder:
-            models = dict(bc_low.value)
-            models.update(bc_high.value)
-            detector_holder.append(Detector(models, params))
-        return detector_holder[0].confidence_batch(raw, cleaned)
+        return _executor_detector(key, bc_low, bc_high, params).confidence_batch(
+            raw, cleaned
+        )
 
     return confidences

@@ -67,6 +67,10 @@ def quality_filter(
     extra = quality_extra_udf()
 
     df = clips
+    if n_partitions is None:
+        # default: scatter to 2× cores — decode+detect UDF cost must spread
+        # over every executor thread even when the scan has few splits
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
     if n_partitions:
         df = salted_repartition(df, n_partitions)
 
