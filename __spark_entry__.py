@@ -255,6 +255,24 @@ def _q_detect_counts(spark, sf_dir):
     )
 
 
+def _q_multilang_sections(spark, sf_dir):
+    from tiny_lingua_spark.operators.multilang import make_multilang_udf
+
+    reg = _registry(spark)
+    ml = make_multilang_udf(reg.bc_low, reg.bc_high)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(ml(F.col("text"))).alias("sec"))
+        .select(
+            "doc_id",
+            F.col("sec.start").alias("start"),
+            F.col("sec.end").alias("end"),
+            F.col("sec.letters_count").alias("letters_count"),
+            F.col("sec.lang").alias("lang"),
+        )
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -308,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
         "knn_graph": _q_knn_graph,
+        "multilang_sections": _q_multilang_sections,
         "detect_doc_labels": _q_detect_labels,
         "detect_lang_counts": _q_detect_counts,
         "simhash_pairs": _q_simhash_pairs,

@@ -1,0 +1,100 @@
+"""Multi-language segmentation tests (MultiLanguageDetection.kt analog).
+
+Section boundaries on script changes and quote/colon/newline chars,
+merging behavior, and the UDF surface.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import corpus, langmeta as lm
+from tiny_lingua_spark.operators import multilang as ml
+
+
+def test_clean_text_py_matches_spark(spark):
+    from tiny_lingua_spark.functions.cleaning import cleaned_text_col
+
+    texts = [
+        "  Hello, World! 123  ",
+        "Ça va?  Très bien...",
+        "日本語のテキスト、です。",
+        "a b\tc\nd",
+        "…—–',:;«»",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(cleaned_text_col(F.col("text"))).collect()]
+    assert got == [ml.clean_text_py(t) for t in texts]
+
+
+def test_split_sections_script_change():
+    text = "hello world Привет мир"
+    secs = ml.split_potential_sections(text)
+    assert len(secs) == 2
+    assert secs[0].text.strip() == "hello world"
+    assert "Привет" in secs[1].text
+
+
+def test_split_sections_boundary_chars():
+    text = 'first part: "second part"\nthird part'
+    secs = ml.split_potential_sections(text)
+    assert len(secs) >= 2
+    assert secs[0].text == "first part"
+
+
+def test_split_sections_japanese_scripts_unified():
+    # Hiragana + Katakana + Han belong to the same language (ja)
+    text = "これはカタカナと漢字です"
+    secs = ml.split_potential_sections(text)
+    assert len(secs) == 1
+
+
+def test_empty_and_no_letters():
+    assert ml.split_potential_sections("") == []
+    assert ml.split_potential_sections("123 456 !!!") == []
+
+
+@pytest.fixture(scope="module")
+def detector(registry):
+    from tiny_lingua_spark.operators.detect import Detector
+
+    models = dict(registry.bc_low.value)
+    models.update(registry.bc_high.value)
+    return Detector(models)
+
+
+def test_multi_language_sections(detector):
+    en = corpus.sentences("en", 1, split="ml:a")[0]
+    ru = corpus.sentences("ru", 1, split="ml:b")[0]
+    text = f"{en} {ru}"
+    secs = ml.detect_multi_language(text, detector)
+    assert len(secs) == 2
+    assert secs[0]["lang"] == "en"
+    assert secs[1]["lang"] == "ru"
+    # sections tile the letter span and carry consistent offsets
+    assert secs[0]["start"] < secs[0]["end"] <= secs[1]["start"] < secs[1]["end"]
+    assert text[secs[1]["start"] : secs[1]["end"]] == secs[1]["text"]
+
+
+def test_multi_language_single_lang_no_split(detector):
+    text = corpus.sentences("de", 1, split="ml:c")[0]
+    secs = ml.detect_multi_language(text, detector)
+    assert len(secs) == 1
+    assert secs[0]["lang"] == "de"
+
+
+def test_multilang_udf(spark, registry):
+    from tiny_lingua_spark.operators.multilang import make_multilang_udf
+
+    en = corpus.sentences("en", 1, split="ml:u")[0]
+    zh = corpus.sentences("zh", 1, split="ml:v")[0]
+    df = spark.createDataFrame(
+        [(f"{en} {zh}",), ("",), (None,)], "text string"
+    )
+    udf = make_multilang_udf(registry.bc_low, registry.bc_high)
+    rows = df.select(udf(F.col("text")).alias("secs")).collect()
+    langs = [s["lang"] for s in rows[0]["secs"]]
+    assert "en" in langs and "zh" in langs
+    assert rows[1]["secs"] == []
+    assert rows[2]["secs"] == []

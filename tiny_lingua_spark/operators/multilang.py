@@ -1,0 +1,392 @@
+"""Multi-language text segmentation — detectMultiLanguageOf as a pandas
+UDF producing array<struct> section rows.
+
+Faithful reimplementation of the reference's five stages
+(MultiLanguageDetection.kt):
+1. split at script changes + boundary chars        :169-225 (M1)
+2. per-section rule detect + adjacent merge        :254-299 (M2)
+3. short-section merge into next (conf ramp)       :446-494, :363-415 (M3)
+4. confidence per section (rule shortcut = 1.0)    :363-415
+5. confidence-overlap merge of adjacent sections   :417-539 (M4)
+
+Sections are per-row and few, so the whole algorithm runs inside one
+scalar pandas UDF per Arrow batch (no shuffle); the underlying n-gram
+scoring reuses the executor-level Detector and its warm gram cache.
+
+The cleaning twin `clean_text_py` reproduces the Spark-side Catalyst
+cleaning (functions/cleaning.py ↔ LanguageDetector.kt:310-318) for
+section substrings created inside the UDF.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+import pandas as pd
+
+from .. import langmeta as lm
+from .detect import Detector, DetectorParams
+
+MIN_SECTION_LENGTH = 3          # MultiLanguageDetection.kt:171
+MIN_RELIABLE_LETTERS = 15       # :452
+MIN_LETTERS_DEFINITE_CONF = 40.0  # :130
+
+# ---- char tables (BMP+SIP, same clip policy as langmeta) ----
+
+_SIZE = lm._TABLE_SIZE
+
+
+def _build_category_tables() -> tuple[np.ndarray, np.ndarray]:
+    num_punct = np.zeros(_SIZE, dtype=bool)
+    boundary_cat = np.zeros(_SIZE, dtype=bool)
+    for cp in range(_SIZE):
+        cat = unicodedata.category(chr(cp))
+        c0 = cat[0]
+        if c0 in ("N", "P"):
+            num_punct[cp] = True
+        # INITIAL/FINAL_QUOTE_PUNCTUATION, LINE/PARAGRAPH_SEPARATOR (:77-83)
+        if cat in ("Pi", "Pf", "Zl", "Zp"):
+            boundary_cat[cp] = True
+    return num_punct, boundary_cat
+
+
+_NUM_PUNCT_TABLE, _BOUNDARY_CAT_TABLE = _build_category_tables()
+
+# explicit boundary chars (MultiLanguageDetection.kt:40-67)
+_BOUNDARY_CHARS = frozenset(
+    ":\n\r\x0b\x0c\x85\""
+    "«»‘‛“”„‟‹›⹂"
+    "⌜⌝❛❜❝❞「」『』"
+    "〝〞〟﹁﹂﹃﹄＂＇｢｣"
+)
+_APOSTROPHES = frozenset("'’")
+
+
+# Java semantics twins: trim() strips only codepoints ≤ U+0020, and \s
+# without UNICODE_CHARACTER_CLASS matches only ASCII whitespace — NBSP and
+# other Zs chars survive Spark's cleaning and must survive here too.
+_JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
+import re as _re
+
+_ASCII_WS_RUN = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def clean_text_py(text: str) -> str:
+    """Python twin of cleaned_text_col: trim → lower → drop \\p{N}\\p{P}
+    → collapse ASCII whitespace → trim."""
+    t = text.strip(_JAVA_TRIM_CHARS).lower()
+    if not t:
+        return ""
+    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    in_table = cps < _SIZE
+    drop = np.zeros(len(cps), dtype=bool)
+    drop[in_table] = _NUM_PUNCT_TABLE[cps[in_table]]
+    kept = cps[~drop]
+    t = kept.astype("<u4").tobytes().decode("utf-32-le")
+    return _ASCII_WS_RUN.sub(" ", t).strip(_JAVA_TRIM_CHARS)
+
+
+def _is_boundary(ch: str, prev_ch: str, next_ch: str) -> bool:
+    """isPotentialLanguageBoundary (MultiLanguageDetection.kt:40-89)."""
+    if ch in _BOUNDARY_CHARS:
+        return True
+    if ch in _APOSTROPHES:
+        return not (prev_ch.isalpha() and next_ch.isalpha())
+    cp = ord(ch)
+    return bool(_BOUNDARY_CAT_TABLE[cp]) if cp < _SIZE else False
+
+
+def _same_language_script(a: int, b: int) -> bool:
+    """belongsToSameLanguageAs (:164-167): equal, or both Japanese."""
+    if a == b:
+        return True
+    return a in lm.JAPANESE_SCRIPT_IDS and b in lm.JAPANESE_SCRIPT_IDS
+
+
+class Section:
+    """PotentialSection (:92-162): [start, end) over the full text."""
+
+    __slots__ = ("start", "end", "letters", "full_text", "_text",
+                 "rule_langs", "_conf")
+
+    def __init__(self, start: int, end: int, letters: int, full_text: str):
+        self.start = start
+        self.end = end
+        self.letters = letters
+        self.full_text = full_text
+        self._text: str | None = None
+        self.rule_langs: set[int] = set()
+        self._conf: tuple[np.ndarray, np.ndarray] | None = None
+
+    @property
+    def text(self) -> str:
+        if self._text is None:
+            self._text = self.full_text[self.start : max(self.end, self.start)]
+        return self._text
+
+    def contains_non_letter(self) -> bool:
+        return self.letters != self.end - self.start
+
+    def min_confidence(self) -> float:
+        # 0.6 + min(1, letters/40) * 0.38 (:128-133)
+        return 0.6 + min(1.0, self.letters / MIN_LETTERS_DEFINITE_CONF) * 0.38
+
+    def merge_with(self, other: "Section") -> None:
+        self.end = other.end
+        self.letters += other.letters
+        self._text = None
+        self._conf = None
+        self.rule_langs |= other.rule_langs
+
+    # ---- confidence ----
+
+    def conf(self, det: Detector) -> tuple[np.ndarray, np.ndarray]:
+        if self._conf is None:
+            t = self.text
+            self._conf = det.confidence_values(t, clean_text_py(t))
+        return self._conf
+
+    def set_conf(self, idxs: np.ndarray, confs: np.ndarray) -> None:
+        self._conf = (idxs, confs)
+
+    def conf_of(self, det: Detector, lang: int) -> float:
+        idxs, confs = self.conf(det)
+        hit = np.flatnonzero(idxs == lang)
+        return float(confs[hit[0]]) if len(hit) else 0.0
+
+    def relevant_langs(self, det: Detector) -> set[int]:
+        """getLanguagesWithMinConfidence (:328-341): descending prefix
+        with confidence ≥ the section's min confidence."""
+        min_conf = self.min_confidence()
+        idxs, confs = self.conf(det)
+        out: set[int] = set()
+        for i, c in zip(idxs, confs):
+            if c >= min_conf:
+                out.add(int(i))
+            else:
+                break
+        return out
+
+
+def split_potential_sections(text: str) -> list[Section]:
+    """splitPotentialSections (:169-225), including its quirks: after a
+    script-change split the new section starts at lettersCount=2, and
+    `end` only advances on non-splitting letters."""
+    sections: list[Section] = []
+    sids = lm.script_ids_of(text)
+    letters_mask = lm.is_letter_mask(text)
+
+    start = -1
+    end = -1
+    last_script = -1
+    letters = 0
+    has_logograms = False
+
+    for i, ch in enumerate(text):
+        if letters_mask[i]:
+            script = int(sids[i])
+            if (
+                start != -1
+                and (has_logograms or letters >= MIN_SECTION_LENGTH)
+                and last_script != -1
+                and not _same_language_script(last_script, script)
+            ):
+                sections.append(Section(start, i, letters, text))
+                start = i
+                letters = 1
+                has_logograms = False
+            else:
+                if start == -1:
+                    start = i
+                end = i + 1
+            last_script = script
+            letters += 1
+            has_logograms = has_logograms or script in lm.LOGOGRAM_SCRIPT_IDS
+        elif (
+            letters >= MIN_SECTION_LENGTH
+            and start != -1
+            and _is_boundary(
+                ch,
+                text[i - 1] if i > 0 else "\x00",
+                text[i + 1] if i + 1 < len(text) else "\x00",
+            )
+        ):
+            sections.append(Section(start, end, letters, text))
+            start = -1
+            letters = 0
+            has_logograms = False
+
+    if start != -1:
+        sections.append(Section(start, end, letters, text))
+    return sections
+
+
+def _rules_for_section(text: str) -> tuple[int, set[int]]:
+    """(rule language or -1, candidate set) on the section's word list."""
+    from .detect import detect_with_rules, filter_by_rules, split_words_with_sids
+
+    words, word_sids = split_words_with_sids(text)
+    lang = detect_with_rules(words, word_sids)
+    if lang >= 0:
+        return lang, {lang}
+    cand = filter_by_rules(words, word_sids)
+    return -1, {int(i) for i in np.flatnonzero(cand)}
+
+
+def sections_with_rule_language(text: str) -> list[Section]:
+    """createSectionsWithRuleBasedLanguage (:254-299)."""
+    sections = split_potential_sections(text)
+    out: list[Section] = []
+    prev: Section | None = None
+    for sec in sections:
+        lang, langs = _rules_for_section(sec.text)
+        if lang >= 0:
+            if prev is not None and prev.rule_langs == {lang}:
+                prev.merge_with(sec)
+                continue
+            sec.rule_langs = {lang}
+        else:
+            if len(langs) == 1 and prev is not None and prev.rule_langs == langs:
+                prev.merge_with(sec)
+                continue
+            sec.rule_langs = set(langs)
+        out.append(sec)
+        prev = sec
+    return out
+
+
+def _can_be_merged_with(cur: Section, nxt: Section) -> bool:
+    """canBeMergedWith (:232-237): next not rule-decided, languages overlap."""
+    return len(nxt.rule_langs) != 1 and bool(cur.rule_langs & nxt.rule_langs)
+
+
+def _should_merge_short(cur: Section, nxt: Section,
+                        prev_conf_sec: Section | None, det: Detector) -> bool:
+    """shouldMergeShortRuleBasedSection (:446-494)."""
+    if cur.letters >= MIN_RELIABLE_LETTERS or not _can_be_merged_with(cur, nxt):
+        return False
+    if (
+        nxt.letters >= MIN_RELIABLE_LETTERS
+        and cur.letters >= 5
+        and cur.contains_non_letter()
+    ):
+        cur_idxs, cur_confs = cur.conf(det)
+        min_conf = cur.min_confidence()
+        nxt_idxs, nxt_confs = nxt.conf(det)
+        min_next_conf = nxt.min_confidence()
+        nxt_map = {int(i): float(c) for i, c in zip(nxt_idxs, nxt_confs)}
+        common = [int(i) for i, c in zip(cur_idxs, cur_confs) if c > min_conf]
+        # vacuously true on empty `common` — matches Kotlin all{} (:471-479)
+        if all(nxt_map.get(i, 0.0) < min_next_conf for i in common):
+            return False
+        if prev_conf_sec is not None:
+            prev_idxs, _pc = prev_conf_sec.conf(det)
+            if len(nxt_idxs) and len(prev_idxs):
+                next_confidence = cur.conf_of(det, int(nxt_idxs[0]))
+                prev_confidence = cur.conf_of(det, int(prev_idxs[0]))
+                return next_confidence >= prev_confidence
+    return True
+
+
+def sections_with_confidence(text: str, det: Detector) -> list[Section]:
+    """createSectionsWithConfidenceValues (:363-415)."""
+    sections = sections_with_rule_language(text)
+    out: list[Section] = []
+    i = 0
+    while i < len(sections):
+        sec = sections[i]
+        if len(sec.rule_langs) == 1:
+            lang = next(iter(sec.rule_langs))
+            sec.set_conf(np.array([lang]), np.array([1.0]))
+        else:
+            while i < len(sections) - 1:
+                if _should_merge_short(sec, sections[i + 1],
+                                       out[-1] if out else None, det):
+                    sec.merge_with(sections[i + 1])
+                    i += 1
+                else:
+                    break
+            sec.conf(det)
+        out.append(sec)
+        i += 1
+    return out
+
+
+def _can_merge_confidence(cur: Section, prev: Section, nxt: Section | None,
+                          det: Detector) -> bool:
+    """canMergeConfidenceSection (:497-539)."""
+    cur_rel = cur.relevant_langs(det)
+    prev_rel = prev.relevant_langs(det)
+    prev_cur = cur_rel & prev_rel
+    if not prev_cur:
+        return False
+    if nxt is None:
+        return True
+    nxt_rel = nxt.relevant_langs(det)
+    cur_nxt = cur_rel & nxt_rel
+    if not cur_nxt:
+        return True
+    if prev_rel & nxt_rel:
+        return True
+    prev_conf = float(np.mean([cur.conf_of(det, l) for l in prev_cur]))
+    next_conf = float(np.mean([cur.conf_of(det, l) for l in cur_nxt]))
+    return prev_conf > next_conf
+
+
+def detect_multi_language(text: str, det: Detector) -> list[dict]:
+    """internalDetectMultiLanguageOf (:417-444) → list of section dicts."""
+    sections = sections_with_confidence(text, det)
+    if not sections:
+        return []
+    merged: list[Section] = [sections[0]]
+    for j in range(1, len(sections)):
+        cur = sections[j]
+        nxt = sections[j + 1] if j + 1 < len(sections) else None
+        if _can_merge_confidence(cur, merged[-1], nxt, det):
+            merged[-1].merge_with(cur)
+        else:
+            merged.append(cur)
+    out = []
+    for sec in merged:
+        idxs, confs = sec.conf(det)
+        out.append(
+            {
+                "start": sec.start,
+                "end": sec.end,
+                "letters_count": sec.letters,
+                "text": sec.text,
+                "lang": det.decide(idxs, confs),
+                "confidences": {
+                    lm.ISO_CODES[int(i)]: float(c) for i, c in zip(idxs, confs)
+                },
+            }
+        )
+    return out
+
+
+MULTILANG_SCHEMA = (
+    "array<struct<start:int,end:int,letters_count:int,text:string,"
+    "lang:string,confidences:map<string,double>>>"
+)
+
+
+def make_multilang_udf(bc_low, bc_high,
+                       params: DetectorParams = DetectorParams()):
+    """Scalar pandas UDF text → array of language sections."""
+    import uuid
+
+    from pyspark.sql.functions import pandas_udf
+
+    from .detect import _executor_detector
+
+    key = (uuid.uuid4().hex, params, "multilang")
+
+    @pandas_udf(MULTILANG_SCHEMA)
+    def multi_detect(text: pd.Series) -> pd.Series:
+        det = _executor_detector(key, bc_low, bc_high, params)
+        return pd.Series(
+            [detect_multi_language(t or "", det) for t in text.to_numpy()]
+        )
+
+    return multi_detect
