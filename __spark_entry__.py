@@ -44,9 +44,29 @@ from tiny_lingua_spark.functions.text import (  # noqa: E402
 from tiny_lingua_spark.operators import dedup, similarity  # noqa: E402
 
 MODELS_DIR = os.path.join(_REPO, ".cache", f"models_v{CORPUS_VERSION}")
+FASTTEXT_DIR = os.path.join(_REPO, ".cache", f"fasttext_v{CORPUS_VERSION}")
 EMB_DIM = 64
 
 _REG = None
+_FT = None
+
+
+def _fasttext(spark: SparkSession):
+    """Train-once (cached) fastText-style model; returns (weights, priors)
+    DataFrames plus their parquet paths for the DuckDB oracle."""
+    global _FT
+    if _FT is None:
+        from tiny_lingua_spark import corpus as corpus_mod
+        from tiny_lingua_spark.models.fasttext import train_and_write_fasttext
+
+        wp = os.path.join(FASTTEXT_DIR, "weights.parquet")
+        pp = os.path.join(FASTTEXT_DIR, "priors.parquet")
+        if not os.path.exists(os.path.join(wp, "_SUCCESS")):
+            rows = corpus_mod.training_corpus(n_sentences=300)
+            df = spark.createDataFrame(rows, "lang string, text string")
+            train_and_write_fasttext(spark, df, FASTTEXT_DIR)
+        _FT = (spark.read.parquet(wp), spark.read.parquet(pp), wp, pp)
+    return _FT
 
 
 def _registry(spark: SparkSession):
@@ -255,6 +275,28 @@ def _q_detect_counts(spark, sf_dir):
     )
 
 
+def _q_fasttext_lang(spark, sf_dir):
+    from tiny_lingua_spark.models.fasttext import score_fasttext
+
+    weights, priors, _wp, _pp = _fasttext(spark)
+    return score_fasttext(_docs(spark, sf_dir), weights, priors)
+
+
+def _q_perplexity(spark, sf_dir):
+    from tiny_lingua_spark.functions.perplexity import make_perplexity_udf
+
+    reg = _registry(spark)
+    ppl = make_perplexity_udf(reg.bc_low, reg.bc_high)
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(
+            ppl(cleaned_text_col(F.col("text")), F.col("lang")), 4
+        ).alias("ppl"),
+    )
+
+
 def _q_multilang_sections(spark, sf_dir):
     from tiny_lingua_spark.operators.multilang import make_multilang_udf
 
@@ -326,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
         "knn_graph": _q_knn_graph,
+        "fasttext_lang": _q_fasttext_lang,
+        "perplexity_scores": _q_perplexity,
         "multilang_sections": _q_multilang_sections,
         "detect_doc_labels": _q_detect_labels,
         "detect_lang_counts": _q_detect_counts,
@@ -337,7 +381,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from tiny_lingua_spark.models.fasttext import score_fasttext_sql
+
     qm = quality_metrics_sql("text")
+    ft_sql = score_fasttext_sql(
+        "documents",
+        os.path.join(FASTTEXT_DIR, "weights.parquet", "*.parquet"),
+        os.path.join(FASTTEXT_DIR, "priors.parquet", "*.parquet"),
+    )
     qm_cols = ", ".join(
         f"{expr}::BIGINT AS {name}" if name in ("n_chars", "n_tokens")
         else f"round(({expr})::DOUBLE, 6) AS {name}"
@@ -394,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY cnt DESC, gram, lang)::BIGINT AS rnk
             FROM counts QUALIFY rnk <= 200
         """,
+        "fasttext_lang": ft_sql,
         "minhash_bands": dedup.minhash_bands_sql("documents", "doc_id", "text"),
         "minhash_pairs": dedup.minhash_pairs_sql("documents", "doc_id", "text"),
         "jaccard_pairs": dedup.jaccard_pairs_sql(

@@ -1,0 +1,92 @@
+"""fastText-style classifier + KenLM-style perplexity tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import corpus
+
+
+@pytest.fixture(scope="module")
+def ft_model(spark):
+    from tiny_lingua_spark.models.fasttext import train_fasttext
+
+    rows = corpus.training_corpus(n_sentences=150)
+    df = spark.createDataFrame(rows, "lang string, text string")
+    weights, priors = train_fasttext(df)
+    return weights.cache(), priors.cache()
+
+
+def test_fasttext_accuracy_on_eval(spark, ft_model):
+    from tiny_lingua_spark.models.fasttext import score_fasttext
+
+    weights, priors = ft_model
+    rows = corpus.eval_corpus(n_per_category=40)
+    sent = [(i, lang, text) for i, (lang, cat, text) in enumerate(rows)
+            if cat == "sentences"]
+    df = spark.createDataFrame(sent, "doc_id long, expected string, text string")
+    scored = score_fasttext(df, weights, priors)
+    joined = df.join(scored, "doc_id").toPandas()
+    acc = (joined.expected == joined.ft_lang).mean()
+    assert acc >= 0.95, f"fastText sentence accuracy {acc:.3f}"
+
+
+def test_fasttext_empty_text(spark, ft_model):
+    from tiny_lingua_spark.models.fasttext import score_fasttext
+
+    weights, priors = ft_model
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    out = score_fasttext(df, weights, priors).toPandas()
+    # no features → pure prior argmax, still one deterministic row per doc
+    assert len(out) == 2
+    assert out.ft_lang.nunique() == 1
+
+
+def test_perplexity_orders_real_vs_junk(registry):
+    from tiny_lingua_spark.functions.perplexity import PerplexityScorer
+    from tiny_lingua_spark import langmeta as lm
+    from tiny_lingua_spark.operators.multilang import clean_text_py
+
+    models = dict(registry.bc_low.value)
+    models.update(registry.bc_high.value)
+    scorer = PerplexityScorer(models)
+    en = lm.LANG_INDEX["en"]
+    real = clean_text_py(corpus.sentences("en", 1, split="ppl")[0])
+    junk = "zzqx jxq wvv kkkz qqq"
+    assert scorer.perplexity(real, en) < scorer.perplexity(junk, en)
+    # right language is less perplexed than a wrong-script language
+    ru = lm.LANG_INDEX["ru"]
+    assert scorer.perplexity(real, en) < scorer.perplexity(real, ru)
+
+
+def test_perplexity_udf(spark, registry):
+    from tiny_lingua_spark.functions.cleaning import cleaned_text_col
+    from tiny_lingua_spark.functions.perplexity import make_perplexity_udf
+
+    ppl = make_perplexity_udf(registry.bc_low, registry.bc_high)
+    texts = [
+        (corpus.sentences("de", 1, split="ppl:u")[0], "de"),
+        ("", "de"),
+        ("hello", "xx"),  # unknown lang → sentinel
+    ]
+    df = spark.createDataFrame(texts, "text string, lang string")
+    out = df.select(
+        ppl(cleaned_text_col(F.col("text")), F.col("lang")).alias("ppl")
+    ).toPandas()
+    assert out.ppl[0] < 1e6
+    assert out.ppl[1] == pytest.approx(1e12)
+    assert out.ppl[2] == pytest.approx(1e12)
+
+
+def test_pipeline_with_ft_model(spark, registry, ft_model):
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    clips_pd, _ = generate_clips(n=60)
+    clips = spark.createDataFrame(clips_pd)
+    out = quality_filter(clips, registry, ft_model=ft_model).toPandas()
+    assert {"ft_lang", "lang_agree", "perplexity"} <= set(out.columns)
+    assert len(out) == 60
+    kept = out[out.keep]
+    # on kept clips the two independent language opinions mostly agree
+    assert (kept.lang_agree.fillna(False)).mean() >= 0.7

@@ -1,0 +1,115 @@
+"""KenLM-style character n-gram perplexity — a quality signal for the
+filter pipeline (BASELINE.json north_rule; no reference counterpart,
+public formulation).
+
+Reuses the detector's conditional-frequency model table (models/train.py
+stores freq(g) = count(g)/count(prefix(g)), i.e. P(last char | context))
+as the LM, scored with stupid backoff (Brants et al. 2007): probe the
+longest context first; each back-off level multiplies by α=0.4; unknown
+characters get a small floor probability.
+
+    log10 P(text) = Σ_i log10 P̃(c_i | c_{i-4..i-1})
+    perplexity    = 10^(−log10 P / N)
+
+Vectorized the same way as detection: per batch, every (position,
+order) probe is one dict lookup into the broadcast model; results are
+cached per (lang, gram) across batches on the executor.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from .. import langmeta as lm
+
+BACKOFF_ALPHA = 0.4
+FLOOR_PROB = 1e-7
+MAX_ORDER = 5
+
+
+class PerplexityScorer:
+    """Per-executor scorer over the broadcast model dicts for ONE
+    language axis (scores all languages at once; the pipeline consumes
+    the detected language's column)."""
+
+    def __init__(self, models: dict[int, dict[str, np.ndarray]]):
+        self.models = models
+        self.cache: dict[str, np.ndarray] = {}
+
+    def _prob_vec(self, gram: str) -> np.ndarray:
+        """P̃(last char | context) per language with stupid backoff."""
+        hit = self.cache.get(gram)
+        if hit is not None:
+            return hit
+        out = np.full(lm.N_LANGS, FLOOR_PROB, dtype=np.float64)
+        resolved = np.zeros(lm.N_LANGS, dtype=bool)
+        g = gram
+        penalty = 1.0
+        while g:
+            fv = self.models.get(len(g), {}).get(g)
+            if fv is not None:
+                upd = (~resolved) & (fv > 0)
+                if upd.any():
+                    out[upd] = fv[upd].astype(np.float64) * penalty
+                    resolved |= upd
+                if resolved.all():
+                    break
+            g = g[1:]  # drop the OLDEST context char (LM back-off)
+            penalty *= BACKOFF_ALPHA
+        if len(self.cache) > 2_000_000:
+            self.cache.clear()
+        self.cache[gram] = out
+        return out
+
+    def perplexity(self, cleaned: str, lang_idx: int | None = None) -> np.ndarray | float:
+        """Per-language perplexity of the cleaned text (or one language's)."""
+        n = len(cleaned)
+        if n == 0:
+            return np.full(lm.N_LANGS, float("inf")) if lang_idx is None else float("inf")
+        log_sum = np.zeros(lm.N_LANGS, dtype=np.float64)
+        for i in range(n):
+            gram = cleaned[max(0, i - MAX_ORDER + 1) : i + 1]
+            log_sum += np.log10(self._prob_vec(gram))
+        pp = np.power(10.0, -log_sum / n)
+        return pp if lang_idx is None else float(pp[lang_idx])
+
+    def batch(self, cleaned: pd.Series, langs: pd.Series) -> pd.Series:
+        lang_index = lm.LANG_INDEX
+        out = np.empty(len(cleaned), dtype=np.float64)
+        for row, (c, l) in enumerate(zip(cleaned.to_numpy(), langs.to_numpy())):
+            li = lang_index.get(l)
+            if not c or li is None:
+                out[row] = float("inf")
+            else:
+                out[row] = self.perplexity(c, li)
+        return pd.Series(out).replace([np.inf], 1e12)
+
+
+_SCORERS: dict[tuple, PerplexityScorer] = {}
+
+
+def make_perplexity_udf(bc_low, bc_high):
+    """pandas UDF (cleaned, lang) → double perplexity under that
+    language's character LM (1e12 sentinel for empty/unknown)."""
+    import uuid
+
+    from pyspark.sql.functions import pandas_udf
+
+    key = (uuid.uuid4().hex,)
+
+    @pandas_udf("double")
+    def ppl(cleaned: pd.Series, langs: pd.Series) -> pd.Series:
+        scorer = _SCORERS.get(key)
+        if scorer is None:
+            models = dict(bc_low.value)
+            models.update(bc_high.value)
+            if len(_SCORERS) >= 4:
+                _SCORERS.clear()
+            scorer = PerplexityScorer(models)
+            _SCORERS[key] = scorer
+        return scorer.batch(cleaned, langs)
+
+    return ppl

@@ -1,0 +1,238 @@
+"""fastText-style language classifier — hashed bag-of-n-grams linear
+model, trained AND scored as declarative Spark jobs.
+
+Architecture follows the public fastText design (Joulin et al. 2016,
+"Bag of Tricks for Efficient Text Classification"): features are word
+unigrams + word bigrams reduced by the hashing trick into `n_buckets`;
+scoring is a linear model over the feature bag. Training uses the
+closed-form multinomial estimate (count-based log-probabilities with
+add-α smoothing) instead of SGD — a log-linear model of the same shape
+whose weights train in one distributed aggregation, which is the right
+trade at 10^12-row corpus scale (no parameter server, no iterations).
+
+Everything is Catalyst expressions end-to-end:
+  train:  explode features → hash → count per (lang, bucket) → log-prob
+  score:  explode features → hash → broadcast-join weights →
+          groupBy(doc) sum → argmax window
+The feature hash is md5-based (first 12 hex chars → int), portable
+bit-for-bit to the DuckDB oracle — no engine-private hash functions.
+
+No reference counterpart (SURVEY.md §2.6; tiny-lingua has no trained
+classifier); built from public knowledge per BASELINE.json north_rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+N_BUCKETS = 1 << 16
+SMOOTH_ALPHA = 0.5
+
+
+def _features_expr(text_col: str) -> str:
+    """Spark SQL expr: word unigrams + word bigrams + char trigrams of
+    the lowercased text. Char n-grams carry scriptless-space languages
+    (zh/ja have no word boundaries) — same trick as fastText's public
+    lid.176 model."""
+    lowered = f"lower(trim({text_col}))"
+    toks = f"split({lowered}, '\\\\s+')"
+    bigrams = (
+        f"if(size({toks}) >= 2,"
+        f" transform(sequence(1, size({toks}) - 1),"
+        f" i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))),"
+        f" array())"
+    )
+    char3 = (
+        f"if(length({lowered}) >= 3,"
+        f" transform(sequence(1, length({lowered}) - 2),"
+        f" i -> concat('#', substring({lowered}, i, 3))),"
+        f" array())"
+    )
+    return (
+        f"if(length(trim({text_col})) > 0,"
+        f" concat({toks}, {bigrams}, {char3}), array())"
+    )
+
+
+def _features_sql(text_col: str) -> str:
+    """DuckDB twin of _features_expr."""
+    lowered = f"lower(trim({text_col}))"
+    toks = f"regexp_split_to_array({lowered}, '\\s+')"
+    bigrams = (
+        f"CASE WHEN len({toks}) >= 2"
+        f" THEN list_transform(range(1, len({toks})),"
+        f" i -> ({toks})[i] || ' ' || ({toks})[i+1])"
+        f" ELSE [] END"
+    )
+    char3 = (
+        f"CASE WHEN length({lowered}) >= 3"
+        f" THEN list_transform(range(1, length({lowered}) - 1),"
+        f" i -> '#' || substring({lowered}, i, 3))"
+        f" ELSE [] END"
+    )
+    return (
+        f"CASE WHEN length(trim({text_col})) > 0"
+        f" THEN list_concat({toks}, list_concat({bigrams}, {char3})) ELSE [] END"
+    )
+
+
+def bucket_col(feature_col: str, n_buckets: int = N_BUCKETS):
+    """Portable hashing trick: first 48 bits of md5 → bucket id."""
+    return (
+        F.conv(F.substring(F.md5(F.col(feature_col)), 1, 12), 16, 10)
+        .cast("long") % n_buckets
+    )
+
+
+def bucket_sql(feature_expr: str, n_buckets: int = N_BUCKETS) -> str:
+    return f"(('0x' || substr(md5({feature_expr}), 1, 12))::BIGINT % {n_buckets})"
+
+
+def train_fasttext(
+    corpus_df: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    alpha: float = SMOOTH_ALPHA,
+) -> tuple[DataFrame, DataFrame]:
+    """corpus_df(lang, text) → (weights(bucket, lang, w), priors(lang, b)).
+
+    w = ln((count(lang, bucket) + α) / (count(lang) + α·n_buckets)); the
+    per-(lang,bucket) aggregation is the only shuffle and its cardinality
+    is bounded by n_buckets × |langs|, not corpus size. Unobserved
+    buckets are left implicit: scoring adds the per-lang default
+    ln(α / (count(lang) + α·n_buckets)) for them (see score_fasttext).
+    """
+    feats = corpus_df.select(
+        "lang", F.explode(F.expr(_features_expr("text"))).alias("feature")
+    ).select("lang", bucket_col("feature", n_buckets).alias("bucket"))
+    counts = feats.groupBy("lang", "bucket").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    weights = (
+        counts.join(totals, "lang")
+        .select(
+            "bucket",
+            "lang",
+            (
+                F.log((F.col("cnt") + F.lit(alpha))
+                      / (F.col("total") + F.lit(alpha * n_buckets)))
+                - F.log(F.lit(alpha) / (F.col("total") + F.lit(alpha * n_buckets)))
+            ).alias("w"),
+        )
+    )
+    # priors: ln P(lang) + the "all-unobserved" baseline is folded into
+    # scoring as n_features × default(lang); here b = ln P(lang) and the
+    # per-lang default, carried separately
+    n_docs = corpus_df.count()
+    priors = (
+        corpus_df.groupBy("lang")
+        .agg(F.count("*").alias("docs"))
+        .join(totals, "lang")
+        .select(
+            "lang",
+            F.log(F.col("docs") / F.lit(float(n_docs))).alias("b"),
+            F.log(F.lit(alpha) / (F.col("total") + F.lit(alpha * n_buckets))).alias(
+                "default_w"
+            ),
+        )
+    )
+    return weights, priors
+
+
+def score_fasttext(
+    docs: DataFrame,
+    weights: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(id, ft_lang, ft_score): argmax lang of the linear model.
+
+    score(d, l) = b_l + n_feats(d)·default_l + Σ_buckets w(bucket, l)
+    where `w` already holds ln(cond) − ln(default) (train_fasttext), so
+    unobserved buckets contribute exactly default_l. Plan: explode →
+    broadcast-join weights (vocabulary-bounded) → per-(doc,lang) sum →
+    cross-join tiny priors → argmax window on doc. One shuffle on id.
+    """
+    feats = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(_features_expr(text_col))).alias("feature"),
+    ).select("id", bucket_col("feature", n_buckets).alias("bucket"))
+    # from the array size, not the explode — keeps zero-feature docs
+    nf = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.expr(_features_expr(text_col))).cast("long").alias("n_feats"),
+    )
+    contrib = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("id", "lang")
+        .agg(F.sum("w").alias("sum_w"))
+    )
+    scored = (
+        nf.crossJoin(F.broadcast(priors).select("lang", "b", "default_w"))
+        .join(contrib, ["id", "lang"], "left")
+        .select(
+            "id",
+            "lang",
+            (
+                F.col("b")
+                + F.col("n_feats") * F.col("default_w")
+                + F.coalesce(F.col("sum_w"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("lang").alias("ft_lang"),
+            F.round(F.col("score"), 6).alias("ft_score"),
+        )
+    )
+
+
+def score_fasttext_sql(
+    table: str,
+    weights_parquet: str,
+    priors_parquet: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB twin of score_fasttext, reading the persisted model."""
+    return f"""
+    WITH feats AS (
+        SELECT {id_col} AS id, {bucket_sql('f.feature', n_buckets)} AS bucket
+        FROM {table}, LATERAL unnest({_features_sql(text_col)}) AS f(feature)
+    ), nf AS (
+        SELECT {id_col} AS id, len({_features_sql(text_col)})::BIGINT AS n_feats
+        FROM {table}
+    ), contrib AS (
+        SELECT f.id, w.lang, sum(w.w) AS sum_w
+        FROM feats f JOIN '{weights_parquet}' w ON f.bucket = w.bucket
+        GROUP BY f.id, w.lang
+    ), scored AS (
+        SELECT nf.id, p.lang,
+               p.b + nf.n_feats * p.default_w + coalesce(c.sum_w, 0.0) AS score
+        FROM nf CROSS JOIN '{priors_parquet}' p
+        LEFT JOIN contrib c ON c.id = nf.id AND c.lang = p.lang
+    )
+    SELECT id AS {id_col}, lang AS ft_lang, round(score, 6) AS ft_score
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY id ORDER BY score DESC, lang) = 1
+    """
+
+
+def train_and_write_fasttext(
+    spark: SparkSession, corpus_df: DataFrame, out_dir: str,
+    n_buckets: int = N_BUCKETS,
+) -> tuple[str, str]:
+    import os
+
+    weights, priors = train_fasttext(corpus_df, n_buckets)
+    wp = os.path.join(out_dir, "weights.parquet")
+    pp = os.path.join(out_dir, "priors.parquet")
+    weights.coalesce(1).write.mode("overwrite").parquet(wp)
+    priors.coalesce(1).write.mode("overwrite").parquet(pp)
+    return wp, pp

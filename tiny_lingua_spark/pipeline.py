@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .audio import decode_features_udf
 from .functions.cleaning import cleaned_text_col
+from .functions.perplexity import make_perplexity_udf
 from .functions.quality import (
     DEFAULT_THRESHOLDS,
     keep_decision_col,
@@ -59,10 +60,18 @@ def quality_filter(
     params: DetectorParams = DetectorParams(),
     thresholds: dict | None = None,
     n_partitions: int | None = None,
+    ft_model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """Full pipeline → one row per clip with decision + diagnostics."""
+    """Full pipeline → one row per clip with decision + diagnostics.
+
+    ``ft_model`` = (weights, priors) from models.fasttext: adds an
+    independent fastText-style language opinion (`ft_lang`) plus a
+    `lang_agree` diagnostic; joined back on clip_id (one extra shuffle,
+    both model tables broadcast).
+    """
     th = {**DEFAULT_THRESHOLDS, **AUDIO_THRESHOLDS, **(thresholds or {})}
     detect = make_detect_udf(registry.bc_low, registry.bc_high, params)
+    ppl = make_perplexity_udf(registry.bc_low, registry.bc_high)
     audio_feats = decode_features_udf()
     extra = quality_extra_udf()
 
@@ -94,9 +103,19 @@ def quality_filter(
             *quality_metrics_cols("transcript"),
             F.col("_x.max_char_run").alias("max_char_run"),
             F.col("_x.char_entropy").alias("char_entropy"),
+            ppl(F.col("cleaned"), F.col("det.lang")).alias("perplexity"),
             scrubbed_col(F.col("transcript")).alias("scrubbed"),
         )
     )
+    if ft_model is not None:
+        from .models.fasttext import score_fasttext
+
+        weights, priors = ft_model
+        ft = score_fasttext(df, weights, priors, id_col="clip_id",
+                            text_col="transcript")
+        df = df.join(ft, "clip_id", "left").withColumn(
+            "lang_agree", F.col("ft_lang") == F.col("lang")
+        )
 
     audio_ok = (
         F.col("decode_ok")
