@@ -51,8 +51,9 @@ JUNK_TEXTS = (
 )
 
 
-def _waveform(i: int, sr: int, dur_ms: int) -> np.ndarray:
-    n = int(sr * min(dur_ms, _MAX_SYNTH_MS) / 1000)
+def _waveform(i: int, sr: int, dur_ms: int,
+              max_synth_ms: int = _MAX_SYNTH_MS) -> np.ndarray:
+    n = int(sr * min(dur_ms, max_synth_ms) / 1000)
     rng = np.random.default_rng(1000 + i)
     t = np.arange(n, dtype=np.float64) / sr
     f0 = 200 + (i * 37) % 800
@@ -61,7 +62,8 @@ def _waveform(i: int, sr: int, dur_ms: int) -> np.ndarray:
     return np.clip(sig, -0.99, 0.99).astype(np.float32)
 
 
-def generate_clips(n: int = 500, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+def generate_clips(n: int = 500, seed: int = 42,
+                   max_synth_ms: int = _MAX_SYNTH_MS) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Returns (clips_df, labels_df) as pandas frames."""
     rng = random.Random(seed)
     clip_rows, label_rows = [], []
@@ -90,7 +92,7 @@ def generate_clips(n: int = 500, seed: int = 42) -> tuple[pd.DataFrame, pd.DataF
             expected_keep = False
             lang = "junk"
 
-        wav = _waveform(i, sr, dur_ms)
+        wav = _waveform(i, sr, dur_ms, max_synth_ms)
         clip_rows.append(
             (clip_id, audio.encode(wav, codec), sr, dur_ms, codec, text)
         )

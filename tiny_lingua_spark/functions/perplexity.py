@@ -39,8 +39,9 @@ class PerplexityScorer:
         self.models = models
         self.cache: dict[str, np.ndarray] = {}
 
-    def _prob_vec(self, gram: str) -> np.ndarray:
-        """P̃(last char | context) per language with stupid backoff."""
+    def _log_prob_vec(self, gram: str) -> np.ndarray:
+        """log10 P̃(last char | context) per language, stupid backoff,
+        cached — per-char scoring is then one dict probe + one index."""
         hit = self.cache.get(gram)
         if hit is not None:
             return hit
@@ -59,22 +60,28 @@ class PerplexityScorer:
                     break
             g = g[1:]  # drop the OLDEST context char (LM back-off)
             penalty *= BACKOFF_ALPHA
+        out = np.log10(out)
         if len(self.cache) > 2_000_000:
             self.cache.clear()
         self.cache[gram] = out
         return out
 
     def perplexity(self, cleaned: str, lang_idx: int | None = None) -> np.ndarray | float:
-        """Per-language perplexity of the cleaned text (or one language's)."""
+        """Per-language perplexity of the cleaned text (or one language's,
+        accumulating a scalar instead of the full language axis)."""
         n = len(cleaned)
         if n == 0:
             return np.full(lm.N_LANGS, float("inf")) if lang_idx is None else float("inf")
+        probe = self._log_prob_vec
+        if lang_idx is not None:
+            s = 0.0
+            for i in range(n):
+                s += probe(cleaned[max(0, i - MAX_ORDER + 1) : i + 1])[lang_idx]
+            return float(10.0 ** (-s / n))
         log_sum = np.zeros(lm.N_LANGS, dtype=np.float64)
         for i in range(n):
-            gram = cleaned[max(0, i - MAX_ORDER + 1) : i + 1]
-            log_sum += np.log10(self._prob_vec(gram))
-        pp = np.power(10.0, -log_sum / n)
-        return pp if lang_idx is None else float(pp[lang_idx])
+            log_sum += probe(cleaned[max(0, i - MAX_ORDER + 1) : i + 1])
+        return np.power(10.0, -log_sum / n)
 
     def batch(self, cleaned: pd.Series, langs: pd.Series) -> pd.Series:
         lang_index = lm.LANG_INDEX
@@ -94,11 +101,11 @@ _SCORERS: dict[tuple, PerplexityScorer] = {}
 def make_perplexity_udf(bc_low, bc_high):
     """pandas UDF (cleaned, lang) → double perplexity under that
     language's character LM (1e12 sentinel for empty/unknown)."""
-    import uuid
-
     from pyspark.sql.functions import pandas_udf
 
-    key = (uuid.uuid4().hex,)
+    from ..operators.detect import broadcast_key
+
+    key = broadcast_key(bc_low, bc_high, None)
 
     @pandas_udf("double")
     def ppl(cleaned: pd.Series, langs: pd.Series) -> pd.Series:

@@ -86,29 +86,36 @@ def quality_metrics_sql(text_expr: str = "transcript") -> dict[str, str]:
 QUALITY_EXTRA_SCHEMA = "max_char_run int, char_entropy double"
 
 
+def extra_metrics_batch(text: pd.Series) -> pd.DataFrame:
+    """max repeated-char run + char entropy per row (shared by the
+    standalone UDF and the fused pipeline UDF)."""
+    runs, ents = [], []
+    for t in text.to_numpy():
+        if not t:
+            runs.append(0)
+            ents.append(0.0)
+            continue
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        if len(cps) == 1:
+            runs.append(1)
+            ents.append(0.0)
+            continue
+        change = np.flatnonzero(np.diff(cps) != 0)
+        bounds = np.concatenate(([-1], change, [len(cps) - 1]))
+        runs.append(int(np.diff(bounds).max()))
+        _, counts = np.unique(cps, return_counts=True)
+        p = counts / counts.sum()
+        ents.append(float(-(p * np.log2(p)).sum()))
+    return pd.DataFrame({"max_char_run": runs, "char_entropy": ents})
+
+
 def quality_extra_udf():
     """max repeated-char run + char entropy (needs Python; Arrow-batched)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(QUALITY_EXTRA_SCHEMA)
     def extra(text: pd.Series) -> pd.DataFrame:
-        runs, ents = [], []
-        for t in text.to_numpy():
-            if not t:
-                runs.append(0)
-                ents.append(0.0)
-                continue
-            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-            if len(cps) == 1:
-                runs.append(1)
-            else:
-                change = np.flatnonzero(np.diff(cps) != 0)
-                bounds = np.concatenate(([-1], change, [len(cps) - 1]))
-                runs.append(int(np.diff(bounds).max()))
-            _, counts = np.unique(cps, return_counts=True)
-            p = counts / counts.sum()
-            ents.append(float(-(p * np.log2(p)).sum()))
-        return pd.DataFrame({"max_char_run": runs, "char_entropy": ents})
+        return extra_metrics_batch(text)
 
     return extra
 

@@ -535,15 +535,26 @@ def _executor_detector(key: tuple, bc_low, bc_high,
     return det
 
 
+def broadcast_key(bc_low, bc_high, params) -> tuple:
+    """Driver-side stable identity for the (models, params) combination.
+
+    Uses the JVM broadcast ids, so every UDF built over the same
+    ModelRegistry shares ONE executor-side Detector (and its warm gram
+    cache) across tasks, jobs, and separately-created UDFs — a uuid per
+    UDF would rebuild caches per query and waste the warm-up.
+    """
+    try:
+        return (bc_low._jbroadcast.id(), bc_high._jbroadcast.id(), params)
+    except AttributeError:  # non-driver construction; fall back to identity
+        return (id(bc_low), id(bc_high), params)
+
+
 def make_detect_udf(bc_low, bc_high, params: DetectorParams = DetectorParams()):
     """Scalar pandas UDF (raw, cleaned) → struct<lang, confidence,
     second_lang, second_confidence>, models from broadcast."""
-    import uuid
-
     from pyspark.sql.functions import pandas_udf
 
-    # driver-stamped identity, stable across every task of this UDF
-    key = (uuid.uuid4().hex, params)
+    key = broadcast_key(bc_low, bc_high, params)
 
     @pandas_udf(DETECT_SCHEMA)
     def detect(raw: pd.Series, cleaned: pd.Series) -> pd.DataFrame:
@@ -557,11 +568,9 @@ def make_detect_udf(bc_low, bc_high, params: DetectorParams = DetectorParams()):
 def make_confidence_udf(bc_low, bc_high, params: DetectorParams = DetectorParams()):
     """Scalar pandas UDF (raw, cleaned) → map<string,double> of sorted
     confidence values (computeLanguageConfidenceValues analog)."""
-    import uuid
-
     from pyspark.sql.functions import pandas_udf
 
-    key = (uuid.uuid4().hex, params)
+    key = broadcast_key(bc_low, bc_high, params)
 
     @pandas_udf("map<string,double>")
     def confidences(raw: pd.Series, cleaned: pd.Series) -> pd.Series:

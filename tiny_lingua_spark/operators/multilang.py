@@ -374,13 +374,13 @@ MULTILANG_SCHEMA = (
 def make_multilang_udf(bc_low, bc_high,
                        params: DetectorParams = DetectorParams()):
     """Scalar pandas UDF text → array of language sections."""
-    import uuid
-
     from pyspark.sql.functions import pandas_udf
 
     from .detect import _executor_detector
 
-    key = (uuid.uuid4().hex, params, "multilang")
+    from .detect import broadcast_key
+
+    key = broadcast_key(bc_low, bc_high, params) + ("multilang",)
 
     @pandas_udf(MULTILANG_SCHEMA)
     def multi_detect(text: pd.Series) -> pd.Series:

@@ -25,6 +25,7 @@ import json
 import os
 import time
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .audio import decode_features_udf
@@ -54,6 +55,64 @@ def salted_repartition(df: DataFrame, n_partitions: int) -> DataFrame:
     return df.repartition(n_partitions, F.xxhash64("clip_id"))
 
 
+_ENRICH_SCORERS: dict = {}
+
+ENRICH_SCHEMA = (
+    "decode_ok boolean, n_samples int, rms double, clipped_ratio double,"
+    " lang string, confidence double, second_lang string,"
+    " second_confidence double, perplexity double,"
+    " max_char_run int, char_entropy double"
+)
+
+
+def make_enrich_udf(registry: ModelRegistry,
+                    params: DetectorParams = DetectorParams()):
+    """ONE fused pandas UDF for all per-row Python work (audio features +
+    detection + perplexity + extra quality metrics).
+
+    Rationale: each chained ArrowEvalPython node adds a Python worker per
+    task slot and an extra Arrow serialization hop; at 32 slots the
+    4-UDF chain ran ~100 Python processes and spent ~2× the core-seconds
+    of the fused form. One node = one worker per slot, one Arrow round
+    trip, and the detect→perplexity dependency resolves in-process.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .audio import _features_batch
+    from .functions.perplexity import PerplexityScorer
+    from .functions.quality import extra_metrics_batch
+    from .operators.detect import _executor_detector, broadcast_key
+
+    bc_low, bc_high = registry.bc_low, registry.bc_high
+    key = broadcast_key(bc_low, bc_high, params)
+
+    @pandas_udf(ENRICH_SCHEMA)
+    def enrich(b: pd.Series, codec: pd.Series, raw: pd.Series,
+               cleaned: pd.Series) -> pd.DataFrame:
+        det = _executor_detector(key, bc_low, bc_high, params)
+        # module-level singleton: caches must outlive the task (closures
+        # are re-deserialized per task)
+        scorer = _ENRICH_SCORERS.get(key)
+        if scorer is None:
+            if len(_ENRICH_SCORERS) >= 4:
+                _ENRICH_SCORERS.clear()
+            scorer = PerplexityScorer(det.models)
+            _ENRICH_SCORERS[key] = scorer
+        audio = _features_batch(b, codec).drop(columns=["peak"])
+        d = det.detect_batch(raw, cleaned)
+        ppl = scorer.batch(cleaned, d["lang"])
+        extra = extra_metrics_batch(raw)
+        out = pd.concat([audio, d, extra], axis=1)
+        out["perplexity"] = ppl
+        return out[
+            ["decode_ok", "n_samples", "rms", "clipped_ratio", "lang",
+             "confidence", "second_lang", "second_confidence", "perplexity",
+             "max_char_run", "char_entropy"]
+        ]
+
+    return enrich
+
+
 def quality_filter(
     clips: DataFrame,
     registry: ModelRegistry,
@@ -70,10 +129,7 @@ def quality_filter(
     both model tables broadcast).
     """
     th = {**DEFAULT_THRESHOLDS, **AUDIO_THRESHOLDS, **(thresholds or {})}
-    detect = make_detect_udf(registry.bc_low, registry.bc_high, params)
-    ppl = make_perplexity_udf(registry.bc_low, registry.bc_high)
-    audio_feats = decode_features_udf()
-    extra = quality_extra_udf()
+    enrich = make_enrich_udf(registry, params)
 
     df = clips
     if n_partitions is None:
@@ -84,26 +140,28 @@ def quality_filter(
         df = salted_repartition(df, n_partitions)
 
     df = (
-        df.withColumn("audio", audio_feats(F.col("bytes"), F.col("codec")))
-        .withColumn("cleaned", cleaned_text_col(F.col("transcript")))
-        .withColumn("det", detect(F.col("transcript"), F.col("cleaned")))
-        .withColumn("_x", extra(F.col("transcript")))
+        df.withColumn("cleaned", cleaned_text_col(F.col("transcript")))
+        .withColumn(
+            "e",
+            enrich(F.col("bytes"), F.col("codec"), F.col("transcript"),
+                   F.col("cleaned")),
+        )
         .select(
             "clip_id",
             "sr_hz",
             "dur_ms",
             "codec",
             "transcript",
-            F.col("det.lang").alias("lang"),
-            F.col("det.confidence").alias("lang_confidence"),
-            F.col("audio.decode_ok").alias("decode_ok"),
-            F.col("audio.n_samples").alias("n_samples"),
-            F.col("audio.rms").alias("rms"),
-            F.col("audio.clipped_ratio").alias("clipped_ratio"),
+            F.col("e.lang").alias("lang"),
+            F.col("e.confidence").alias("lang_confidence"),
+            F.col("e.decode_ok").alias("decode_ok"),
+            F.col("e.n_samples").alias("n_samples"),
+            F.col("e.rms").alias("rms"),
+            F.col("e.clipped_ratio").alias("clipped_ratio"),
             *quality_metrics_cols("transcript"),
-            F.col("_x.max_char_run").alias("max_char_run"),
-            F.col("_x.char_entropy").alias("char_entropy"),
-            ppl(F.col("cleaned"), F.col("det.lang")).alias("perplexity"),
+            F.col("e.max_char_run").alias("max_char_run"),
+            F.col("e.char_entropy").alias("char_entropy"),
+            F.col("e.perplexity").alias("perplexity"),
             scrubbed_col(F.col("transcript")).alias("scrubbed"),
         )
     )
