@@ -1,0 +1,72 @@
+"""Multimodal plumbing tests: tlraw codec round-trip, mapInPandas
+feature/thumbnail/frame-sample operators, stubbed real codecs."""
+
+import numpy as np
+import pytest
+
+from tiny_lingua_spark.operators import multimodal as mm
+
+
+def test_tlraw_round_trip():
+    px = np.arange(2 * 4 * 3 * 3, dtype=np.uint8).reshape(2, 4, 3, 3)
+    assert (mm.decode_tlraw(mm.encode_tlraw(px)) == px).all()
+
+
+def test_real_codecs_are_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"", "h264")
+    with pytest.raises(ValueError):
+        mm.decode_media(b"", "tiff")
+
+
+def test_resize_nearest():
+    px = np.zeros((1, 24, 32, 3), dtype=np.uint8)
+    px[:, :12] = 200
+    small = mm.resize_nearest(px, 8, 8)
+    assert small.shape == (1, 8, 8, 3)
+    assert (small[0, :4] == 200).all() and (small[0, 4:] == 0).all()
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    pdf = mm.generate_media(n=40)
+    return spark.createDataFrame(pdf, mm.MEDIA_SCHEMA).repartition(4).cache()
+
+
+def test_media_features(spark, media_df):
+    out = mm.media_features(media_df).toPandas()
+    assert len(out) == 40
+    assert out.decode_ok.all()
+    videos = out[out.n_frames > 1]
+    assert len(videos) == 10  # every 4th fixture is a video
+    assert (out.brightness > 0).all()
+    # uniform-random pixels → channel means near 127.5
+    assert abs(out.mean_r.mean() - 127.5) < 10
+
+
+def test_media_features_bad_payload(spark):
+    bad = spark.createDataFrame(
+        [("x", "image", b"garbage", 1, 1, "tlraw", 1, 0.0),
+         ("y", "image", b"\xff\xd8", 1, 1, "jpeg", 1, 0.0)],
+        mm.MEDIA_SCHEMA,
+    )
+    out = mm.media_features(bad).toPandas()
+    assert not out.decode_ok.any()
+
+
+def test_thumbnails_round_trip(spark, media_df):
+    out = mm.media_thumbnails(media_df, 8, 8).toPandas()
+    assert len(out) == 40
+    px = mm.decode_tlraw(bytes(out.thumb[0]))
+    assert px.shape == (1, 8, 8, 3)
+
+
+def test_sample_frames(spark, media_df):
+    out = mm.sample_frames(media_df, every_n=4).toPandas()
+    # images contribute frame 0; videos contribute ceil(frames/4) rows
+    feats = mm.media_features(media_df).toPandas().set_index("media_id")
+    expected = sum(-(-n // 4) for n in feats.n_frames)
+    assert len(out) == expected
+    assert (out.frame_idx % 4 == 0).all()

@@ -1,0 +1,90 @@
+"""Structured Streaming tests: availableNow micro-batch runs over a
+parquet directory, checkpointed restart, watermark windowed aggs, and
+the applyInPandasWithState custom stateful operator."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.data.clips import generate_clips
+from tiny_lingua_spark.streaming import monitor as sm
+
+
+@pytest.fixture(scope="module")
+def clip_stream_dir(spark, tmp_path_factory):
+    """Two parquet files with event timestamps spread over 3 minutes."""
+    d = str(tmp_path_factory.mktemp("clipstream"))
+    clips_pd, _ = generate_clips(n=80, max_synth_ms=300)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    clips_pd["ts"] = [base + pd.Timedelta(seconds=2 * i) for i in range(len(clips_pd))]
+    df = spark.createDataFrame(clips_pd, sm.CLIPS_STREAM_SCHEMA)
+    df.where(F.col("clip_id") < "clip-00000040").coalesce(1).write.parquet(
+        os.path.join(d, "f1"))
+    df.where(F.col("clip_id") >= "clip-00000040").coalesce(1).write.parquet(
+        os.path.join(d, "f2"))
+    # file-stream source reads a flat dir of files
+    flat = str(tmp_path_factory.mktemp("clipflat"))
+    i = 0
+    for sub in ("f1", "f2"):
+        for f in os.listdir(os.path.join(d, sub)):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(d, sub, f), os.path.join(flat, f"part-{i}.parquet"))
+                i += 1
+    return flat
+
+
+def test_stream_quality_filter_and_resume(spark, registry, clip_stream_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = sm.stream_quality_filter(
+        sm.read_clip_stream(spark, clip_stream_dir, max_files_per_trigger=1),
+        registry, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    assert "keep" in got.columns and "ts" in got.columns
+    # restart from the same checkpoint: no new input → no duplicate rows
+    q2 = sm.stream_quality_filter(
+        sm.read_clip_stream(spark, clip_stream_dir), registry, out, ckpt,
+        available_now=True)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 80
+
+
+def test_keep_rate_by_window(spark, registry, clip_stream_dir, tmp_path):
+    stream = sm.read_clip_stream(spark, clip_stream_dir)
+    agg = sm.keep_rate_by_window(stream, registry, window="1 minute")
+    q = (
+        agg.writeStream.format("memory").queryName("keeprate")
+        .outputMode("complete")  # monitor semantics: current state of all windows
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from keeprate").toPandas()
+    # 80 clips × 2 s apart = 160 s of event time → 3 one-minute windows
+    assert got.window_start.nunique() == 3
+    assert got.n_clips.sum() == 80
+    assert got.keep_rate.between(0, 1).all()
+
+
+def test_codec_health_stateful(spark, registry, clip_stream_dir, tmp_path):
+    stream = sm.read_clip_stream(spark, clip_stream_dir, max_files_per_trigger=1)
+    health = sm.codec_health_stateful(stream, registry)
+    q = (
+        health.writeStream.format("memory").queryName("codechealth")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from codechealth").toPandas()
+    # state accumulates across the two micro-batches: for each codec the
+    # LAST emitted total equals the sum of its batch_rows
+    last = got.groupby("codec").last()
+    per_codec_rows = got.groupby("codec").batch_rows.sum()
+    assert (last.total == per_codec_rows).all()
+    assert last.total.sum() == 80
+    assert (last.ema_rms > 0).any()

@@ -1,0 +1,197 @@
+"""Multimodal columns: image / video as opaque binary + typed metadata.
+
+Training-data pipelines carry media as `binary` columns with metadata;
+the Spark-side plumbing here (schema, partitioning, mapInPandas batch
+shape, Arrow-safe output) is real and tested. Decoding:
+
+- `tlraw` — an in-repo deterministic raw format (12-byte header
+  "TLR0" + uint16 w,h,channels,frames + packed uint8 pixels), decoded
+  for real with numpy. Fixtures and tests use it end-to-end.
+- real-world codecs (JPEG/PNG/H.264…) — the decode step is STUBBED
+  behind an import-guard (`NotImplementedError` when Pillow/av are
+  absent, as in this container); swapping in a real decoder changes
+  ONE function, none of the Spark plumbing.
+
+Design notes for 100 TB:
+- decode + feature-extract run in `mapInPandas` so one Python worker
+  streams Arrow batches without materializing all frames per partition;
+- binary payloads never pass through a shuffle — media ops are
+  scan-side projections; only small feature rows flow downstream;
+- skew from large videos is broken the same way as audio: salted
+  repartition on media_id BEFORE the decode stage when needed.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MAGIC = b"TLR0"
+HEADER = struct.Struct("<4sHHHH")  # magic, w, h, channels, frames
+
+
+# ------------------------------------------------------------ tlraw codec
+
+def encode_tlraw(pixels: np.ndarray) -> bytes:
+    """(frames, h, w, c) or (h, w, c) uint8 → tlraw bytes."""
+    if pixels.ndim == 3:
+        pixels = pixels[None, ...]
+    f, h, w, c = pixels.shape
+    return HEADER.pack(MAGIC, w, h, c, f) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_tlraw(data: bytes) -> np.ndarray:
+    """tlraw bytes → (frames, h, w, c) uint8."""
+    magic, w, h, c, f = HEADER.unpack_from(data)
+    if magic != MAGIC:
+        raise ValueError("not a tlraw payload")
+    arr = np.frombuffer(data, dtype=np.uint8, offset=HEADER.size)
+    return arr.reshape(f, h, w, c)
+
+
+def decode_media(data: bytes, fmt: str) -> np.ndarray:
+    """Dispatch by declared format. Real decoders are stubbed — the
+    container has no image/video libraries (SURVEY.md §2.6 target-spec)."""
+    if fmt == "tlraw":
+        return decode_tlraw(data)
+    if fmt in ("jpeg", "png", "webp"):
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                f"decoding {fmt} needs Pillow, not present in this container"
+            ) from e
+        raise NotImplementedError("wire PIL decode here when available")
+    if fmt in ("h264", "vp9", "av1"):
+        raise NotImplementedError(
+            f"decoding {fmt} needs PyAV/ffmpeg, not present in this container"
+        )
+    raise ValueError(f"unknown media format: {fmt}")
+
+
+# ------------------------------------------------------- deterministic fixtures
+
+def generate_media(n: int = 64, seed: int = 42) -> pd.DataFrame:
+    """media(media_id, kind, bytes, width, height, format, n_frames, fps)"""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        is_video = i % 4 == 0
+        w, h = (32, 24) if i % 2 == 0 else (16, 16)
+        frames = int(rng.integers(4, 12)) if is_video else 1
+        px = rng.integers(0, 256, size=(frames, h, w, 3), dtype=np.uint8)
+        rows.append((
+            f"media-{i:06d}",
+            "video" if is_video else "image",
+            encode_tlraw(px),
+            w, h, "tlraw", frames,
+            12.0 if is_video else 0.0,
+        ))
+    return pd.DataFrame(
+        rows,
+        columns=["media_id", "kind", "bytes", "width", "height", "format",
+                 "n_frames", "fps"],
+    )
+
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, bytes binary, width int, height int,"
+    " format string, n_frames int, fps double"
+)
+
+
+# ------------------------------------------------------------- operators
+
+FEATURES_SCHEMA = (
+    "media_id string, decode_ok boolean, n_frames int,"
+    " mean_r double, mean_g double, mean_b double,"
+    " brightness double, frame_diff double"
+)
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Decode → per-media features via mapInPandas (streams Arrow
+    batches; only small feature rows leave the stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, raw, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["format"]):
+                try:
+                    px = decode_media(bytes(raw), fmt).astype(np.float64)
+                    means = px.mean(axis=(0, 1, 2))
+                    diff = (
+                        float(np.abs(np.diff(px.mean(axis=(1, 2, 3)))).mean())
+                        if px.shape[0] > 1 else 0.0
+                    )
+                    out.append((mid, True, px.shape[0], means[0], means[1],
+                                means[2], float(px.mean()), diff))
+                except (NotImplementedError, ValueError, struct.error):
+                    out.append((mid, False, 0, 0.0, 0.0, 0.0, 0.0, 0.0))
+            yield pd.DataFrame(
+                out, columns=["media_id", "decode_ok", "n_frames", "mean_r",
+                              "mean_g", "mean_b", "brightness", "frame_diff"])
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """(f, h, w, c) → (f, out_h, out_w, c) nearest-neighbor (pure numpy)."""
+    f, h, w, c = px.shape
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[:, yi[:, None], xi[None, :], :]
+
+
+THUMB_SCHEMA = "media_id string, thumb binary, width int, height int"
+
+
+def media_thumbnails(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Decode → resize → re-encode tlraw thumbnails (first frame)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, raw, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["format"]):
+                try:
+                    px = decode_media(bytes(raw), fmt)[:1]
+                    small = resize_nearest(px, out_w, out_h)
+                    out.append((mid, encode_tlraw(small), out_w, out_h))
+                except (NotImplementedError, ValueError, struct.error):
+                    out.append((mid, None, 0, 0))
+            yield pd.DataFrame(
+                out, columns=["media_id", "thumb", "width", "height"])
+
+    return media.mapInPandas(run, THUMB_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id string, frame_idx int, frame binary, width int, height int"
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video frame sampling: one output row per kept frame (UDTF-style
+    expansion inside mapInPandas; only sampled frames are re-encoded)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, raw, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["format"]):
+                try:
+                    px = decode_media(bytes(raw), fmt)
+                except (NotImplementedError, ValueError, struct.error):
+                    continue
+                for idx in range(0, px.shape[0], every_n):
+                    frame = px[idx : idx + 1]
+                    out.append((mid, idx, encode_tlraw(frame),
+                                frame.shape[2], frame.shape[1]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame", "width",
+                              "height"])
+
+    return media.mapInPandas(run, FRAME_SAMPLE_SCHEMA)

@@ -139,6 +139,12 @@ def quality_filter(
     if n_partitions:
         df = salted_repartition(df, n_partitions)
 
+    # pass through any non-contract columns (e.g. a streaming `ts`)
+    extra_cols = [
+        c for c in df.columns
+        if c not in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                     "transcript")
+    ]
     df = (
         df.withColumn("cleaned", cleaned_text_col(F.col("transcript")))
         .withColumn(
@@ -147,6 +153,7 @@ def quality_filter(
                    F.col("cleaned")),
         )
         .select(
+            *extra_cols,
             "clip_id",
             "sr_hz",
             "dur_ms",

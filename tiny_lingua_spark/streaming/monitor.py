@@ -1,0 +1,138 @@
+"""Structured Streaming surface: streaming quality filter + monitors.
+
+The reference is a batch library (no streams — SURVEY.md §2.6); this is
+the Spark-native streaming face of the same pipeline:
+
+- `stream_quality_filter`: readStream over clip files → the SAME
+  batch transformations (enrich UDF, metrics, scrub, decision) →
+  exactly-once file sink with checkpoint. Restarting from the same
+  checkpoint resumes from the last committed batch — the streaming
+  sibling of pipeline.run_resumable's snapshot manifests.
+- `keep_rate_by_window`: event-time windowed keep-rate per codec with a
+  watermark for late clips (windowed agg → one shuffle keyed by
+  (window, codec), bounded state thanks to the watermark).
+- `codec_health_stateful`: applyInPandasWithState custom stateful
+  operator — running per-codec counters + EMA of rms that survive
+  across micro-batches (the custom-operator path for semantics windowed
+  aggs can't express).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..data.clips import CLIPS_SCHEMA
+from ..models.registry import ModelRegistry
+from ..pipeline import quality_filter
+
+CLIPS_STREAM_SCHEMA = CLIPS_SCHEMA + ", ts timestamp"
+
+
+def read_clip_stream(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(CLIPS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_quality_filter(
+    clips_stream: DataFrame,
+    registry: ModelRegistry,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Continuous quality filtering → parquet sink, exactly-once via the
+    checkpointed file sink. Returns the StreamingQuery."""
+    filtered = quality_filter(clips_stream, registry, n_partitions=0)
+    writer = (
+        filtered.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def keep_rate_by_window(
+    clips_stream: DataFrame,
+    registry: ModelRegistry,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time windowed keep-rate per codec (late rows admitted up to
+    the watermark; state pruned beyond it)."""
+    filtered = quality_filter(clips_stream, registry, n_partitions=0)
+    return (
+        filtered.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "codec")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(F.avg(F.col("keep").cast("double")), 6).alias("keep_rate"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "codec", "n_clips", "n_kept", "keep_rate", "avg_rms",
+        )
+    )
+
+
+CODEC_STATE_SCHEMA = "n long, kept long, ema_rms double"
+CODEC_OUT_SCHEMA = (
+    "codec string, total long, total_kept long, ema_rms double, batch_rows long"
+)
+EMA_ALPHA = 0.1
+
+
+def _codec_health_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-codec health: total counts + EMA of rms across ALL
+    micro-batches (state lives in the state store, checkpointed)."""
+    (codec,) = key
+    if state.exists:
+        n, kept, ema = state.get
+    else:
+        n, kept, ema = 0, 0, 0.0
+    batch_rows = 0
+    for pdf in batches:
+        batch_rows += len(pdf)
+        n += len(pdf)
+        kept += int(pdf["keep"].sum())
+        for v in pdf["rms"]:
+            ema = (1 - EMA_ALPHA) * ema + EMA_ALPHA * float(v)
+    state.update((n, kept, ema))
+    yield pd.DataFrame(
+        [(codec, n, kept, ema, batch_rows)],
+        columns=["codec", "total", "total_kept", "ema_rms", "batch_rows"],
+    )
+
+
+def codec_health_stateful(
+    clips_stream: DataFrame, registry: ModelRegistry
+) -> DataFrame:
+    """Custom stateful operator over the filtered stream (one state row
+    per codec; shuffle keyed by codec only — tiny state)."""
+    filtered = quality_filter(clips_stream, registry, n_partitions=0)
+    return (
+        filtered.select("codec", "keep", "rms")
+        .groupBy("codec")
+        .applyInPandasWithState(
+            _codec_health_fn,
+            outputStructType=CODEC_OUT_SCHEMA,
+            stateStructType=CODEC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
