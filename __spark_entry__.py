@@ -323,6 +323,31 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_candidates(_emb(spark, sf_dir), query_id=0, k=10)
 
 
+def _q_accuracy_report(spark, sf_dir):
+    from tiny_lingua_spark.eval import report as rp
+
+    reg = _registry(spark)
+    corpus_df = rp.eval_corpus_df(spark, n_per_category=50)
+    return rp.accuracy_report(rp.detect_corpus(corpus_df, reg))
+
+
+def _q_detect_low_accuracy(spark, sf_dir):
+    from tiny_lingua_spark.operators.detect import DetectorParams, make_detect_udf
+
+    reg = _registry(spark)
+    detect = make_detect_udf(reg.bc_low, reg.bc_high,
+                             DetectorParams(low_accuracy=True))
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id", cleaned_text_col(F.col("text")).alias("cleaned"), "text"
+        )
+        .withColumn("det", detect(F.col("text"), F.col("cleaned")))
+        .groupBy(F.col("det.lang").alias("lang"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def _q_pipeline_keep(spark, sf_dir):
     from tiny_lingua_spark.pipeline import quality_filter
 
@@ -375,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_lang_counts": _q_detect_counts,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
+        "accuracy_report": _q_accuracy_report,
+        "detect_low_accuracy": _q_detect_low_accuracy,
         "pipeline_keep_stats": _q_pipeline_keep,
         "audio_decode_features": _q_audio_features,
     }

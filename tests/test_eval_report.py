@@ -1,0 +1,46 @@
+"""Accuracy-report job tests (A1–A3 analog of the reference's
+accuracy-regression harness)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.eval import report as rp
+
+
+@pytest.fixture(scope="module")
+def detected(spark, registry):
+    corpus_df = rp.eval_corpus_df(spark, n_per_category=40)
+    return rp.detect_corpus(corpus_df, registry).cache()
+
+
+def test_confusion_counts_cover_all_items(detected):
+    conf = rp.confusion_counts(detected).toPandas()
+    assert conf.n.sum() == 18 * 3 * 40
+    # diagonal dominates
+    diag = conf[conf.expected == conf.predicted].n.sum()
+    assert diag / conf.n.sum() > 0.85
+
+
+def test_accuracy_report_shape_and_ordering(detected):
+    rep = rp.accuracy_report(detected).toPandas()
+    assert set(rep.columns) == {"lang", "words_pct", "pairs_pct",
+                                "sentences_pct", "avg_pct"}
+    assert len(rep) == 18
+    # sentence accuracy ≥ word accuracy on average (reference property)
+    assert rep.sentences_pct.mean() >= rep.words_pct.mean()
+    assert rep.sentences_pct.mean() > 95
+
+
+def test_dual_mode_report(spark, registry):
+    corpus_df = rp.eval_corpus_df(spark, n_per_category=25)
+    rep = rp.dual_mode_report(corpus_df, registry).toPandas()
+    assert len(rep) == 18
+    # low-accuracy (trigram-only) mode must not beat high mode on average
+    assert rep.low_avg_pct.mean() <= rep.avg_pct.mean() + 1.0
+
+
+def test_write_report_csv(spark, registry, tmp_path, detected):
+    out = str(tmp_path / "report")
+    rp.write_report_csv(rp.accuracy_report(detected), out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 18

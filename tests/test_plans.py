@@ -1,0 +1,102 @@
+"""Physical-plan audits: the properties that matter at 100 TB must be
+visible in `explain` output — predicate pushdown into the parquet scan,
+column pruning, broadcast joins for model tables, whole-stage codegen
+for the Catalyst-only paths, and no shuffle where none is needed."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = "/root/testdata/sf0.01/documents.parquet"
+EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(DOCS).where(F.col("lang") == "en").select("doc_id")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    from tiny_lingua_spark.functions.cleaning import cleaned_text_col
+
+    df = spark.read.parquet(DOCS).select(
+        "doc_id", cleaned_text_col(F.col("text")).alias("cleaned")
+    )
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}  # lang/source/n_chars pruned
+
+
+def test_cleaning_stays_in_codegen(spark):
+    from tiny_lingua_spark.functions.cleaning import cleaned_text_col
+    from tiny_lingua_spark.functions.quality import quality_metrics_cols
+    from tiny_lingua_spark.functions.scrub import scrubbed_col
+
+    df = spark.read.parquet(DOCS).select(
+        cleaned_text_col(F.col("text")).alias("c"),
+        scrubbed_col(F.col("text")).alias("s"),
+    )
+    plan = plan_of(df)
+    # '* Project' = projection inside a WholeStageCodegen span
+    assert re.search(r"\* Project", plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # quality metrics use higher-order lambdas (no codegen for those
+    # expressions by design) but still must not drop to Python
+    df2 = spark.read.parquet(DOCS).select(*quality_metrics_cols("text"))
+    plan2 = plan_of(df2)
+    assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
+
+
+def test_fasttext_scoring_broadcasts_models(spark):
+    import __spark_entry__ as e
+    from tiny_lingua_spark.models.fasttext import score_fasttext
+
+    weights, priors, _, _ = e._fasttext(spark)
+    docs = spark.read.parquet(DOCS)
+    plan = plan_of(score_fasttext(docs, weights, priors))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the big side (features) must NOT be broadcast: exactly the weight/
+    # prior tables ride broadcasts, feature rows shuffle only on id
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_detect_plan_has_single_python_stage(spark, registry):
+    from tiny_lingua_spark.pipeline import quality_filter
+    from tiny_lingua_spark.data.clips import generate_clips, CLIPS_SCHEMA
+
+    clips_pd, _ = generate_clips(n=20, max_synth_ms=200)
+    clips = spark.createDataFrame(clips_pd, CLIPS_SCHEMA)
+    plan = plan_of(quality_filter(clips, registry))
+    # the fused enrich UDF is the ONLY python eval node in the pipeline
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+
+
+def test_minhash_pairs_joins_on_band_bucket(spark):
+    from tiny_lingua_spark.operators.dedup import minhash_pairs
+
+    docs = spark.read.parquet(DOCS)
+    plan = plan_of(minhash_pairs(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_broadcast_knn_no_shuffle_of_corpus(spark):
+    from tiny_lingua_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(EMB)
+    plan = plan_of(knn_graph(emb, n_src=5, k=3))
+    # query side is broadcast; corpus side must not hash-shuffle for the join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

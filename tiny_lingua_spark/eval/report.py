@@ -1,0 +1,114 @@
+"""Accuracy-report evaluation jobs — the reference's regression harness
+(AbstractLanguageDetectionAccuracyReport.kt:63-381, build.gradle.kts
+aggregation :223-280) as declarative Spark aggregations.
+
+A1 confusion counts  groupBy(expected, category, predicted).count()
+                     (:198-235)
+A2 accuracy %        per (expected, category): share predicted==expected;
+                     per-language average over the 3 categories
+                     (:111-178, :237-268)
+A3 CSV aggregation   one row per language × mode columns → csv sink
+                     (build.gradle.kts:223-280)
+
+Corpus shape mirrors the reference's language-testdata layout
+(single-words / word-pairs / sentences, FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import corpus as corpus_mod
+from ..functions.cleaning import cleaned_text_col
+from ..models.registry import ModelRegistry
+from ..operators.detect import DetectorParams, make_detect_udf
+
+CATEGORIES = ("single-words", "word-pairs", "sentences")
+
+
+def eval_corpus_df(spark: SparkSession, n_per_category: int = 100,
+                   seed: int = 42) -> DataFrame:
+    rows = corpus_mod.eval_corpus(n_per_category=n_per_category, seed=seed)
+    return spark.createDataFrame(
+        rows, "expected string, category string, text string"
+    )
+
+
+def detect_corpus(corpus_df: DataFrame, registry: ModelRegistry,
+                  low_accuracy: bool = False) -> DataFrame:
+    udf = make_detect_udf(
+        registry.bc_low, registry.bc_high,
+        DetectorParams(low_accuracy=low_accuracy),
+    )
+    return corpus_df.withColumn(
+        "cleaned", cleaned_text_col(F.col("text"))
+    ).withColumn("det", udf(F.col("text"), F.col("cleaned"))).select(
+        "expected", "category", F.col("det.lang").alias("predicted")
+    )
+
+
+def confusion_counts(detected: DataFrame) -> DataFrame:
+    """A1: per (expected, category) → predicted counts."""
+    return (
+        detected.groupBy("expected", "category", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def accuracy_by_category(detected: DataFrame) -> DataFrame:
+    """A2 per-category: accuracy % per (expected, category)."""
+    return (
+        detected.groupBy("expected", "category")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(
+                100.0 * F.avg((F.col("predicted") == F.col("expected")).cast("double")),
+                4,
+            ).alias("acc_pct"),
+        )
+    )
+
+
+def accuracy_report(detected: DataFrame) -> DataFrame:
+    """A2/A3: one row per language — per-category accuracies pivoted +
+    their average (the reference's headline number)."""
+    per_cat = accuracy_by_category(detected)
+    pivoted = (
+        per_cat.groupBy("expected")
+        .pivot("category", list(CATEGORIES))
+        .agg(F.first("acc_pct"))
+        .withColumnRenamed("single-words", "words_pct")
+        .withColumnRenamed("word-pairs", "pairs_pct")
+        .withColumnRenamed("sentences", "sentences_pct")
+    )
+    return pivoted.select(
+        F.col("expected").alias("lang"),
+        "words_pct",
+        "pairs_pct",
+        "sentences_pct",
+        F.round(
+            (F.col("words_pct") + F.col("pairs_pct") + F.col("sentences_pct")) / 3.0,
+            4,
+        ).alias("avg_pct"),
+    )
+
+
+def dual_mode_report(corpus_df: DataFrame, registry: ModelRegistry) -> DataFrame:
+    """A3: high- and low-accuracy modes side by side, one row per lang
+    (the aggregated-accuracy-values.csv analog)."""
+    high = accuracy_report(detect_corpus(corpus_df, registry, low_accuracy=False))
+    low = accuracy_report(detect_corpus(corpus_df, registry, low_accuracy=True))
+    low = low.select(
+        "lang",
+        F.col("words_pct").alias("low_words_pct"),
+        F.col("pairs_pct").alias("low_pairs_pct"),
+        F.col("sentences_pct").alias("low_sentences_pct"),
+        F.col("avg_pct").alias("low_avg_pct"),
+    )
+    return high.join(low, "lang")
+
+
+def write_report_csv(report: DataFrame, path: str) -> None:
+    report.orderBy("lang").coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
