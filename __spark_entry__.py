@@ -275,6 +275,37 @@ def _q_detect_counts(spark, sf_dir):
     )
 
 
+def _q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30 min) via lag + cumulative window —
+    the standard streaming-adjacent batch pattern; one shuffle on
+    user_id, both windows share the partitioning."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lag("ts").over(w))) > 1800, 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", F.coalesce(gap, F.lit(1)))
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+            F.round(F.sum("total_value"), 6).alias("total_value"),
+        )
+    )
+
+
 def _q_fasttext_lang(spark, sf_dir):
     from tiny_lingua_spark.models.fasttext import score_fasttext
 
@@ -393,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
         "knn_graph": _q_knn_graph,
+        "events_sessions": _q_events_sessions,
         "fasttext_lang": _q_fasttext_lang,
         "perplexity_scores": _q_perplexity,
         "multilang_sections": _q_multilang_sections,
@@ -471,6 +503,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, gram, cnt,
                    row_number() OVER (ORDER BY cnt DESC, gram, lang)::BIGINT AS rnk
             FROM counts QUALIFY rnk <= 200
+        """,
+        "events_sessions": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                            THEN 1
+                            WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL THEN 1
+                            ELSE 0 END AS new_sess
+                FROM events
+            ), sess AS (
+                SELECT user_id, value,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            ), per_session AS (
+                SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+                       round(sum(value), 6) AS total_value
+                FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*)::BIGINT AS n_sessions,
+                   max(n_events)::BIGINT AS max_session_events,
+                   round(sum(total_value), 6) AS total_value
+            FROM per_session GROUP BY user_id
         """,
         "fasttext_lang": ft_sql,
         "minhash_bands": dedup.minhash_bands_sql("documents", "doc_id", "text"),

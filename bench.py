@@ -32,6 +32,9 @@ BENCH_QUERIES = (
     "minhash_pairs",          # shingle → minhash → LSH band join
     "trigram_counts",         # model-ETL style explode + agg + top-k window
     "knn_graph",              # brute-force cosine top-k (zip_with/aggregate)
+    "fasttext_lang",          # hashed-feature linear scoring (broadcast join)
+    "events_sessions",        # gap sessionization (lag + cumulative windows)
+    "multilang_sections",     # per-doc multi-language segmentation UDF
     "pipeline_keep_stats",    # clips: decode + detect + quality + scrub + decision
 )
 

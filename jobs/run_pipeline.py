@@ -1,0 +1,83 @@
+"""Production launcher for the quality-filter pipeline.
+
+Cluster launch (north_star contract):
+
+    python jobs/make_pyfiles.py dist/           # build the --py-files zip
+    spark-submit --py-files dist/tiny_lingua_spark.zip \\
+        jobs/run_pipeline.py \\
+        --clips /data/clips_parquet \\
+        --models /models/ngram_freq \\
+        --out /data/quality_out \\
+        --buckets 256
+
+Local smoke run:
+
+    python jobs/run_pipeline.py --demo --out /tmp/quality_out
+
+The run is resumable: each hash bucket of clip_id commits atomically
+(parquet partition + JSON manifest with per-partition lineage and row /
+kept counters); re-launching with the same --out skips committed
+buckets — the plain-parquet analog of resuming from an Iceberg snapshot
+(Iceberg jars are not shipped in this sandbox; swap the sink when the
+runtime provides them).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", help="input clips parquet (Iceberg-style layout)")
+    ap.add_argument("--models", help="ngram_freq model parquet")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--buckets", type=int, default=16,
+                    help="resume granularity (hash buckets of clip_id)")
+    ap.add_argument("--fasttext", help="fastText model dir (weights/priors)")
+    ap.add_argument("--demo", action="store_true",
+                    help="synthesize a small demo clips table + models")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from tiny_lingua_spark.models.registry import ModelRegistry
+    from tiny_lingua_spark.pipeline import run_resumable
+    from tiny_lingua_spark.session import get_spark, ship_package
+
+    # under spark-submit a session already exists; standalone we build one
+    spark = SparkSession.getActiveSession() or get_spark("quality-filter")
+    ship_package(spark)  # no-op redundancy when --py-files already shipped
+
+    if args.demo:
+        from tiny_lingua_spark.corpus import CORPUS_VERSION
+        from tiny_lingua_spark.data.clips import CLIPS_SCHEMA, generate_clips
+        from tiny_lingua_spark.models.train import train_and_write
+
+        models_dir = args.models or os.path.join(
+            REPO, ".cache", f"models_v{CORPUS_VERSION}")
+        if not os.path.exists(os.path.join(models_dir, "_SUCCESS")):
+            train_and_write(spark, models_dir)
+        clips_pd, _ = generate_clips(n=2000, max_synth_ms=300)
+        clips = spark.createDataFrame(clips_pd, CLIPS_SCHEMA)
+    else:
+        if not (args.clips and args.models):
+            ap.error("--clips and --models are required without --demo")
+        models_dir = args.models
+        clips = spark.read.parquet(args.clips)
+
+    registry = ModelRegistry(spark, models_dir)
+    stats = run_resumable(spark, clips, registry, args.out,
+                          n_buckets=args.buckets)
+    print(json.dumps({"status": "ok", **stats}))
+
+
+if __name__ == "__main__":
+    main()
