@@ -408,34 +408,47 @@ def _q_audio_features(spark, sf_dir):
     )
 
 
+def _shipped(fn: Callable) -> Callable:
+    """Ensure executors can import tiny_lingua_spark (UDF closures pickle
+    module references; the driver's session may lack our addPyFile)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tiny_lingua_spark.session import ship_package
+
+        ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "clean_project": _q_clean,
-        "quality_metrics": _q_quality,
-        "scrub_text": _q_scrub,
-        "token_stats": _q_tokens,
-        "exact_dedup": _q_exact_dedup,
-        "screen_lang_confusion": _q_screen_confusion,
-        "screen_lang_accuracy": _q_screen_accuracy,
-        "lang_doc_stats": _q_lang_stats,
-        "trigram_counts": _q_trigrams,
-        "minhash_bands": _q_minhash_bands,
-        "minhash_pairs": _q_minhash_pairs,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "cosine_topk": _q_cosine_topk,
-        "knn_graph": _q_knn_graph,
-        "events_sessions": _q_events_sessions,
-        "fasttext_lang": _q_fasttext_lang,
-        "perplexity_scores": _q_perplexity,
-        "multilang_sections": _q_multilang_sections,
-        "detect_doc_labels": _q_detect_labels,
-        "detect_lang_counts": _q_detect_counts,
-        "simhash_pairs": _q_simhash_pairs,
-        "ann_lsh_topk": _q_ann_lsh,
-        "accuracy_report": _q_accuracy_report,
-        "detect_low_accuracy": _q_detect_low_accuracy,
-        "pipeline_keep_stats": _q_pipeline_keep,
-        "audio_decode_features": _q_audio_features,
+        "clean_project": _shipped(_q_clean),
+        "quality_metrics": _shipped(_q_quality),
+        "scrub_text": _shipped(_q_scrub),
+        "token_stats": _shipped(_q_tokens),
+        "exact_dedup": _shipped(_q_exact_dedup),
+        "screen_lang_confusion": _shipped(_q_screen_confusion),
+        "screen_lang_accuracy": _shipped(_q_screen_accuracy),
+        "lang_doc_stats": _shipped(_q_lang_stats),
+        "trigram_counts": _shipped(_q_trigrams),
+        "minhash_bands": _shipped(_q_minhash_bands),
+        "minhash_pairs": _shipped(_q_minhash_pairs),
+        "jaccard_pairs": _shipped(_q_jaccard_pairs),
+        "cosine_topk": _shipped(_q_cosine_topk),
+        "knn_graph": _shipped(_q_knn_graph),
+        "events_sessions": _shipped(_q_events_sessions),
+        "fasttext_lang": _shipped(_q_fasttext_lang),
+        "perplexity_scores": _shipped(_q_perplexity),
+        "multilang_sections": _shipped(_q_multilang_sections),
+        "detect_doc_labels": _shipped(_q_detect_labels),
+        "detect_lang_counts": _shipped(_q_detect_counts),
+        "simhash_pairs": _shipped(_q_simhash_pairs),
+        "ann_lsh_topk": _shipped(_q_ann_lsh),
+        "accuracy_report": _shipped(_q_accuracy_report),
+        "detect_low_accuracy": _shipped(_q_detect_low_accuracy),
+        "pipeline_keep_stats": _shipped(_q_pipeline_keep),
+        "audio_decode_features": _shipped(_q_audio_features),
     }
 
 

@@ -1,0 +1,85 @@
+"""Builder API tests (LanguageDetectorBuilderTest analog): factories,
+validation, language-subset semantics, model unload."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import langmeta as lm
+from tiny_lingua_spark.builder import LanguageDetectorBuilder
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="at least 2"):
+        LanguageDetectorBuilder.from_iso_codes("en")
+    with pytest.raises(ValueError, match="unsupported"):
+        LanguageDetectorBuilder.from_iso_codes("en", "xx")
+    with pytest.raises(ValueError, match="relative distance"):
+        LanguageDetectorBuilder.from_all_languages().with_minimum_relative_distance(1.5)
+
+
+def test_factories():
+    latin = LanguageDetectorBuilder.from_all_languages_with_latin_script()
+    assert "en" in latin._codes and "zh" not in latin._codes
+    without = LanguageDetectorBuilder.from_all_languages_without("en", "de")
+    assert "en" not in without._codes and len(without._codes) == 16
+
+
+def test_subset_never_predicts_outside(spark, models_path):
+    from tiny_lingua_spark import corpus
+
+    det = LanguageDetectorBuilder.from_iso_codes("en", "ru").build(
+        spark, models_path)
+    # Spanish text must resolve to en/ru/unknown — es is not configured
+    for t in corpus.sentences("es", 5, split="builder"):
+        assert det.detect_language_of(t) in ("en", "ru", "unknown")
+    confs = det.compute_language_confidence_values(
+        corpus.sentences("en", 1, split="builder")[0])
+    assert set(confs) <= {"en", "ru"}
+
+
+def test_subset_changes_rule_shortcuts(spark, models_path):
+    """With zh excluded, HAN credits ja (the only configured Han user) —
+    the per-subset alphabet-map semantics of the reference."""
+    det = LanguageDetectorBuilder.from_iso_codes("ja", "en").build(
+        spark, models_path)
+    assert det.detect_language_of("这是汉字") == "ja"
+    det2 = LanguageDetectorBuilder.from_iso_codes("zh", "en").build(
+        spark, models_path)
+    assert det2.detect_language_of("这是汉字") == "zh"
+
+
+def test_udf_surface_with_subset(spark, models_path, registry):
+    from tiny_lingua_spark import corpus
+    from tiny_lingua_spark.functions.cleaning import cleaned_text_col
+
+    det = LanguageDetectorBuilder.from_iso_codes("de", "fr", "it").build(
+        spark, models_path)
+    rows = [(corpus.sentences(l, 1, split="budf")[0], l)
+            for l in ("de", "fr", "it")]
+    df = spark.createDataFrame(rows, "text string, expected string")
+    out = (
+        df.withColumn("cleaned", cleaned_text_col(F.col("text")))
+        .withColumn("det", det.udf(F.col("text"), F.col("cleaned")))
+        .select("expected", "det.lang")
+        .toPandas()
+    )
+    assert (out.expected == out.lang).all()
+
+
+def test_multi_language_surface(spark, models_path):
+    from tiny_lingua_spark import corpus
+
+    det = LanguageDetectorBuilder.from_all_languages().build(spark, models_path)
+    en = corpus.sentences("en", 1, split="bml")[0]
+    ko = corpus.sentences("ko", 1, split="bml")[0]
+    secs = det.detect_multi_language_of(f"{en} {ko}")
+    assert [s["lang"] for s in secs] == ["en", "ko"]
+
+
+def test_unload(spark, models_path):
+    det = LanguageDetectorBuilder.from_iso_codes("en", "de").build(
+        spark, models_path)
+    assert det.detect_language_of("ß") == "de"
+    det.unload_language_models()
+    # a fresh registry is required after unload; the object reports cleanly
+    assert det._local is None and det._udf is None

@@ -1,0 +1,143 @@
+"""LanguageDetectorBuilder — the reference's public construction API
+(LanguageDetectorBuilder.kt), Spark-flavored.
+
+    detector = (LanguageDetectorBuilder
+                .from_iso_codes("en", "de", "fr")
+                .with_minimum_relative_distance(0.1)
+                .build(spark, models_path))
+    df.withColumn("det", detector.udf(F.col("text"), cleaned))
+    detector.detect_language_of("hello world")       # driver-side single text
+
+Validation mirrors the reference: ≥2 languages
+(LanguageDetectorBuilder.kt: requires at least two), minimum relative
+distance ∈ [0.0, 0.99] (:120-127). `with_preloaded_language_models()` ↔
+eager broadcast at build; `unload_language_models()` ↔ broadcast
+unpersist (LanguageDetector.kt:303-308).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import Column, SparkSession
+
+from . import langmeta as lm
+from .models.registry import ModelRegistry
+from .operators.detect import Detector, DetectorParams, make_detect_udf
+from .operators.multilang import clean_text_py, detect_multi_language
+
+
+class SparkLanguageDetector:
+    """Built detector: a UDF factory plus driver-side single-text API
+    (the reference's detectLanguageOf / computeLanguageConfidenceValues /
+    detectMultiLanguageOf surface)."""
+
+    def __init__(self, registry: ModelRegistry, params: DetectorParams):
+        self._registry = registry
+        self.params = params
+        self._udf = None
+        self._local: Detector | None = None
+
+    # ---- distributed surface ----
+
+    def udf(self, raw: Column, cleaned: Column) -> Column:
+        if self._udf is None:
+            self._udf = make_detect_udf(
+                self._registry.bc_low, self._registry.bc_high, self.params
+            )
+        return self._udf(raw, cleaned)
+
+    # ---- driver-side surface (tests / REPL parity) ----
+
+    def _local_detector(self) -> Detector:
+        if self._local is None:
+            models = dict(self._registry.bc_low.value)
+            models.update(self._registry.bc_high.value)
+            self._local = Detector(models, self.params)
+        return self._local
+
+    def detect_language_of(self, text: str) -> str:
+        det = self._local_detector()
+        idxs, confs = det.confidence_values(text, clean_text_py(text))
+        return det.decide(idxs, confs)
+
+    def compute_language_confidence_values(self, text: str) -> dict[str, float]:
+        det = self._local_detector()
+        idxs, confs = det.confidence_values(text, clean_text_py(text))
+        return {lm.ISO_CODES[int(i)]: float(c) for i, c in zip(idxs, confs)}
+
+    def detect_multi_language_of(self, text: str) -> list[dict]:
+        return detect_multi_language(text, self._local_detector())
+
+    def unload_language_models(self) -> None:
+        """↔ unloadLanguageModels (LanguageDetector.kt:303-308)."""
+        self._registry.unpersist()
+        self._local = None
+        self._udf = None
+
+
+class LanguageDetectorBuilder:
+    def __init__(self, iso_codes: tuple[str, ...]):
+        if len(set(iso_codes)) < 2:
+            raise ValueError(
+                "LanguageDetector needs at least 2 languages to choose from"
+            )
+        unknown = [c for c in iso_codes if c not in lm.LANG_INDEX]
+        if unknown:
+            raise ValueError(f"unsupported iso codes: {unknown}")
+        self._codes = tuple(dict.fromkeys(iso_codes))
+        self._params = DetectorParams(
+            languages=None if set(self._codes) == set(lm.ISO_CODES) else self._codes
+        )
+        self._preload = False
+
+    # ---- factories (LanguageDetectorBuilder.kt companion) ----
+
+    @classmethod
+    def from_all_languages(cls) -> "LanguageDetectorBuilder":
+        return cls(lm.ISO_CODES)
+
+    @classmethod
+    def from_iso_codes(cls, *codes: str) -> "LanguageDetectorBuilder":
+        return cls(codes)
+
+    @classmethod
+    def from_all_languages_with_latin_script(cls) -> "LanguageDetectorBuilder":
+        latin = lm.SCRIPT_ID["LATIN"]
+        codes = tuple(
+            l.iso639_1 for l in lm.LANGUAGES
+            if latin in {lm.SCRIPT_ID[s] for s in l.scripts}
+        )
+        return cls(codes)
+
+    @classmethod
+    def from_all_languages_without(cls, *codes: str) -> "LanguageDetectorBuilder":
+        keep = tuple(c for c in lm.ISO_CODES if c not in set(codes))
+        return cls(keep)
+
+    # ---- options ----
+
+    def with_minimum_relative_distance(self, d: float) -> "LanguageDetectorBuilder":
+        if not (0.0 <= d <= 0.99):
+            raise ValueError(
+                "minimum relative distance must lie in between 0.0 and 0.99"
+            )
+        self._params = replace(self._params, minimum_relative_distance=d)
+        return self
+
+    def with_low_accuracy_mode(self) -> "LanguageDetectorBuilder":
+        self._params = replace(self._params, low_accuracy=True)
+        return self
+
+    def with_preloaded_language_models(self) -> "LanguageDetectorBuilder":
+        self._preload = True
+        return self
+
+    # ---- build ----
+
+    def build(self, spark: SparkSession, models_path: str) -> SparkLanguageDetector:
+        registry = ModelRegistry(spark, models_path)
+        det = SparkLanguageDetector(registry, self._params)
+        if self._preload:
+            det._local_detector()  # eager model materialization on driver
+        return det

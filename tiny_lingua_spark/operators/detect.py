@@ -47,20 +47,6 @@ _ZH = lm.LANG_INDEX["zh"]
 _JA = lm.LANG_INDEX["ja"]
 _UNIQUE_SCRIPTS = frozenset((_LATIN, _CYRILLIC, _DEVANAGARI))
 
-_ALPHA_ONE = lm.alphabets_supporting_exactly_one_language()
-_UNIQUE_CHARS = lm.unique_chars_map()
-_UNIQUE_CHAR_SET = frozenset(_UNIQUE_CHARS)
-
-# script-id → rule-credited language (-1 = none): unique alphabets, then
-# HAN → zh, then Japanese scripts → ja (LanguageDetector.kt:377-396).
-_SID_RULE_LANG = np.full(len(lm.SCRIPTS), -1, dtype=np.int64)
-for _sid, _li in _ALPHA_ONE.items():
-    _SID_RULE_LANG[_sid] = _li
-_SID_RULE_LANG[_HAN] = _ZH
-for _sid in lm.JAPANESE_SCRIPT_IDS:
-    if _SID_RULE_LANG[_sid] < 0:
-        _SID_RULE_LANG[_sid] = _JA
-
 _LOGO_SIDS = np.zeros(len(lm.SCRIPTS), dtype=bool)
 for _sid in lm.LOGOGRAM_SCRIPT_IDS:
     _LOGO_SIDS[_sid] = True
@@ -71,8 +57,6 @@ for _li, _sids in enumerate(lm.LANG_SCRIPT_IDS):
     for _sid in _sids:
         _LANG_SCRIPT_MASK[_li, _sid] = True
 
-_CHARS_TO_LANGS_KEYS = frozenset(lm.CHARS_TO_LANGS)
-
 MAX_N = 5
 _SLOT = MAX_N + 1  # per-row accumulator slots indexed by n (1..5)
 
@@ -81,6 +65,52 @@ _SLOT = MAX_N + 1  # per-row accumulator slots indexed by n (1..5)
 class DetectorParams:
     minimum_relative_distance: float = 0.0
     low_accuracy: bool = False
+    # None = all 18; otherwise the configured subset (builder API) —
+    # rule tables are derived PER SUBSET, as the reference derives its
+    # per-detector alphabet maps (LanguageDetector.kt:83-97)
+    languages: tuple[str, ...] | None = None
+
+
+class RuleContext:
+    """Per-language-subset rule tables (the reference computes these per
+    detector instance from the configured languages)."""
+
+    def __init__(self, lang_idxs: tuple[int, ...] | None = None):
+        idxs = lang_idxs or tuple(range(lm.N_LANGS))
+        self.allowed = np.zeros(lm.N_LANGS, dtype=bool)
+        self.allowed[list(idxs)] = True
+
+        alpha_one = lm.alphabets_supporting_exactly_one_language(idxs)
+        sid_rule = np.full(len(lm.SCRIPTS), -1, dtype=np.int64)
+        for sid, li in alpha_one.items():
+            sid_rule[sid] = li
+        # HAN (shared by zh/ja): zh wins when configured, else ja
+        # (LanguageDetector.kt:377-383); zh+ja both present is resolved
+        # later by the JAPANESE tiebreak (:447-451)
+        han_users = [li for li in (_ZH, _JA) if li in idxs]
+        if _ZH in han_users:
+            sid_rule[_HAN] = _ZH
+        elif _JA in han_users:
+            sid_rule[_HAN] = _JA
+        if _JA in idxs:
+            for sid in lm.JAPANESE_SCRIPT_IDS:
+                if sid_rule[sid] < 0:
+                    sid_rule[sid] = _JA
+        self.sid_rule_lang = sid_rule
+
+        self.unique_chars = lm.unique_chars_map(idxs)
+        self.unique_char_set = frozenset(self.unique_chars)
+        self.lang_script_mask = _LANG_SCRIPT_MASK & self.allowed[:, None]
+        self.chars_to_langs = {
+            ch: tuple(li for li in lis if self.allowed[li])
+            for ch, lis in lm.CHARS_TO_LANGS.items()
+        }
+        self.chars_to_langs_keys = frozenset(
+            ch for ch, lis in self.chars_to_langs.items() if lis
+        )
+
+
+DEFAULT_RULES = RuleContext()
 
 
 def split_words_with_sids(text: str) -> tuple[list[str], list[np.ndarray]]:
@@ -124,25 +154,26 @@ def _is_logogram_word(word: str, sids: np.ndarray) -> bool:
     return len(word) == 1 and bool(_LOGO_SIDS[sids[0]])
 
 
-def detect_with_rules(words: list[str], word_sids: list[np.ndarray]) -> int:
+def detect_with_rules(words: list[str], word_sids: list[np.ndarray],
+                      ctx: RuleContext = DEFAULT_RULES) -> int:
     """detectLanguageWithRules (LanguageDetector.kt:367-464).
     Returns a language index or -1 for unknown."""
     totals = np.zeros(lm.N_LANGS, dtype=np.float64)
     unknown_total = 0.0
     adjusted = 0.0
     for word, sids in zip(words, word_sids):
-        mapped = _SID_RULE_LANG[sids]
+        mapped = ctx.sid_rule_lang[sids]
         hit = mapped >= 0
         if hit.any():
             counts = np.bincount(mapped[hit], minlength=lm.N_LANGS)
         else:
             counts = None
-        if not _UNIQUE_CHAR_SET.isdisjoint(word):
+        if not ctx.unique_char_set.isdisjoint(word):
             if counts is None:
                 counts = np.zeros(lm.N_LANGS, dtype=np.int64)
             for ch, sid in zip(word, sids):
                 if sid in _UNIQUE_SCRIPTS:
-                    li = _UNIQUE_CHARS.get(ch)
+                    li = ctx.unique_chars.get(ch)
                     if li is not None:
                         counts[li] += 1
 
@@ -189,7 +220,8 @@ def detect_with_rules(words: list[str], word_sids: list[np.ndarray]) -> int:
     return -1 if idx == lm.N_LANGS else int(idx)
 
 
-def filter_by_rules(words: list[str], word_sids: list[np.ndarray]) -> np.ndarray:
+def filter_by_rules(words: list[str], word_sids: list[np.ndarray],
+                    ctx: RuleContext = DEFAULT_RULES) -> np.ndarray:
     """filterLanguagesByRules (LanguageDetector.kt:466-533).
     Returns a boolean candidate mask over the language axis."""
     script_counts: dict[int, float] = {}
@@ -204,7 +236,7 @@ def filter_by_rules(words: list[str], word_sids: list[np.ndarray]) -> np.ndarray
                 script_counts[s0] = script_counts.get(s0, 0.0) + word_value
         adjusted += word_value
 
-    all_langs = np.ones(lm.N_LANGS, dtype=bool)
+    all_langs = ctx.allowed.copy()
     if not script_counts:
         return all_langs
 
@@ -217,7 +249,7 @@ def filter_by_rules(words: list[str], word_sids: list[np.ndarray]) -> np.ndarray
         else:
             break
 
-    mask = _LANG_SCRIPT_MASK[:, kept_scripts].any(axis=1)
+    mask = ctx.lang_script_mask[:, kept_scripts].any(axis=1)
     if not mask.any():
         return all_langs
 
@@ -225,11 +257,11 @@ def filter_by_rules(words: list[str], word_sids: list[np.ndarray]) -> np.ndarray
     char_counts = np.zeros(lm.N_LANGS, dtype=np.int64)
     any_disamb = False
     for word in words:
-        if _CHARS_TO_LANGS_KEYS.isdisjoint(word):
+        if ctx.chars_to_langs_keys.isdisjoint(word):
             continue
         seen: set[int] = set()
         for ch in word:
-            for li in lm.CHARS_TO_LANGS.get(ch, ()):
+            for li in ctx.chars_to_langs.get(ch, ()):
                 if mask[li] and li not in seen:
                     seen.add(li)
                     char_counts[li] += 1
@@ -345,6 +377,11 @@ class Detector:
         self.models = models
         self.cache = GramMatrixCache(models)
         self.logo_idx = np.array(lm.LOGOGRAM_LANG_IDXS, dtype=np.int64)
+        if params.languages is None:
+            self.rules = DEFAULT_RULES
+        else:
+            idxs = tuple(lm.LANG_INDEX[c] for c in params.languages)
+            self.rules = RuleContext(idxs)
 
     # ---- per-row front half: shortcuts + plan ----
 
@@ -357,11 +394,11 @@ class Detector:
 
         words, word_sids = split_words_with_sids(raw)
 
-        rule_lang = detect_with_rules(words, word_sids)
+        rule_lang = detect_with_rules(words, word_sids, self.rules)
         if rule_lang >= 0:
             return (np.array([rule_lang]), np.array([1.0])), None
 
-        cand = filter_by_rules(words, word_sids)
+        cand = filter_by_rules(words, word_sids, self.rules)
         if cand.sum() == 1:
             return (np.flatnonzero(cand), np.array([1.0])), None
 

@@ -222,25 +222,27 @@ def split_potential_sections(text: str) -> list[Section]:
     return sections
 
 
-def _rules_for_section(text: str) -> tuple[int, set[int]]:
+def _rules_for_section(text: str, rules=None) -> tuple[int, set[int]]:
     """(rule language or -1, candidate set) on the section's word list."""
-    from .detect import detect_with_rules, filter_by_rules, split_words_with_sids
+    from .detect import (DEFAULT_RULES, detect_with_rules, filter_by_rules,
+                         split_words_with_sids)
 
+    rules = rules or DEFAULT_RULES
     words, word_sids = split_words_with_sids(text)
-    lang = detect_with_rules(words, word_sids)
+    lang = detect_with_rules(words, word_sids, rules)
     if lang >= 0:
         return lang, {lang}
-    cand = filter_by_rules(words, word_sids)
+    cand = filter_by_rules(words, word_sids, rules)
     return -1, {int(i) for i in np.flatnonzero(cand)}
 
 
-def sections_with_rule_language(text: str) -> list[Section]:
+def sections_with_rule_language(text: str, rules=None) -> list[Section]:
     """createSectionsWithRuleBasedLanguage (:254-299)."""
     sections = split_potential_sections(text)
     out: list[Section] = []
     prev: Section | None = None
     for sec in sections:
-        lang, langs = _rules_for_section(sec.text)
+        lang, langs = _rules_for_section(sec.text, rules)
         if lang >= 0:
             if prev is not None and prev.rule_langs == {lang}:
                 prev.merge_with(sec)
@@ -291,7 +293,7 @@ def _should_merge_short(cur: Section, nxt: Section,
 
 def sections_with_confidence(text: str, det: Detector) -> list[Section]:
     """createSectionsWithConfidenceValues (:363-415)."""
-    sections = sections_with_rule_language(text)
+    sections = sections_with_rule_language(text, det.rules)
     out: list[Section] = []
     i = 0
     while i < len(sections):
