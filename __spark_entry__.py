@@ -259,6 +259,10 @@ def _q_knn_graph(spark, sf_dir):
     return similarity.knn_graph(_emb(spark, sf_dir), n_src=20, k=3)
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
 # ---- UDF-backed (rows-only oracle) ----
 
 def _q_detect_labels(spark, sf_dir):
@@ -437,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _shipped(_q_jaccard_pairs),
         "cosine_topk": _shipped(_q_cosine_topk),
         "knn_graph": _shipped(_q_knn_graph),
+        "embedding_neardup": _shipped(_q_embedding_neardup),
         "events_sessions": _shipped(_q_events_sessions),
         "fasttext_lang": _shipped(_q_fasttext_lang),
         "perplexity_scores": _shipped(_q_perplexity),
@@ -551,4 +556,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_topk": similarity.topk_vs_query_sql("embeddings", 0, 10, EMB_DIM),
         "knn_graph": similarity.knn_graph_sql("embeddings", 20, 3, EMB_DIM),
+        "embedding_neardup": similarity.neardup_pairs_sql("embeddings", 0.4, EMB_DIM),
     }

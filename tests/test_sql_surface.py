@@ -1,0 +1,56 @@
+"""Pure-SQL surface tests: the engine drives from spark.sql alone."""
+
+import pytest
+
+from tiny_lingua_spark import corpus
+from tiny_lingua_spark.sql import CLEAN_SQL, register_all, scrub_sql_expr
+
+
+@pytest.fixture(scope="module")
+def sql_ready(spark, registry):
+    names = register_all(spark, registry)
+    rows = [(i, corpus.sentences(l, 1, split=f"sql:{i}")[0], l)
+            for i, l in enumerate(("en", "de", "ru", "ja"))]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("sql_docs")
+    return names
+
+
+def test_detect_from_sql(spark, sql_ready):
+    clean = CLEAN_SQL.format(col="text")
+    got = spark.sql(
+        f"SELECT lang AS expected, tl_detect(text, {clean}).lang AS got "
+        "FROM sql_docs"
+    ).toPandas()
+    assert (got.expected == got.got).all()
+
+
+def test_confidence_and_ppl_from_sql(spark, sql_ready):
+    clean = CLEAN_SQL.format(col="text")
+    got = spark.sql(
+        f"SELECT tl_confidence(text, {clean}) AS conf, "
+        f"tl_perplexity({clean}, lang) AS ppl FROM sql_docs"
+    ).toPandas()
+    assert all(len(c) >= 1 for c in got.conf)
+    assert (got.ppl < 1e6).all()
+
+
+def test_multilang_from_sql(spark, sql_ready):
+    en = corpus.sentences("en", 1, split="sqlml")[0]
+    ru = corpus.sentences("ru", 1, split="sqlml")[0]
+    spark.createDataFrame([(f"{en} {ru}",)], "text string") \
+        .createOrReplaceTempView("sql_ml")
+    got = spark.sql(
+        "SELECT transform(tl_multilang(text), s -> s.lang) AS langs FROM sql_ml"
+    ).collect()
+    assert got[0]["langs"] == ["en", "ru"]
+
+
+def test_scrub_template(spark, sql_ready):
+    spark.createDataFrame(
+        [("mail me at a@b.com or call 555-123-4567",)], "text string"
+    ).createOrReplaceTempView("sql_scrub")
+    got = spark.sql(
+        f"SELECT {scrub_sql_expr('text')} AS scrubbed FROM sql_scrub"
+    ).collect()[0]["scrubbed"]
+    assert got == "mail me at <EMAIL> or call <PHONE>"

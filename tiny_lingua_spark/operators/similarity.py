@@ -125,6 +125,37 @@ def knn_graph_sql(table: str, n_src: int, k: int, dim: int) -> str:
     """
 
 
+def neardup_pairs(emb: DataFrame, threshold: float = 0.4,
+                  dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute force (the exact
+    verification tier — correctness oracle for the LSH candidates from
+    `ann_lsh_candidates`/simhash-style bucketing, which is the plan that
+    runs at 10^12 rows; this one is O(n²) by construction and only for
+    bounded inputs / per-bucket verification)."""
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    sim = F.round(cosine_expr("ea", "eb"), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def neardup_pairs_sql(table: str, threshold: float, dim: int) -> str:
+    cos = cosine_sql("a.embedding", "b.embedding", dim)
+    return f"""
+    SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+           round({cos}, 6) AS sim
+    FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+    WHERE round({cos}, 6) >= {threshold}
+    """
+
+
 # ------------------------------------------------ LSH scale path
 
 def hyperplanes(dim: int, n_bits: int = 16, seed: int = 7) -> np.ndarray:

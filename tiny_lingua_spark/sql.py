@@ -1,0 +1,64 @@
+"""SQL surface: register the engine's UDFs for pure `spark.sql` use.
+
+    from tiny_lingua_spark.sql import register_all, CLEAN_SQL, SCRUB_SQL
+    register_all(spark, registry)
+    spark.sql(f\"\"\"
+        SELECT doc_id,
+               tl_detect(text, {CLEAN_SQL.format(col='text')}).lang AS lang,
+               tl_perplexity({CLEAN_SQL.format(col='text')}, 'en') AS ppl
+        FROM documents
+    \"\"\")
+
+Catalyst-expression transforms (clean / scrub / quality) are exposed as
+SQL text templates rather than UDFs so they stay inside whole-stage
+codegen even when called from SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .functions.scrub import SCRUB_RULES
+from .models.registry import ModelRegistry
+from .operators.detect import DetectorParams
+
+# Spark-SQL text templates (codegen-friendly; `col` is interpolated)
+CLEAN_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(trim({col})),"
+    " '[\\\\p{{N}}\\\\p{{P}}]', ''), '\\\\s+', ' '))"
+)
+
+
+def scrub_sql_expr(col: str) -> str:
+    out = col
+    for pat, repl in SCRUB_RULES:
+        pat_sql = pat.replace("\\", "\\\\").replace("'", "\\'")
+        out = f"regexp_replace({out}, '{pat_sql}', '{repl}')"
+    return out
+
+
+def register_all(
+    spark: SparkSession,
+    registry: ModelRegistry,
+    params: DetectorParams = DetectorParams(),
+) -> list[str]:
+    """Register tl_detect / tl_confidence / tl_perplexity / tl_multilang
+    as SQL functions; returns the registered names."""
+    from .functions.perplexity import make_perplexity_udf
+    from .operators.detect import make_confidence_udf, make_detect_udf
+    from .operators.multilang import make_multilang_udf
+
+    spark.udf.register(
+        "tl_detect", make_detect_udf(registry.bc_low, registry.bc_high, params)
+    )
+    spark.udf.register(
+        "tl_confidence",
+        make_confidence_udf(registry.bc_low, registry.bc_high, params),
+    )
+    spark.udf.register(
+        "tl_perplexity", make_perplexity_udf(registry.bc_low, registry.bc_high)
+    )
+    spark.udf.register(
+        "tl_multilang", make_multilang_udf(registry.bc_low, registry.bc_high, params)
+    )
+    return ["tl_detect", "tl_confidence", "tl_perplexity", "tl_multilang"]
