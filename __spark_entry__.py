@@ -43,8 +43,14 @@ from tiny_lingua_spark.functions.text import (  # noqa: E402
 )
 from tiny_lingua_spark.operators import dedup, similarity  # noqa: E402
 
-MODELS_DIR = os.path.join(_REPO, ".cache", f"models_v{CORPUS_VERSION}")
-FASTTEXT_DIR = os.path.join(_REPO, ".cache", f"fasttext_v{CORPUS_VERSION}")
+from tiny_lingua_spark import pretrained  # noqa: E402
+
+# committed pretrained artifacts (deterministic, derived from the in-repo
+# corpus); fall back to training into .cache only if they are missing
+MODELS_DIR = pretrained.ngram_models_path(CORPUS_VERSION) or os.path.join(
+    _REPO, ".cache", f"models_v{CORPUS_VERSION}")
+FASTTEXT_DIR = pretrained.fasttext_path(CORPUS_VERSION) or os.path.join(
+    _REPO, ".cache", f"fasttext_v{CORPUS_VERSION}")
 EMB_DIM = 64
 
 _REG = None

@@ -8,7 +8,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tiny_lingua_spark.corpus import CORPUS_VERSION  # noqa: E402
 from tiny_lingua_spark.session import get_spark  # noqa: E402
 
-MODELS_DIR = os.path.join(
+from tiny_lingua_spark import pretrained  # noqa: E402
+
+MODELS_DIR = pretrained.ngram_models_path(CORPUS_VERSION) or os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".cache",
     f"models_v{CORPUS_VERSION}",

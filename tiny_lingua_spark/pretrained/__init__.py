@@ -1,0 +1,30 @@
+"""Pretrained model artifacts, committed for reproducible cold starts.
+
+Both are DERIVED, deterministic outputs of in-repo code on the in-repo
+seeded corpus (no external data):
+
+- ngram_freq_v{N}/   models/train.py::train_and_write   (seed 42)
+- fasttext_v{N}/     models/fasttext.py::train_and_write_fasttext
+
+Regenerate after corpus/model changes (bump corpus.CORPUS_VERSION):
+
+    python tools/train_models.py
+"""
+
+from __future__ import annotations
+
+import os
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def ngram_models_path(version: int) -> str | None:
+    p = os.path.join(_DIR, f"ngram_freq_v{version}")
+    return p if os.path.exists(os.path.join(p, "_SUCCESS")) else None
+
+
+def fasttext_path(version: int) -> str | None:
+    p = os.path.join(_DIR, f"fasttext_v{version}")
+    return p if os.path.exists(
+        os.path.join(p, "weights.parquet", "_SUCCESS")
+    ) else None

@@ -69,9 +69,13 @@ def timed_run(cores: int) -> dict:
                       shuffle_partitions=cores,
                       extra_conf={"spark.local.dir": "/dev/shm/spark-scaling-tmp"})
     spark.sparkContext.setLogLevel("ERROR")
-    models_dir = os.path.join(REPO, ".cache", f"models_v{CORPUS_VERSION}")
-    if not os.path.exists(os.path.join(models_dir, "_SUCCESS")):
-        train_and_write(spark, models_dir)
+    from tiny_lingua_spark import pretrained
+
+    models_dir = pretrained.ngram_models_path(CORPUS_VERSION)
+    if models_dir is None:
+        models_dir = os.path.join(REPO, ".cache", f"models_v{CORPUS_VERSION}")
+        if not os.path.exists(os.path.join(models_dir, "_SUCCESS")):
+            train_and_write(spark, models_dir)
     registry = ModelRegistry(spark, models_dir)
 
     clips = spark.read.parquet(CLIPS_PATH)

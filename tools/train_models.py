@@ -1,0 +1,49 @@
+"""Regenerate the committed pretrained model artifacts.
+
+    python tools/train_models.py
+
+Deterministic: both models derive from the in-repo seeded corpus
+(corpus.py, seed 42). Run after changing corpus content or model
+training code, and bump corpus.CORPUS_VERSION when semantics change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from tiny_lingua_spark import corpus
+    from tiny_lingua_spark.corpus import CORPUS_VERSION
+    from tiny_lingua_spark.models.fasttext import train_and_write_fasttext
+    from tiny_lingua_spark.models.train import train_and_write
+    from tiny_lingua_spark.session import get_spark
+
+    pre = os.path.join(REPO, "tiny_lingua_spark", "pretrained")
+    ngram_dir = os.path.join(pre, f"ngram_freq_v{CORPUS_VERSION}")
+    ft_dir = os.path.join(pre, f"fasttext_v{CORPUS_VERSION}")
+    spark = get_spark("train-models")
+
+    shutil.rmtree(ngram_dir, ignore_errors=True)
+    train_and_write(spark, ngram_dir)
+
+    shutil.rmtree(ft_dir, ignore_errors=True)
+    rows = corpus.training_corpus(n_sentences=300)
+    df = spark.createDataFrame(rows, "lang string, text string")
+    train_and_write_fasttext(spark, df, ft_dir)
+
+    for root, _dirs, files in os.walk(pre):
+        for f in files:
+            if f.endswith(".crc"):
+                os.remove(os.path.join(root, f))
+    print(ngram_dir)
+    print(ft_dir)
+
+
+if __name__ == "__main__":
+    main()
