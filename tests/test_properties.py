@@ -1,0 +1,108 @@
+"""Property-based robustness tests (hypothesis): the detector and its
+text machinery must never crash and must hold their invariants on
+arbitrary unicode input — the adversarial-input posture a 10^12-row
+corpus demands. Driver-side only (no Spark jobs → fast)."""
+
+import hypothesis.strategies as st
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from tiny_lingua_spark import langmeta as lm
+from tiny_lingua_spark.operators import dedup
+from tiny_lingua_spark.operators.multilang import clean_text_py, split_potential_sections
+
+TEXT = st.text(max_size=300)
+FAST = settings(max_examples=150, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@pytest.fixture(scope="module")
+def detector(registry):
+    from tiny_lingua_spark.operators.detect import Detector
+
+    models = dict(registry.bc_low.value)
+    models.update(registry.bc_high.value)
+    return Detector(models)
+
+
+@given(TEXT)
+@FAST
+def test_clean_is_idempotent_and_shrinking(t):
+    c = clean_text_py(t)
+    assert clean_text_py(c) == c
+    assert len(c) <= len(t) + 1  # only deletions + collapses
+
+
+@given(TEXT)
+@FAST
+def test_detector_total_on_arbitrary_input(detector, t):
+    idxs, confs = detector.confidence_values(t, clean_text_py(t))
+    assert len(idxs) == len(confs)
+    if len(confs):
+        # sorted descending, top == 1.0, all in (0, 1]
+        assert confs[0] == 1.0
+        assert (np.diff(confs) <= 0).all()
+        assert (confs > 0).all() and (confs <= 1.0).all()
+        assert len(set(idxs.tolist())) == len(idxs)
+    lang = detector.decide(idxs, confs)
+    assert lang == lm.UNKNOWN or lang in lm.ISO_CODES
+
+
+@given(TEXT)
+@FAST
+def test_sections_tile_and_nest(t):
+    secs = split_potential_sections(t)
+    prev_end = -1
+    for s in secs:
+        assert 0 <= s.start <= len(t)
+        assert s.end <= len(t)
+        assert s.start >= prev_end  # ordered, non-overlapping
+        prev_end = max(prev_end, s.end)
+
+
+@given(TEXT)
+@FAST
+def test_batch_matches_per_row_on_random_input(detector, t):
+    c = clean_text_py(t)
+    (bi, bc), = detector.confidence_values_batch([t], [c])
+    si, sc = detector.confidence_values(t, c)
+    assert (bi == si).all() and (bc == sc).all()
+
+
+@given(st.lists(st.text(min_size=1, max_size=40), min_size=0, max_size=20))
+@FAST
+def test_simhash_invariants(tokens):
+    # simhash of identical text is identical; int64 range respected
+    import hashlib
+
+    text = " ".join(tokens)
+
+    def simhash_one(t: str) -> int:
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in t.lower().split():
+            h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
+            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            votes += 2 * bits - 1
+        sig = 0
+        for i in range(64):
+            if votes[i] > 0:
+                sig |= 1 << i
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    a, b = simhash_one(text), simhash_one(text)
+    assert a == b
+    assert -(1 << 63) <= a < (1 << 63)
+
+
+@given(st.text(max_size=100), st.integers(min_value=1, max_value=5))
+@FAST
+def test_ngram_extraction_windows(t, n):
+    from tiny_lingua_spark.operators.detect import extract_ngrams
+
+    grams = extract_ngrams(t, n)
+    assert len(grams) == len(set(grams))  # deduped
+    for g in grams:
+        assert len(g) == n
+        assert g in t
+        assert lm.is_letter_mask(g).all()  # letters-only windows

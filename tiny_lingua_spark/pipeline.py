@@ -194,6 +194,31 @@ def quality_filter(
     )
 
 
+PIPELINE_METRICS = "quality_filter_metrics"
+
+
+def _metric_exprs() -> list:
+    return [
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum((~F.col("decode_ok")).cast("long")).alias("decode_failures"),
+        F.sum((F.col("lang") == "unknown").cast("long")).alias("unknown_lang"),
+        F.sum((F.col("scrubbed") != F.col("transcript")).cast("long")).alias(
+            "scrubbed_rows"
+        ),
+    ]
+
+
+def with_observed_metrics(result: DataFrame,
+                          name: str = PIPELINE_METRICS) -> DataFrame:
+    """Attach task-level counters (rows, kept, decode failures, unknown
+    langs, scrub hits) via df.observe — surfaced through
+    QueryExecutionListener / StreamingQueryProgress with NO extra job or
+    shuffle, the per-run metric channel next to the per-bucket manifest
+    counters."""
+    return result.observe(name, *_metric_exprs())
+
+
 # ---------- resumable bucketed runs ----------
 
 def _manifest_path(out_dir: str, bucket: int) -> str:
@@ -235,20 +260,25 @@ def run_resumable(
     for b in range(n_buckets):
         if b in done:
             continue
+        from pyspark.sql import Observation
+
         part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
         result = quality_filter(part, registry, thresholds=thresholds)
-        result.persist()
+        # counters piggyback on the write itself (observe = task-level
+        # accumulators): ONE job per bucket, no persist + second agg pass
+        obs = Observation(f"bucket-{b}")
+        observed = result.observe(obs, *_metric_exprs())
         t0 = time.time()
-        result.write.mode("overwrite").parquet(os.path.join(out_dir, f"bucket={b}"))
-        agg = result.agg(
-            F.count("*").alias("rows"),
-            F.sum(F.col("keep").cast("long")).alias("kept"),
-        ).collect()[0]
-        result.unpersist()
+        observed.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"bucket={b}"))
+        m = obs.get
         manifest = {
             "bucket": b,
-            "rows": agg["rows"],
-            "kept": int(agg["kept"] or 0),
+            "rows": m["rows"],
+            "kept": int(m["kept"] or 0),
+            "decode_failures": int(m["decode_failures"] or 0),
+            "unknown_lang": int(m["unknown_lang"] or 0),
+            "scrubbed_rows": int(m["scrubbed_rows"] or 0),
             "wall_sec": round(time.time() - t0, 3),
             "lineage": {"source": "clips", "bucket_expr": f"pmod(xxhash64(clip_id), {n_buckets})"},
         }
@@ -256,6 +286,6 @@ def run_resumable(
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, _manifest_path(out_dir, b))
-        stats["rows"] += agg["rows"]
-        stats["kept"] += int(agg["kept"] or 0)
+        stats["rows"] += m["rows"]
+        stats["kept"] += int(m["kept"] or 0)
     return stats
