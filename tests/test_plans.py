@@ -93,6 +93,27 @@ def test_minhash_pairs_joins_on_band_bucket(spark):
     )
 
 
+def test_salted_repartition_balances_skew(spark):
+    """dur_ms is heavy-tailed by construction; after the salted
+    repartition the decode-cost proxy (sum of dur_ms) must spread evenly
+    — no partition should carry a hot-key pile-up."""
+    import pandas as pd
+
+    from tiny_lingua_spark.data.clips import generate_clips, CLIPS_SCHEMA
+    from tiny_lingua_spark.pipeline import salted_repartition
+
+    clips_pd, _ = generate_clips(n=800, max_synth_ms=200)
+    clips = spark.createDataFrame(clips_pd, CLIPS_SCHEMA)
+    parts = (
+        salted_repartition(clips.select("clip_id", "dur_ms"), 16)
+        .rdd.mapPartitions(lambda it: [sum(r["dur_ms"] for r in it)])
+        .collect()
+    )
+    s = pd.Series([p for p in parts if p > 0])
+    assert len(s) == 16
+    assert s.max() / s.mean() < 2.0  # balanced within 2× of the mean
+
+
 def test_broadcast_knn_no_shuffle_of_corpus(spark):
     from tiny_lingua_spark.operators.similarity import knn_graph
 
