@@ -95,6 +95,41 @@ def test_simhash_invariants(tokens):
     assert -(1 << 63) <= a < (1 << 63)
 
 
+@given(TEXT)
+@FAST
+def test_row_rules_matches_reference_path(t):
+    """The vectorized row_rules must be EXACTLY the per-word reference
+    implementation (detect_with_rules + filter_by_rules)."""
+    from tiny_lingua_spark.operators.detect import (
+        DEFAULT_RULES, detect_with_rules, filter_by_rules, row_rules,
+        split_words_with_sids)
+
+    fast_lang, fast_cand = row_rules(t, DEFAULT_RULES)
+    words, word_sids = split_words_with_sids(t)
+    slow_lang = detect_with_rules(words, word_sids, DEFAULT_RULES)
+    assert fast_lang == slow_lang, repr(t)
+    if slow_lang < 0:
+        slow_cand = filter_by_rules(words, word_sids, DEFAULT_RULES)
+        assert (fast_cand == slow_cand).all(), repr(t)
+
+
+def test_row_rules_matches_on_corpus():
+    from tiny_lingua_spark import corpus
+    from tiny_lingua_spark.operators.detect import (
+        DEFAULT_RULES, detect_with_rules, filter_by_rules, row_rules,
+        split_words_with_sids)
+
+    rows = corpus.eval_corpus(n_per_category=15)
+    for _lang, _cat, t in rows:
+        fast_lang, fast_cand = row_rules(t, DEFAULT_RULES)
+        words, word_sids = split_words_with_sids(t)
+        slow_lang = detect_with_rules(words, word_sids, DEFAULT_RULES)
+        assert fast_lang == slow_lang, repr(t)
+        if slow_lang < 0:
+            slow_cand = filter_by_rules(words, word_sids, DEFAULT_RULES)
+            assert (fast_cand == slow_cand).all(), repr(t)
+
+
 @given(st.text(max_size=100), st.integers(min_value=1, max_value=5))
 @FAST
 def test_ngram_extraction_windows(t, n):

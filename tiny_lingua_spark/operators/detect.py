@@ -109,6 +109,30 @@ class RuleContext:
             ch for ch, lis in self.chars_to_langs.items() if lis
         )
 
+        # ---- vectorized row-level tables (fast path) ----
+        # codepoint → rule-credited language: script mapping first, then
+        # language-unique characters ONLY where the script itself is not
+        # uniquely mapped (the reference's elif chain,
+        # LanguageDetector.kt:377-396)
+        cp_rule = self.sid_rule_lang[lm.SCRIPT_TABLE].astype(np.int8)
+        for ch, li in self.unique_chars.items():
+            cp = ord(ch)
+            if cp < lm._TABLE_SIZE:
+                sid = int(lm.SCRIPT_TABLE[cp])
+                if sid in _UNIQUE_SCRIPTS and self.sid_rule_lang[sid] < 0:
+                    cp_rule[cp] = li
+        self.cp_rule_lang = cp_rule
+        # codepoint → disambiguation-language bitmask (Constant.kt:73-144)
+        bits = np.zeros(lm._TABLE_SIZE, dtype=np.uint32)
+        for ch, lis in self.chars_to_langs.items():
+            cp = ord(ch)
+            if cp < lm._TABLE_SIZE and lis:
+                b = np.uint32(0)
+                for li in lis:
+                    b |= np.uint32(1 << li)
+                bits[cp] = b
+        self.cp_disamb_bits = bits
+
 
 DEFAULT_RULES = RuleContext()
 
@@ -172,7 +196,9 @@ def detect_with_rules(words: list[str], word_sids: list[np.ndarray],
             if counts is None:
                 counts = np.zeros(lm.N_LANGS, dtype=np.int64)
             for ch, sid in zip(word, sids):
-                if sid in _UNIQUE_SCRIPTS:
+                # elif semantics: unique chars credit only where the
+                # script itself is not uniquely mapped (Kt :377-396)
+                if sid in _UNIQUE_SCRIPTS and ctx.sid_rule_lang[sid] < 0:
                     li = ctx.unique_chars.get(ch)
                     if li is not None:
                         counts[li] += 1
@@ -196,6 +222,12 @@ def detect_with_rules(words: list[str], word_sids: list[np.ndarray],
                     unknown_total += word_value
         adjusted += word_value
 
+    return _finalize_rule_totals(totals, unknown_total, adjusted)
+
+
+def _finalize_rule_totals(totals: np.ndarray, unknown_total: float,
+                          adjusted: float) -> int:
+    """Tail of detectLanguageWithRules (LanguageDetector.kt:430-464)."""
     if unknown_total < 0.4 * adjusted:
         unknown_total = 0.0
 
@@ -271,6 +303,115 @@ def filter_by_rules(words: list[str], word_sids: list[np.ndarray],
         if subset.any():
             return mask & subset
     return mask
+
+
+def row_rules(raw: str, ctx: RuleContext = DEFAULT_RULES) -> tuple[int, np.ndarray]:
+    """Vectorized detectLanguageWithRules + filterLanguagesByRules for
+    one row: word segmentation, per-word language/script reductions, and
+    disambiguation-char counting are numpy segment ops (`reduceat`) over
+    the whole text — no per-word Python except for the rare word whose
+    characters map to MORE than one rule language.
+
+    Returns (rule_lang or -1, candidate mask); exactly equivalent to
+    `(detect_with_rules(...), filter_by_rules(...))` on the same input
+    (differential-tested in tests/test_properties.py).
+    """
+    cps = np.frombuffer(raw.encode("utf-32-le"), dtype=np.uint32)
+    n = len(cps)
+    if n == 0:
+        return -1, ctx.allowed.copy()
+    clipped = np.minimum(cps, lm._TABLE_SIZE - 1)
+    sids = lm.SCRIPT_TABLE[clipped]
+    is_space = cps == 32
+    is_logo = _LOGO_SIDS[sids] & ~is_space
+    nonspace = ~is_space
+
+    prev_space = np.empty(n, dtype=bool)
+    prev_space[0] = True
+    prev_space[1:] = is_space[:-1]
+    prev_logo = np.empty(n, dtype=bool)
+    prev_logo[0] = False
+    prev_logo[1:] = is_logo[:-1]
+    starts = np.flatnonzero(nonspace & (prev_space | is_logo | prev_logo))
+    if len(starts) == 0:
+        return -1, ctx.allowed.copy()
+
+    logo_word = is_logo[starts]
+    n_words = len(starts)
+
+    # ---- detectLanguageWithRules ----
+    mapped = ctx.cp_rule_lang[clipped].astype(np.int16)
+    m_max = np.maximum.reduceat(mapped, starts)
+    m_min = np.minimum.reduceat(np.where(mapped >= 0, mapped, 999), starts)
+    has_hit = m_max >= 0
+    single = has_hit & (m_max == m_min)
+    mixed = has_hit & (m_max != m_min)
+
+    word_val = np.where(logo_word, LOGOGRAM_WORD_VALUE, FULL_WORD_VALUE)
+    totals = np.bincount(
+        m_max[single], weights=word_val[single], minlength=lm.N_LANGS
+    )[: lm.N_LANGS]
+    unknown_total = float((~has_hit).sum())
+    adjusted = float(word_val[single].sum() + (~single).sum())
+
+    if mixed.any():
+        bounds = np.append(starts, n)
+        for w in np.flatnonzero(mixed):
+            seg = mapped[bounds[w] : bounds[w + 1]]
+            counts = np.bincount(seg[seg >= 0], minlength=lm.N_LANGS)
+            cmax = counts.max()
+            # unique top count → credit it; tie at the top → unknown
+            if (counts == cmax).sum() == 1:
+                totals[int(np.argmax(counts))] += FULL_WORD_VALUE
+            else:
+                unknown_total += FULL_WORD_VALUE
+
+    rule_lang = _finalize_rule_totals(totals, unknown_total, adjusted)
+    if rule_lang >= 0:
+        return rule_lang, ctx.allowed.copy()
+
+    # ---- filterLanguagesByRules ----
+    s_max = np.maximum.reduceat(np.where(is_space, -1, sids.astype(np.int16)), starts)
+    s_min = np.minimum.reduceat(np.where(is_space, 999, sids.astype(np.int16)), starts)
+    same_script = (s_max == s_min) & (s_max > 0)
+    # word value here derives from logogram-ness of same-script words
+    f_adjusted = float(word_val[same_script].sum() + (~same_script).sum())
+    if not same_script.any():
+        return -1, ctx.allowed.copy()
+    script_counts = np.bincount(
+        s_max[same_script], weights=word_val[same_script],
+        minlength=len(lm.SCRIPTS),
+    )
+    ordered = sorted(
+        ((sid, c) for sid, c in enumerate(script_counts) if c > 0),
+        key=lambda kv: -kv[1],
+    )
+    top_count = ordered[0][1]
+    kept_scripts = [ordered[0][0]]
+    for sid, cnt in ordered[1:]:
+        if cnt / top_count >= 0.8:
+            kept_scripts.append(sid)
+        else:
+            break
+    mask = ctx.lang_script_mask[:, kept_scripts].any(axis=1)
+    if not mask.any():
+        return -1, ctx.allowed.copy()
+
+    if not ctx.chars_to_langs_keys.isdisjoint(raw):
+        bits = ctx.cp_disamb_bits[clipped]
+        word_bits = np.bitwise_or.reduceat(bits, starts)
+        mask_bits = np.uint32(0)
+        for li in np.flatnonzero(mask):
+            mask_bits |= np.uint32(1 << int(li))
+        word_bits &= mask_bits
+        if word_bits.any():
+            lang_counts = (
+                (word_bits[:, None] >> np.arange(lm.N_LANGS, dtype=np.uint32)) & 1
+            ).sum(axis=0)
+            subset = lang_counts >= (f_adjusted / 2.0)
+            if subset.any():
+                return -1, mask & subset
+    return -1, mask
 
 
 def extract_ngrams_multi(cleaned: str, lengths: list[int]) -> dict[int, list[str]]:
@@ -392,13 +533,9 @@ class Detector:
         if not cleaned or not lm.is_letter_mask(cleaned).any():
             return empty, None
 
-        words, word_sids = split_words_with_sids(raw)
-
-        rule_lang = detect_with_rules(words, word_sids, self.rules)
+        rule_lang, cand = row_rules(raw, self.rules)
         if rule_lang >= 0:
             return (np.array([rule_lang]), np.array([1.0])), None
-
-        cand = filter_by_rules(words, word_sids, self.rules)
         if cand.sum() == 1:
             return (np.flatnonzero(cand), np.array([1.0])), None
 

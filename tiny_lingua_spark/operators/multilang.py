@@ -224,15 +224,11 @@ def split_potential_sections(text: str) -> list[Section]:
 
 def _rules_for_section(text: str, rules=None) -> tuple[int, set[int]]:
     """(rule language or -1, candidate set) on the section's word list."""
-    from .detect import (DEFAULT_RULES, detect_with_rules, filter_by_rules,
-                         split_words_with_sids)
+    from .detect import DEFAULT_RULES, row_rules
 
-    rules = rules or DEFAULT_RULES
-    words, word_sids = split_words_with_sids(text)
-    lang = detect_with_rules(words, word_sids, rules)
+    lang, cand = row_rules(text, rules or DEFAULT_RULES)
     if lang >= 0:
         return lang, {lang}
-    cand = filter_by_rules(words, word_sids, rules)
     return -1, {int(i) for i in np.flatnonzero(cand)}
 
 
