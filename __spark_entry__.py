@@ -189,6 +189,15 @@ def _q_tokens(spark, sf_dir):
     )
 
 
+def _q_quality_buckets(spark, sf_dir):
+    from tiny_lingua_spark.functions.quality import (
+        quality_buckets, quality_score_col)
+
+    docs = _docs(spark, sf_dir).select("doc_id", *quality_metrics_cols("text"))
+    scored = docs.withColumn("q_score", quality_score_col())
+    return quality_buckets(scored)
+
+
 def _q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -437,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": _shipped(_q_quality),
         "scrub_text": _shipped(_q_scrub),
         "token_stats": _shipped(_q_tokens),
+        "quality_buckets": _shipped(_q_quality_buckets),
         "exact_dedup": _shipped(_q_exact_dedup),
         "screen_lang_confusion": _shipped(_q_screen_confusion),
         "screen_lang_accuracy": _shipped(_q_screen_accuracy),
@@ -466,7 +476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from tiny_lingua_spark.models.fasttext import score_fasttext_sql
 
+    from tiny_lingua_spark.functions.quality import quality_score_sql
+
     qm = quality_metrics_sql("text")
+    qscore = quality_score_sql()
     ft_sql = score_fasttext_sql(
         "documents",
         os.path.join(FASTTEXT_DIR, "weights.parquet", "*.parquet"),
@@ -493,6 +506,14 @@ def oracle_sql() -> dict[str, str]:
                    coalesce({bpe_token_estimate_sql('text')}, 0)::BIGINT AS bpe_tokens,
                    {fingerprint_sql('text')} AS fingerprint
             FROM documents
+        """,
+        "quality_buckets": f"""
+            WITH m AS (SELECT doc_id, {', '.join(f'({expr})::DOUBLE AS {name}' if name not in ('n_chars','n_tokens') else f'({expr})::BIGINT AS {name}' for name, expr in qm.items())} FROM documents),
+            scored AS (SELECT *, {qscore} AS q_score FROM m)
+            SELECT least(floor(q_score * 10), 9)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_docs,
+                   round(avg(q_score), 6) AS avg_score
+            FROM scored GROUP BY 1
         """,
         "exact_dedup": dedup.exact_dedup_groups_sql("documents", "doc_id", "text"),
         "screen_lang_confusion": f"""

@@ -70,6 +70,24 @@ def test_keep_rate_by_window(spark, registry, clip_stream_dir, tmp_path):
     assert got.keep_rate.between(0, 1).all()
 
 
+def test_stream_exact_dedup(spark, clip_stream_dir, tmp_path):
+    # duplicate the stream source: same fingerprints arrive twice
+    stream = sm.read_clip_stream(spark, clip_stream_dir)
+    deduped = sm.stream_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory").queryName("dedupstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckd"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "select fingerprint, count(*) as n from dedupstream group by 1"
+    ).toPandas()
+    assert (got.n == 1).all()
+    assert 0 < len(got) <= 80
+
+
 def test_codec_health_stateful(spark, registry, clip_stream_dir, tmp_path):
     stream = sm.read_clip_stream(spark, clip_stream_dir, max_files_per_trigger=1)
     health = sm.codec_health_stateful(stream, registry)

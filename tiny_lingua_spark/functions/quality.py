@@ -155,6 +155,45 @@ def keep_decision_col(th: dict | None = None) -> Column:
     )
 
 
+def quality_score_col() -> Column:
+    """Composite [0,1] quality score over the Catalyst metric columns —
+    the bucketing key for the final quality-bucket aggregation
+    (north_rule: AQE handles its skew: empty/junk texts pile into
+    bucket 0 and the skewed-partition split kicks in at scale).
+    Catalyst-only inputs so the DuckDB oracle reproduces it exactly."""
+    alpha = F.least(F.col("alpha_ratio") / 0.8, F.lit(1.0))
+    digit = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("digit_ratio") / 0.3)
+    toklen = F.least(F.col("mean_token_len") / 8.0, F.lit(1.0))
+    length = F.least(F.col("n_chars") / F.lit(200.0), F.lit(1.0))
+    return F.round((alpha + digit + toklen + length) / 4.0, 6)
+
+
+def quality_score_sql() -> str:
+    """DuckDB twin of quality_score_col (same column names)."""
+    return (
+        "round((least(alpha_ratio / 0.8, 1.0)"
+        " + greatest(0.0, 1.0 - digit_ratio / 0.3)"
+        " + least(mean_token_len / 8.0, 1.0)"
+        " + least(n_chars / 200.0, 1.0)) / 4.0, 6)"
+    )
+
+
+def quality_buckets(df: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Final quality-bucket aggregation: decile histogram of the
+    composite score (one hash aggregate; AQE re-plans skewed buckets)."""
+    bucket = F.least(
+        F.floor(F.col("q_score") * n_buckets).cast("long"), F.lit(n_buckets - 1)
+    )
+    return (
+        df.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("q_score"), 6).alias("avg_score"),
+        )
+    )
+
+
 def with_quality_metrics(df: DataFrame, text_col: str = "transcript") -> DataFrame:
     extra = quality_extra_udf()
     return df.select(

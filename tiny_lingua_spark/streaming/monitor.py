@@ -88,6 +88,21 @@ def keep_rate_by_window(
     )
 
 
+def stream_exact_dedup(clips_stream: DataFrame,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each normalized
+    transcript wins; duplicate state is pruned past the watermark
+    (bounded state — the streaming sibling of dedup.exact_dedup_groups)."""
+    return (
+        clips_stream.withColumn(
+            "fingerprint",
+            F.md5(F.regexp_replace(F.lower(F.trim("transcript")), r"\s+", " ")),
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["fingerprint"])
+    )
+
+
 CODEC_STATE_SCHEMA = "n long, kept long, ema_rms double"
 CODEC_OUT_SCHEMA = (
     "codec string, total long, total_kept long, ema_rms double, batch_rows long"
