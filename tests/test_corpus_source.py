@@ -1,0 +1,73 @@
+"""Python Data Source tests: the reference's language-testdata on-disk
+format round-trips through the custom `lingua_corpus` source."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import corpus
+from tiny_lingua_spark.sources.corpus_source import LinguaCorpusDataSource
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(LinguaCorpusDataSource)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    """Reference-format fixture written directly (not via the writer)."""
+    d = tmp_path_factory.mktemp("testdata")
+    for cat, gen in (
+        ("single-words", corpus.single_words),
+        ("word-pairs", corpus.word_pairs),
+        ("sentences", corpus.sentences),
+    ):
+        os.makedirs(d / cat)
+        for lang in ("en", "de", "zh"):
+            items = gen(lang, 20, split="dsrc")
+            (d / cat / f"{lang}.txt").write_text(
+                "\n".join(items) + "\n", encoding="utf-8"
+            )
+    return str(d)
+
+
+def test_read_reference_layout(registered, corpus_dir):
+    df = registered.read.format("lingua_corpus").load(corpus_dir)
+    assert df.schema.simpleString() == (
+        "struct<lang:string,category:string,text:string>"
+    )
+    got = df.groupBy("lang", "category").count().toPandas()
+    assert len(got) == 9
+    assert (got["count"] == 20).all()
+    # partition-parallel: one split per (category, iso) file
+    assert df.rdd.getNumPartitions() == 9
+
+
+def test_round_trip_write_read(registered, tmp_path):
+    out = str(tmp_path / "corpus_out")
+    rows = [
+        ("en", "sentences", "hello world again"),
+        ("en", "sentences", "second line"),
+        ("de", "word-pairs", "guten tag"),
+    ]
+    df = registered.createDataFrame(rows, "lang string, category string, text string")
+    df.coalesce(1).write.format("lingua_corpus").mode("append").save(out)
+    assert sorted(os.listdir(out)) == ["sentences", "word-pairs"]
+    back = registered.read.format("lingua_corpus").load(out).toPandas()
+    assert len(back) == 3
+    assert set(map(tuple, back.itertuples(index=False))) == set(rows)
+
+
+def test_predicate_and_projection_compose(registered, corpus_dir):
+    # source feeds normal Catalyst ops downstream
+    df = (
+        registered.read.format("lingua_corpus").load(corpus_dir)
+        .where(F.col("category") == "sentences")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r["lang"]: r["n"] for r in df.collect()}
+    assert got == {"en": 20, "de": 20, "zh": 20}

@@ -1,0 +1,139 @@
+"""Python Data Source for the reference's language-testdata layout.
+
+The reference ships its accuracy corpus as
+``language-testdata/{single-words,word-pairs,sentences}/{iso}.txt`` —
+one item per line (`AbstractLanguageDetectionAccuracyReport.kt:30-61`,
+resources under `src/accuracyReport/resources/language-testdata/`).
+This is a Spark 4 Python Data Source exposing that on-disk format as
+
+    spark.dataSource.register(LinguaCorpusDataSource)
+    df = spark.read.format("lingua_corpus").load(path)
+    # → (lang string, category string, text string)
+
+with one input partition per (category, iso) file — file-parallel scans,
+the same split granularity a 100 TB corpus directory would give — plus a
+writer that lays our synthetic corpus down in the reference's format
+(round-trip tested).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+CATEGORIES = ("single-words", "word-pairs", "sentences")
+SCHEMA = "lang string, category string, text string"
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, lang: str, category: str):
+        self.path = path
+        self.lang = lang
+        self.category = category
+
+
+class LinguaCorpusReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("lingua_corpus requires a path")
+
+    def partitions(self):
+        parts = []
+        for category in sorted(os.listdir(self.root)):
+            cdir = os.path.join(self.root, category)
+            if not os.path.isdir(cdir):
+                continue
+            for f in sorted(os.listdir(cdir)):
+                if f.endswith(".txt"):
+                    parts.append(
+                        _FilePartition(os.path.join(cdir, f), f[:-4], category)
+                    )
+        if not parts:
+            raise ValueError(f"no corpus files under {self.root}")
+        return parts
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if line:
+                    yield (partition.lang, partition.category, line)
+
+
+class _Commit(WriterCommitMessage):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class LinguaCorpusWriter(DataSourceWriter):
+    """Writes (lang, category, text) rows back into the reference's
+    directory layout. Each task writes private part files; commit renames
+    them into place (atomic-rename discipline per file)."""
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("lingua_corpus requires a path")
+
+    def write(self, iterator):
+        import uuid
+
+        handles: dict[tuple[str, str], object] = {}
+        files: list[str] = []
+        task_id = uuid.uuid4().hex[:8]
+        for row in iterator:
+            key = (row.category, row.lang)
+            fh = handles.get(key)
+            if fh is None:
+                d = os.path.join(self.root, row.category)
+                os.makedirs(d, exist_ok=True)
+                path = os.path.join(d, f".{row.lang}.{task_id}.part")
+                fh = open(path, "a", encoding="utf-8")
+                handles[key] = fh
+                files.append(path)
+            fh.write(row.text + "\n")
+        for fh in handles.values():
+            fh.close()
+        return _Commit(files)
+
+    def commit(self, messages):
+        for msg in messages:
+            for part in msg.files:
+                d, base = os.path.split(part)
+                lang = base[1:].split(".", 1)[0]
+                final = os.path.join(d, f"{lang}.txt")
+                with open(final, "a", encoding="utf-8") as out, open(
+                    part, encoding="utf-8"
+                ) as src:
+                    out.write(src.read())
+                os.remove(part)
+
+    def abort(self, messages):
+        for msg in messages:
+            for part in msg.files:
+                if os.path.exists(part):
+                    os.remove(part)
+
+
+class LinguaCorpusDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "lingua_corpus"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> LinguaCorpusReader:
+        return LinguaCorpusReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> LinguaCorpusWriter:
+        return LinguaCorpusWriter(self.options)
