@@ -12,10 +12,7 @@ DOCS = "/root/testdata/sf0.01/documents.parquet"
 EMB = "/root/testdata/sf0.01/embeddings.parquet"
 
 
-def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from tiny_lingua_spark.plans.audit import explain_str as plan_of  # noqa: E402
 
 
 def test_filter_pushdown_reaches_scan(spark):

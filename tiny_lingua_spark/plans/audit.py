@@ -1,0 +1,56 @@
+"""Physical-plan audit helpers — the programmatic face of "explain the
+plan and iterate until it's the plan you'd want".
+
+Used by tests/test_plans.py and tools/dump_plans.py; importable from
+notebooks to sanity-check any pipeline composition before it ships:
+
+    from tiny_lingua_spark.plans.audit import audit
+    report = audit(df)
+    assert report["python_eval_nodes"] <= 1 and not report["cartesian"]
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(plan: str) -> list[str]:
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def read_schemas(plan: str) -> list[set[str]]:
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        out.append({c.split(":")[0] for c in m.group(1).split(",") if c})
+    return out
+
+
+def count_nodes(plan: str, node: str) -> int:
+    return len(re.findall(rf"\(\d+\) {re.escape(node)}", plan))
+
+
+def audit(df: DataFrame) -> dict:
+    """One-call plan health summary."""
+    plan = explain_str(df)
+    return {
+        "python_eval_nodes": count_nodes(plan, "ArrowEvalPython")
+        + count_nodes(plan, "BatchEvalPython"),
+        "row_at_a_time_python": count_nodes(plan, "BatchEvalPython"),
+        "exchanges": count_nodes(plan, "Exchange"),
+        "broadcast_exchanges": count_nodes(plan, "BroadcastExchange"),
+        "cartesian": count_nodes(plan, "CartesianProduct") > 0,
+        "broadcast_joins": count_nodes(plan, "BroadcastHashJoin")
+        + count_nodes(plan, "BroadcastNestedLoopJoin"),
+        "sort_merge_joins": count_nodes(plan, "SortMergeJoin"),
+        "codegen_spans": len(re.findall(r"\* ", plan)),
+        "pushed_filters": pushed_filters(plan),
+        "read_schemas": [sorted(s) for s in read_schemas(plan)],
+    }
