@@ -21,7 +21,7 @@ def test_factories():
     latin = LanguageDetectorBuilder.from_all_languages_with_latin_script()
     assert "en" in latin._codes and "zh" not in latin._codes
     without = LanguageDetectorBuilder.from_all_languages_without("en", "de")
-    assert "en" not in without._codes and len(without._codes) == 16
+    assert "en" not in without._codes and len(without._codes) == lm.N_LANGS - 2
 
 
 def test_subset_never_predicts_outside(spark, models_path):

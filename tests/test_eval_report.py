@@ -15,7 +15,8 @@ def detected(spark, registry):
 
 def test_confusion_counts_cover_all_items(detected):
     conf = rp.confusion_counts(detected).toPandas()
-    assert conf.n.sum() == 18 * 3 * 40
+    from tiny_lingua_spark import langmeta as lm
+    assert conf.n.sum() == lm.N_LANGS * 3 * 40
     # diagonal dominates
     diag = conf[conf.expected == conf.predicted].n.sum()
     assert diag / conf.n.sum() > 0.85
@@ -25,7 +26,8 @@ def test_accuracy_report_shape_and_ordering(detected):
     rep = rp.accuracy_report(detected).toPandas()
     assert set(rep.columns) == {"lang", "words_pct", "pairs_pct",
                                 "sentences_pct", "avg_pct"}
-    assert len(rep) == 18
+    from tiny_lingua_spark import langmeta as lm
+    assert len(rep) == lm.N_LANGS
     # sentence accuracy ≥ word accuracy on average (reference property)
     assert rep.sentences_pct.mean() >= rep.words_pct.mean()
     assert rep.sentences_pct.mean() > 95
@@ -33,8 +35,9 @@ def test_accuracy_report_shape_and_ordering(detected):
 
 def test_dual_mode_report(spark, registry):
     corpus_df = rp.eval_corpus_df(spark, n_per_category=25)
+    from tiny_lingua_spark import langmeta as lm
     rep = rp.dual_mode_report(corpus_df, registry).toPandas()
-    assert len(rep) == 18
+    assert len(rep) == lm.N_LANGS
     # low-accuracy (trigram-only) mode must not beat high mode on average
     assert rep.low_avg_pct.mean() <= rep.avg_pct.mean() + 1.0
 
@@ -43,4 +46,5 @@ def test_write_report_csv(spark, registry, tmp_path, detected):
     out = str(tmp_path / "report")
     rp.write_report_csv(rp.accuracy_report(detected), out)
     back = spark.read.option("header", True).csv(out)
-    assert back.count() == 18
+    from tiny_lingua_spark import langmeta as lm
+    assert back.count() == lm.N_LANGS

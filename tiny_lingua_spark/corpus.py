@@ -136,6 +136,72 @@ WORDS: dict[str, list[str]] = {
     바람 달 별 꿈 마음 나 너 우리 그들 모두 어떤 무엇 누구 어디 언제 왜
     지금 오늘 내일 어제 항상 결코 그리고 그러나 그래서 하지만 또한 만약"""
         .split(),
+    "th": """และ ใน ที่ เป็น การ ของ มี ได้ ให้ ไม่ จะ ว่า แต่ กับ ไป มา
+    อยู่ คน เรา เขา ฉัน คุณ นี้ นั้น อะไร ใคร ทำไม ตอนนี้ วันนี้ เสมอ ชีวิต
+    เวลา วัน มือ งาน ทาง ความรู้ พลัง ใจ พูด เห็น ทำ ดี ใหญ่ เล็ก ใหม่ เก่า
+    โลก บ้าน น้ำ ภูเขา แม่น้ำ ทะเล ดอกไม้ นก ลม ดวงจันทร์ ดาว ฝัน หัวใจ คิด
+    รัก เด็ก แม่ พ่อ เพื่อน เมือง ภาษา หนังสือ โรงเรียน ต้นไม้ ฝน ไฟ ถนน"""
+        .split(),
+    "ka": """და არის არ რომ ეს ის მე შენ ჩვენ თქვენ ისინი რა ვინ სად როდის
+    რატომ ახლა დღეს ხვალ გუშინ ყოველთვის ადამიანი სამყარო ცხოვრება დრო დღე
+    ხელი სამუშაო ადგილი გზა დასასრული ცოდნა ძალა ნება სიტყვა თვალი სახლი
+    წყალი მიწა ცა ზღვა მთა მდინარე ყვავილი ჩიტი ქარი მთვარე ვარსკვლავი
+    ოცნება გული კარგი ცუდი დიდი პატარა ახალი ძველი ენა წიგნი სკოლა ხე"""
+        .split(),
+    "hy": """և է որ այս այն ես դու մենք դուք նրանք ինչ ով որտեղ երբ ինչու հիմա
+    այսօր վաղը երեկ միշտ մարդ աշխարհ կյանք ժամանակ օր ձեռք աշխատանք տեղ
+    ճանապարհ վերջ գիտելիք ուժ կամք խոսք աչք տուն ջուր հող երկինք ծով լեռ
+    գետ ծաղիկ թռչուն քամի լուսին աստղ երազ սիրտ լավ վատ մեծ փոքր նոր հին
+    լեզու գիրք դպրոց ծառ անձրև կրակ փողոց մայր հայր ընկեր քաղաք երեխա"""
+        .split(),
+    "bn": """এবং আছে না যে এই সে আমি তুমি আমরা তারা কি কে কোথায় কখন কেন এখন
+    আজ কাল সবসময় মানুষ পৃথিবী জীবন সময় দিন হাত কাজ জায়গা পথ শেষ জ্ঞান
+    শক্তি ইচ্ছা কথা চোখ বাড়ি জল মাটি আকাশ সমুদ্র পাহাড় নদী ফুল পাখি বাতাস
+    চাঁদ তারা স্বপ্ন হৃদয় ভালো খারাপ বড় ছোট নতুন পুরনো ভাষা বই বিদ্যালয়
+    গাছ বৃষ্টি আগুন রাস্তা মা বাবা বন্ধু শহর শিশু ভালোবাসা মন চিন্তা"""
+        .split(),
+    "ta": """மற்றும் உள்ளது இல்லை என்று இந்த அது நான் நீ நாங்கள் அவர்கள் என்ன
+    யார் எங்கே எப்போது ஏன் இப்போது இன்று நாளை நேற்று எப்போதும் மனிதன் உலகம்
+    வாழ்க்கை நேரம் நாள் கை வேலை இடம் வழி முடிவு அறிவு சக்தி விருப்பம் சொல்
+    கண் வீடு தண்ணீர் நிலம் வானம் கடல் மலை ஆறு பூ பறவை காற்று நிலா
+    நட்சத்திரம் கனவு இதயம் நல்ல கெட்ட பெரிய சிறிய புதிய பழைய மொழி புத்தகம்
+    பள்ளி மரம் மழை நெருப்பு தெரு அம்மா அப்பா நண்பன் நகரம் குழந்தை அன்பு"""
+        .split(),
+    "te": """మరియు ఉంది కాదు అని ఈ అది నేను నువ్వు మేము వారు ఏమి ఎవరు ఎక్కడ
+    ఎప్పుడు ఎందుకు ఇప్పుడు ఈరోజు రేపు నిన్న ఎల్లప్పుడూ మనిషి ప్రపంచం జీవితం
+    సమయం రోజు చేయి పని స్థలం దారి ముగింపు జ్ఞానం శక్తి సంకల్పం మాట కన్ను
+    ఇల్లు నీరు నేల ఆకాశం సముద్రం కొండ నది పువ్వు పక్షి గాలి చంద్రుడు
+    నక్షత్రం కల హృదయం మంచి చెడు పెద్ద చిన్న కొత్త పాత భాష పుస్తకం బడి చెట్టు
+    వాన నిప్పు వీధి అమ్మ నాన్న స్నేహితుడు నగరం పిల్లవాడు ప్రేమ మనసు ఆలోచన"""
+        .split(),
+    "gu": """અને છે નથી કે આ તે હું તું અમે તેઓ શું કોણ ક્યાં ક્યારે કેમ હવે
+    આજે કાલે ગઈકાલે હંમેશા માણસ દુનિયા જીવન સમય દિવસ હાથ કામ જગ્યા રસ્તો અંત
+    જ્ઞાન શક્તિ ઇચ્છા વાત આંખ ઘર પાણી જમીન આકાશ સમુદ્ર પર્વત નદી ફૂલ પક્ષી
+    પવન ચંદ્ર તારો સ્વપ્ન હૃદય સારું ખરાબ મોટું નાનું નવું જૂનું ભાષા પુસ્તક
+    શાળા વૃક્ષ વરસાદ આગ શેરી મા પિતા મિત્ર શહેર બાળક પ્રેમ મન વિચાર"""
+        .split(),
+    "pa": """ਅਤੇ ਹੈ ਨਹੀਂ ਕਿ ਇਹ ਉਹ ਮੈਂ ਤੂੰ ਅਸੀਂ ਕੀ ਕੌਣ ਕਿੱਥੇ ਕਦੋਂ ਕਿਉਂ ਹੁਣ ਅੱਜ
+    ਕੱਲ੍ਹ ਹਮੇਸ਼ਾ ਮਨੁੱਖ ਦੁਨੀਆ ਜੀਵਨ ਸਮਾਂ ਦਿਨ ਹੱਥ ਕੰਮ ਥਾਂ ਰਾਹ ਅੰਤ ਗਿਆਨ ਸ਼ਕਤੀ
+    ਇੱਛਾ ਗੱਲ ਅੱਖ ਘਰ ਪਾਣੀ ਜ਼ਮੀਨ ਅਸਮਾਨ ਸਮੁੰਦਰ ਪਹਾੜ ਨਦੀ ਫੁੱਲ ਪੰਛੀ ਹਵਾ ਚੰਦ
+    ਤਾਰਾ ਸੁਪਨਾ ਦਿਲ ਚੰਗਾ ਮਾੜਾ ਵੱਡਾ ਛੋਟਾ ਨਵਾਂ ਪੁਰਾਣਾ ਭਾਸ਼ਾ ਕਿਤਾਬ ਸਕੂਲ ਰੁੱਖ
+    ਮੀਂਹ ਅੱਗ ਗਲੀ ਮਾਂ ਪਿਤਾ ਦੋਸਤ ਸ਼ਹਿਰ ਬੱਚਾ ਪਿਆਰ ਮਨ ਸੋਚ ਬੋਲੀ ਪੰਜਾਬੀ"""
+        .split(),
+    "uk": """і в не на я бути він з що а по це вона цей до але вони ми як із у
+    який то за свій весь рік від так про для ти же всі той могти ви людина
+    такий його сказати тільки або ще б себе один вже час якщо сам коли інший
+    ось говорити наш мій знати стати при щоб справа життя хто перший дуже
+    два день її новий рука навіть де там під світ дім вода земля небо море
+    гора річка квітка птах вітер місяць зірка мрія серце добрий поганий
+    великий малий мова книга школа дерево дощ вогонь вулиця мати батько"""
+        .split(),
+    "fi": """ja on ei se että hän tämä mutta kuin niin kun myös jos nyt sitten
+    koska vielä aina kaikki paljon hyvin vuosi aika elämä päivä käsi työ
+    paikka tapa loppu tieto voima tahto sana silmä talo vesi maa taivas meri
+    vuori joki kukka lintu tuuli kuu tähti uni sydän ihminen maailma koulu
+    äiti isä ystävä lapsi kaupunki kieli kirja puu sade tuli katu rakkaus
+    mieli ajatus suomi hyvä paha suuri pieni uusi vanha minä sinä me he
+    mikä kuka missä milloin miksi tänään huomenna eilen"""
+        .split(),
 }
 
 # Languages written without spaces between words.
@@ -143,7 +209,7 @@ NO_SPACE_LANGS = frozenset({"zh", "ja"})
 
 # Bump when WORDS / generation logic changes — cached model artifacts key
 # on this so stale models are never reused.
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 ISO_LANGS = tuple(sorted(WORDS))
 

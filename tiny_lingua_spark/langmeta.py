@@ -38,6 +38,14 @@ SCRIPTS = [
     "HIRAGANA",
     "KATAKANA",
     "HANGUL",
+    "THAI",
+    "GEORGIAN",
+    "ARMENIAN",
+    "BENGALI",
+    "TAMIL",
+    "TELUGU",
+    "GUJARATI",
+    "GURMUKHI",
 ]
 SCRIPT_ID = {s: i for i, s in enumerate(SCRIPTS)}
 
@@ -71,6 +79,14 @@ _SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
     "HAN": [(0x2E80, 0x2EF3), (0x3005, 0x3005), (0x3007, 0x3007),
             (0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAD9),
             (0x20000, 0x2FFFF)],
+    "THAI": [(0x0E01, 0x0E3A), (0x0E40, 0x0E5B)],
+    "GEORGIAN": [(0x10A0, 0x10C5), (0x10D0, 0x10FF), (0x2D00, 0x2D2F)],
+    "ARMENIAN": [(0x0531, 0x0556), (0x0559, 0x058A), (0xFB13, 0xFB17)],
+    "BENGALI": [(0x0980, 0x09FE)],
+    "TAMIL": [(0x0B82, 0x0BFA)],
+    "TELUGU": [(0x0C00, 0x0C7F)],
+    "GUJARATI": [(0x0A81, 0x0AF9)],
+    "GURMUKHI": [(0x0A01, 0x0A76)],
 }
 
 _TABLE_SIZE = 0x30000  # BMP + SIP (Han extension B) — covers our scripts
@@ -122,12 +138,17 @@ class LangSpec:
 # (Language.kt:186-273); this order is the confidence-sort tie-break.
 LANGUAGES: tuple[LangSpec, ...] = (
     LangSpec("ARABIC", "ar", ("ARABIC",)),
+    LangSpec("ARMENIAN", "hy", ("ARMENIAN",)),
+    LangSpec("BENGALI", "bn", ("BENGALI",)),
     LangSpec("CHINESE", "zh", ("HAN",)),
     LangSpec("DUTCH", "nl", ("LATIN",)),
     LangSpec("ENGLISH", "en", ("LATIN",)),
+    LangSpec("FINNISH", "fi", ("LATIN",)),
     LangSpec("FRENCH", "fr", ("LATIN",)),
+    LangSpec("GEORGIAN", "ka", ("GEORGIAN",)),
     LangSpec("GERMAN", "de", ("LATIN",), "ß"),
     LangSpec("GREEK", "el", ("GREEK",)),
+    LangSpec("GUJARATI", "gu", ("GUJARATI",)),
     LangSpec("HEBREW", "he", ("HEBREW",)),
     LangSpec("HINDI", "hi", ("DEVANAGARI",)),
     LangSpec("ITALIAN", "it", ("LATIN",)),
@@ -135,10 +156,15 @@ LANGUAGES: tuple[LangSpec, ...] = (
     LangSpec("KOREAN", "ko", ("HANGUL",)),
     LangSpec("POLISH", "pl", ("LATIN",), "ŁłŃńŚśŹź"),
     LangSpec("PORTUGUESE", "pt", ("LATIN",)),
+    LangSpec("PUNJABI", "pa", ("GURMUKHI",)),
     LangSpec("RUSSIAN", "ru", ("CYRILLIC",)),
     LangSpec("SPANISH", "es", ("LATIN",), "¿¡"),
     LangSpec("SWEDISH", "sv", ("LATIN",)),
+    LangSpec("TAMIL", "ta", ("TAMIL",)),
+    LangSpec("TELUGU", "te", ("TELUGU",)),
+    LangSpec("THAI", "th", ("THAI",)),
     LangSpec("TURKISH", "tr", ("LATIN",)),
+    LangSpec("UKRAINIAN", "uk", ("CYRILLIC",), "ІіЇїЄєҐґ"),
 )
 
 LANG_NAMES = tuple(l.name for l in LANGUAGES)
@@ -176,12 +202,12 @@ _CHARS_TO_LANGS_SRC: dict[str, tuple[str, ...]] = {
     "Òò": ("it",),
     "Åå": ("sv",),
     "Ýý": ("tr",),
-    "Ää": ("de", "sv"),
+    "Ää": ("de", "sv", "fi"),
     "Àà": ("fr", "it", "pt"),
     "Ââ": ("fr", "pt", "tr"),
     "Üü": ("de", "es", "tr"),
     "Çç": ("fr", "pt", "tr"),
-    "Öö": ("de", "sv", "tr"),
+    "Öö": ("de", "sv", "tr", "fi"),
     "Óó": ("pl", "pt", "es"),
     "ÁáÍíÚú": ("pt", "es"),
     "Éé": ("fr", "it", "pt", "es"),
