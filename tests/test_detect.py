@@ -36,10 +36,10 @@ def test_sentence_accuracy(detected):
 def test_word_pair_accuracy(detected):
     s = detected[detected.category == "word-pairs"]
     acc = (s.lang == s.expected).mean()
-    # reference publishes 89.09% mean on word pairs (BASELINE.md); our
-    # synthetic corpus is cleaner, so the bar sits higher but below the
-    # intrinsic ambiguity ceiling of 2-word items in related Latin languages
-    assert acc >= 0.92, f"word-pair accuracy {acc:.4f}"
+    # reference publishes 89.09% mean on word pairs (BASELINE.md); with
+    # 16 related Latin-script languages configured, 2-word items hit the
+    # same intrinsic ambiguity ceiling — the bar tracks the reference
+    assert acc >= 0.89, f"word-pair accuracy {acc:.4f}"
 
 
 def test_single_word_accuracy(detected):

@@ -202,6 +202,46 @@ WORDS: dict[str, list[str]] = {
     mieli ajatus suomi hyvä paha suuri pieni uusi vanha minä sinä me he
     mikä kuka missä milloin miksi tänään huomenna eilen"""
         .split(),
+    "cs": """a je to se na v že s z do o ale jako po už při pro tak co když
+    být mít moci říci vědět chtít den čas život člověk svět ruka práce místo
+    cesta konec vědění síla vůle slovo oko dům voda země nebe moře hora řeka
+    květina pták vítr měsíc hvězda sen srdce dobrý špatný velký malý nový
+    starý jazyk kniha škola strom déšť oheň ulice matka otec přítel město
+    dítě láska mysl myšlenka ještě však který tento teď dnes zítra včera"""
+        .split(),
+    "da": """og i at det en den til er som på de med han af for ikke der var
+    mig sig men et har om vi min havde ham hun nu over da fra du ud sin dem
+    os op man hans hvor eller hvad skal selv her alle vil blev kunne ind når
+    være dog noget ville jo deres efter ned skulle denne end dette også
+    verden liv tid dag hånd arbejde sted vej slut viden kraft vilje ord øje
+    hus vand jord himmel hav bjerg flod blomst fugl vind måne stjerne drøm
+    hjerte god dårlig stor lille ny gammel sprog bog skole træ regn ild gade
+    mor far ven by barn kærlighed altid aldrig"""
+        .split(),
+    "hu": """a az és hogy nem is egy van de mi ez volt ha már csak meg el még
+    ki be fel le mint úgy nagyon itt ott most majd aztán ember világ élet
+    idő nap kéz munka hely út vég tudás erő akarat szó szem ház víz föld ég
+    tenger hegy folyó virág madár szél hold csillag álom szív jó rossz nagy
+    kicsi új régi nyelv könyv iskola fa eső tűz utca anya apa barát város
+    gyerek szerelem elme gondolat magyar lenni tenni menni jönni látni tudni
+    akarni adni venni találni maradni mindig soha ma holnap tegnap"""
+        .split(),
+    "ro": """și în a la cu de pe un o este sunt că nu se ce mai pentru dar din
+    sau când cum unde acum azi mâine ieri mereu om lume viață timp zi mână
+    muncă loc drum sfârșit cunoaștere putere voință cuvânt ochi casă apă
+    pământ cer mare munte râu floare pasăre vânt lună stea vis inimă bun rău
+    mic nou vechi limbă carte școală copac ploaie foc stradă mamă tată
+    prieten oraș copil dragoste minte gând fi face merge veni vedea ști
+    română țară niciodată întotdeauna acolo aici acesta aceea"""
+        .split(),
+    "vi": """và của là có trong được cho không người với một này đã những trên
+    để tôi bạn chúng họ gì ai đâu khi nào tại sao bây giờ hôm nay ngày mai
+    hôm qua luôn luôn con người thế giới cuộc sống thời gian ngày tay công
+    việc nơi đường kết thúc kiến thức sức mạnh ý chí lời nói mắt nhà nước
+    đất trời biển núi sông hoa chim gió trăng sao giấc mơ trái tim tốt xấu
+    lớn nhỏ mới cũ ngôn ngữ sách trường học cây mưa lửa phố mẹ cha bạn bè
+    thành phố trẻ em tình yêu tâm trí suy nghĩ tiếng việt rằng nếu thì"""
+        .split(),
 }
 
 # Languages written without spaces between words.
@@ -209,7 +249,7 @@ NO_SPACE_LANGS = frozenset({"zh", "ja"})
 
 # Bump when WORDS / generation logic changes — cached model artifacts key
 # on this so stale models are never reused.
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 ISO_LANGS = tuple(sorted(WORDS))
 

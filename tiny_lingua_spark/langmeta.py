@@ -141,6 +141,8 @@ LANGUAGES: tuple[LangSpec, ...] = (
     LangSpec("ARMENIAN", "hy", ("ARMENIAN",)),
     LangSpec("BENGALI", "bn", ("BENGALI",)),
     LangSpec("CHINESE", "zh", ("HAN",)),
+    LangSpec("CZECH", "cs", ("LATIN",), "ĚěŘřŮůŤťĎď"),
+    LangSpec("DANISH", "da", ("LATIN",), "ØøÆæ"),
     LangSpec("DUTCH", "nl", ("LATIN",)),
     LangSpec("ENGLISH", "en", ("LATIN",)),
     LangSpec("FINNISH", "fi", ("LATIN",)),
@@ -151,12 +153,14 @@ LANGUAGES: tuple[LangSpec, ...] = (
     LangSpec("GUJARATI", "gu", ("GUJARATI",)),
     LangSpec("HEBREW", "he", ("HEBREW",)),
     LangSpec("HINDI", "hi", ("DEVANAGARI",)),
+    LangSpec("HUNGARIAN", "hu", ("LATIN",), "ŐőŰű"),
     LangSpec("ITALIAN", "it", ("LATIN",)),
     LangSpec("JAPANESE", "ja", ("HIRAGANA", "KATAKANA", "HAN")),
     LangSpec("KOREAN", "ko", ("HANGUL",)),
     LangSpec("POLISH", "pl", ("LATIN",), "ŁłŃńŚśŹź"),
     LangSpec("PORTUGUESE", "pt", ("LATIN",)),
     LangSpec("PUNJABI", "pa", ("GURMUKHI",)),
+    LangSpec("ROMANIAN", "ro", ("LATIN",), "ȚțȘș"),
     LangSpec("RUSSIAN", "ru", ("CYRILLIC",)),
     LangSpec("SPANISH", "es", ("LATIN",), "¿¡"),
     LangSpec("SWEDISH", "sv", ("LATIN",)),
@@ -165,6 +169,9 @@ LANGUAGES: tuple[LangSpec, ...] = (
     LangSpec("THAI", "th", ("THAI",)),
     LangSpec("TURKISH", "tr", ("LATIN",)),
     LangSpec("UKRAINIAN", "uk", ("CYRILLIC",), "ІіЇїЄєҐґ"),
+    LangSpec("VIETNAMESE", "vi", ("LATIN",),
+             "ĂăĐđƠơƯưẠạẢảẤấẦầẨẩẪẫẬậẮắẰằẲẳẴẵẶặẸẹẺẻẼẽẾếỀềỂểỄễỆệỈỉỊịỌọỎỏỐốỒồỔổ"
+             "ỖỗỘộỚớỜờỞởỠỡỢợỤụỦủỨứỪừỬửỮữỰựỲỳỴỵỶỷỸỹ"),
 )
 
 LANG_NAMES = tuple(l.name for l in LANGUAGES)
@@ -182,35 +189,35 @@ LOGOGRAM_LANG_IDXS = tuple(LANG_INDEX[c] for c in ("zh", "ja", "ko"))
 # entries restricted to languages present in this subset. Keys are
 # individual characters; values are iso codes.
 _CHARS_TO_LANGS_SRC: dict[str, tuple[str, ...]] = {
-    "Ãã": ("pt",),
+    "Ãã": ("pt", "vi"),
     "ĄąĘę": ("pl",),
     "Żż": ("pl",),
-    "Îî": ("fr",),
+    "Îî": ("fr", "ro"),
     "Ññ": ("es",),
     "İıĞğ": ("tr",),
     "Ûû": ("fr",),
     "Şş": ("tr",),
     "Ćć": ("pl",),
-    "Ìì": ("it",),
+    "Ìì": ("it", "vi"),
     "Ëë": ("nl", "fr"),
-    "ÈèÙù": ("fr", "it"),
+    "ÈèÙù": ("fr", "it", "vi"),
     "Êê": ("fr", "pt"),
     "Õõ": ("pt",),
     "Ôô": ("fr", "pt"),
     "ЁёЫыЭэ": ("ru",),
     "ЩщЪъ": ("ru",),
-    "Òò": ("it",),
-    "Åå": ("sv",),
-    "Ýý": ("tr",),
+    "Òò": ("it", "vi"),
+    "Åå": ("sv", "da"),
+    "Ýý": ("tr", "vi"),
     "Ää": ("de", "sv", "fi"),
     "Àà": ("fr", "it", "pt"),
-    "Ââ": ("fr", "pt", "tr"),
-    "Üü": ("de", "es", "tr"),
+    "Ââ": ("fr", "pt", "tr", "ro", "vi"),
+    "Üü": ("de", "es", "tr", "hu"),
     "Çç": ("fr", "pt", "tr"),
-    "Öö": ("de", "sv", "tr", "fi"),
-    "Óó": ("pl", "pt", "es"),
-    "ÁáÍíÚú": ("pt", "es"),
-    "Éé": ("fr", "it", "pt", "es"),
+    "Öö": ("de", "sv", "tr", "fi", "hu"),
+    "Óó": ("pl", "pt", "es", "hu", "cs"),
+    "ÁáÍíÚú": ("pt", "es", "cs", "hu", "vi"),
+    "Éé": ("fr", "it", "pt", "es", "hu", "vi", "cs", "da"),
 }
 
 

@@ -122,14 +122,15 @@ class RuleContext:
                 if sid in _UNIQUE_SCRIPTS and self.sid_rule_lang[sid] < 0:
                     cp_rule[cp] = li
         self.cp_rule_lang = cp_rule
-        # codepoint → disambiguation-language bitmask (Constant.kt:73-144)
-        bits = np.zeros(lm._TABLE_SIZE, dtype=np.uint32)
+        # codepoint → disambiguation-language bitmask (Constant.kt:73-144);
+        # uint64: the language axis exceeds 32
+        bits = np.zeros(lm._TABLE_SIZE, dtype=np.uint64)
         for ch, lis in self.chars_to_langs.items():
             cp = ord(ch)
             if cp < lm._TABLE_SIZE and lis:
-                b = np.uint32(0)
+                b = np.uint64(0)
                 for li in lis:
-                    b |= np.uint32(1 << li)
+                    b |= np.uint64(1 << li)
                 bits[cp] = b
         self.cp_disamb_bits = bits
 
@@ -400,13 +401,14 @@ def row_rules(raw: str, ctx: RuleContext = DEFAULT_RULES) -> tuple[int, np.ndarr
     if not ctx.chars_to_langs_keys.isdisjoint(raw):
         bits = ctx.cp_disamb_bits[clipped]
         word_bits = np.bitwise_or.reduceat(bits, starts)
-        mask_bits = np.uint32(0)
+        mask_bits = np.uint64(0)
         for li in np.flatnonzero(mask):
-            mask_bits |= np.uint32(1 << int(li))
+            mask_bits |= np.uint64(1 << int(li))
         word_bits &= mask_bits
         if word_bits.any():
             lang_counts = (
-                (word_bits[:, None] >> np.arange(lm.N_LANGS, dtype=np.uint32)) & 1
+                (word_bits[:, None] >> np.arange(lm.N_LANGS, dtype=np.uint64))
+                & np.uint64(1)
             ).sum(axis=0)
             subset = lang_counts >= (f_adjusted / 2.0)
             if subset.any():

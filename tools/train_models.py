@@ -30,7 +30,7 @@ def main() -> None:
     spark = get_spark("train-models")
 
     shutil.rmtree(ngram_dir, ignore_errors=True)
-    train_and_write(spark, ngram_dir)
+    train_and_write(spark, ngram_dir, n_sentences=800)
 
     shutil.rmtree(ft_dir, ignore_errors=True)
     rows = corpus.training_corpus(n_sentences=300)
