@@ -242,6 +242,28 @@ WORDS: dict[str, list[str]] = {
     lớn nhỏ mới cũ ngôn ngữ sách trường học cây mưa lửa phố mẹ cha bạn bè
     thành phố trẻ em tình yêu tâm trí suy nghĩ tiếng việt rằng nếu thì"""
         .split(),
+    "kn": """ಮತ್ತು ಇದೆ ಇಲ್ಲ ಎಂದು ಈ ಅದು ನಾನು ನೀನು ನಾವು ಅವರು ಏನು ಯಾರು
+    ಎಲ್ಲಿ ಯಾವಾಗ ಏಕೆ ಈಗ ಇಂದು ನಾಳೆ ನಿನ್ನೆ ಯಾವಾಗಲೂ ಮನುಷ್ಯ ಜಗತ್ತು ಜೀವನ
+    ಸಮಯ ದಿನ ಕೈ ಕೆಲಸ ಸ್ಥಳ ದಾರಿ ಅಂತ್ಯ ಜ್ಞಾನ ಶಕ್ತಿ ಇಚ್ಛೆ ಮಾತು ಕಣ್ಣು ಮನೆ
+    ನೀರು ನೆಲ ಆಕಾಶ ಸಮುದ್ರ ಬೆಟ್ಟ ನದಿ ಹೂವು ಹಕ್ಕಿ ಗಾಳಿ ಚಂದ್ರ ನಕ್ಷತ್ರ ಕನಸು
+    ಹೃದಯ ಒಳ್ಳೆಯ ಕೆಟ್ಟ ದೊಡ್ಡ ಚಿಕ್ಕ ಹೊಸ ಹಳೆಯ ಭಾಷೆ ಪುಸ್ತಕ ಶಾಲೆ ಮರ ಮಳೆ
+    ಬೆಂಕಿ ಬೀದಿ ಅಮ್ಮ ಅಪ್ಪ ಸ್ನೇಹಿತ ನಗರ ಮಗು ಪ್ರೀತಿ ಮನಸ್ಸು ಆಲೋಚನೆ ಕನ್ನಡ"""
+        .split(),
+    "ml": """ഒപ്പം ഉണ്ട് ഇല്ല എന്ന് ഈ അത് ഞാൻ നീ ഞങ്ങൾ അവർ എന്ത് ആര്
+    എവിടെ എപ്പോൾ എന്തുകൊണ്ട് ഇപ്പോൾ ഇന്ന് നാളെ ഇന്നലെ എപ്പോഴും മനുഷ്യൻ
+    ലോകം ജീവിതം സമയം ദിവസം കൈ ജോലി സ്ഥലം വഴി അവസാനം അറിവ് ശക്തി
+    ആഗ്രഹം വാക്ക് കണ്ണ് വീട് വെള്ളം നിലം ആകാശം കടൽ മല നദി പൂവ് പക്ഷി
+    കാറ്റ് ചന്ദ്രൻ നക്ഷത്രം സ്വപ്നം ഹൃദയം നല്ല ചീത്ത വലിയ ചെറിയ പുതിയ
+    പഴയ ഭാഷ പുസ്തകം സ്കൂൾ മരം മഴ തീ തെരുവ് അമ്മ അച്ഛൻ സുഹൃത്ത് നഗരം
+    കുട്ടി സ്നേഹം മനസ്സ് ചിന്ത മലയാളം"""
+        .split(),
+    "mr": """आणि आहे नाही की हा तो मी तू आम्ही ते काय कोण कुठे कधी का आता आज
+    उद्या काल नेहमी माणूस जग जीवन वेळ दिवस हात काम जागा वाट शेवट ज्ञान
+    शक्ती इच्छा बोलणे डोळा घर पाणी जमीन आकाश समुद्र डोंगर नदी फूल पक्षी
+    वारा चंद्र तारा स्वप्न हृदय चांगला वाईट मोठा लहान नवीन जुना भाषा
+    पुस्तक शाळा झाड पाऊस आग रस्ता आई वडील मित्र शहर मूल प्रेम मन विचार
+    मराठी खूप थोडे येथे तेथे असे तसे जसे"""
+        .split(),
 }
 
 # Languages written without spaces between words.
@@ -249,7 +271,7 @@ NO_SPACE_LANGS = frozenset({"zh", "ja"})
 
 # Bump when WORDS / generation logic changes — cached model artifacts key
 # on this so stale models are never reused.
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 ISO_LANGS = tuple(sorted(WORDS))
 

@@ -46,6 +46,8 @@ SCRIPTS = [
     "TELUGU",
     "GUJARATI",
     "GURMUKHI",
+    "KANNADA",
+    "MALAYALAM",
 ]
 SCRIPT_ID = {s: i for i, s in enumerate(SCRIPTS)}
 
@@ -87,6 +89,8 @@ _SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
     "TELUGU": [(0x0C00, 0x0C7F)],
     "GUJARATI": [(0x0A81, 0x0AF9)],
     "GURMUKHI": [(0x0A01, 0x0A76)],
+    "KANNADA": [(0x0C80, 0x0CF2)],
+    "MALAYALAM": [(0x0D00, 0x0D7F)],
 }
 
 _TABLE_SIZE = 0x30000  # BMP + SIP (Han extension B) — covers our scripts
@@ -156,7 +160,10 @@ LANGUAGES: tuple[LangSpec, ...] = (
     LangSpec("HUNGARIAN", "hu", ("LATIN",), "ŐőŰű"),
     LangSpec("ITALIAN", "it", ("LATIN",)),
     LangSpec("JAPANESE", "ja", ("HIRAGANA", "KATAKANA", "HAN")),
+    LangSpec("KANNADA", "kn", ("KANNADA",)),
     LangSpec("KOREAN", "ko", ("HANGUL",)),
+    LangSpec("MALAYALAM", "ml", ("MALAYALAM",)),
+    LangSpec("MARATHI", "mr", ("DEVANAGARI",)),
     LangSpec("POLISH", "pl", ("LATIN",), "ŁłŃńŚśŹź"),
     LangSpec("PORTUGUESE", "pt", ("LATIN",)),
     LangSpec("PUNJABI", "pa", ("GURMUKHI",)),
