@@ -349,23 +349,28 @@ def row_rules(raw: str, ctx: RuleContext = DEFAULT_RULES) -> tuple[int, np.ndarr
     mixed = has_hit & (m_max != m_min)
 
     word_val = np.where(logo_word, LOGOGRAM_WORD_VALUE, FULL_WORD_VALUE)
-    totals = np.bincount(
-        m_max[single], weights=word_val[single], minlength=lm.N_LANGS
-    )[: lm.N_LANGS]
-    unknown_total = float((~has_hit).sum())
-    adjusted = float(word_val[single].sum() + (~single).sum())
-
+    # per-word credited language: single-language words directly; words
+    # whose chars map to several languages (rare) get the count-argmax
+    # with tie → unknown, like the per-word reference loop
+    word_lang = np.where(single, m_max, np.int16(-1))
     if mixed.any():
         bounds = np.append(starts, n)
         for w in np.flatnonzero(mixed):
             seg = mapped[bounds[w] : bounds[w + 1]]
             counts = np.bincount(seg[seg >= 0], minlength=lm.N_LANGS)
             cmax = counts.max()
-            # unique top count → credit it; tie at the top → unknown
             if (counts == cmax).sum() == 1:
-                totals[int(np.argmax(counts))] += FULL_WORD_VALUE
-            else:
-                unknown_total += FULL_WORD_VALUE
+                word_lang[w] = int(np.argmax(counts))
+    # ALL floating accumulation happens in word order, one add per word
+    # (np.add.at is sequential): np.sum/bincount-then-append orderings
+    # differ by ulps and can flip the 0.4·adjusted unknown gate or a
+    # ratio tie-break — caught by deep fuzzing against the per-word path
+    per_word = np.where(single, word_val, FULL_WORD_VALUE)
+    contrib = word_lang >= 0
+    totals = np.zeros(lm.N_LANGS, dtype=np.float64)
+    np.add.at(totals, word_lang[contrib], per_word[contrib])
+    unknown_total = float((~contrib).sum())
+    adjusted = float(np.cumsum(per_word)[-1]) if n_words else 0.0
 
     rule_lang = _finalize_rule_totals(totals, unknown_total, adjusted)
     if rule_lang >= 0:
@@ -375,8 +380,10 @@ def row_rules(raw: str, ctx: RuleContext = DEFAULT_RULES) -> tuple[int, np.ndarr
     s_max = np.maximum.reduceat(np.where(is_space, -1, sids.astype(np.int16)), starts)
     s_min = np.minimum.reduceat(np.where(is_space, 999, sids.astype(np.int16)), starts)
     same_script = (s_max == s_min) & (s_max > 0)
-    # word value here derives from logogram-ness of same-script words
-    f_adjusted = float(word_val[same_script].sum() + (~same_script).sum())
+    # word value here derives from logogram-ness of same-script words;
+    # sequential accumulation in word order (see `adjusted` note above)
+    f_per_word = np.where(same_script, word_val, FULL_WORD_VALUE)
+    f_adjusted = float(np.cumsum(f_per_word)[-1])
     if not same_script.any():
         return -1, ctx.allowed.copy()
     script_counts = np.bincount(
