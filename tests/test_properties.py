@@ -113,6 +113,31 @@ def test_row_rules_matches_reference_path(t):
         assert (fast_cand == slow_cand).all(), repr(t)
 
 
+@given(TEXT)
+@FAST
+def test_row_rules_matches_under_subset(t):
+    """Same differential under a configured language subset — the
+    subset-derived tables (cp_rule/cp_disamb) have their own failure
+    modes (e.g. the uint64 bitmask bug)."""
+    from tiny_lingua_spark import langmeta as lm2
+    from tiny_lingua_spark.operators.detect import (
+        RuleContext, detect_with_rules, filter_by_rules, row_rules,
+        split_words_with_sids)
+
+    idxs = tuple(lm2.LANG_INDEX[c] for c in ("en", "ru", "uk", "ja", "vi", "da"))
+    ctx = _SUBSET_CTX.setdefault("ctx", RuleContext(idxs))
+    fast_lang, fast_cand = row_rules(t, ctx)
+    words, word_sids = split_words_with_sids(t)
+    slow_lang = detect_with_rules(words, word_sids, ctx)
+    assert fast_lang == slow_lang, repr(t)
+    if slow_lang < 0:
+        slow_cand = filter_by_rules(words, word_sids, ctx)
+        assert (fast_cand == slow_cand).all(), repr(t)
+
+
+_SUBSET_CTX: dict = {}
+
+
 def test_row_rules_matches_on_corpus():
     from tiny_lingua_spark import corpus
     from tiny_lingua_spark.operators.detect import (
