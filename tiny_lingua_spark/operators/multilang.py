@@ -351,7 +351,11 @@ def detect_multi_language(text: str, det: Detector) -> list[dict]:
         out.append(
             {
                 "start": sec.start,
-                "end": sec.end,
+                # the reference's splitter can leave a stale `end` before
+                # `start` on consecutive script-change splits (it would
+                # throw in Kotlin's substring); clamp so emitted offsets
+                # always satisfy start <= end
+                "end": max(sec.end, sec.start),
                 "letters_count": sec.letters,
                 "text": sec.text,
                 "lang": det.decide(idxs, confs),
