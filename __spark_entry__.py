@@ -347,6 +347,18 @@ def _q_perplexity(spark, sf_dir):
     )
 
 
+def _q_detect_trigram_declarative(spark, sf_dir):
+    """The detector's statistical core as pure relational algebra
+    (broadcast back-off joins) — cross-validates the UDF engine."""
+    from tiny_lingua_spark.operators.declarative_detect import (
+        score_trigram_declarative)
+
+    model = spark.read.parquet(MODELS_DIR)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", cleaned_text_col(F.col("text")).alias("cleaned"))
+    return score_trigram_declarative(docs, model).where(F.col("rank") <= 3)
+
+
 def _q_multilang_sections(spark, sf_dir):
     from tiny_lingua_spark.operators.multilang import make_multilang_udf
 
@@ -461,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _shipped(_q_events_sessions),
         "fasttext_lang": _shipped(_q_fasttext_lang),
         "perplexity_scores": _shipped(_q_perplexity),
+        "detect_trigram_declarative": _shipped(_q_detect_trigram_declarative),
         "multilang_sections": _shipped(_q_multilang_sections),
         "detect_doc_labels": _shipped(_q_detect_labels),
         "detect_lang_counts": _shipped(_q_detect_counts),
@@ -471,6 +484,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_keep_stats": _shipped(_q_pipeline_keep),
         "audio_decode_features": _shipped(_q_audio_features),
     }
+
+
+def _trigram_decl_sql() -> str:
+    from tiny_lingua_spark.operators.declarative_detect import score_trigram_sql
+
+    inner = score_trigram_sql(
+        "documents",
+        os.path.join(MODELS_DIR, "**", "*.parquet"),
+        cleaned_expr=cleaned_text_sql("text"),
+    )
+    return f"SELECT * FROM ({inner}) WHERE rank <= 3"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -576,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per_session GROUP BY user_id
         """,
         "fasttext_lang": ft_sql,
+        "detect_trigram_declarative": _trigram_decl_sql(),
         "minhash_bands": dedup.minhash_bands_sql("documents", "doc_id", "text"),
         "minhash_pairs": dedup.minhash_pairs_sql("documents", "doc_id", "text"),
         "jaccard_pairs": dedup.jaccard_pairs_sql(

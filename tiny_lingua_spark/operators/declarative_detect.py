@@ -1,0 +1,167 @@
+"""Declarative trigram language scoring — the detector's statistical
+core as pure Catalyst relational algebra.
+
+SURVEY.md §2.3 N3 notes the UDF's broadcast-dict probe is "a broadcast
+hash join in spirit". This module IS that join, literally:
+
+    cleaned text
+      → explode deduped letters-only trigrams          (codegen)
+      → cross join the 36-language axis                (broadcast)
+      → left join model trigrams, then prefix back-off
+        via bigram and unigram left joins + coalesce   (broadcast×3)
+      → groupBy(doc, lang) Σ ln(freq)                  (hash agg)
+      → negative-sum gate, ×0.85 logogram bonus,
+        confidence = best/score, rank window           (codegen)
+
+Semantics match the UDF engine's trigram-only path (low-accuracy mode /
+len ≥ 120 plan) for rows the rule engine does not decide — asserted by
+tests/test_declarative_detect.py against the Detector, and by the
+DuckDB oracle twin. It is slower than the UDF at scale (three joins +
+an explode per char vs one Arrow batch), which is exactly why the
+production path is the UDF; this operator is the cross-validation and
+the demonstration that the engine's math is relational.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .. import langmeta as lm
+
+LOGOGRAM_BONUS = 0.85
+LOGO_LANGS = tuple(lm.ISO_CODES[i] for i in lm.LOGOGRAM_LANG_IDXS)
+
+
+def trigrams_deduped(docs: DataFrame, id_col: str, cleaned_col: str) -> DataFrame:
+    """(id, gram): distinct letters-only trigram windows per doc."""
+    c = cleaned_col
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.expr(
+                    f"if(length({c}) >= 3,"
+                    f" transform(sequence(1, length({c}) - 2),"
+                    f" i -> substring({c}, i, 3)), array())"
+                )
+            ).alias("gram"),
+        )
+        .where(F.col("gram").rlike(r"^\p{L}+$"))
+        .distinct()
+    )
+
+
+def score_trigram_declarative(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    cleaned_col: str = "cleaned",
+) -> DataFrame:
+    """(id, lang, score, confidence, rank) per candidate language.
+
+    `model` is the ngram_freq table (lang, n, gram, freq). Back-off:
+    coalesce(trigram, leading-bigram, leading-unigram) per (gram, lang)
+    — first hit wins, exactly GramMatrixCache.gram_id's prefix loop.
+    """
+    grams = trigrams_deduped(docs, id_col, cleaned_col)
+    langs = model.select("lang").distinct()
+    tri = model.where("n = 3").select(
+        F.col("lang").alias("l3"), F.col("gram").alias("g3"),
+        F.col("freq").alias("f3"))
+    bi = model.where("n = 2").select(
+        F.col("lang").alias("l2"), F.col("gram").alias("g2"),
+        F.col("freq").alias("f2"))
+    uni = model.where("n = 1").select(
+        F.col("lang").alias("l1"), F.col("gram").alias("g1"),
+        F.col("freq").alias("f1"))
+
+    probed = (
+        grams.crossJoin(F.broadcast(langs))
+        .withColumn("p2", F.expr("substring(gram, 1, 2)"))
+        .withColumn("p1", F.expr("substring(gram, 1, 1)"))
+        .join(F.broadcast(tri), (F.col("gram") == F.col("g3"))
+              & (F.col("l3") == F.col("lang")), "left")
+        .join(F.broadcast(bi), (F.col("p2") == F.col("g2"))
+              & (F.col("l2") == F.col("lang")), "left")
+        .join(F.broadcast(uni), (F.col("p1") == F.col("g1"))
+              & (F.col("l1") == F.col("lang")), "left")
+        .select(
+            "id", "lang",
+            F.coalesce("f3", "f2", "f1").cast("double").alias("freq"),
+        )
+    )
+    scores = (
+        probed.where(F.col("freq").isNotNull())
+        .groupBy("id", "lang")
+        .agg(F.sum(F.log("freq")).alias("raw"))
+        # negative sums only; ×0.85 for logogram languages (per-length
+        # bonus — single length here)
+        .where(F.col("raw") < 0)
+        .withColumn(
+            "score",
+            F.when(F.col("lang").isin(*LOGO_LANGS),
+                   F.col("raw") * LOGOGRAM_BONUS).otherwise(F.col("raw")),
+        )
+    )
+    w_best = Window.partitionBy("id")
+    # declaration-order tie-break: rank by (confidence desc, enum order)
+    order_expr = F.array_position(
+        F.array(*[F.lit(c) for c in lm.ISO_CODES]), F.col("lang"))
+    w_rank = Window.partitionBy("id").orderBy(
+        F.col("confidence").desc(), order_expr)
+    return (
+        scores.withColumn("best", F.max("score").over(w_best))
+        .withColumn("confidence", F.col("best") / F.col("score"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .select(F.col("id").alias(id_col), "lang",
+                F.round("score", 6).alias("score"),
+                F.round("confidence", 6).alias("confidence"), "rank")
+    )
+
+
+def score_trigram_sql(docs_table: str, model_parquet: str,
+                      id_col: str = "doc_id",
+                      cleaned_expr: str = "cleaned") -> str:
+    """DuckDB twin (model read straight from the pretrained parquet)."""
+    iso_array = ", ".join(f"'{c}'" for c in lm.ISO_CODES)
+    logo = ", ".join(f"'{c}'" for c in LOGO_LANGS)
+    return f"""
+    WITH cleaned AS (
+        SELECT {id_col} AS id, {cleaned_expr} AS c FROM {docs_table}
+    ), grams AS (
+        SELECT DISTINCT id, substring(c, i, 3) AS gram
+        FROM cleaned, LATERAL unnest(range(1, greatest(length(c) - 1, 1))) AS u(i)
+        WHERE length(c) >= 3 AND regexp_matches(substring(c, i, 3), '^\\p{{L}}+$')
+    ), model AS (SELECT lang, n, gram, freq FROM '{model_parquet}'),
+    langs AS (SELECT DISTINCT lang FROM model),
+    probed AS (
+        SELECT g.id, l.lang,
+               coalesce(t3.freq, t2.freq, t1.freq)::DOUBLE AS freq
+        FROM grams g CROSS JOIN langs l
+        LEFT JOIN model t3 ON t3.n = 3 AND t3.gram = g.gram AND t3.lang = l.lang
+        LEFT JOIN model t2 ON t2.n = 2 AND t2.gram = substring(g.gram, 1, 2)
+                           AND t2.lang = l.lang
+        LEFT JOIN model t1 ON t1.n = 1 AND t1.gram = substring(g.gram, 1, 1)
+                           AND t1.lang = l.lang
+    ), scores AS (
+        SELECT id, lang, sum(ln(freq)) AS raw
+        FROM probed WHERE freq IS NOT NULL
+        GROUP BY id, lang HAVING sum(ln(freq)) < 0
+    ), adj AS (
+        SELECT id, lang,
+               CASE WHEN lang IN ({logo}) THEN raw * {LOGOGRAM_BONUS}
+                    ELSE raw END AS score
+        FROM scores
+    ), conf AS (
+        SELECT id, lang, score,
+               max(score) OVER (PARTITION BY id) / score AS confidence
+        FROM adj
+    )
+    SELECT id AS {id_col}, lang, round(score, 6) AS score,
+           round(confidence, 6) AS confidence,
+           row_number() OVER (
+               PARTITION BY id
+               ORDER BY confidence DESC, array_position([{iso_array}], lang)
+           )::BIGINT AS rank
+    FROM conf
+    """
