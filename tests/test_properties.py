@@ -155,6 +155,26 @@ def test_row_rules_matches_on_corpus():
             assert (fast_cand == slow_cand).all(), repr(t)
 
 
+@given(st.binary(max_size=200),
+       st.sampled_from(["pcm_s16le", "mulaw", "alaw", "pcm_f32le", "opus", ""]))
+@FAST
+def test_audio_features_never_crash(raw, codec):
+    """Arbitrary bytes through the decode-features path: either a clean
+    decode or decode_ok=False — never an exception (adversarial media
+    payloads are a given at corpus scale)."""
+    import pandas as pd
+
+    from tiny_lingua_spark.audio import _features_batch
+
+    out = _features_batch(pd.Series([raw]), pd.Series([codec]))
+    assert len(out) == 1
+    row = out.iloc[0]
+    if row.decode_ok:
+        assert row.n_samples >= 0 and np.isfinite(row.rms)
+    else:
+        assert row.n_samples == 0
+
+
 @given(st.text(max_size=100), st.integers(min_value=1, max_value=5))
 @FAST
 def test_ngram_extraction_windows(t, n):

@@ -18,6 +18,7 @@ PLAN_QUERIES = (
     "clean_project",
     "quality_buckets",
     "detect_doc_labels",
+    "detect_trigram_declarative",
     "fasttext_lang",
     "minhash_pairs",
     "knn_graph",
