@@ -48,6 +48,29 @@ def test_audio_gates(result):
     assert (result.rms > 0.005).all()
 
 
+def test_manifest_counters(spark, registry, tmp_path):
+    """Per-bucket manifests carry the observed counter set (lineage +
+    rows/kept/decode_failures/unknown_lang/scrubbed_rows)."""
+    import json as _json
+    import os as _os
+
+    from tiny_lingua_spark.data.clips import clips_dataframes
+    from tiny_lingua_spark.pipeline import run_resumable
+
+    clips, _ = clips_dataframes(spark, n=40)
+    out = str(tmp_path / "mrun")
+    stats = run_resumable(spark, clips, registry, out, n_buckets=4)
+    assert stats["rows"] == 40
+    mdir = _os.path.join(out, "_manifest")
+    manifests = [_json.load(open(_os.path.join(mdir, f)))
+                 for f in sorted(_os.listdir(mdir))]
+    assert len(manifests) == 4
+    for m in manifests:
+        assert {"rows", "kept", "decode_failures", "unknown_lang",
+                "scrubbed_rows", "lineage", "wall_sec"} <= set(m)
+    assert sum(m["rows"] for m in manifests) == 40
+
+
 def test_resumable_run(spark, registry, tmp_path):
     clips, _ = clips_dataframes(spark, n=120)
     out_dir = str(tmp_path / "out")

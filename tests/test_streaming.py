@@ -4,6 +4,8 @@ the applyInPandasWithState custom stateful operator."""
 
 import os
 
+import json
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -42,6 +44,14 @@ def test_stream_quality_filter_and_resume(spark, registry, clip_stream_dir, tmp_
         sm.read_clip_stream(spark, clip_stream_dir, max_files_per_trigger=1),
         registry, out, ckpt, available_now=True)
     q.awaitTermination(300)
+    # observed metrics surface in the streaming progress events
+    progress = q.recentProgress
+    observed = [
+        p["observedMetrics"]["quality_filter_metrics"]
+        for p in progress if p.get("observedMetrics")
+    ]
+    assert sum(m["rows"] for m in observed) == 80
+    assert all("kept" in m and "decode_failures" in m for m in observed)
     got = spark.read.parquet(out)
     assert got.count() == 80
     assert "keep" in got.columns and "ts" in got.columns

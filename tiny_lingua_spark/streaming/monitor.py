@@ -50,7 +50,11 @@ def stream_quality_filter(
 ):
     """Continuous quality filtering → parquet sink, exactly-once via the
     checkpointed file sink. Returns the StreamingQuery."""
-    filtered = quality_filter(clips_stream, registry, n_partitions=0)
+    from ..pipeline import with_observed_metrics
+
+    filtered = with_observed_metrics(
+        quality_filter(clips_stream, registry, n_partitions=0)
+    )
     writer = (
         filtered.writeStream.format("parquet")
         .option("path", out_dir)
