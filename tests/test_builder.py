@@ -83,3 +83,17 @@ def test_unload(spark, models_path):
     det.unload_language_models()
     # a fresh registry is required after unload; the object reports cleanly
     assert det._local is None and det._udf is None
+
+
+def test_api_parity_helpers():
+    from tiny_lingua_spark import langmeta as lm
+
+    assert lm.by_iso_code_639_1("DE").name == "GERMAN"
+    assert lm.by_iso_code_639_3("jpn").iso639_1 == "ja"
+    assert lm.iso_639_3_of("uk") == "ukr"
+    assert "zh" in lm.all_with_script("han") and "zh" not in lm.all_with_script("latin")
+    with pytest.raises(ValueError):
+        lm.by_iso_code_639_1("xx")
+    # increased-speed is a documented no-op (hash semantics always on)
+    b = LanguageDetectorBuilder.from_iso_codes("en", "fr")
+    assert b.with_increased_detection_speed() is b

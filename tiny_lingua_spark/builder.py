@@ -129,6 +129,14 @@ class LanguageDetectorBuilder:
         self._params = replace(self._params, low_accuracy=True)
         return self
 
+    def with_increased_detection_speed(self) -> "LanguageDetectorBuilder":
+        """Reference API parity (LanguageDetectorBuilder.kt:140-143): the
+        Spark engine ALWAYS uses the hash-map lookup semantics the
+        reference calls increased-speed mode (accuracy-neutral,
+        UniBiTrigramLookup.kt:195-203), so this is a no-op kept for
+        drop-in compatibility."""
+        return self
+
     def with_preloaded_language_models(self) -> "LanguageDetectorBuilder":
         self._preload = True
         return self

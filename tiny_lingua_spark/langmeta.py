@@ -278,6 +278,48 @@ LANG_SCRIPT_IDS: tuple[frozenset[int], ...] = tuple(
 )
 
 
+# ---- Language lookup utilities (Language.kt companion parity) ----
+
+_ISO3: dict[str, str] = {
+    "ar": "ara", "hy": "hye", "bn": "ben", "zh": "zho", "cs": "ces",
+    "da": "dan", "nl": "nld", "en": "eng", "fi": "fin", "fr": "fra",
+    "ka": "kat", "de": "deu", "el": "ell", "gu": "guj", "he": "heb",
+    "hi": "hin", "hu": "hun", "it": "ita", "ja": "jpn", "kn": "kan",
+    "ko": "kor", "ml": "mal", "mr": "mar", "pl": "pol", "pt": "por",
+    "pa": "pan", "ro": "ron", "ru": "rus", "es": "spa", "sv": "swe",
+    "ta": "tam", "te": "tel", "th": "tha", "tr": "tur", "uk": "ukr",
+    "vi": "vie",
+}
+
+
+def by_iso_code_639_1(code: str) -> LangSpec:
+    """getByIsoCode639_1 analog (Language.kt companion)."""
+    i = LANG_INDEX.get(code.lower())
+    if i is None:
+        raise ValueError(f"no language for iso 639-1 code {code!r}")
+    return LANGUAGES[i]
+
+
+def by_iso_code_639_3(code: str) -> LangSpec:
+    for two, three in _ISO3.items():
+        if three == code.lower():
+            return LANGUAGES[LANG_INDEX[two]]
+    raise ValueError(f"no language for iso 639-3 code {code!r}")
+
+
+def iso_639_3_of(code_639_1: str) -> str:
+    return _ISO3[code_639_1]
+
+
+def all_with_script(script: str) -> tuple[str, ...]:
+    """allWithXScript analog (Language.kt:326-348)."""
+    sid = SCRIPT_ID[script.upper()]
+    return tuple(
+        l.iso639_1 for l in LANGUAGES
+        if sid in {SCRIPT_ID[s] for s in l.scripts}
+    )
+
+
 def script_ids_of(text: str) -> np.ndarray:
     """Vectorized script-id per char of ``text`` (0 = other)."""
     cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
