@@ -1,0 +1,70 @@
+"""Interactive detection REPL — the reference's console app analog
+(App.kt:27-166): type text, get the detected language + confidence list;
+`:multi` switches to multi-language section mode, `:quit` exits.
+
+    python jobs/repl.py [--languages en,de,fr] [--low-accuracy]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--languages", help="comma-separated iso 639-1 subset")
+    ap.add_argument("--low-accuracy", action="store_true")
+    ap.add_argument("--models", help="ngram_freq parquet (default: pretrained)")
+    args = ap.parse_args()
+
+    from tiny_lingua_spark import corpus, pretrained
+    from tiny_lingua_spark.builder import LanguageDetectorBuilder
+    from tiny_lingua_spark.session import get_spark
+
+    models = args.models or pretrained.ngram_models_path(corpus.CORPUS_VERSION)
+    if models is None:
+        raise SystemExit("no pretrained models; run tools/train_models.py")
+    spark = get_spark("lingua-repl", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.languages:
+        builder = LanguageDetectorBuilder.from_iso_codes(
+            *args.languages.split(","))
+    else:
+        builder = LanguageDetectorBuilder.from_all_languages()
+    if args.low_accuracy:
+        builder = builder.with_low_accuracy_mode()
+    det = builder.build(spark, models)
+
+    print("This is a PySpark rebuild of tiny-lingua.")
+    print("Type some text, ':multi' for section mode, ':quit' to exit.")
+    multi = False
+    for line in sys.stdin:
+        text = line.rstrip("\n")
+        if text == ":quit":
+            break
+        if text == ":multi":
+            multi = not multi
+            print(f"multi-language mode: {'on' if multi else 'off'}")
+            continue
+        if not text.strip():
+            continue
+        if multi:
+            for s in det.detect_multi_language_of(text):
+                print(f"  [{s['start']}:{s['end']}] {s['lang']}: {s['text']!r}")
+        else:
+            confs = det.compute_language_confidence_values(text)
+            top = ", ".join(
+                f"{l} ({c * 100:.2f}%)" for l, c in list(confs.items())[:5])
+            print(f"  {det.detect_language_of(text)}  [{top}]")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
