@@ -67,11 +67,13 @@ def _fasttext(spark: SparkSession):
 
         wp = os.path.join(FASTTEXT_DIR, "weights.parquet")
         pp = os.path.join(FASTTEXT_DIR, "priors.parquet")
-        if not os.path.exists(os.path.join(wp, "_SUCCESS")):
+        wwp = os.path.join(FASTTEXT_DIR, "weights_wide.parquet")
+        if not os.path.exists(os.path.join(wwp, "_SUCCESS")):
             rows = corpus_mod.training_corpus(n_sentences=300)
             df = spark.createDataFrame(rows, "lang string, text string")
             train_and_write_fasttext(spark, df, FASTTEXT_DIR)
-        _FT = (spark.read.parquet(wp), spark.read.parquet(pp), wp, pp)
+        _FT = (spark.read.parquet(wp), spark.read.parquet(pp), wp, pp,
+               spark.read.parquet(wwp), wwp)
     return _FT
 
 
@@ -326,10 +328,12 @@ def _q_events_sessions(spark, sf_dir):
 
 
 def _q_fasttext_lang(spark, sf_dir):
-    from tiny_lingua_spark.models.fasttext import score_fasttext
+    """Wide (bucket → lang-vector) scoring path: 1:1 broadcast join, no
+    per-(bucket, lang) row fan-out into the contrib shuffle."""
+    from tiny_lingua_spark.models.fasttext import score_fasttext_wide
 
-    weights, priors, _wp, _pp = _fasttext(spark)
-    return score_fasttext(_docs(spark, sf_dir), weights, priors)
+    _w, priors, _wp, _pp, wide, _wwp = _fasttext(spark)
+    return score_fasttext_wide(_docs(spark, sf_dir), wide, priors)
 
 
 def _q_perplexity(spark, sf_dir):
@@ -504,9 +508,11 @@ def oracle_sql() -> dict[str, str]:
 
     qm = quality_metrics_sql("text")
     qscore = quality_score_sql()
-    ft_sql = score_fasttext_sql(
+    from tiny_lingua_spark.models.fasttext import score_fasttext_wide_sql
+
+    ft_sql = score_fasttext_wide_sql(
         "documents",
-        os.path.join(FASTTEXT_DIR, "weights.parquet", "*.parquet"),
+        os.path.join(FASTTEXT_DIR, "weights_wide.parquet", "*.parquet"),
         os.path.join(FASTTEXT_DIR, "priors.parquet", "*.parquet"),
     )
     qm_cols = ", ".join(

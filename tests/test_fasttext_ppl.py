@@ -90,3 +90,19 @@ def test_pipeline_with_ft_model(spark, registry, ft_model):
     kept = out[out.keep]
     # on kept clips the two independent language opinions mostly agree
     assert (kept.lang_agree.fillna(False)).mean() >= 0.7
+
+
+def test_wide_scorer_equals_narrow(spark, ft_model):
+    from tiny_lingua_spark.models.fasttext import (
+        score_fasttext, score_fasttext_wide, widen_weights)
+
+    weights, priors = ft_model
+    rows = [(i, corpus.sentences(l, 1, split=f"wide:{i}")[0])
+            for i, l in enumerate(("en", "de", "zh", "ja", "fi", "vi"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    narrow = score_fasttext(df, weights, priors).toPandas().set_index("doc_id")
+    wide = score_fasttext_wide(df, widen_weights(weights), priors) \
+        .toPandas().set_index("doc_id")
+    for i in narrow.index:
+        assert narrow.loc[i, "ft_lang"] == wide.loc[i, "ft_lang"]
+        assert abs(narrow.loc[i, "ft_score"] - wide.loc[i, "ft_score"]) < 1e-5

@@ -59,7 +59,7 @@ def test_fasttext_scoring_broadcasts_models(spark):
     import __spark_entry__ as e
     from tiny_lingua_spark.models.fasttext import score_fasttext
 
-    weights, priors, _, _ = e._fasttext(spark)
+    weights, priors = e._fasttext(spark)[:2]
     docs = spark.read.parquet(DOCS)
     plan = plan_of(score_fasttext(docs, weights, priors))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -224,6 +224,136 @@ def score_fasttext_sql(
     """
 
 
+def widen_weights(weights: DataFrame) -> DataFrame:
+    """(bucket, lang, w) → (bucket, ws array<double> ordered by the
+    canonical language axis; 0.0 where unobserved — `w` already carries
+    the −ln(default) correction, so 0 means exactly default).
+
+    One wide row per bucket turns the score join from a per-(bucket,
+    lang) fan-out (up to |langs|× row explosion into the contrib
+    shuffle) into a 1:1 join + per-language column sums."""
+    from .. import langmeta as lm
+
+    m = weights.groupBy("bucket").agg(
+        F.map_from_arrays(
+            F.collect_list("lang"), F.collect_list("w")
+        ).alias("m")
+    )
+    return m.select(
+        "bucket",
+        F.array(*[
+            F.coalesce(F.col("m")[F.lit(c)], F.lit(0.0)) for c in lm.ISO_CODES
+        ]).alias("ws"),
+    )
+
+
+def score_fasttext_wide(
+    docs: DataFrame,
+    weights_wide: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Same result as score_fasttext, via the widened weights: explode →
+    1:1 broadcast join → per-doc 36 column sums → unpivot → argmax.
+    The contrib shuffle carries one row per doc instead of one per
+    (doc, matched-lang)."""
+    from .. import langmeta as lm
+
+    n_langs = len(lm.ISO_CODES)
+    feats = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(_features_expr(text_col))).alias("feature"),
+    ).select("id", bucket_col("feature", n_buckets).alias("bucket"))
+    nf = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.expr(_features_expr(text_col))).cast("long").alias("n_feats"),
+    )
+    sums = (
+        feats.join(F.broadcast(weights_wide), "bucket")
+        .groupBy("id")
+        .agg(*[
+            F.sum(F.col("ws")[i]).alias(f"s{i}") for i in range(n_langs)
+        ])
+        .select(
+            "id",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(c) for c in lm.ISO_CODES]).alias("lang"),
+                    F.array(*[F.col(f"s{i}") for i in range(n_langs)]).alias("sum_w"),
+                )
+            ).alias("z"),
+        )
+        .select("id", F.col("z.lang").alias("lang"), F.col("z.sum_w").alias("sum_w"))
+    )
+    scored = (
+        nf.crossJoin(F.broadcast(priors).select("lang", "b", "default_w"))
+        .join(sums, ["id", "lang"], "left")
+        .select(
+            "id", "lang",
+            (
+                F.col("b")
+                + F.col("n_feats") * F.col("default_w")
+                + F.coalesce(F.col("sum_w"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("lang").alias("ft_lang"),
+            F.round(F.col("score"), 6).alias("ft_score"),
+        )
+    )
+
+
+def score_fasttext_wide_sql(
+    table: str,
+    weights_wide_parquet: str,
+    priors_parquet: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB twin of score_fasttext_wide (reads the same wide parquet)."""
+    from .. import langmeta as lm
+
+    n = len(lm.ISO_CODES)
+    iso_array = ", ".join(f"'{c}'" for c in lm.ISO_CODES)
+    sum_cols = ", ".join(f"sum(ws[{i + 1}]) AS s{i}" for i in range(n))
+    sum_list = ", ".join(f"s{i}" for i in range(n))
+    return f"""
+    WITH feats AS (
+        SELECT {id_col} AS id, {bucket_sql('f.feature', n_buckets)} AS bucket
+        FROM {table}, LATERAL unnest({_features_sql(text_col)}) AS f(feature)
+    ), nf AS (
+        SELECT {id_col} AS id, len({_features_sql(text_col)})::BIGINT AS n_feats
+        FROM {table}
+    ), persum AS (
+        SELECT f.id, {sum_cols}
+        FROM feats f JOIN '{weights_wide_parquet}' w USING (bucket)
+        GROUP BY f.id
+    ), sums AS (
+        SELECT id, t.pair[1] AS lang, t.pair[2]::DOUBLE AS sum_w FROM persum,
+        LATERAL unnest(
+            list_zip([{iso_array}], [{sum_list}])
+        ) AS t(pair)
+    ), scored AS (
+        SELECT nf.id, p.lang,
+               p.b + nf.n_feats * p.default_w + coalesce(s.sum_w, 0.0) AS score
+        FROM nf CROSS JOIN '{priors_parquet}' p
+        LEFT JOIN sums s ON s.id = nf.id AND s.lang = p.lang
+    )
+    SELECT id AS {id_col}, lang AS ft_lang, round(score, 6) AS ft_score
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY id ORDER BY score DESC, lang) = 1
+    """
+
+
 def train_and_write_fasttext(
     spark: SparkSession, corpus_df: DataFrame, out_dir: str,
     n_buckets: int = N_BUCKETS,
@@ -233,6 +363,9 @@ def train_and_write_fasttext(
     weights, priors = train_fasttext(corpus_df, n_buckets)
     wp = os.path.join(out_dir, "weights.parquet")
     pp = os.path.join(out_dir, "priors.parquet")
+    wwp = os.path.join(out_dir, "weights_wide.parquet")
     weights.coalesce(1).write.mode("overwrite").parquet(wp)
     priors.coalesce(1).write.mode("overwrite").parquet(pp)
+    widen_weights(spark.read.parquet(wp)).coalesce(1).write.mode(
+        "overwrite").parquet(wwp)
     return wp, pp
