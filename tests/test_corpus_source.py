@@ -71,3 +71,22 @@ def test_predicate_and_projection_compose(registered, corpus_dir):
     )
     got = {r["lang"]: r["n"] for r in df.collect()}
     assert got == {"en": 20, "de": 20, "zh": 20}
+
+
+def test_overwrite_replaces_existing_files(registered, tmp_path):
+    """mode('overwrite') onto an existing corpus dir must replace the
+    per-language files, not append duplicates (writer honors the
+    overwrite flag; commit is write-then-rename)."""
+    out = str(tmp_path / "corpus_ow")
+    rows1 = [("en", "sentences", "first run line")]
+    df1 = registered.createDataFrame(rows1, "lang string, category string, text string")
+    df1.coalesce(1).write.format("lingua_corpus").mode("append").save(out)
+    df1.coalesce(1).write.format("lingua_corpus").mode("append").save(out)
+    back = registered.read.format("lingua_corpus").load(out).toPandas()
+    assert len(back) == 2  # append really appends
+
+    rows2 = [("en", "sentences", "replacement line")]
+    df2 = registered.createDataFrame(rows2, "lang string, category string, text string")
+    df2.coalesce(1).write.format("lingua_corpus").mode("overwrite").save(out)
+    back2 = registered.read.format("lingua_corpus").load(out).toPandas()
+    assert list(back2.text) == ["replacement line"]

@@ -88,3 +88,55 @@ def test_empty_and_no_letter_rows(spark, registry):
         .toPandas()
     )
     assert (out.lang == lm.UNKNOWN).all()
+
+
+# ---- subset-detector rule semantics (LanguageDetector.kt:84-88, 384-427) ----
+
+
+def test_subset_latin_no_rule_shortcut():
+    """With a subset like {en, ru}, LATIN must NOT map to en in the rule
+    engine: scriptsSupportingExactlyOneLanguage is computed over the FULL
+    repertoire and only then filtered (LanguageDetector.kt:84-88), so
+    pure-Latin text yields no per-char credits — rules return unknown and
+    the script filter narrows candidates instead."""
+    from tiny_lingua_spark.operators.detect import RuleContext, row_rules
+
+    ctx = RuleContext((lm.LANG_INDEX["en"], lm.LANG_INDEX["ru"]))
+    rule_lang, cand = row_rules("hello worlde", ctx)
+    assert rule_lang == -1
+    import numpy as np
+
+    assert set(np.flatnonzero(cand)) == {lm.LANG_INDEX["en"]}
+
+
+def test_subset_han_credits_chinese_only():
+    """HAN always credits CHINESE (LanguageDetector.kt:385); when zh is
+    not configured the credit fails the `language in languages` check and
+    the word counts as unknown — it is never re-credited to Japanese."""
+    from tiny_lingua_spark.operators.detect import (
+        RuleContext, detect_with_rules, row_rules, split_words_with_sids,
+    )
+
+    han_text = "世界文字"  # pure kanji/han
+    ctx = RuleContext((lm.LANG_INDEX["ja"], lm.LANG_INDEX["en"]))
+    rule_lang, _cand = row_rules(han_text, ctx)
+    assert rule_lang == -1
+    words, sids = split_words_with_sids(han_text)
+    assert detect_with_rules(words, sids, ctx) == -1
+
+    # with zh configured, HAN rule-credits Chinese
+    ctx_zh = RuleContext((lm.LANG_INDEX["zh"], lm.LANG_INDEX["en"]))
+    rule_lang_zh, _ = row_rules(han_text, ctx_zh)
+    assert rule_lang_zh == lm.LANG_INDEX["zh"]
+
+
+def test_subset_hiragana_credits_japanese():
+    """Hiragana/Katakana credit JAPANESE even in subsets; pure-kana text
+    rule-detects as ja when ja is configured, unknown otherwise."""
+    from tiny_lingua_spark.operators.detect import RuleContext, row_rules
+
+    kana = "ありがとう"
+    ctx = RuleContext((lm.LANG_INDEX["ja"], lm.LANG_INDEX["en"]))
+    assert row_rules(kana, ctx)[0] == lm.LANG_INDEX["ja"]
+    ctx_no_ja = RuleContext((lm.LANG_INDEX["zh"], lm.LANG_INDEX["en"]))
+    assert row_rules(kana, ctx_no_ja)[0] == -1

@@ -103,7 +103,11 @@ def encode(pcm_f32: np.ndarray, codec: str) -> bytes:
 def decode(data: bytes, codec: str) -> np.ndarray:
     """encoded bytes → float32 [-1,1]."""
     if codec == "pcm_f32le":
-        return np.frombuffer(data, dtype="<f4").astype(np.float32)
+        pcm = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        # corrupt float payloads can carry NaN/±Inf bit patterns; treat
+        # NaN as silence and ±Inf as full-scale clipping so downstream
+        # features (rms/peak/clipped_ratio) stay finite
+        return np.nan_to_num(pcm, nan=0.0, posinf=1.0, neginf=-1.0)
     if codec == "pcm_s16le":
         return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     raw = np.frombuffer(data, dtype=np.uint8)

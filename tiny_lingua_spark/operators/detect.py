@@ -80,22 +80,25 @@ class RuleContext:
         self.allowed = np.zeros(lm.N_LANGS, dtype=bool)
         self.allowed[list(idxs)] = True
 
-        alpha_one = lm.alphabets_supporting_exactly_one_language(idxs)
+        # scriptsSupportingExactlyOneLanguage is computed over the FULL
+        # language repertoire (Language.kt:295-312), then filtered to
+        # entries whose language is in the configured subset
+        # (LanguageDetector.kt:84-88 filterValues { it in languages }) —
+        # a script NOT uniquely mapped over the full repertoire (LATIN,
+        # CYRILLIC, ARABIC, DEVANAGARI, ...) never maps, no matter how
+        # small the subset.
+        alpha_full = lm.alphabets_supporting_exactly_one_language(None)
         sid_rule = np.full(len(lm.SCRIPTS), -1, dtype=np.int64)
-        for sid, li in alpha_one.items():
-            sid_rule[sid] = li
-        # HAN (shared by zh/ja): zh wins when configured, else ja
-        # (LanguageDetector.kt:377-383); zh+ja both present is resolved
-        # later by the JAPANESE tiebreak (:447-451)
-        han_users = [li for li in (_ZH, _JA) if li in idxs]
-        if _ZH in han_users:
-            sid_rule[_HAN] = _ZH
-        elif _JA in han_users:
-            sid_rule[_HAN] = _JA
-        if _JA in idxs:
-            for sid in lm.JAPANESE_SCRIPT_IDS:
-                if sid_rule[sid] < 0:
-                    sid_rule[sid] = _JA
+        for sid, li in alpha_full.items():
+            if self.allowed[li]:
+                sid_rule[sid] = li
+        # HAN always credits CHINESE and Hiragana/Katakana always credit
+        # JAPANESE (LanguageDetector.kt:384-387) even when not configured;
+        # the `language in languages` check at the word-credit stage
+        # (:410-417) turns such credits into unknown.
+        sid_rule[_HAN] = _ZH
+        for sid in (lm.SCRIPT_ID["HIRAGANA"], lm.SCRIPT_ID["KATAKANA"]):
+            sid_rule[sid] = _JA
         self.sid_rule_lang = sid_rule
 
         self.unique_chars = lm.unique_chars_map(idxs)
@@ -208,16 +211,21 @@ def detect_with_rules(words: list[str], word_sids: list[np.ndarray],
         if counts is None or not counts.any():
             unknown_total += word_value
         else:
+            # a credited language outside the configured subset counts as
+            # unknown — `language in languages` (LanguageDetector.kt:410-427)
             nz = np.flatnonzero(counts)
             if len(nz) == 1:
                 lang = int(nz[0])
-                if _is_logogram_word(word, sids):
-                    word_value = LOGOGRAM_WORD_VALUE
-                totals[lang] += word_value
+                if ctx.allowed[lang]:
+                    if _is_logogram_word(word, sids):
+                        word_value = LOGOGRAM_WORD_VALUE
+                    totals[lang] += word_value
+                else:
+                    unknown_total += word_value
             else:
                 order = nz[np.argsort(counts[nz], kind="stable")]
                 top_lang, second = int(order[-1]), int(order[-2])
-                if counts[top_lang] > counts[second]:
+                if counts[top_lang] > counts[second] and ctx.allowed[top_lang]:
                     totals[top_lang] += word_value
                 else:
                     unknown_total += word_value
@@ -361,11 +369,17 @@ def row_rules(raw: str, ctx: RuleContext = DEFAULT_RULES) -> tuple[int, np.ndarr
             cmax = counts.max()
             if (counts == cmax).sum() == 1:
                 word_lang[w] = int(np.argmax(counts))
+    # a credited language outside the configured subset becomes unknown
+    # (`language in languages`, LanguageDetector.kt:410-427); the
+    # logogram word-value discount applies only to in-subset singles
+    ok = word_lang >= 0
+    ok[ok] = ctx.allowed[word_lang[ok]]
+    word_lang = np.where(ok, word_lang, np.int16(-1))
     # ALL floating accumulation happens in word order, one add per word
     # (np.add.at is sequential): np.sum/bincount-then-append orderings
     # differ by ulps and can flip the 0.4·adjusted unknown gate or a
     # ratio tie-break — caught by deep fuzzing against the per-word path
-    per_word = np.where(single, word_val, FULL_WORD_VALUE)
+    per_word = np.where(single & ok, word_val, FULL_WORD_VALUE)
     contrib = word_lang >= 0
     totals = np.zeros(lm.N_LANGS, dtype=np.float64)
     np.add.at(totals, word_lang[contrib], per_word[contrib])
@@ -477,6 +491,17 @@ class GramMatrixCache:
         hits[: self.n] = self.uni_hits[: self.n]
         self.logs, self.uni_hits = logs, hits
 
+    def maybe_reset(self) -> None:
+        """Bound memory on unbounded-vocabulary (adversarial) inputs.
+
+        Called ONLY between batches: a mid-batch reset would recycle
+        matrix rows already referenced by gram ids handed out for the
+        current batch, silently scoring those rows with wrong
+        log-frequencies."""
+        if self.n >= self.max_grams:
+            self.index.clear()
+            self.n = 0
+
     def gram_id(self, gram: str) -> int:
         gid = self.index.get(gram)
         if gid is not None:
@@ -496,10 +521,6 @@ class GramMatrixCache:
                 if (found > 0).all():
                     break
             g = g[:-1]
-        if self.n >= self.max_grams:
-            # unbounded-vocabulary inputs (adversarial): reset the cache
-            self.index.clear()
-            self.n = 0
         if self.n >= self.logs.shape[0]:
             self._grow()
         gid = self.n
@@ -604,6 +625,7 @@ class Detector:
         self, raw_arr, cleaned_arr
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Vectorized computeLanguageConfidenceValues over a batch."""
+        self.cache.maybe_reset()
         results: list[tuple[np.ndarray, np.ndarray] | None] = []
         stat_rows: list[tuple[int, np.ndarray]] = []
         keys_l: list[np.ndarray] = []

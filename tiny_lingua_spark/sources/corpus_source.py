@@ -79,8 +79,9 @@ class LinguaCorpusWriter(DataSourceWriter):
     directory layout. Each task writes private part files; commit renames
     them into place (atomic-rename discipline per file)."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
         self.root = options.get("path")
+        self.overwrite = overwrite
         if not self.root:
             raise ValueError("lingua_corpus requires a path")
 
@@ -106,15 +107,29 @@ class LinguaCorpusWriter(DataSourceWriter):
         return _Commit(files)
 
     def commit(self, messages):
+        # Group task part-files by final target, then write each target in
+        # ONE pass: mode("overwrite") replaces the existing {lang}.txt
+        # (truncate) instead of appending, and a retried commit rewrites
+        # the same content instead of duplicating it.
+        by_final: dict[str, list[str]] = {}
         for msg in messages:
             for part in msg.files:
                 d, base = os.path.split(part)
                 lang = base[1:].split(".", 1)[0]
-                final = os.path.join(d, f"{lang}.txt")
-                with open(final, "a", encoding="utf-8") as out, open(
-                    part, encoding="utf-8"
-                ) as src:
-                    out.write(src.read())
+                by_final.setdefault(os.path.join(d, f"{lang}.txt"), []).append(part)
+        for final, parts in by_final.items():
+            tmp = final + ".tmp"
+            mode = "w" if self.overwrite else "a"
+            if not self.overwrite and os.path.exists(final):
+                import shutil
+
+                shutil.copyfile(final, tmp)
+            with open(tmp, mode, encoding="utf-8") as out:
+                for part in sorted(parts):
+                    with open(part, encoding="utf-8") as src:
+                        out.write(src.read())
+            os.replace(tmp, final)
+            for part in parts:
                 os.remove(part)
 
     def abort(self, messages):
@@ -136,4 +151,4 @@ class LinguaCorpusDataSource(DataSource):
         return LinguaCorpusReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> LinguaCorpusWriter:
-        return LinguaCorpusWriter(self.options)
+        return LinguaCorpusWriter(self.options, overwrite)
