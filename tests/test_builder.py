@@ -38,8 +38,10 @@ def test_subset_never_predicts_outside(spark, models_path):
 
 
 def test_subset_changes_rule_shortcuts(spark, models_path):
-    """With zh excluded, HAN credits ja (the only configured Han user) —
-    the per-subset alphabet-map semantics of the reference."""
+    """HAN always rule-credits Chinese (LanguageDetector.kt:385). With zh
+    excluded the credit is discarded (`language in languages`), rules
+    return unknown, and the SCRIPT FILTER then leaves ja as the only
+    configured Han user — one-candidate shortcut (:237-242)."""
     det = LanguageDetectorBuilder.from_iso_codes("ja", "en").build(
         spark, models_path)
     assert det.detect_language_of("这是汉字") == "ja"

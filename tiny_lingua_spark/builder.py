@@ -102,13 +102,34 @@ class LanguageDetectorBuilder:
         return cls(codes)
 
     @classmethod
+    def from_all_spoken_languages(cls) -> "LanguageDetectorBuilder":
+        """fromAllSpokenLanguages (LanguageDetectorBuilder.kt:181) —
+        every language except Latin (Language.kt:324)."""
+        return cls(lm.SPOKEN_ISO_CODES)
+
+    @classmethod
     def from_all_languages_with_latin_script(cls) -> "LanguageDetectorBuilder":
-        latin = lm.SCRIPT_ID["LATIN"]
-        codes = tuple(
-            l.iso639_1 for l in lm.LANGUAGES
-            if latin in {lm.SCRIPT_ID[s] for s in l.scripts}
-        )
-        return cls(codes)
+        return cls(lm.all_with_script("LATIN"))
+
+    @classmethod
+    def from_all_languages_with_arabic_script(cls) -> "LanguageDetectorBuilder":
+        """fromAllLanguagesWithArabicScript (LanguageDetectorBuilder.kt:188)."""
+        return cls(lm.all_with_script("ARABIC"))
+
+    @classmethod
+    def from_all_languages_with_cyrillic_script(cls) -> "LanguageDetectorBuilder":
+        """fromAllLanguagesWithCyrillicScript (LanguageDetectorBuilder.kt:195)."""
+        return cls(lm.all_with_script("CYRILLIC"))
+
+    @classmethod
+    def from_all_languages_with_devanagari_script(cls) -> "LanguageDetectorBuilder":
+        """fromAllLanguagesWithDevanagariScript (LanguageDetectorBuilder.kt:202)."""
+        return cls(lm.all_with_script("DEVANAGARI"))
+
+    @classmethod
+    def from_iso_codes_639_3(cls, *codes: str) -> "LanguageDetectorBuilder":
+        """fromIsoCodes639_3 (LanguageDetectorBuilder.kt:267)."""
+        return cls(tuple(lm.by_iso_code_639_3(c).iso639_1 for c in codes))
 
     @classmethod
     def from_all_languages_without(cls, *codes: str) -> "LanguageDetectorBuilder":

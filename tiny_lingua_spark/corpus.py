@@ -216,7 +216,9 @@ WORDS: dict[str, list[str]] = {
     verden liv tid dag hånd arbejde sted vej slut viden kraft vilje ord øje
     hus vand jord himmel hav bjerg flod blomst fugl vind måne stjerne drøm
     hjerte god dårlig stor lille ny gammel sprog bog skole træ regn ild gade
-    mor far ven by barn kærlighed altid aldrig"""
+    mor far ven by barn kærlighed altid aldrig måske hvornår sådan mellem
+    øjeblik spørgsmål løsning bevægelse sygehus anderledes følelse erfaring
+    uge mandag tirsdag onsdag torsdag fredag lørdag søndag"""
         .split(),
     "hu": """a az és hogy nem is egy van de mi ez volt ha már csak meg el még
     ki be fel le mint úgy nagyon itt ott most majd aztán ember világ élet
@@ -264,6 +266,372 @@ WORDS: dict[str, list[str]] = {
     पुस्तक शाळा झाड पाऊस आग रस्ता आई वडील मित्र शहर मूल प्रेम मन विचार
     मराठी खूप थोडे येथे तेथे असे तसे जसे"""
         .split(),
+    # ---- the remaining reference languages (Language.kt:186-273) ----
+    "af": """die het en van ek nie is was vir wat hy sy ons julle hulle my jou
+    dit daar hier nou altyd nooit mens wêreld lewe tyd dag hand werk plek pad
+    einde kennis krag wil woord oog huis water land lug see berg rivier blom
+    voël wind maan ster droom hart goed sleg groot klein nuwe ou taal boek
+    skool boom reën vuur straat moeder vader vriend stad kind liefde verstand
+    gedagte môre gister vandag baie net alles saam weer onder deur teen oor"""
+        .split(),
+    "sq": """dhe është nuk që kjo ajo unë ti ne ju ata çfarë kush ku kur pse
+    tani sot nesër dje gjithmonë njeri botë jetë kohë ditë dorë punë vend
+    rrugë fund dije fuqi vullnet fjalë sy shtëpi ujë tokë qiell det mal lumë
+    lule zog erë hënë yll ëndërr zemër mirë keq madh vogël i ri vjetër gjuhë
+    libër shkollë pemë shi zjarr nënë baba mik qytet fëmijë dashuri mendje
+    mendim shqip shumë vetëm edhe akoma kurrë gjithashtu pastaj para pas"""
+        .split(),
+    "az": """və bu o mən sən biz siz onlar nə kim harada niyə indi bugün sabah
+    dünən həmişə insan dünya həyat vaxt gün əl iş yer yol son bilik güc iradə
+    söz göz ev su torpaq göy dəniz dağ çay gül quş külək ay ulduz yuxu ürək
+    yaxşı pis böyük kiçik yeni köhnə dil kitab məktəb ağac yağış od küçə ana
+    ata dost şəhər uşaq sevgi ağıl fikir azərbaycan çox yalnız artıq hələ
+    heç həmçinin sonra əvvəl altında üstündə üçün ilə olmaq etmək gəlmək"""
+        .split(),
+    "eu": """eta da ez hau hori ni zu gu zuek haiek zer nor non noiz zergatik
+    orain gaur bihar atzo beti gizon mundua bizitza denbora eguna eskua lana
+    lekua bidea amaiera jakintza indarra nahia hitza begia etxea ura lurra
+    zerua itsasoa mendia ibaia lorea txoria haizea ilargia izarra ametsa
+    bihotza ona txarra handia txikia berria zaharra hizkuntza liburua eskola
+    zuhaitza euria sua kalea ama aita laguna hiria haurra maitasuna burua
+    pentsamendua euskara oso bakarrik ere oraindik inoiz gero aurretik"""
+        .split(),
+    "be": """і ў не на я быць ён з што а па гэта яна гэты да але яны мы як у
+    які то за свой увесь год ад так пра для ты ж усе той магчы вы чалавек
+    такі яго сказаць толькі або яшчэ б сябе адзін ужо час калі сам іншы вось
+    гаварыць наш мой ведаць стаць пры каб справа жыццё хто першы вельмі два
+    дзень яе новы рука нават дзе там пад свет дом вада зямля неба мора гара
+    рака кветка птушка вецер месяц зорка мара сэрца добры дрэнны вялікі малы
+    мова кніга школа дрэва дождж агонь вуліца маці бацька сябар горад дзіця"""
+        .split(),
+    "nb": """og i jeg det at en et den til er som på de med han av ikke der så
+    var meg seg men har om vi min hadde hun nå over da ved fra du ut sin dem
+    oss opp man kan hans hvor eller hva skal selv her alle vil bli ble kunne
+    inn når være kom noen noe ville dere deres kun ja etter ned skulle denne
+    deg si sine sitt mot å mye hvorfor dette disse uten hvordan ingen din
+    blir samme verden liv tid dag hånd arbeid sted vei slutt kunnskap kraft
+    vilje ord øye hus vann jord himmel hav fjell elv blomst fugl vind måne
+    stjerne drøm hjerte språk bok skole tre regn ild gate mor far venn by
+    annerledes følelse erfaring tydelig virkelig spørsmål øyeblikk formål
+    sykehus mulig umulig kjærlighet sannhet løsning bevegelse flere gjøre
+    høre kjøre noen ganger sammen mellom først dere kanskje"""
+        .split(),
+    "bs": """i u je da se na za sam s a o ali mi nije to što ovo ona oni vi ja
+    ti on kako kada gdje zašto sada danas sutra jučer uvijek čovjek svijet
+    život vrijeme dan ruka posao mjesto put kraj znanje snaga volja riječ oko
+    kuća voda zemlja nebo more planina rijeka cvijet ptica vjetar mjesec
+    zvijezda san srce dobro loše veliko malo novo staro jezik knjiga škola
+    drvo kiša vatra ulica majka otac prijatelj grad dijete ljubav um misao
+    sedmica voz avion muzika hljeb supa historija ostrvo biblioteka pozorište
+    univerzitet hiljada kahva bašta čaršija bosanski također veoma insan
+    komšija sahat merak sevdah ćuprija avlija pendžer jastuk ćilim zanat
+    hefta dućan kafana mahala musafir halva ćošak amidža daidža tetak"""
+        .split(),
+    "bg": """и в не на аз съм той с що а по това тя този до но те ние как от у
+    който то за свой цял година така за ти же всички онзи мога вие човек
+    такъв негов кажа само или още себе си един вече време ако сам кога друг
+    ето говоря наш мой зная стана при дело живот кой пръв много два ден неин
+    нов ръка дори къде там под свят дом вода земя небе море планина река
+    цвете птица вятър луна звезда мечта сърце добър лош голям малък нов стар
+    език книга училище дърво дъжд огън улица майка баща приятел град дете
+    любов ум мисъл български също така винаги никога днес утре вчера сега"""
+        .split(),
+    "ca": """i el la els les de que un una ser es no haver per amb seu seva com
+    estar tenir li ho tot però més fer o poder dir aquest anar altre si em ja
+    veure perquè donar quan ell molt sense vegada saber què sobre meu això
+    també fins any dos voler entre així primer des gran allò ni ens arribar
+    passar temps ella sí dia bé poc deure llavors posar cosa tant home
+    semblar nostre tan on ara part després vida quedar sempre creure parlar
+    món veïna història paraula ull casa aigua terra cel mar muntanya riu flor
+    ocell vent lluna estrella somni cor bo dolent gros petit nou vell llengua
+    llibre escola arbre pluja foc carrer mare pare amic ciutat nen amor"""
+        .split(),
+    "hr": """i u je da se na za sam s a o ali mi nije to što ovo ona oni vi ja
+    ti on kako kada gdje zašto sada danas sutra jučer uvijek čovjek svijet
+    život vrijeme dan ruka posao mjesto put kraj znanje snaga volja riječ oko
+    kuća voda zemlja nebo more planina rijeka cvijet ptica vjetar mjesec
+    zvijezda san srce dobro loše veliko malo novo staro jezik knjiga škola
+    drvo kiša vatra ulica majka otac prijatelj grad dijete ljubav um misao
+    tjedan vlak zrakoplov glazba kruh juha povijest otok knjižnica kazalište
+    sveučilište tisuća kava vrt hrvatski također vrlo nikad gospodin gospođa
+    točka rječnik cesta kolodvor tvrtka ured susjed odmor vjerojatno
+    ponedjeljak utorak srijeda četvrtak petak subota nedjelja nogomet
+    županija obitelj uvjet tijekom odnosno primjerice"""
+        .split(),
+    "eo": """kaj la estas ne mi vi li ŝi ni ili kio kiu kie kiam kial nun
+    hodiaŭ morgaŭ hieraŭ ĉiam homo mondo vivo tempo tago mano laboro loko
+    vojo fino scio forto volo vorto okulo domo akvo tero ĉielo maro monto
+    rivero floro birdo vento luno stelo sonĝo koro bona malbona granda
+    malgranda nova malnova lingvo libro lernejo arbo pluvo fajro strato
+    patrino patro amiko urbo infano amo menso penso esperanto ankaŭ tamen
+    ĉar se tiam tre nur jam ankoraŭ neniam ĉio multe ĝi ĝis ĵus ŭaŭ"""
+        .split(),
+    "et": """ja on ei see et ta mina sina meie teie nemad mis kes kus millal
+    miks nüüd täna homme eile alati inimene maailm elu aeg päev käsi töö
+    koht tee lõpp teadmine jõud tahe sõna silm maja vesi maa taevas meri
+    mägi jõgi lill lind tuul kuu täht unistus süda hea halb suur väike uus
+    vana keel raamat kool puu vihm tuli tänav ema isa sõber linn laps
+    armastus meel mõte eesti väga ainult juba veel kõik palju siis pärast
+    enne all peal sees väljas olema tegema minema tulema nägema teadma"""
+        .split(),
+    "lg": """nga mu ku era oyo nze ggwe ffe mmwe bo ani ki ddi lwaki kati
+    leero enkya jjo bulijjo omuntu ensi obulamu ebiseera olunaku omukono
+    omulimu ekifo ekkubo enkomerero okumanya amaanyi okwagala ekigambo
+    eriiso ennyumba amazzi ettaka eggulu ennyanja olusozi omugga ekimuli
+    ekinyonyi empewo omwezi emmunyeenye ekirooto omutima kirungi kibi kinene
+    kitono kipya kikadde olulimi ekitabo essomero omuti enkuba omuliro
+    oluguudo maama taata mukwano ekibuga omwana oluganda nnyo kyokka ate
+    naye kubanga bwe kale ddala buli emabega mu maaso wansi waggulu"""
+        .split(),
+    "is": """og í að það er ég ekki hann hún við þið þeir hvað hver hvar
+    hvenær núna alltaf maður heimur líf tími dagur hönd vinna staður vegur
+    endir þekking kraftur vilji orð auga hús vatn jörð himinn haf fjall
+    blóm fugl vindur tungl stjarna draumur hjarta góður slæmur stór lítill
+    nýr gamall tungumál bók skóli tré rigning eldur gata móðir faðir vinur
+    borg barn ást hugur hugsun íslenska þú mér sér mjög aðeins þegar eftir
+    fyrir undir yfir án með því svona þannig aldrei stundum kannski"""
+        .split(),
+    "id": """dan yang di itu dengan ini untuk dari dalam tidak pada adalah
+    saya kamu kami mereka apa siapa mana kapan mengapa sekarang besok kemarin
+    selalu orang dunia kehidupan waktu hari tangan pekerjaan tempat jalan
+    akhir pengetahuan kekuatan kemauan kata mata rumah air tanah langit laut
+    gunung sungai bunga burung angin bulan bintang mimpi hati baik buruk
+    besar kecil baru lama bahasa buku sekolah pohon hujan api ibu ayah teman
+    kota anak cinta pikiran indonesia juga sudah belum bisa akan telah
+    sangat hanya masih lagi semua banyak kalau karena ketika sesudah uang
+    butuh mobil kantor polisi dokter gratis bilang banget cuma nggak gimana
+    begitu kayak sama aja kok sih dong seperti tetapi sedang pernah"""
+        .split(),
+    "ga": """agus an na is tá ní mé tú sé sí muid sibh siad cad cé cá cathain
+    anois inniu amárach inné duine domhan saol am lá lámh obair áit bóthar
+    deireadh eolas neart toil focal súil teach uisce talamh spéir farraige
+    sliabh abhainn bláth éan gaoth gealach réalta brionglóid croí maith olc
+    mór beag nua sean teanga leabhar scoil crann báisteach tine sráid
+    máthair athair cara cathair páiste grá intinn smaoineamh gaeilge freisin
+    ach nuair mar toisc ansin roimh tar éis faoi os cionn gan le chomh"""
+        .split(),
+    "kk": """және бұл ол мен сен біз сіз олар не кім қайда қашан неге қазір
+    бүгін ертең кеше әрқашан адам әлем өмір уақыт күн қол жұмыс орын жол
+    соңы білім күш ерік сөз көз үй су жер аспан теңіз тау өзен гүл құс жел
+    ай жұлдыз арман жүрек жақсы жаман үлкен кіші жаңа ескі тіл кітап мектеп
+    ағаш жаңбыр от көше ана әке дос қала бала махаббат ақыл ой қазақ өте
+    тек қана әлі ешқашан барлық көп егер себебі кейін бұрын астында үстінде
+    бірақ жақында бүкіл тағы біреу ешкім бәрі туралы арасында кейбір осы
+    сол қандай неше қанша алу беру келу кету көру білу айту оқу жазу тұру
+    отыру жүру бару қайту сұрақ жауап достық бақыт денсаулық отбасы"""
+        .split(),
+    "la": """et in non est ad ut cum sed quod qui quae si de ex aut enim ergo
+    nam hic ille ego tu nos vos quis quid ubi quando cur nunc hodie cras
+    heri semper homo mundus vita tempus dies manus opus locus via finis
+    scientia vis voluntas verbum oculus domus aqua terra caelum mare mons
+    flumen flos avis ventus luna stella somnium cor bonus malus magnus
+    parvus novus vetus lingua liber schola arbor pluvia ignis mater pater
+    amicus urbs puer amor mens cogitatio esse habere posse dicere videre
+    facere ire venire scire velle dare atque etiam tamen igitur autem"""
+        .split(),
+    "lv": """un ir ne tas ka viņš viņa es tu mēs jūs viņi kas kurš kur kad
+    kāpēc tagad šodien rīt vakar vienmēr cilvēks pasaule dzīve laiks diena
+    roka darbs vieta ceļš beigas zināšanas spēks griba vārds acs māja ūdens
+    zeme debesis jūra kalns upe puķe putns vējš mēness zvaigzne sapnis sirds
+    labs slikts liels mazs jauns vecs valoda grāmata skola koks lietus uguns
+    iela māte tēvs draugs pilsēta bērns mīlestība prāts doma latviešu ļoti
+    arī jau vēl visi daudz tad pēc pirms zem virs bez ar tikai nekad"""
+        .split(),
+    "lt": """ir yra ne tai kad jis ji aš tu mes jūs jie kas kuris kur kada
+    kodėl dabar šiandien rytoj vakar visada žmogus pasaulis gyvenimas laikas
+    diena ranka darbas vieta kelias pabaiga žinios jėga valia žodis akis
+    namas vanduo žemė dangus jūra kalnas upė gėlė paukštis vėjas mėnulis
+    žvaigždė svajonė širdis geras blogas didelis mažas naujas senas kalba
+    knyga mokykla medis lietus ugnis gatvė motina tėvas draugas miestas
+    vaikas meilė protas mintis lietuvių labai tik jau dar visi daug tada po
+    prieš apačioje viršuje be su tiktai niekada kartais galbūt"""
+        .split(),
+    "mk": """и во не на јас сум тој со што а по ова таа овој до но тие ние
+    како од кој то за свој цел година така ти же сите оној можам вие човек
+    таков негов кажам само или уште себе еден веќе време ако сам кога друг
+    еве зборувам наш мој знам станам при дело живот прв многу два ден
+    нејзин нов рака дури каде таму под свет дом вода земја небо море
+    планина река цвет птица ветер месечина ѕвезда сон срце добар лош голем
+    мал јазик книга училиште дрво дожд оган улица мајка татко пријател град
+    дете љубов ум мисла ќе ѓавол џеб раѓање македонски исто многу никогаш"""
+        .split(),
+    "ms": """dan yang di itu dengan ini untuk daripada dalam tidak pada ialah
+    saya awak kita mereka apa siapa mana bila kenapa sekarang esok semalam
+    sentiasa orang dunia kehidupan masa hari tangan kerja tempat jalan
+    penghujung pengetahuan kekuatan kemahuan perkataan mata rumah air tanah
+    langit laut gunung sungai bunga burung angin bulan bintang mimpi hati
+    baik buruk besar kecil baharu lama bahasa buku sekolah pokok hujan api
+    ibu bapa kawan bandar budak cinta fikiran melayu juga sudah belum boleh
+    akan telah sangat sahaja masih lagi semua banyak kalau kerana bilik
+    wang kereta pejabat polis doktor percuma seronok cakap tak macam pula
+    lah kat dekat korang jom balik makan minum pergi datang cantik comel
+    senang susah seperti tetapi sedang pernah"""
+        .split(),
+    "mi": """me te he i ki ka kei ngā ahau koe ia mātou koutou rātou aha wai
+    hea āhea ināianei tēnei āpōpō inanahi tonu tangata ao oranga wā rā
+    ringa mahi wāhi ara mutunga mātauranga kaha hiahia kupu whatu whare wai
+    whenua rangi moana maunga awa putiputi manu hau marama whetū moemoeā
+    ngākau pai kino nui iti hou tawhito reo pukapuka kura rākau ua ahi
+    tiriti whaea matua hoa tāone tamaiti aroha hinengaro whakaaro māori
+    whānau kōrero anō hoki engari nā runga raro roto waho mō ā ō tana"""
+        .split(),
+    "mn": """ба энэ тэр би чи бид та нар тэд юу хэн хаана хэзээ яагаад одоо
+    өнөөдөр маргааш өчигдөр үргэлж хүн дэлхий амьдрал цаг өдөр гар ажил
+    газар зам төгсгөл мэдлэг хүч хүсэл үг нүд байшин ус тэнгэр далай уул
+    гол цэцэг шувуу салхи сар од мөрөөдөл зүрх сайн муу том жижиг шинэ
+    хуучин хэл ном сургууль мод бороо гал гудамж ээж аав найз хот хүүхэд
+    хайр оюун бодол монгол маш зөвхөн бас одоохон хэзээ ч бүгд их хэрэв
+    учир нь дараа өмнө доор дээр байх хийх явах ирэх харах мэдэх"""
+        .split(),
+    "nn": """og i eg det at ein eit den til er som på dei med han av ikkje
+    der så var meg seg men har om vi mi hadde ho no over då ved frå du ut
+    sin oss opp kan hans kvar eller kva skal sjølv her alle vil bli vart
+    kunne inn når vere kom nokon noko ville de dykkar berre ja etter ned
+    skulle denne deg seie sine sitt mot å mykje kvifor dette desse utan
+    korleis ingen di blir same verda liv tid dag hand arbeid stad veg slutt
+    kunnskap kraft vilje ord auge hus vatn jord himmel hav fjell elv blome
+    fugl vind måne stjerne draum hjarte språk bok skule tre regn eld gate
+    annleis kjensle røynsle tydeleg verkeleg spørsmål augneblink føremål
+    sjukehus mogleg umogleg kjærleik sanning løysing rørsle fleire gjere
+    høyre køyre nokre gonger saman mellom fyrst dykk"""
+        .split(),
+    "fa": """و در به از که این آن است را با برای من تو ما شما آنها چه کسی کجا
+    چرا اکنون امروز فردا دیروز همیشه انسان جهان زندگی زمان روز دست کار جا
+    راه پایان دانش نیرو اراده سخن چشم خانه آب زمین آسمان دریا کوه رود گل
+    پرنده باد ماه ستاره رویا دل خوب بد بزرگ کوچک نو کهنه زبان کتاب مدرسه
+    درخت باران آتش خیابان مادر پدر دوست شهر کودک عشق ذهن اندیشه فارسی نیست
+    بود شد خیلی فقط هنوز هرگز همه بسیار اگر چون سپس پیش زیر روی بدون"""
+        .split(),
+    "sr": """и у је да се на за сам с а о али ми није то што ово она они ви
+    ја ти он како када где зашто сада данас сутра јуче увек човек свет
+    живот време дан рука посао место пут крај знање снага воља реч око кућа
+    вода земља небо море планина река цвет птица ветар месец звезда сан
+    срце добро лоше велико мало ново старо језик књига школа дрво киша
+    ватра улица мајка отац пријатељ град дете љубав ум мисао ђак ћерка џеп
+    њива љубичица недеља воз авион музика хлеб супа историја острво српски"""
+        .split(),
+    "sn": """uye ne kuti iyi iyo ini iwe isu imi ivo chii ani kupi rini sei
+    zvino nhasi mangwana nezuro munhu nyika upenyu nguva zuva ruoko basa
+    nzvimbo nzira magumo ruzivo simba kuda shoko ziso imba mvura pasi denga
+    gungwa gomo rwizi ruva shiri mhepo mwedzi nyeredzi chiroto moyo
+    zvakanaka zvakaipa guru duku itsva tsaru mutauro bhuku chikoro muti
+    moto mugwagwa amai baba shamwari guta mwana rudo pfungwa chishona
+    zvikuru chete zvakare kwete nokuti mushure pamberi pasi pamusoro
+    pasina uno wese vazhinji kana nekuti ipapo"""
+        .split(),
+    "sk": """a je to sa na v že s z do o ale ako po už pri pre tak čo keď
+    byť mať môcť povedať vedieť chcieť deň čas život človek svet ruka práca
+    miesto cesta koniec vedomosť sila vôľa slovo oko dom voda zem nebo more
+    hora rieka kvet vták vietor mesiac hviezda sen srdce dobrý zlý veľký
+    malý nový starý jazyk kniha škola strom dážď oheň ulica matka otec
+    priateľ mesto dieťa láska myseľ myšlienka ešte však ktorý tento teraz
+    dnes zajtra včera ľudia ďaleko ôsmy ľavý mäkký kôň vŕba stĺp slovenský"""
+        .split(),
+    "sl": """in je to se na v da z iz do o ampak kako po že pri za tako kaj
+    ko biti imeti moči reči vedeti hoteti dan čas življenje človek svet
+    roka delo mesto pot konec znanje moč volja beseda oko hiša voda zemlja
+    nebo morje gora reka cvet ptica veter luna zvezda sanje srce dober slab
+    velik majhen nov star jezik knjiga šola drevo dež ogenj ulica mati oče
+    prijatelj otrok ljubezen um misel slovenščina zelo samo tudi še vedno
+    nikoli danes jutri včeraj zdaj kje kdo zakaj teden vlak letalo glasba
+    kruh juha zgodovina otok knjižnica gledališče univerza tisoč"""
+        .split(),
+    "so": """iyo waa ma kan taas aniga adiga annaga idinka iyaga maxay yaa
+    xaggee goorma waayo hadda maanta berri shalay qof adduun nolol waqti
+    maalin gacan shaqo meel jid dhammaad aqoon awood rabitaan eray il guri
+    biyo dhul cir bad buur webi ubax shimbir dabayl dayax xiddig riyo wadne
+    wanaagsan xun weyn yar cusub duug luqadda buug dugsi geed roob dab
+    waddo hooyo aabo saaxiib magaalo ilmo jacayl maskax fikrad soomaali
+    aad oo kaliya weli waligeed dhammaan badan haddii sababtoo markaas
+    kadib kahor hoosta korka la'aan leh sida"""
+        .split(),
+    "st": """le ho ka ya ke o re lona bona eng mang kae neng hobaneng jwale
+    kajeno hosane maobane kamehla motho lefatshe bophelo nako letsatsi
+    letsoho mosebetsi sebaka tsela qetello tsebo matla thato lentswe leihlo
+    ntlo metsi mobu lehodimo lewatle thaba noka palesa nonyana moya kgwedi
+    naledi toro pelo molemo mobe moholo monyane motjha kgale puo buka
+    sekolo sefate pula mollo seterata mme ntate motswalle toropo ngwana
+    lerato kelello monahano sesotho haholo feela hape le ha e sa le ka
+    morao pele tlasa hodima ntle le jwaloka empa hobane yaba"""
+        .split(),
+    "sw": """na ni kwa ya katika hii hiyo mimi wewe sisi ninyi wao nini nani
+    wapi lini sasa leo kesho jana daima mtu dunia maisha wakati siku mkono
+    kazi mahali njia mwisho maarifa nguvu nia neno jicho nyumba maji ardhi
+    anga bahari mlima mto ua ndege upepo mwezi nyota ndoto moyo nzuri mbaya
+    kubwa ndogo mpya zamani lugha kitabu shule mti mvua moto barabara mama
+    baba rafiki mji mtoto upendo akili wazo kiswahili pia tu bado kila sana
+    wote wengi kama kwa sababu kisha baada kabla chini juu bila pamoja"""
+        .split(),
+    "tl": """at ang ng sa ay ito iyan ako ikaw kami kayo sila ano sino saan
+    kailan bakit ngayon bukas kahapon palagi tao mundo buhay oras araw
+    kamay trabaho lugar daan wakas kaalaman lakas kalooban salita mata
+    bahay tubig lupa langit dagat bundok ilog bulaklak ibon hangin buwan
+    bituin panaginip puso mabuti masama malaki maliit bago luma wika aklat
+    paaralan puno ulan apoy kalye ina ama kaibigan lungsod bata pag-ibig
+    isip isipan tagalog din lang pa rin naman talaga lahat marami kung
+    kasi pagkatapos bago sa ilalim sa ibabaw wala mayroon tulad ngunit"""
+        .split(),
+    "ts": """na i ku ka hi leyi mina wena hina n'wina vona yini mani kwihi
+    rini sweswi namuntlha mundzuku tolo munhu misava vutomi nkarhi siku
+    voko ntirho ndhawu ndlela makumu vutivi matimba rito tihlo yindlu mati
+    tilo lwandle ntshava nambu xiluva xinyenyana moya n'weti nyeleti norho
+    mbilu kahle biha kulu tsongo leswintshwa khale ririmi buku xikolo murhi
+    mpfula ndzilo patu manana tatana munghana doroba n'wana rirhandzu
+    miehleketo xitsonga ngopfu ntsena nakambe e hansi ehenhla handle ka
+    tanihi kambe hikuva endzhaku emahlweni hinkwavo votala loko"""
+        .split(),
+    "tn": """le go ka ya ke o re lona bone eng mang kae leng goreng jaanong
+    gompieno kamoso maabane motho lefatshe botshelo nako letsatsi seatla
+    tiro lefelo tsela bokhutlo kitso maatla thato lefoko leitlho ntlo metsi
+    mmu legodimo lewatle thaba noka sethunya nonyane phefo ngwedi naledi
+    toro pelo molemo maswe mogolo monnye mosha bogologolo puo buka sekolo
+    setlhare pula molelo mmila mme rre tsala toropo ngwana lorato
+    tlhaloganyo kakanyo setswana thata fela gape fa e se ka morago pele
+    kwa tlase kwa godimo kwa ntle jaaka mme ka gonne mme jaanong botlhe"""
+        .split(),
+    "ur": """اور میں کو سے کہ یہ وہ ہے کا کی کے پر ایک تھا تم ہم آپ کیا کون
+    کہاں کب کیوں اب آج کل ہمیشہ انسان دنیا زندگی وقت دن ہاتھ کام جگہ راستہ
+    انجام علم طاقت ارادہ بات آنکھ گھر پانی زمین آسمان سمندر پہاڑ دریا پھول
+    پرندہ ہوا چاند ستارہ خواب دل اچھا برا بڑا چھوٹا نیا پرانا زبان کتاب
+    مدرسہ درخت بارش آگ گلی ماں باپ دوست شہر بچہ محبت ذہن سوچ اردو نہیں
+    ہوں گے بہت صرف ابھی کبھی سب اگر کیونکہ پھر پہلے نیچے اوپر بغیر ساتھ"""
+        .split(),
+    "cy": """a yn y mae ddim i o ni chi nhw beth pwy ble pryd pam nawr heddiw
+    yfory ddoe dyn byd bywyd amser diwrnod llaw gwaith lle ffordd diwedd
+    gwybodaeth nerth ewyllys gair llygad tŷ dŵr daear awyr môr mynydd afon
+    blodyn aderyn gwynt lleuad seren breuddwyd calon da drwg mawr bach
+    newydd hen iaith llyfr ysgol coeden glaw tân stryd mam tad ffrind dinas
+    plentyn cariad meddwl syniad cymraeg hefyd dim ond eto wedi bod yr wyf
+    bob amser byth pawb llawer os achos yna cyn dan dros heb gyda fel ond"""
+        .split(),
+    "xh": """kwaye ku le eyo mna wena thina nina bona ntoni ubani phi nini
+    kutheni ngoku namhlanje ngomso izolo rhoqo umntu ihlabathi ubomi ixesha
+    usuku isandla umsebenzi indawo indlela isiphelo ulwazi amandla intando
+    ilizwi iliso indlu amanzi umhlaba isibhakabhaka ulwandle intaba umlambo
+    intyatyambo intaka umoya inyanga inkwenkwezi iphupha intliziyo
+    kulungile kubi nkulu ncinci ntsha ndala ulwimi incwadi isikolo umthi
+    imvula umlilo isitalato umama utata umhlobo isixeko umntwana uthando
+    ingqondo ingcinga isixhosa kakhulu kuphela kwakhona hayi kuba emva
+    phambili phantsi phezulu ngaphandle njengoko kodwa ngoko bonke"""
+        .split(),
+    "yo": """ati ni pẹlu ti yii yẹn emi iwọ awa ẹyin wọn kini tani nibo
+    nigbawo kilode bayii loni lọla ana nigbagbogbo eniyan aye igbesi akoko
+    ọjọ ọwọ iṣẹ ibi ọna opin imọ agbara ifẹ ọrọ oju ile omi ilẹ ọrun okun
+    oke odo ododo ẹyẹ afẹfẹ oṣupa irawọ ala ọkan dara buburu nla kekere
+    tuntun atijọ ede iwe igi ojo ina opopona iya baba ọrẹ ilu ọmọ ori ero
+    yoruba ṣe wa jẹ kan si fun un gbogbo pupọ bi nitori lẹhin ṣaaju isalẹ
+    oke laisi papọ bii ṣugbọn nitorina gbọdọ le ri mọ fẹ sọ lọ de"""
+        .split(),
+    "zu": """futhi ku le leyo mina wena thina nina bona ini ubani kuphi nini
+    ngani manje namuhla kusasa izolo njalo umuntu umhlaba impilo isikhathi
+    usuku isandla umsebenzi indawo indlela isiphetho ulwazi amandla intando
+    izwi iso indlu amanzi umhlabathi isibhakabhaka ulwandle intaba umfula
+    imbali inyoni umoya inyanga inkanyezi iphupho inhliziyo kuhle kubi
+    khulu ncane sha dala ulimi incwadi isikole isihlahla imvula umlilo
+    umgwaqo umama ubaba umngane idolobha ingane uthando umqondo umcabango
+    isizulu kakhulu kuphela futhi cha ngoba ngemuva phambili phansi phezulu
+    ngaphandle njengoba kodwa ngakho bonke abaningi uma lapho"""
+        .split(),
 }
 
 # Languages written without spaces between words.
@@ -271,7 +639,7 @@ NO_SPACE_LANGS = frozenset({"zh", "ja"})
 
 # Bump when WORDS / generation logic changes — cached model artifacts key
 # on this so stale models are never reused.
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 
 ISO_LANGS = tuple(sorted(WORDS))
 

@@ -1,7 +1,9 @@
 """Static language metadata for the detector.
 
-Rebuilds, for an 18-language subset spanning 10 Unicode scripts, the
-compile-time metadata of the reference:
+Rebuilds, for the reference's full 75-language repertoire (plus two
+additional languages, Kannada and Malayalam, not present in the
+reference) across 21 Unicode scripts, the compile-time metadata of the
+reference:
 
 - language list with ISO codes + scripts + unique characters
   (reference: Language.kt:186-273)
@@ -58,6 +60,8 @@ _SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
     "LATIN": [
         (0x41, 0x5A), (0x61, 0x7A), (0xAA, 0xAA), (0xBA, 0xBA),
         (0xC0, 0xD6), (0xD8, 0xF6), (0xF8, 0x24F),
+        # IPA Extensions are script=Latin (Azerbaijani ə is U+0259)
+        (0x250, 0x2AF),
         (0x1E00, 0x1EFF), (0x2C60, 0x2C7F), (0xA720, 0xA7FF),
     ],
     "GREEK": [(0x370, 0x373), (0x375, 0x377), (0x37A, 0x37F),
@@ -140,17 +144,35 @@ class LangSpec:
 
 # Declaration order mirrors the reference's alphabetical enum order
 # (Language.kt:186-273); this order is the confidence-sort tie-break.
+# Unique-character strings are transcribed verbatim from Language.kt
+# (including its Țţ case-pairing quirk for Romanian). KANNADA and
+# MALAYALAM are repo extras absent from the reference, inserted at their
+# alphabetical positions so the relative order of the 75 reference
+# languages is preserved.
 LANGUAGES: tuple[LangSpec, ...] = (
+    LangSpec("AFRIKAANS", "af", ("LATIN",)),
+    LangSpec("ALBANIAN", "sq", ("LATIN",)),
     LangSpec("ARABIC", "ar", ("ARABIC",)),
     LangSpec("ARMENIAN", "hy", ("ARMENIAN",)),
+    LangSpec("AZERBAIJANI", "az", ("LATIN",), "Əə"),
+    LangSpec("BASQUE", "eu", ("LATIN",)),
+    LangSpec("BELARUSIAN", "be", ("CYRILLIC",)),
     LangSpec("BENGALI", "bn", ("BENGALI",)),
+    LangSpec("BOKMAL", "nb", ("LATIN",)),
+    LangSpec("BOSNIAN", "bs", ("LATIN",)),
+    LangSpec("BULGARIAN", "bg", ("CYRILLIC",)),
+    LangSpec("CATALAN", "ca", ("LATIN",), "Ïï"),
     LangSpec("CHINESE", "zh", ("HAN",)),
-    LangSpec("CZECH", "cs", ("LATIN",), "ĚěŘřŮůŤťĎď"),
-    LangSpec("DANISH", "da", ("LATIN",), "ØøÆæ"),
+    LangSpec("CROATIAN", "hr", ("LATIN",)),
+    LangSpec("CZECH", "cs", ("LATIN",), "ĚěŘřŮů"),
+    LangSpec("DANISH", "da", ("LATIN",)),
     LangSpec("DUTCH", "nl", ("LATIN",)),
     LangSpec("ENGLISH", "en", ("LATIN",)),
+    LangSpec("ESPERANTO", "eo", ("LATIN",), "ĈĉĜĝĤĥĴĵŜŝŬŭ"),
+    LangSpec("ESTONIAN", "et", ("LATIN",)),
     LangSpec("FINNISH", "fi", ("LATIN",)),
     LangSpec("FRENCH", "fr", ("LATIN",)),
+    LangSpec("GANDA", "lg", ("LATIN",)),
     LangSpec("GEORGIAN", "ka", ("GEORGIAN",)),
     LangSpec("GERMAN", "de", ("LATIN",), "ß"),
     LangSpec("GREEK", "el", ("GREEK",)),
@@ -158,27 +180,55 @@ LANGUAGES: tuple[LangSpec, ...] = (
     LangSpec("HEBREW", "he", ("HEBREW",)),
     LangSpec("HINDI", "hi", ("DEVANAGARI",)),
     LangSpec("HUNGARIAN", "hu", ("LATIN",), "ŐőŰű"),
+    LangSpec("ICELANDIC", "is", ("LATIN",)),
+    LangSpec("INDONESIAN", "id", ("LATIN",)),
+    LangSpec("IRISH", "ga", ("LATIN",)),
     LangSpec("ITALIAN", "it", ("LATIN",)),
     LangSpec("JAPANESE", "ja", ("HIRAGANA", "KATAKANA", "HAN")),
     LangSpec("KANNADA", "kn", ("KANNADA",)),
+    LangSpec("KAZAKH", "kk", ("CYRILLIC",), "ӘәҒғҚқҢңҰұ"),
     LangSpec("KOREAN", "ko", ("HANGUL",)),
+    LangSpec("LATIN", "la", ("LATIN",)),
+    LangSpec("LATVIAN", "lv", ("LATIN",), "ĢģĶķĻļŅņ"),
+    LangSpec("LITHUANIAN", "lt", ("LATIN",), "ĖėĮįŲų"),
+    LangSpec("MACEDONIAN", "mk", ("CYRILLIC",), "ЃѓЅѕЌќЏџ"),
+    LangSpec("MALAY", "ms", ("LATIN",)),
     LangSpec("MALAYALAM", "ml", ("MALAYALAM",)),
-    LangSpec("MARATHI", "mr", ("DEVANAGARI",)),
+    LangSpec("MAORI", "mi", ("LATIN",)),
+    LangSpec("MARATHI", "mr", ("DEVANAGARI",), "ळ"),
+    LangSpec("MONGOLIAN", "mn", ("CYRILLIC",), "ӨөҮү"),
+    LangSpec("NYNORSK", "nn", ("LATIN",)),
+    LangSpec("PERSIAN", "fa", ("ARABIC",)),
     LangSpec("POLISH", "pl", ("LATIN",), "ŁłŃńŚśŹź"),
     LangSpec("PORTUGUESE", "pt", ("LATIN",)),
     LangSpec("PUNJABI", "pa", ("GURMUKHI",)),
-    LangSpec("ROMANIAN", "ro", ("LATIN",), "ȚțȘș"),
+    LangSpec("ROMANIAN", "ro", ("LATIN",), "Țţ"),
     LangSpec("RUSSIAN", "ru", ("CYRILLIC",)),
+    LangSpec("SERBIAN", "sr", ("CYRILLIC",), "ЂђЋћ"),
+    LangSpec("SHONA", "sn", ("LATIN",)),
+    LangSpec("SLOVAK", "sk", ("LATIN",), "ĹĺĽľŔŕ"),
+    LangSpec("SLOVENE", "sl", ("LATIN",)),
+    LangSpec("SOMALI", "so", ("LATIN",)),
+    LangSpec("SOTHO", "st", ("LATIN",)),
     LangSpec("SPANISH", "es", ("LATIN",), "¿¡"),
+    LangSpec("SWAHILI", "sw", ("LATIN",)),
     LangSpec("SWEDISH", "sv", ("LATIN",)),
+    LangSpec("TAGALOG", "tl", ("LATIN",)),
     LangSpec("TAMIL", "ta", ("TAMIL",)),
     LangSpec("TELUGU", "te", ("TELUGU",)),
     LangSpec("THAI", "th", ("THAI",)),
+    LangSpec("TSONGA", "ts", ("LATIN",)),
+    LangSpec("TSWANA", "tn", ("LATIN",)),
     LangSpec("TURKISH", "tr", ("LATIN",)),
-    LangSpec("UKRAINIAN", "uk", ("CYRILLIC",), "ІіЇїЄєҐґ"),
+    LangSpec("UKRAINIAN", "uk", ("CYRILLIC",), "ҐґЄєЇї"),
+    LangSpec("URDU", "ur", ("ARABIC",)),
     LangSpec("VIETNAMESE", "vi", ("LATIN",),
-             "ĂăĐđƠơƯưẠạẢảẤấẦầẨẩẪẫẬậẮắẰằẲẳẴẵẶặẸẹẺẻẼẽẾếỀềỂểỄễỆệỈỉỊịỌọỎỏỐốỒồỔổ"
-             "ỖỗỘộỚớỜờỞởỠỡỢợỤụỦủỨứỪừỬửỮữỰựỲỳỴỵỶỷỸỹ"),
+             "ẰằẦầẲẳẨẩẴẵẪẫẮắẤấẠạẶặẬậỀềẺẻỂểẼẽỄễẾếỆệỈỉĨĩỊịƠơỒồỜờỎỏỔổỞởỖỗỠỡ"
+             "ỐốỚớỘộỢợƯưỪừỦủỬửŨũỮữỨứỤụỰựỲỳỶỷỸỹỴỵ"),
+    LangSpec("WELSH", "cy", ("LATIN",)),
+    LangSpec("XHOSA", "xh", ("LATIN",)),
+    LangSpec("YORUBA", "yo", ("LATIN",), "Ṣṣ"),
+    LangSpec("ZULU", "zu", ("LATIN",)),
 )
 
 LANG_NAMES = tuple(l.name for l in LANGUAGES)
@@ -192,39 +242,53 @@ UNKNOWN = "unknown"
 # logogram word value (LanguageDetector.kt:58-66).
 LOGOGRAM_LANG_IDXS = tuple(LANG_INDEX[c] for c in ("zh", "ja", "ko"))
 
-# Char → candidate languages disambiguation (Constant.kt:73-144), with
-# entries restricted to languages present in this subset. Keys are
-# individual characters; values are iso codes.
+# Char → candidate languages disambiguation — the complete
+# CHARS_TO_LANGUAGES_MAPPING transcribed from Constant.kt:73-144.
+# Keys are individual characters; values are iso codes.
 _CHARS_TO_LANGS_SRC: dict[str, tuple[str, ...]] = {
     "Ãã": ("pt", "vi"),
-    "ĄąĘę": ("pl",),
-    "Żż": ("pl",),
+    "ĄąĘę": ("lt", "pl"),
+    "Żż": ("pl", "ro"),
     "Îî": ("fr", "ro"),
-    "Ññ": ("es",),
-    "İıĞğ": ("tr",),
-    "Ûû": ("fr",),
-    "Şş": ("tr",),
-    "Ćć": ("pl",),
-    "Ìì": ("it", "vi"),
-    "Ëë": ("nl", "fr"),
-    "ÈèÙù": ("fr", "it", "vi"),
-    "Êê": ("fr", "pt"),
-    "Õõ": ("pt",),
-    "Ôô": ("fr", "pt"),
-    "ЁёЫыЭэ": ("ru",),
-    "ЩщЪъ": ("ru",),
-    "Òò": ("it", "vi"),
-    "Åå": ("sv", "da"),
-    "Ýý": ("tr", "vi"),
-    "Ää": ("de", "sv", "fi"),
-    "Àà": ("fr", "it", "pt"),
-    "Ââ": ("fr", "pt", "tr", "ro", "vi"),
-    "Üü": ("de", "es", "tr", "hu"),
-    "Çç": ("fr", "pt", "tr"),
-    "Öö": ("de", "sv", "tr", "fi", "hu"),
-    "Óó": ("pl", "pt", "es", "hu", "cs"),
-    "ÁáÍíÚú": ("pt", "es", "cs", "hu", "vi"),
-    "Éé": ("fr", "it", "pt", "es", "hu", "vi", "cs", "da"),
+    "Ññ": ("eu", "es"),
+    "ŇňŤť": ("cs", "sk"),
+    "Ăă": ("ro", "vi"),
+    "İıĞğ": ("az", "tr"),
+    "ЈјЉљЊњ": ("mk", "sr"),
+    "ẸẹỌọ": ("vi", "yo"),
+    "ÐðÞþ": ("is", "tr"),
+    "Ûû": ("fr", "hu"),
+    "Ōō": ("mi", "yo"),
+    "ĀāĒēĪī": ("lv", "mi", "yo"),
+    "Şş": ("az", "ro", "tr"),
+    "Ďď": ("cs", "ro", "sk"),
+    "Ćć": ("bs", "hr", "pl"),
+    "Đđ": ("bs", "hr", "vi"),
+    "Іі": ("be", "kk", "uk"),
+    "Ìì": ("it", "vi", "yo"),
+    "Øø": ("nb", "da", "nn"),
+    "Ūū": ("lv", "lt", "mi", "yo"),
+    "Ëë": ("af", "sq", "nl", "fr"),
+    "ÈèÙù": ("fr", "it", "vi", "yo"),
+    "Êê": ("af", "fr", "pt", "vi"),
+    "Õõ": ("et", "hu", "pt", "vi"),
+    "Ôô": ("fr", "pt", "sk", "vi"),
+    "ЁёЫыЭэ": ("be", "kk", "mn", "ru"),
+    "ЩщЪъ": ("bg", "kk", "mn", "ru"),
+    "Òò": ("ca", "it", "vi", "yo"),
+    "Ææ": ("nb", "da", "is", "nn"),
+    "Åå": ("nb", "da", "nn", "sv"),
+    "Ýý": ("cs", "is", "sk", "tr", "vi"),
+    "Ää": ("et", "fi", "de", "sk", "sv"),
+    "Àà": ("ca", "fr", "it", "pt", "vi"),
+    "Ââ": ("fr", "pt", "ro", "tr", "vi"),
+    "Üü": ("az", "ca", "et", "de", "hu", "es", "tr"),
+    "ČčŠšŽž": ("bs", "cs", "hr", "lv", "lt", "sk", "sl"),
+    "Çç": ("sq", "az", "eu", "ca", "fr", "pt", "tr"),
+    "Öö": ("az", "et", "fi", "de", "hu", "is", "sv", "tr"),
+    "Óó": ("ca", "hu", "is", "ga", "pl", "pt", "sk", "es", "vi", "yo"),
+    "ÁáÍíÚú": ("ca", "cs", "is", "ga", "hu", "pt", "sk", "es", "vi", "yo"),
+    "Éé": ("ca", "cs", "fr", "hu", "is", "ga", "it", "pt", "sk", "es", "vi", "yo"),
 }
 
 
@@ -281,15 +345,29 @@ LANG_SCRIPT_IDS: tuple[frozenset[int], ...] = tuple(
 # ---- Language lookup utilities (Language.kt companion parity) ----
 
 _ISO3: dict[str, str] = {
-    "ar": "ara", "hy": "hye", "bn": "ben", "zh": "zho", "cs": "ces",
-    "da": "dan", "nl": "nld", "en": "eng", "fi": "fin", "fr": "fra",
-    "ka": "kat", "de": "deu", "el": "ell", "gu": "guj", "he": "heb",
-    "hi": "hin", "hu": "hun", "it": "ita", "ja": "jpn", "kn": "kan",
-    "ko": "kor", "ml": "mal", "mr": "mar", "pl": "pol", "pt": "por",
-    "pa": "pan", "ro": "ron", "ru": "rus", "es": "spa", "sv": "swe",
-    "ta": "tam", "te": "tel", "th": "tha", "tr": "tur", "uk": "ukr",
-    "vi": "vie",
+    "af": "afr", "sq": "sqi", "ar": "ara", "hy": "hye", "az": "aze",
+    "eu": "eus", "be": "bel", "bn": "ben", "nb": "nob", "bs": "bos",
+    "bg": "bul", "ca": "cat", "zh": "zho", "hr": "hrv", "cs": "ces",
+    "da": "dan", "nl": "nld", "en": "eng", "eo": "epo", "et": "est",
+    "fi": "fin", "fr": "fra", "lg": "lug", "ka": "kat", "de": "deu",
+    "el": "ell", "gu": "guj", "he": "heb", "hi": "hin", "hu": "hun",
+    "is": "isl", "id": "ind", "ga": "gle", "it": "ita", "ja": "jpn",
+    "kn": "kan", "kk": "kaz", "ko": "kor", "la": "lat", "lv": "lav",
+    "lt": "lit", "mk": "mkd", "ms": "msa", "ml": "mal", "mi": "mri",
+    "mr": "mar", "mn": "mon", "nn": "nno", "fa": "fas", "pl": "pol",
+    "pt": "por", "pa": "pan", "ro": "ron", "ru": "rus", "sr": "srp",
+    "sn": "sna", "sk": "slk", "sl": "slv", "so": "som", "st": "sot",
+    "es": "spa", "sw": "swa", "sv": "swe", "tl": "tgl", "ta": "tam",
+    "te": "tel", "th": "tha", "ts": "tso", "tn": "tsn", "tr": "tur",
+    "uk": "ukr", "ur": "urd", "vi": "vie", "cy": "cym", "xh": "xho",
+    "yo": "yor", "zu": "zul",
 }
+
+# Languages still spoken today — everything except LATIN
+# (Language.kt:324 allSpokenOnes = filterOutLanguages(UNKNOWN, LATIN)).
+SPOKEN_ISO_CODES: tuple[str, ...] = tuple(
+    c for c in ISO_CODES if c != "la"
+)
 
 
 def by_iso_code_639_1(code: str) -> LangSpec:

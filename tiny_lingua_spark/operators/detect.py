@@ -125,15 +125,21 @@ class RuleContext:
                 if sid in _UNIQUE_SCRIPTS and self.sid_rule_lang[sid] < 0:
                     cp_rule[cp] = li
         self.cp_rule_lang = cp_rule
-        # codepoint → disambiguation-language bitmask (Constant.kt:73-144);
-        # uint64: the language axis exceeds 32
+        # codepoint → disambiguation-language bitmask (Constant.kt:73-144).
+        # The full language axis exceeds 64, so bits index a COMPACT axis
+        # of only the languages that appear in the mapping — the analog of
+        # the reference's languagesWithCharsIndexer (Constant.kt:146-149).
+        disamb_ids = sorted({li for lis in self.chars_to_langs.values() for li in lis})
+        assert len(disamb_ids) <= 64, "disambiguation languages exceed one uint64"
+        self.disamb_ids = np.array(disamb_ids, dtype=np.int64)
+        dpos = {li: p for p, li in enumerate(disamb_ids)}
         bits = np.zeros(lm._TABLE_SIZE, dtype=np.uint64)
         for ch, lis in self.chars_to_langs.items():
             cp = ord(ch)
             if cp < lm._TABLE_SIZE and lis:
-                b = np.uint64(0)
+                b = 0
                 for li in lis:
-                    b |= np.uint64(1 << li)
+                    b |= 1 << dpos[li]
                 bits[cp] = b
         self.cp_disamb_bits = bits
 
@@ -422,16 +428,20 @@ def row_rules(raw: str, ctx: RuleContext = DEFAULT_RULES) -> tuple[int, np.ndarr
     if not ctx.chars_to_langs_keys.isdisjoint(raw):
         bits = ctx.cp_disamb_bits[clipped]
         word_bits = np.bitwise_or.reduceat(bits, starts)
-        mask_bits = np.uint64(0)
-        for li in np.flatnonzero(mask):
-            mask_bits |= np.uint64(1 << int(li))
-        word_bits &= mask_bits
+        # bits live on the compact disambiguation-language axis
+        ids = ctx.disamb_ids
+        mask_bits = 0
+        for p, li in enumerate(ids):
+            if mask[li]:
+                mask_bits |= 1 << p
+        word_bits &= np.uint64(mask_bits)
         if word_bits.any():
-            lang_counts = (
-                (word_bits[:, None] >> np.arange(lm.N_LANGS, dtype=np.uint64))
+            counts_compact = (
+                (word_bits[:, None] >> np.arange(len(ids), dtype=np.uint64))
                 & np.uint64(1)
             ).sum(axis=0)
-            subset = lang_counts >= (f_adjusted / 2.0)
+            subset = np.zeros(lm.N_LANGS, dtype=bool)
+            subset[ids] = counts_compact >= (f_adjusted / 2.0)
             if subset.any():
                 return -1, mask & subset
     return -1, mask

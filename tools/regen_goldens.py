@@ -1,0 +1,79 @@
+"""Regenerate tests/golden_confidences.json.
+
+Keeps the existing golden texts, recomputes their expected confidence
+strings and decisions with the CURRENT engine + pretrained models, and
+appends cases for languages that have none yet. Run after any change
+that intentionally shifts confidences (corpus/language-set/model/scoring
+changes), then review the diff — goldens pin behavior, so an unexpected
+diff is a regression, not something to rubber-stamp.
+
+    python tools/regen_goldens.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GOLDEN = os.path.join(REPO, "tests", "golden_confidences.json")
+
+
+def _format(idxs, confs, iso_codes) -> str:
+    return ", ".join(
+        f"{iso_codes[i]} ({c * 100:.2f}%)" for i, c in zip(idxs, confs)
+        if c > 0.7
+    )
+
+
+def main() -> None:
+    from tiny_lingua_spark import corpus, langmeta as lm
+    from tiny_lingua_spark.models.registry import ModelRegistry
+    from tiny_lingua_spark.operators.detect import Detector
+    from tiny_lingua_spark.operators.multilang import clean_text_py
+    from tiny_lingua_spark.session import get_spark
+    from tiny_lingua_spark import pretrained
+
+    path = pretrained.ngram_models_path(corpus.CORPUS_VERSION)
+    if path is None:
+        raise SystemExit(
+            f"no pretrained models for CORPUS_VERSION={corpus.CORPUS_VERSION}; "
+            "run tools/train_models.py first"
+        )
+    spark = get_spark("regen-goldens", shuffle_partitions=8)
+    reg = ModelRegistry(spark, path)
+    models = dict(reg.bc_low.value)
+    models.update(reg.bc_high.value)
+    det = Detector(models)
+
+    with open(GOLDEN, encoding="utf-8") as f:
+        cases = json.load(f)
+    texts = [c["text"] for c in cases]
+
+    # one deterministic eval sentence per language lacking a golden case
+    covered = {c["decision"] for c in cases}
+    for iso in lm.ISO_CODES:
+        if iso not in covered:
+            texts.append(corpus.sentences(iso, 1, split="golden")[0])
+
+    out = []
+    for t in texts:
+        idxs, confs = det.confidence_values(t, clean_text_py(t))
+        out.append(
+            {
+                "text": t,
+                "decision": det.decide(idxs, confs),
+                "confidences": _format(idxs, confs, lm.ISO_CODES),
+            }
+        )
+    with open(GOLDEN, "w", encoding="utf-8") as f:
+        json.dump(out, f, ensure_ascii=False, indent=1)
+        f.write("\n")
+    print(f"wrote {len(out)} cases to {GOLDEN}")
+
+
+if __name__ == "__main__":
+    main()
