@@ -1,0 +1,63 @@
+"""Accuracy parity against the reference's REAL accuracy corpus.
+
+Converts the round-1 'F1=1.0 on our own synthetic corpus' into real
+evidence: models trained on the even-hash half of the reference's
+Leipzig-derived sentences files, evaluated on held-out data via the
+A1-A3 harness, must land within a stated band of the reference's
+published numbers (aggregated-accuracy-values.csv, lingua-high).
+
+Skipped when the reference corpus is not on disk.
+"""
+
+import os
+
+import pytest
+
+from tiny_lingua_spark.eval import ref_parity as rpar
+
+pytestmark = pytest.mark.skipif(
+    not rpar.ref_corpus_available(), reason="reference corpus not available"
+)
+
+MODELS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".cache",
+    "ref_models_v1",
+)
+
+
+@pytest.fixture(scope="module")
+def parity(spark):
+    if not os.path.exists(os.path.join(MODELS, "_SUCCESS")):
+        rpar.train_ref_models(spark, MODELS)
+    # 150 held-out items per (language, category) keeps the suite fast;
+    # tools/ref_accuracy.py runs the full corpus for the committed report
+    return rpar.parity_report(spark, MODELS, sample_per_category=150).toPandas()
+
+
+def test_mean_average_within_band(parity):
+    """Measured at corpus v6: ours 82.8 vs reference 86.4 mean average —
+    trained on ~500 sentences/language where the reference saw megabytes.
+    The band pins that gap so it can only shrink."""
+    ours = parity.avg_pct.mean()
+    ref = parity.ref_avg_pct.mean()
+    assert ours >= ref - 6.0, f"mean avg {ours:.2f} vs reference {ref:.2f}"
+
+
+def test_sentence_accuracy_close_to_reference(parity):
+    ours = parity.sentences_pct.mean()
+    assert ours >= 88.0, f"held-out sentence accuracy {ours:.2f}"
+
+
+def test_all_reference_languages_covered(parity):
+    assert len(parity) == len(rpar.REF_ISO_CODES) == 75
+    assert parity.ref_avg_pct.notna().all()
+
+
+def test_unique_script_languages_match_reference(parity):
+    """Languages with unique scripts are ~100% in the reference
+    (th is its worst at 98.2); ours must track them within 1.5 points
+    on held-out sentences."""
+    uniq = parity[parity.lang.isin(["bn", "el", "he", "ka", "hy", "ta", "te", "th", "ko", "pa", "gu"])]
+    ok = uniq.sentences_pct >= uniq.ref_sentences_pct - 1.5
+    assert ok.all(), uniq[~ok][["lang", "sentences_pct", "ref_sentences_pct"]]

@@ -1,0 +1,160 @@
+"""Accuracy parity against the reference's REAL test corpus.
+
+The reference evaluates on Leipzig-Wortschatz-derived files
+``language-testdata/{single-words,word-pairs,sentences}/{iso}.txt``
+(1000 items each, AbstractLanguageDetectionAccuracyReport.kt:30-61) and
+publishes per-language accuracies in
+``accuracy-reports/aggregated-accuracy-values.csv``.
+
+We cannot ship the reference's trained models (binary resources), so
+parity evidence is produced as follows:
+
+1. read the reference corpus through our `lingua_corpus` data source;
+2. split the SENTENCES category deterministically in half by text hash —
+   the first half trains our n-gram models (the reference's own models
+   were trained on much larger, disjoint Leipzig corpora), the second
+   half plus the full single-words and word-pairs categories form the
+   evaluation set (single words / pairs stay fully held out: the
+   training text is sentences only);
+3. run the A1-A3 harness (eval/report.py) over the evaluation set with
+   the 75-language reference repertoire;
+4. join per-language results against the reference's published
+   lingua-high numbers.
+
+The comparison is apples-to-similar-apples, not identical-apples: our
+models see ~500 real sentences/language where the reference saw
+megabytes, so a gap in our disfavor is expected on single words (rare
+vocabulary). The committed report records both columns and the delta.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import langmeta as lm
+from ..models.registry import ModelRegistry
+from ..models.train import train_ngram_models, write_models
+from ..operators.detect import DetectorParams, make_detect_udf
+from ..functions.cleaning import cleaned_text_col
+from . import report as rp
+
+REF_TESTDATA = "/root/reference/src/accuracyReport/resources/language-testdata"
+REF_AGG_CSV = "/root/reference/accuracy-reports/aggregated-accuracy-values.csv"
+
+# the 75 reference languages = our repertoire minus the repo extras
+REF_ISO_CODES: tuple[str, ...] = tuple(
+    c for c in lm.ISO_CODES if c not in ("kn", "ml")
+)
+
+
+def ref_corpus_available() -> bool:
+    return os.path.isdir(REF_TESTDATA)
+
+
+def load_ref_corpus(spark: SparkSession, path: str = REF_TESTDATA) -> DataFrame:
+    """(lang, category, text) over the reference's accuracy corpus."""
+    from ..sources.corpus_source import LinguaCorpusDataSource
+
+    try:
+        spark.dataSource.register(LinguaCorpusDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = spark.read.format("lingua_corpus").load(path)
+    return df.where(F.col("lang").isin(list(REF_ISO_CODES)))
+
+
+def split_train_eval(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic half-split of the sentences category by text hash.
+
+    Train = even-hash sentences; eval = odd-hash sentences + ALL single
+    words and word pairs (those categories never enter training).
+    """
+    is_sent = F.col("category") == "sentences"
+    even = F.pmod(F.xxhash64("text"), F.lit(2)) == 0
+    train = corpus.where(is_sent & even).select("lang", "text")
+    eval_df = corpus.where(~is_sent | ~even).select(
+        F.col("lang").alias("expected"), "category", "text"
+    )
+    return train, eval_df
+
+
+def train_ref_models(spark: SparkSession, out_path: str,
+                     testdata_path: str = REF_TESTDATA) -> str:
+    """Train n-gram models from the reference-corpus train split."""
+    corpus = load_ref_corpus(spark, testdata_path)
+    train, _ = split_train_eval(corpus)
+    write_models(train_ngram_models(spark, train), out_path)
+    return out_path
+
+
+def detect_ref_corpus(eval_df: DataFrame, registry: ModelRegistry) -> DataFrame:
+    udf = make_detect_udf(
+        registry.bc_low, registry.bc_high,
+        DetectorParams(languages=REF_ISO_CODES),
+    )
+    return eval_df.withColumn(
+        "cleaned", cleaned_text_col(F.col("text"))
+    ).withColumn("det", udf(F.col("text"), F.col("cleaned"))).select(
+        "expected", "category", F.col("det.lang").alias("predicted")
+    )
+
+
+def load_reference_numbers() -> dict[str, dict[str, float]]:
+    """iso code → published lingua-high accuracies (percent)."""
+    name_to_iso = {spec.name.capitalize(): spec.iso639_1 for spec in lm.LANGUAGES}
+    out: dict[str, dict[str, float]] = {}
+    with open(REF_AGG_CSV, encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            iso = name_to_iso.get(row["language"])
+            if iso is None:
+                continue
+            out[iso] = {
+                "ref_words_pct": float(row["single-words-lingua-high"]),
+                "ref_pairs_pct": float(row["word-pairs-lingua-high"]),
+                "ref_sentences_pct": float(row["sentences-lingua-high"]),
+                "ref_avg_pct": float(row["average-lingua-high"]),
+            }
+    return out
+
+
+def parity_report(spark: SparkSession, models_path: str,
+                  testdata_path: str = REF_TESTDATA,
+                  sample_per_category: int | None = None) -> DataFrame:
+    """Per-language (ours vs reference-published) accuracy table."""
+    corpus = load_ref_corpus(spark, testdata_path)
+    _, eval_df = split_train_eval(corpus)
+    if sample_per_category:
+        # deterministic per-(lang, category) subsample for quick runs
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("expected", "category").orderBy(
+            F.xxhash64("text")
+        )
+        eval_df = (
+            eval_df.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= sample_per_category)
+            .drop("_r")
+        )
+    registry = ModelRegistry(spark, models_path)
+    ours = rp.accuracy_report(detect_ref_corpus(eval_df, registry))
+
+    ref = load_reference_numbers()
+    ref_rows = [
+        (iso, v["ref_words_pct"], v["ref_pairs_pct"], v["ref_sentences_pct"],
+         v["ref_avg_pct"])
+        for iso, v in ref.items()
+    ]
+    ref_df = spark.createDataFrame(
+        ref_rows,
+        "lang string, ref_words_pct double, ref_pairs_pct double,"
+        " ref_sentences_pct double, ref_avg_pct double",
+    )
+    return (
+        ours.join(ref_df, "lang", "left")
+        .withColumn("delta_avg_pct",
+                    F.round(F.col("avg_pct") - F.col("ref_avg_pct"), 4))
+        .orderBy("lang")
+    )

@@ -1,0 +1,60 @@
+"""Produce the committed reference-corpus parity report.
+
+Trains n-gram models on the even-hash half of the reference's REAL
+sentences corpus, evaluates the A1-A3 harness on the held-out half plus
+the full single-words / word-pairs categories, and writes
+
+    accuracy-reports/ref_corpus_parity.csv
+
+with our per-language accuracies next to the reference's published
+lingua-high numbers (aggregated-accuracy-values.csv).
+
+    python tools/ref_accuracy.py [--sample N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MODELS = os.path.join(REPO, ".cache", "ref_models_v1")
+OUT = os.path.join(REPO, "accuracy-reports", "ref_corpus_parity.csv")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sample", type=int, default=None,
+                    help="items per (lang, category); default = all")
+    args = ap.parse_args()
+
+    from tiny_lingua_spark.eval import ref_parity as rpar
+    from tiny_lingua_spark.session import get_spark
+
+    if not rpar.ref_corpus_available():
+        raise SystemExit(f"reference corpus not found at {rpar.REF_TESTDATA}")
+
+    spark = get_spark("ref-accuracy", shuffle_partitions=32)
+    if not os.path.exists(os.path.join(MODELS, "_SUCCESS")):
+        rpar.train_ref_models(spark, MODELS)
+
+    rep = rpar.parity_report(
+        spark, MODELS, sample_per_category=args.sample
+    ).toPandas()
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    rep.to_csv(OUT, index=False)
+
+    cols = ["words_pct", "pairs_pct", "sentences_pct", "avg_pct"]
+    ours = [round(rep[c].mean(), 2) for c in cols]
+    ref = [round(rep["ref_" + c].mean(), 2) for c in cols]
+    print(f"wrote {OUT} ({len(rep)} languages)")
+    print(f"ours (words/pairs/sentences/avg): {ours}")
+    print(f"ref  (words/pairs/sentences/avg): {ref}")
+    print(f"mean avg delta: {round(ours[3] - ref[3], 2)}")
+
+
+if __name__ == "__main__":
+    main()
