@@ -250,9 +250,14 @@ def _q_trigrams(spark, sf_dir):
         .groupBy("lang", "gram")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("gram"), F.col("lang"))
-    return counts.withColumn("rnk", F.row_number().over(w).cast("long")).where(
-        F.col("rnk") <= 200
+    # top-200 via orderBy().limit() → TakeOrderedAndProject (distributed
+    # partial top-k), then rank over the ≤200 merged rows — not a
+    # single-partition global-window sort
+    order = [F.col("cnt").desc(), F.col("gram"), F.col("lang")]
+    w = Window.orderBy(*order)
+    return (
+        counts.orderBy(*order).limit(200)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
 
 
@@ -277,6 +282,15 @@ def _q_knn_graph(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
+    """The 10^12-row plan: LSH-bucketed candidates + exact in-bucket
+    cosine. Its DuckDB oracle computes the SAME literal-plane signatures,
+    so recall-by-design differences cancel and values must match."""
+    return similarity.neardup_lsh(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _q_embedding_neardup_exact(spark, sf_dir):
+    """Brute-force all-pairs tier — the per-bucket verification oracle
+    (bounded inputs only; the scale path is _q_embedding_neardup)."""
     return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
@@ -474,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _shipped(_q_cosine_topk),
         "knn_graph": _shipped(_q_knn_graph),
         "embedding_neardup": _shipped(_q_embedding_neardup),
+        "embedding_neardup_exact": _shipped(_q_embedding_neardup_exact),
         "events_sessions": _shipped(_q_events_sessions),
         "fasttext_lang": _shipped(_q_fasttext_lang),
         "perplexity_scores": _shipped(_q_perplexity),
@@ -614,5 +629,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_topk": similarity.topk_vs_query_sql("embeddings", 0, 10, EMB_DIM),
         "knn_graph": similarity.knn_graph_sql("embeddings", 20, 3, EMB_DIM),
-        "embedding_neardup": similarity.neardup_pairs_sql("embeddings", 0.4, EMB_DIM),
+        "embedding_neardup": similarity.neardup_lsh_sql("embeddings", 0.4, EMB_DIM),
+        "embedding_neardup_exact": similarity.neardup_pairs_sql(
+            "embeddings", 0.4, EMB_DIM
+        ),
+        "ann_lsh_topk": similarity.ann_lsh_sql("embeddings", 0, 10, 16, EMB_DIM),
     }

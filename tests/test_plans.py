@@ -118,3 +118,58 @@ def test_broadcast_knn_no_shuffle_of_corpus(spark):
     plan = plan_of(knn_graph(emb, n_src=5, k=3))
     # query side is broadcast; corpus side must not hash-shuffle for the join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_are_distributed(spark):
+    """cosine_topk / ann_lsh / trigram top-k must plan
+    TakeOrderedAndProject (per-partition partial top-k + tiny merge) —
+    never a global-window Sort over a single partition, the canonical
+    at-scale OOM (round-1 finding)."""
+    from tiny_lingua_spark.operators.similarity import (
+        ann_lsh_candidates, topk_vs_query,
+    )
+
+    emb = spark.read.parquet(EMB)
+    for df in (topk_vs_query(emb, 0, 10), ann_lsh_candidates(emb, 0, 10)):
+        plan = plan_of(df)
+        assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_neardup_lsh_is_bucketed(spark):
+    """The embedding near-dup scale tier joins within signature-half
+    buckets — no cartesian product anywhere in the plan."""
+    from tiny_lingua_spark.operators.similarity import neardup_lsh
+
+    emb = spark.read.parquet(EMB)
+    plan = plan_of(neardup_lsh(emb, threshold=0.4))
+    assert "CartesianProduct" not in plan
+
+
+def test_neardup_lsh_subset_of_brute(spark):
+    """LSH candidates are verified by exact cosine, so every LSH pair
+    must appear in the brute-force tier with the same similarity, and
+    any brute pair whose signatures collide in a half must be recalled."""
+    from tiny_lingua_spark.operators.similarity import (
+        neardup_lsh, neardup_pairs, rademacher_planes, signature_col,
+    )
+
+    emb = spark.read.parquet(EMB)
+    lsh = neardup_lsh(emb, threshold=0.4).toPandas()
+    brute = neardup_pairs(emb, threshold=0.4).toPandas()
+    lsh_set = {(r.id_a, r.id_b): r.sim for r in lsh.itertuples()}
+    brute_set = {(r.id_a, r.id_b): r.sim for r in brute.itertuples()}
+    assert set(lsh_set) <= set(brute_set)
+    for k, v in lsh_set.items():
+        assert v == brute_set[k]
+
+    sigs = {
+        int(r.vec_id): int(r.sig)
+        for r in emb.select(
+            "vec_id",
+            signature_col("embedding", rademacher_planes(64)).alias("sig"),
+        ).collect()
+    }
+    for (a, b), sim in brute_set.items():
+        sa, sb = sigs[int(a)], sigs[int(b)]
+        collides = (sa & 0xFF) == (sb & 0xFF) or (sa >> 8) == (sb >> 8)
+        assert collides == ((a, b) in lsh_set), (a, b, sim)

@@ -76,8 +76,20 @@ def _features_sql(text_col: str) -> str:
     )
 
 
-def bucket_col(feature_col: str, n_buckets: int = N_BUCKETS):
-    """Portable hashing trick: first 48 bits of md5 → bucket id."""
+def bucket_col(feature_col: str, n_buckets: int = N_BUCKETS,
+               hash_fn: str = "md5"):
+    """Hashing trick, two tiers:
+
+    - "md5": first 48 bits of md5 → bucket. Portable bit-for-bit to the
+      DuckDB oracle; ~10× more CPU than xxhash64 (the round-1 hot spot).
+    - "xxhash64": Spark's codegen'd XXH64 — the 10^12-row path. Not
+      reproducible in DuckDB, so models bucketed this way get a
+      rows-only oracle plus an agreement pytest against the md5 tier.
+
+    Train and score MUST use the same hash_fn (bucket ids differ).
+    """
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.col(feature_col)), F.lit(n_buckets)).cast("long")
     return (
         F.conv(F.substring(F.md5(F.col(feature_col)), 1, 12), 16, 10)
         .cast("long") % n_buckets
@@ -92,6 +104,7 @@ def train_fasttext(
     corpus_df: DataFrame,
     n_buckets: int = N_BUCKETS,
     alpha: float = SMOOTH_ALPHA,
+    hash_fn: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """corpus_df(lang, text) → (weights(bucket, lang, w), priors(lang, b)).
 
@@ -103,7 +116,7 @@ def train_fasttext(
     """
     feats = corpus_df.select(
         "lang", F.explode(F.expr(_features_expr("text"))).alias("feature")
-    ).select("lang", bucket_col("feature", n_buckets).alias("bucket"))
+    ).select("lang", bucket_col("feature", n_buckets, hash_fn).alias("bucket"))
     counts = feats.groupBy("lang", "bucket").agg(F.count("*").alias("cnt"))
     totals = counts.groupBy("lang").agg(F.sum("cnt").alias("total"))
     weights = (
@@ -254,59 +267,66 @@ def score_fasttext_wide(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """Same result as score_fasttext, via the widened weights: explode →
-    1:1 broadcast join → per-doc 36 column sums → unpivot → argmax.
-    The contrib shuffle carries one row per doc instead of one per
-    (doc, matched-lang)."""
+    """Same result as score_fasttext, via the widened weights, in ONE
+    pass over the input: explode_outer carries n_feats alongside each
+    feature row so the source is scanned once (round-1 read it twice —
+    at 100 TB that doubles the most expensive stage), the 1:1 broadcast
+    join adds the per-bucket lang-vector, the per-doc aggregate sums the
+    language axis, and argmax is array math on the single aggregated row
+    per doc — no per-(doc, lang) fan-out, no window, one shuffle on id.
+
+    Ties break toward the earliest language in canonical order
+    (array_position finds the first maximum), matching the narrow path's
+    ORDER BY score DESC, lang.
+    """
     from .. import langmeta as lm
 
     n_langs = len(lm.ISO_CODES)
-    feats = docs.select(
+    exploded = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.expr(_features_expr(text_col))).alias("feature"),
-    ).select("id", bucket_col("feature", n_buckets).alias("bucket"))
-    nf = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(F.expr(_features_expr(text_col))).cast("long").alias("n_feats"),
+        F.expr(_features_expr(text_col)).alias("features"),
+    ).select(
+        "id",
+        F.size("features").cast("long").alias("n_feats"),
+        F.explode_outer("features").alias("feature"),
+    ).select(
+        "id", "n_feats", bucket_col("feature", n_buckets, hash_fn).alias("bucket")
     )
     sums = (
-        feats.join(F.broadcast(weights_wide), "bucket")
+        exploded.join(F.broadcast(weights_wide), "bucket", "left")
         .groupBy("id")
-        .agg(*[
-            F.sum(F.col("ws")[i]).alias(f"s{i}") for i in range(n_langs)
-        ])
-        .select(
-            "id",
-            F.explode(
-                F.arrays_zip(
-                    F.array(*[F.lit(c) for c in lm.ISO_CODES]).alias("lang"),
-                    F.array(*[F.col(f"s{i}") for i in range(n_langs)]).alias("sum_w"),
-                )
-            ).alias("z"),
-        )
-        .select("id", F.col("z.lang").alias("lang"), F.col("z.sum_w").alias("sum_w"))
-    )
-    scored = (
-        nf.crossJoin(F.broadcast(priors).select("lang", "b", "default_w"))
-        .join(sums, ["id", "lang"], "left")
-        .select(
-            "id", "lang",
-            (
-                F.col("b")
-                + F.col("n_feats") * F.col("default_w")
-                + F.coalesce(F.col("sum_w"), F.lit(0.0))
-            ).alias("score"),
+        .agg(
+            F.first("n_feats").alias("n_feats"),
+            *[
+                F.coalesce(F.sum(F.col("ws")[i]), F.lit(0.0)).alias(f"s{i}")
+                for i in range(n_langs)
+            ],
         )
     )
-    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("lang"))
+    # priors are a tiny table: collected once at plan build and inlined
+    # as literal arrays over the canonical language axis
+    pr = {r["lang"]: (r["b"], r["default_w"]) for r in priors.collect()}
+    score_arr = F.array(*[
+        F.lit(float(pr[c][0]))
+        + F.col("n_feats") * F.lit(float(pr[c][1]))
+        + F.col(f"s{i}")
+        for i, c in enumerate(lm.ISO_CODES)
+    ])
+    lang_arr = F.array(*[F.lit(c) for c in lm.ISO_CODES])
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        sums.select(
+            "id",
+            score_arr.alias("scores"),
+            F.array_position(score_arr, F.array_max(score_arr)).alias("best"),
+        )
         .select(
             F.col("id").alias(id_col),
-            F.col("lang").alias("ft_lang"),
-            F.round(F.col("score"), 6).alias("ft_score"),
+            F.element_at(lang_arr, F.col("best").cast("int")).alias("ft_lang"),
+            F.round(F.element_at("scores", F.col("best").cast("int")), 6).alias(
+                "ft_score"
+            ),
         )
     )
 

@@ -56,6 +56,20 @@ def cosine_sql(a: str, b: str, dim: int) -> str:
     )
 
 
+def _ranked_topk(scored: DataFrame, k: int,
+                 order_cols: list[str] = ["sim", "vec_id"]) -> DataFrame:
+    """Distributed top-k: orderBy().limit(k) plans TakeOrderedAndProject
+    (per-partition partial top-k + tiny driver merge), NOT the
+    single-partition global-window sort that OOMs at corpus scale. The
+    row_number window then runs over ≤ k rows."""
+    sort = [F.col(order_cols[0]).desc()] + [F.col(c) for c in order_cols[1:]]
+    w = Window.orderBy(*sort)
+    return (
+        scored.orderBy(*sort).limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
 def topk_vs_query(emb: DataFrame, query_id: int, k: int = 10) -> DataFrame:
     """Top-k most-similar vectors to the vector with vec_id=query_id.
     The 1-row query side is crossJoin(broadcast(...)) — at scale this is
@@ -64,14 +78,12 @@ def topk_vs_query(emb: DataFrame, query_id: int, k: int = 10) -> DataFrame:
         F.col("embedding").alias("q_emb")
     )
     sim = F.round(cosine_expr("embedding", "q_emb"), 6)
-    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
+    scored = (
         emb.where(F.col("vec_id") != query_id)
         .crossJoin(F.broadcast(q))
         .select(F.col("vec_id").cast("long").alias("vec_id"), sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
     )
+    return _ranked_topk(scored, k)
 
 
 def topk_vs_query_sql(table: str, query_id: int, k: int, dim: int) -> str:
@@ -157,6 +169,57 @@ def neardup_pairs_sql(table: str, threshold: float, dim: int) -> str:
 
 
 # ------------------------------------------------ LSH scale path
+#
+# Sign-random-projection LSH with RADEMACHER (±1) hyperplanes derived
+# from md5 parity. ±1 entries (instead of Gaussians) keep the locality-
+# sensitive property of sign projections while making the planes plain
+# integer literals — so the EXACT same constants inline into Spark SQL
+# and DuckDB SQL, both engines compute bit-identical signatures, and the
+# bucketed candidate tier itself becomes oracle-checkable (no UDF, no
+# RNG state to reproduce).
+
+
+def rademacher_planes(dim: int, n_bits: int = 16,
+                      salt: str = "tls-lsh-v1") -> list[list[int]]:
+    """±1 hyperplane matrix (n_bits × dim) from md5(salt:bit:dim) parity."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{salt}:{b}:{j}".encode()).digest()[0] % 2 == 0
+            else -1
+            for j in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def signature_col(emb_col: str, planes: list[list[int]]) -> Column:
+    """int64 signature column, pure Catalyst (whole-stage codegen): one
+    sign bit per hyperplane, planes inlined as array literals."""
+    bits = []
+    for i, row in enumerate(planes):
+        arr = ", ".join(f"{v}.0D" for v in row)
+        dot = (
+            f"aggregate(zip_with({_vecd(emb_col)}, array({arr}),"
+            f" (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(case when {dot} > 0 then {1 << i}L else 0L end)")
+    return F.expr("(" + " + ".join(bits) + ")")
+
+
+def signature_sql(emb_col: str, planes: list[list[int]], dim: int) -> str:
+    """The DuckDB twin of signature_col — same literals, same fold order."""
+    bits = []
+    for i, row in enumerate(planes):
+        arr = "[" + ", ".join(str(v) for v in row) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> ({emb_col})[i]::DOUBLE * ({arr}::DOUBLE[])[i]))"
+        )
+        bits.append(f"(case when {dot} > 0 then {1 << i} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
 
 def hyperplanes(dim: int, n_bits: int = 16, seed: int = 7) -> np.ndarray:
     """Deterministic ±1 hyperplanes from a seeded RNG (driver-side, tiny;
@@ -182,15 +245,12 @@ def lsh_signature_udf(planes: np.ndarray):
     return signature
 
 
-def ann_lsh_candidates(emb: DataFrame, query_id: int, k: int = 10,
-                       n_bits: int = 16, dim: int = 64) -> DataFrame:
-    """IVF/LSH-style ANN: rank only vectors whose signature matches the
-    query's in ≥1 of two 8-bit halves (pigeonhole over Hamming ≤ 7).
-    Same output schema as topk_vs_query; recall < 1 by design — this is
-    the plan that survives 10^12 rows (per-bucket joins, no cross join).
-    """
-    sig = lsh_signature_udf(hyperplanes(dim, n_bits))
-    with_sig = emb.select("vec_id", "embedding", sig("embedding").alias("sig"))
+def _exploded_halves(emb: DataFrame, n_bits: int, dim: int) -> DataFrame:
+    """(vec_id, embedding, h, hv): one row per 8-bit signature half —
+    vectors sharing any half value are Hamming-≤7 candidates (pigeonhole
+    over n_bits=16)."""
+    sig = signature_col("embedding", rademacher_planes(dim, n_bits))
+    with_sig = emb.select("vec_id", "embedding", sig.alias("sig"))
     halves = [
         F.struct(
             F.lit(i).alias("h"),
@@ -198,19 +258,110 @@ def ann_lsh_candidates(emb: DataFrame, query_id: int, k: int = 10,
         )
         for i in range(n_bits // 8)
     ]
-    exploded = with_sig.select(
+    return with_sig.select(
         "vec_id", "embedding", F.explode(F.array(*halves)).alias("c")
     ).select("vec_id", "embedding", "c.h", "c.hv")
+
+
+def ann_lsh_candidates(emb: DataFrame, query_id: int, k: int = 10,
+                       n_bits: int = 16, dim: int = 64) -> DataFrame:
+    """IVF/LSH-style ANN: rank only vectors whose signature matches the
+    query's in ≥1 of two 8-bit halves (pigeonhole over Hamming ≤ 7).
+    Same output schema as topk_vs_query; recall < 1 by design — this is
+    the plan that survives 10^12 rows (per-bucket joins, no cross join,
+    distributed TakeOrderedAndProject top-k)."""
+    exploded = _exploded_halves(emb, n_bits, dim)
     q = exploded.where(F.col("vec_id") == query_id).select(
         "h", "hv", F.col("embedding").alias("q_emb")
     )
     sim = F.round(cosine_expr("embedding", "q_emb"), 6)
-    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
+    scored = (
         exploded.join(F.broadcast(q), ["h", "hv"])
         .where(F.col("vec_id") != query_id)
         .select(F.col("vec_id").cast("long").alias("vec_id"), sim.alias("sim"))
         .dropDuplicates(["vec_id"])
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
     )
+    return _ranked_topk(scored, k)
+
+
+def ann_lsh_sql(table: str, query_id: int, k: int, n_bits: int, dim: int) -> str:
+    """DuckDB twin of ann_lsh_candidates — identical signatures from the
+    same literal planes, so the candidate set (and thus the ANN result,
+    recall < 1 and all) matches exactly."""
+    sig = signature_sql("embedding", rademacher_planes(dim, n_bits), dim)
+    cos = cosine_sql("e.embedding", "q.embedding", dim)
+    return f"""
+    WITH sigs AS (SELECT vec_id, embedding, {sig} AS sig FROM {table}),
+    halves AS (
+        SELECT vec_id, embedding, hs.h,
+               CASE WHEN hs.h = 0 THEN sig % 256 ELSE sig // 256 END AS hv
+        FROM sigs, (SELECT unnest(range(0, {n_bits // 8})) AS h) hs
+    ),
+    qh AS (SELECT h, hv FROM halves WHERE vec_id = {query_id}),
+    cand AS (
+        SELECT DISTINCT e.vec_id
+        FROM halves e JOIN qh ON e.h = qh.h AND e.hv = qh.hv
+        WHERE e.vec_id != {query_id}
+    ),
+    q AS (SELECT embedding FROM {table} WHERE vec_id = {query_id}),
+    scored AS (
+        SELECT e.vec_id::BIGINT AS vec_id, round({cos}, 6) AS sim
+        FROM {table} e JOIN cand USING (vec_id), q
+    )
+    SELECT vec_id, sim,
+           row_number() OVER (ORDER BY sim DESC, vec_id)::BIGINT AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+def neardup_lsh(emb: DataFrame, threshold: float = 0.4, dim: int = 64,
+                n_bits: int = 16) -> DataFrame:
+    """Embedding near-dup, the 10^12-row plan: LSH-bucketed candidate
+    pairs (join within 8-bit signature-half buckets — never all-pairs)
+    verified by exact cosine within the bucket. Same output schema as
+    neardup_pairs; recall < 1 by LSH design, identical in the DuckDB twin
+    (same literal planes)."""
+    exploded = _exploded_halves(emb, n_bits, dim)
+    a = exploded.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "h", "hv"
+    )
+    b = exploded.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "h", "hv"
+    )
+    sim = F.round(cosine_expr("ea", "eb"), 6)
+    return (
+        a.join(b, ["h", "hv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def neardup_lsh_sql(table: str, threshold: float, dim: int,
+                    n_bits: int = 16) -> str:
+    sig = signature_sql("embedding", rademacher_planes(dim, n_bits), dim)
+    cos = cosine_sql("x.embedding", "y.embedding", dim)
+    return f"""
+    WITH sigs AS (SELECT vec_id, embedding, {sig} AS sig FROM {table}),
+    halves AS (
+        SELECT vec_id, hs.h,
+               CASE WHEN hs.h = 0 THEN sig % 256 ELSE sig // 256 END AS hv
+        FROM sigs, (SELECT unnest(range(0, {n_bits // 8})) AS h) hs
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM halves a JOIN halves b ON a.h = b.h AND a.hv = b.hv
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.id_a::BIGINT AS id_a, c.id_b::BIGINT AS id_b,
+           round({cos}, 6) AS sim
+    FROM cand c
+    JOIN {table} x ON x.vec_id = c.id_a
+    JOIN {table} y ON y.vec_id = c.id_b
+    WHERE round({cos}, 6) >= {threshold}
+    """
