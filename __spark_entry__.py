@@ -273,6 +273,12 @@ def _q_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", "source")
 
 
+def _q_neardup_text(spark, sf_dir):
+    """Production near-dup chain: 128-hash / 16-band MinHash-LSH
+    candidates verified by exact shingle-Jaccard (dedup.neardup_text)."""
+    return dedup.neardup_text(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _q_cosine_topk(spark, sf_dir):
     return similarity.topk_vs_query(_emb(spark, sf_dir), query_id=0, k=10)
 
@@ -485,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": _shipped(_q_minhash_bands),
         "minhash_pairs": _shipped(_q_minhash_pairs),
         "jaccard_pairs": _shipped(_q_jaccard_pairs),
+        "neardup_text": _shipped(_q_neardup_text),
         "cosine_topk": _shipped(_q_cosine_topk),
         "knn_graph": _shipped(_q_knn_graph),
         "embedding_neardup": _shipped(_q_embedding_neardup),
@@ -627,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": dedup.jaccard_pairs_sql(
             "documents", "doc_id", "text", "source"
         ),
+        "neardup_text": dedup.neardup_text_sql("documents", "doc_id", "text"),
         "cosine_topk": similarity.topk_vs_query_sql("embeddings", 0, 10, EMB_DIM),
         "knn_graph": similarity.knn_graph_sql("embeddings", 20, 3, EMB_DIM),
         "embedding_neardup": similarity.neardup_lsh_sql("embeddings", 0.4, EMB_DIM),

@@ -151,3 +151,32 @@ def test_wide_scoring_single_scan(spark):
 
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) == 1, plan
+
+
+def test_perplexity_batch_matches_per_row(registry):
+    """The segment-reduction batch path must reproduce the per-row
+    perplexity API (same gram cache, same backoff)."""
+    import numpy as np
+    import pandas as pd
+
+    from tiny_lingua_spark import corpus, langmeta as lm
+    from tiny_lingua_spark.functions.perplexity import PerplexityScorer
+    from tiny_lingua_spark.operators.multilang import clean_text_py
+
+    models = dict(registry.bc_low.value)
+    models.update(registry.bc_high.value)
+    scorer = PerplexityScorer(models)
+    texts, langs = [], []
+    for iso in ("en", "de", "ru", "ja", "th"):
+        for t in corpus.sentences(iso, 4, split="pplv"):
+            texts.append(clean_text_py(t))
+            langs.append(iso)
+    texts += ["", "zzzqqq"]
+    langs += ["en", "nosuch"]
+    got = scorer.batch(pd.Series(texts), pd.Series(langs)).to_numpy()
+    for t, l, g in zip(texts, langs, got):
+        li = lm.LANG_INDEX.get(l)
+        if not t or li is None:
+            assert g == 1e12
+        else:
+            assert np.isclose(g, scorer.perplexity(t, li), rtol=1e-9), (t, l)

@@ -173,3 +173,27 @@ def test_neardup_lsh_subset_of_brute(spark):
         sa, sb = sigs[int(a)], sigs[int(b)]
         collides = (sa & 0xFF) == (sb & 0xFF) or (sa >> 8) == (sb >> 8)
         assert collides == ((a, b) in lsh_set), (a, b, sim)
+
+
+def test_neardup_text_bucketed_and_verified(spark):
+    """Production MinHash chain (128 hashes / 16 bands): no cartesian
+    product in the plan, and every emitted pair's jaccard really clears
+    the threshold (spot-verified against direct computation)."""
+    from tiny_lingua_spark.operators.dedup import neardup_text, shingles_expr
+
+    docs = spark.read.parquet(DOCS)
+    q = neardup_text(docs, "doc_id", "text", threshold=0.5)
+    assert "CartesianProduct" not in plan_of(q)
+    out = q.toPandas()
+    assert len(out) > 0
+    assert (out.jaccard >= 0.5).all()
+
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id", F.expr(shingles_expr("text")).alias("sh")
+        ).collect()
+    }
+    for r in out.head(10).itertuples():
+        a, b = set(sh[r.id_a]), set(sh[r.id_b])
+        assert round(len(a & b) / len(a | b), 6) == r.jaccard

@@ -33,18 +33,24 @@ MAX_ORDER = 5
 class PerplexityScorer:
     """Per-executor scorer over the broadcast model dicts for ONE
     language axis (scores all languages at once; the pipeline consumes
-    the detected language's column)."""
+    the detected language's column).
 
-    def __init__(self, models: dict[int, dict[str, np.ndarray]]):
+    Same gram → matrix-row cache as the detect engine
+    (operators/detect.py GramMatrixCache): per position the only Python
+    work is a string slice + one dict probe for an integer id; the
+    log-probability gathers and per-row sums are numpy segment
+    reductions over the whole batch."""
+
+    def __init__(self, models: dict[int, dict[str, np.ndarray]],
+                 capacity: int = 1 << 14, max_grams: int = 2_000_000):
         self.models = models
-        self.cache: dict[str, np.ndarray] = {}
+        self.index: dict[str, int] = {}
+        self.logs = np.zeros((capacity, lm.N_LANGS), dtype=np.float64)
+        self.n = 0
+        self.max_grams = max_grams
 
-    def _log_prob_vec(self, gram: str) -> np.ndarray:
-        """log10 P̃(last char | context) per language, stupid backoff,
-        cached — per-char scoring is then one dict probe + one index."""
-        hit = self.cache.get(gram)
-        if hit is not None:
-            return hit
+    def _compute_log_probs(self, gram: str) -> np.ndarray:
+        """log10 P̃(last char | context) per language, stupid backoff."""
         out = np.full(lm.N_LANGS, FLOOR_PROB, dtype=np.float64)
         resolved = np.zeros(lm.N_LANGS, dtype=bool)
         g = gram
@@ -60,11 +66,30 @@ class PerplexityScorer:
                     break
             g = g[1:]  # drop the OLDEST context char (LM back-off)
             penalty *= BACKOFF_ALPHA
-        out = np.log10(out)
-        if len(self.cache) > 2_000_000:
-            self.cache.clear()
-        self.cache[gram] = out
-        return out
+        return np.log10(out)
+
+    def _gram_id(self, gram: str) -> int:
+        gid = self.index.get(gram)
+        if gid is not None:
+            return gid
+        if self.n >= self.logs.shape[0]:
+            grown = np.zeros((self.logs.shape[0] * 2, lm.N_LANGS), np.float64)
+            grown[: self.n] = self.logs[: self.n]
+            self.logs = grown
+        gid = self.n
+        self.logs[gid] = self._compute_log_probs(gram)
+        self.index[gram] = gid
+        self.n += 1
+        return gid
+
+    def maybe_reset(self) -> None:
+        """Between batches only (ids handed out mid-batch must stay valid)."""
+        if self.n >= self.max_grams:
+            self.index.clear()
+            self.n = 0
+
+    def _log_prob_vec(self, gram: str) -> np.ndarray:
+        return self.logs[self._gram_id(gram)]
 
     def perplexity(self, cleaned: str, lang_idx: int | None = None) -> np.ndarray | float:
         """Per-language perplexity of the cleaned text (or one language's,
@@ -72,27 +97,50 @@ class PerplexityScorer:
         n = len(cleaned)
         if n == 0:
             return np.full(lm.N_LANGS, float("inf")) if lang_idx is None else float("inf")
-        probe = self._log_prob_vec
+        gram_id = self._gram_id
+        ids = np.fromiter(
+            (gram_id(cleaned[max(0, i - MAX_ORDER + 1) : i + 1]) for i in range(n)),
+            dtype=np.int64,
+            count=n,
+        )
         if lang_idx is not None:
-            s = 0.0
-            for i in range(n):
-                s += probe(cleaned[max(0, i - MAX_ORDER + 1) : i + 1])[lang_idx]
-            return float(10.0 ** (-s / n))
-        log_sum = np.zeros(lm.N_LANGS, dtype=np.float64)
-        for i in range(n):
-            log_sum += probe(cleaned[max(0, i - MAX_ORDER + 1) : i + 1])
-        return np.power(10.0, -log_sum / n)
+            return float(10.0 ** (-float(self.logs[ids, lang_idx].sum()) / n))
+        return np.power(10.0, -self.logs[ids].sum(axis=0) / n)
 
     def batch(self, cleaned: pd.Series, langs: pd.Series) -> pd.Series:
+        """One gather + one segment reduction for the whole Arrow batch."""
+        self.maybe_reset()
         lang_index = lm.LANG_INDEX
-        out = np.empty(len(cleaned), dtype=np.float64)
+        gram_id = self._gram_id
+        n_rows = len(cleaned)
+        out = np.full(n_rows, 1e12, dtype=np.float64)
+        ids_l: list[np.ndarray] = []
+        lis: list[int] = []
+        lens: list[int] = []
+        rows: list[int] = []
         for row, (c, l) in enumerate(zip(cleaned.to_numpy(), langs.to_numpy())):
             li = lang_index.get(l)
             if not c or li is None:
-                out[row] = float("inf")
-            else:
-                out[row] = self.perplexity(c, li)
-        return pd.Series(out).replace([np.inf], 1e12)
+                continue
+            n = len(c)
+            ids_l.append(np.fromiter(
+                (gram_id(c[max(0, i - MAX_ORDER + 1) : i + 1]) for i in range(n)),
+                dtype=np.int64,
+                count=n,
+            ))
+            lis.append(li)
+            lens.append(n)
+            rows.append(row)
+        if rows:
+            all_ids = np.concatenate(ids_l)
+            lens_a = np.array(lens, dtype=np.int64)
+            row_li = np.repeat(np.array(lis, dtype=np.int64), lens_a)
+            vals = self.logs[all_ids, row_li]
+            offsets = np.zeros(len(lens_a), dtype=np.int64)
+            np.cumsum(lens_a[:-1], out=offsets[1:])
+            sums = np.add.reduceat(vals, offsets)
+            out[np.array(rows)] = np.power(10.0, -sums / lens_a)
+        return pd.Series(out)
 
 
 _SCORERS: dict[tuple, PerplexityScorer] = {}

@@ -244,48 +244,80 @@ def run_resumable(
     n_buckets: int = 16,
     thresholds: dict | None = None,
 ) -> dict:
-    """Checkpointed pipeline run: input hash-bucketed on clip_id; each
-    bucket commits atomically (parquet partition + manifest JSON with
-    per-partition lineage + counters). Re-running after a crash skips
-    committed buckets — the plain-parquet analog of resuming from an
-    Iceberg snapshot.
+    """Checkpointed pipeline run: input hash-bucketed on clip_id; buckets
+    commit atomically (parquet partition + manifest JSON with lineage +
+    counters). Re-running after a crash skips committed buckets — the
+    plain-parquet analog of resuming from an Iceberg snapshot.
+
+    ONE pass over the input: pending buckets are selected with a single
+    pushed-down filter, the write is `partitionBy("_bucket")` with
+    dynamic partition overwrite (committed partitions untouched), and
+    per-bucket counters ride the same job as conditional aggregates in
+    one Observation. Round 1 ran one job per bucket — n_buckets full
+    scans of the source, the canonical 100 TB mistake.
     """
+    from pyspark.sql import Observation
+
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     done = completed_buckets(out_dir)
-    bucketed = clips.withColumn(
-        "_bucket", F.pmod(F.xxhash64("clip_id"), F.lit(n_buckets)).cast("int")
-    )
+    pending = [b for b in range(n_buckets) if b not in done]
     stats = {"buckets_total": n_buckets, "buckets_skipped": len(done), "rows": 0,
              "kept": 0}
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        from pyspark.sql import Observation
+    if not pending:
+        return stats
 
-        part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
-        result = quality_filter(part, registry, thresholds=thresholds)
-        # counters piggyback on the write itself (observe = task-level
-        # accumulators): ONE job per bucket, no persist + second agg pass
-        obs = Observation(f"bucket-{b}")
-        observed = result.observe(obs, *_metric_exprs())
-        t0 = time.time()
-        observed.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"bucket={b}"))
-        m = obs.get
+    def _bexpr(df: DataFrame):
+        return F.pmod(F.xxhash64(df["clip_id"]), F.lit(n_buckets)).cast("int")
+
+    src = clips if not done else clips.where(
+        ~_bexpr(clips).isin([int(b) for b in done])
+    )
+    result = quality_filter(src, registry, thresholds=thresholds)
+    observed_df = result.withColumn("_bucket", _bexpr(result))
+
+    # per-bucket counters as conditional aggregates — one Observation,
+    # one job; at thousands of buckets this becomes a metrics TABLE
+    # (groupBy _bucket), but for manifest-grain bucket counts the
+    # conditional form keeps the single-pass write self-contained
+    per_bucket_exprs = []
+    for b in pending:
+        cond = F.col("_bucket") == b
+        per_bucket_exprs += [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"rows_{b}"),
+            F.sum(F.when(cond & F.col("keep"), 1).otherwise(0)).alias(f"kept_{b}"),
+            F.sum(F.when(cond & ~F.col("decode_ok"), 1).otherwise(0)).alias(
+                f"decode_failures_{b}"),
+            F.sum(F.when(cond & (F.col("lang") == "unknown"), 1).otherwise(0)).alias(
+                f"unknown_lang_{b}"),
+            F.sum(F.when(cond & (F.col("scrubbed") != F.col("transcript")), 1)
+                  .otherwise(0)).alias(f"scrubbed_rows_{b}"),
+        ]
+    obs = Observation("run-resumable")
+    observed = observed_df.observe(obs, *per_bucket_exprs)
+    t0 = time.time()
+    (
+        observed.write.partitionBy("_bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    m = obs.get
+    wall = round(time.time() - t0, 3)
+    for b in pending:
         manifest = {
             "bucket": b,
-            "rows": m["rows"],
-            "kept": int(m["kept"] or 0),
-            "decode_failures": int(m["decode_failures"] or 0),
-            "unknown_lang": int(m["unknown_lang"] or 0),
-            "scrubbed_rows": int(m["scrubbed_rows"] or 0),
-            "wall_sec": round(time.time() - t0, 3),
+            "rows": int(m[f"rows_{b}"] or 0),
+            "kept": int(m[f"kept_{b}"] or 0),
+            "decode_failures": int(m[f"decode_failures_{b}"] or 0),
+            "unknown_lang": int(m[f"unknown_lang_{b}"] or 0),
+            "scrubbed_rows": int(m[f"scrubbed_rows_{b}"] or 0),
+            "job_wall_sec": wall,
             "lineage": {"source": "clips", "bucket_expr": f"pmod(xxhash64(clip_id), {n_buckets})"},
         }
         tmp = _manifest_path(out_dir, b) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, _manifest_path(out_dir, b))
-        stats["rows"] += m["rows"]
-        stats["kept"] += int(m["kept"] or 0)
+        stats["rows"] += manifest["rows"]
+        stats["kept"] += manifest["kept"]
     return stats
