@@ -93,13 +93,31 @@ def _registry(spark: SparkSession):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    path = os.path.join(sf_dir, "documents.parquet")
+    df = spark.read.parquet(path)
     # Small-SF files arrive as one split, starving the UDF/explode stages;
     # scatter only when the scan is narrower than the core count. At real
     # scale the scan has thousands of splits and this branch never fires
     # (a blind repartition of 100 TB would be a pure-cost shuffle).
+    # Split estimate from file bytes — df.rdd.getNumPartitions() would
+    # materialize the RDD conversion on every query (round-1 finding).
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        if os.path.isdir(path):
+            total = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:  # single-file dataset (the driver-generated testdata shape)
+            total = os.path.getsize(path)
+        max_pb = int(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes")).rstrip("b")
+        )
+        est_splits = max(1, -(-total // max_pb))
+    except OSError:  # non-local path: trust the scan's own splitting
+        est_splits = par
+    if est_splits < par:
         df = df.repartition(par * 2)
     return df
 

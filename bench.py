@@ -36,6 +36,11 @@ BENCH_QUERIES = (
     "events_sessions",        # gap sessionization (lag + cumulative windows)
     "multilang_sections",     # per-doc multi-language segmentation UDF
     "pipeline_keep_stats",    # clips: decode + detect + quality + scrub + decision
+    "neardup_text",           # production 128-hash MinHash-LSH + Jaccard verify
+    "embedding_neardup",      # literal-plane LSH buckets + exact cosine
+    "cosine_topk",            # distributed TakeOrderedAndProject top-k
+    "perplexity_scores",      # char-LM stupid-backoff perplexity (pandas UDF)
+    "simhash_pairs",          # vectorized simhash + chunk-bucket Hamming join
 )
 
 

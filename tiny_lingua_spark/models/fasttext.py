@@ -284,21 +284,23 @@ def score_fasttext_wide(
     from .. import langmeta as lm
 
     n_langs = len(lm.ISO_CODES)
+    # n_feats is NOT carried as size(features) next to the explode:
+    # projection collapse would inline the full feature-array expression
+    # into every generated row (re-building the array per feature — a
+    # measured 4× regression). explode_outer emits one row per feature
+    # (or one null row for empty docs), so counting non-null buckets in
+    # the aggregate recovers n_feats for free.
     exploded = docs.select(
         F.col(id_col).alias("id"),
-        F.expr(_features_expr(text_col)).alias("features"),
+        F.explode_outer(F.expr(_features_expr(text_col))).alias("feature"),
     ).select(
-        "id",
-        F.size("features").cast("long").alias("n_feats"),
-        F.explode_outer("features").alias("feature"),
-    ).select(
-        "id", "n_feats", bucket_col("feature", n_buckets, hash_fn).alias("bucket")
+        "id", bucket_col("feature", n_buckets, hash_fn).alias("bucket")
     )
     sums = (
         exploded.join(F.broadcast(weights_wide), "bucket", "left")
         .groupBy("id")
         .agg(
-            F.first("n_feats").alias("n_feats"),
+            F.count("bucket").alias("n_feats"),
             *[
                 F.coalesce(F.sum(F.col("ws")[i]), F.lit(0.0)).alias(f"s{i}")
                 for i in range(n_langs)

@@ -152,8 +152,10 @@ def minhash_pairs(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
     The join key is (band_idx, band_hash) — per-bucket, never cross."""
     bands = minhash_bands(df, id_col, text_col, **kw)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # SHUFFLE_HASH: the self-join sides are each ~bands×corpus rows —
+    # never broadcastable at corpus scale; pin the per-bucket hash join
+    a = bands.hint("shuffle_hash").alias("a")
+    b = bands.hint("shuffle_hash").alias("b")
     return (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("a.id") < F.col("b.id"))
@@ -318,17 +320,18 @@ def simhash64_udf():
                 flat[pos : pos + len(row_toks)] = row_toks
                 pos += len(row_toks)
         hashes = pd.util.hash_array(flat)                      # uint64[tokens]
-        signed = (
-            ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-            .astype(np.int8)
-            .astype(np.int64)
-            * 2
-            - 1
-        )                                                      # tokens × 64 of ±1
+        # one C call per batch for the bit matrix (little-endian view →
+        # bit i == (h >> i) & 1); int32 keeps the reduceat overflow-safe
+        # at ~25+100 MB of transients per batch instead of the ~650 MB a
+        # broadcasted shift-and-mask chain would allocate
+        bits = np.unpackbits(
+            hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)                                     # tokens × 64
         nz = counts > 0
         offsets = np.zeros(int(nz.sum()), dtype=np.int64)
         np.cumsum(counts[nz][:-1], out=offsets[1:])
-        votes = np.add.reduceat(signed, offsets, axis=0)       # rows × 64
+        ones = np.add.reduceat(bits, offsets, axis=0)          # rows × 64
+        votes = 2 * ones - counts[nz][:, None]                 # ±1 vote sum
         sigs = ((votes > 0).astype(np.uint64) * weights).sum(
             axis=1, dtype=np.uint64
         )
@@ -361,7 +364,11 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     """Near-dup pairs with Hamming(sig_a, sig_b) ≤ max_hamming, found via
     per-chunk joins (never a cross join)."""
     chunks = simhash_chunks(df, id_col, text_col)
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # SHUFFLE_HASH: 4 rows per corpus document on each side — the only
+    # join strategy that survives 10^12 rows (broadcast is impossible;
+    # sort-merge pays an unnecessary sort on a throwaway key)
+    a = chunks.hint("shuffle_hash").alias("a")
+    b = chunks.hint("shuffle_hash").alias("b")
     xor = F.expr("a.sig ^ b.sig")
     hamming = F.bit_count(xor)
     return (

@@ -60,6 +60,13 @@ def get_spark(
         # split size chosen so a task's Arrow batches + model dicts fit
         # executor memory at 100 TB inputs (× cores tasks in flight)
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # AQE coalesces post-shuffle partitions by BYTES; compute-dense
+        # exploding pipelines (0.5 MB of compressed text → millions of
+        # features) would collapse to one task under the default 1 MB
+        # floor (measured 6×). With parallelismFirst (default on) and a
+        # low floor, AQE keeps the parallelism; at 100 TB partitions are
+        # far above any floor and this is a no-op.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
