@@ -197,3 +197,24 @@ def test_neardup_text_bucketed_and_verified(spark):
     for r in out.head(10).itertuples():
         a, b = set(sh[r.id_a]), set(sh[r.id_b])
         assert round(len(a & b) / len(a | b), 6) == r.jaccard
+
+
+def test_neardup_text_xxhash64_matches_md5(spark):
+    """hash_fn='xxhash64' (the codegen'd 10^12-row path) yields the same
+    VERIFIED pair set as the oracle-portable md5 family: candidates may
+    differ per hash family, but the exact-Jaccard verification stage
+    makes the output hash-agnostic for pairs the LSH recalls — and the
+    seeded near-dups sit far above the 16-band/8-row knee (j ≈ 0.71)
+    where recall ≈ 1 for both."""
+    from tiny_lingua_spark.operators.dedup import neardup_text
+
+    docs = spark.read.parquet(DOCS)
+    md5 = neardup_text(docs, "doc_id", "text", threshold=0.5)
+    xx = neardup_text(docs, "doc_id", "text", threshold=0.5,
+                      hash_fn="xxhash64")
+    assert "CartesianProduct" not in plan_of(xx)
+    # the scale path must not fall back to per-row python anywhere
+    assert "BatchEvalPython" not in plan_of(xx)
+    md5_set = {(r.id_a, r.id_b, r.jaccard) for r in md5.collect()}
+    xx_set = {(r.id_a, r.id_b, r.jaccard) for r in xx.collect()}
+    assert xx_set == md5_set and len(xx_set) > 0

@@ -94,28 +94,41 @@ BAND_SIZE = 2  # → 4 bands; P(candidate) = 1-(1-j^2)^4
 
 def minhash_bands(df: DataFrame, id_col: str, text_col: str,
                   n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
-                  k_shingle: int = 3) -> DataFrame:
+                  k_shingle: int = 3, hash_fn: str = "md5") -> DataFrame:
     """(id, band_idx, band_hash) — one row per LSH band per document.
 
-    MinHash_i(doc) = min over shingles of md5(i || '|' || shingle); hex
-    strings are fixed-length so lexicographic min == numeric min. A band
-    hashes `band_size` consecutive signature slots together.
+    MinHash_i(doc) = min over shingles of hash(i || '|' || shingle). A
+    band hashes `band_size` consecutive signature slots together.
+
+    hash_fn (mirrors models/fasttext.bucket_col):
+    - "md5": hex strings are fixed-length so lexicographic min ==
+      numeric min; portable bit-for-bit to the DuckDB oracle. ~10× the
+      CPU of xxhash64 — with 128 production hashes the signature
+      aggregate is the dominant stage cost.
+    - "xxhash64": Spark's codegen'd XXH64, seeded per slot; band_hash
+      becomes int64. The 10^12-row path. Not reproducible in DuckDB, so
+      pipelines using it rely on the md5 twin for oracle checks (same
+      algorithm, different hash family — candidate sets differ only in
+      which random permutation they approximate).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(shingles_expr(text_col, k_shingle))).alias("shingle"),
     ).dropDuplicates(["id", "shingle"])
+    if hash_fn == "xxhash64":
+        slot = lambda i: F.xxhash64(F.lit(i), F.col("shingle"))  # noqa: E731
+        band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
+    else:
+        slot = lambda i: F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))  # noqa: E731
+        band_hash = lambda cols: F.md5(F.concat(*cols))  # noqa: E731
     mins = sh.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-            for i in range(n_hashes)
-        ]
+        *[F.min(slot(i)).alias(f"mh{i}") for i in range(n_hashes)]
     )
     bands = []
     for b in range(n_hashes // band_size):
         cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
         bands.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("band_hash"))
+            F.struct(F.lit(b).alias("band_idx"), band_hash(cols).alias("band_hash"))
         )
     return mins.select(
         "id", F.explode(F.array(*bands)).alias("band")
@@ -187,7 +200,7 @@ PROD_BAND_SIZE = 8
 def neardup_text(df: DataFrame, id_col: str, text_col: str,
                  threshold: float = 0.5, n_hashes: int = PROD_N_HASHES,
                  band_size: int = PROD_BAND_SIZE,
-                 k_shingle: int = 3) -> DataFrame:
+                 k_shingle: int = 3, hash_fn: str = "md5") -> DataFrame:
     """The full text near-dup operator: production-banded MinHash-LSH
     candidates verified by exact shingle-Jaccard ≥ threshold.
 
@@ -199,6 +212,7 @@ def neardup_text(df: DataFrame, id_col: str, text_col: str,
     pairs = minhash_pairs(
         df, id_col, text_col,
         n_hashes=n_hashes, band_size=band_size, k_shingle=k_shingle,
+        hash_fn=hash_fn,
     )
     base = df.select(
         F.col(id_col).alias("id"),

@@ -21,7 +21,12 @@ PLAN_QUERIES = (
     "detect_trigram_declarative",
     "fasttext_lang",
     "minhash_pairs",
+    "neardup_text",
     "knn_graph",
+    "cosine_topk",
+    "embedding_neardup",
+    "ann_lsh_topk",
+    "simhash_pairs",
     "events_sessions",
     "pipeline_keep_stats",
 )
