@@ -318,6 +318,19 @@ def _q_embedding_neardup_exact(spark, sf_dir):
     return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN probe with the deterministic seeded quantizer:
+    route the query to nprobe cells, exact-score only those cells,
+    distributed top-k. Oracle computes the SAME literal centroids."""
+    return similarity.ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, nprobe=4)
+
+
+def _q_ivf_cells(spark, sf_dir):
+    """IVF cell histogram — the balance check before committing the
+    cell-partitioned index layout."""
+    return similarity.ivf_cells(_emb(spark, sf_dir))
+
+
 # ---- UDF-backed (rows-only oracle) ----
 
 def _q_detect_labels(spark, sf_dir):
@@ -514,6 +527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _shipped(_q_knn_graph),
         "embedding_neardup": _shipped(_q_embedding_neardup),
         "embedding_neardup_exact": _shipped(_q_embedding_neardup_exact),
+        "ivf_topk": _shipped(_q_ivf_topk),
+        "ivf_cells": _shipped(_q_ivf_cells),
         "events_sessions": _shipped(_q_events_sessions),
         "fasttext_lang": _shipped(_q_fasttext_lang),
         "perplexity_scores": _shipped(_q_perplexity),
@@ -660,4 +675,6 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", 0.4, EMB_DIM
         ),
         "ann_lsh_topk": similarity.ann_lsh_sql("embeddings", 0, 10, 16, EMB_DIM),
+        "ivf_topk": similarity.ivf_topk_sql("embeddings", 0, 10, 4, EMB_DIM),
+        "ivf_cells": similarity.ivf_cells_sql("embeddings", EMB_DIM),
     }

@@ -41,6 +41,7 @@ BENCH_QUERIES = (
     "cosine_topk",            # distributed TakeOrderedAndProject top-k
     "perplexity_scores",      # char-LM stupid-backoff perplexity (pandas UDF)
     "simhash_pairs",          # vectorized simhash + chunk-bucket Hamming join
+    "ivf_topk",               # IVF-Flat ANN probe (seeded quantizer, 4/16 cells)
 )
 
 

@@ -365,3 +365,215 @@ def neardup_lsh_sql(table: str, threshold: float, dim: int,
     JOIN {table} y ON y.vec_id = c.id_b
     WHERE round({cos}, 6) >= {threshold}
     """
+
+
+# ------------------------------------------------ IVF scale path
+#
+# Inverted-file ANN (the classic IVF-Flat layout: Sivic & Zisserman's
+# inverted index over a coarse quantizer, as popularized by FAISS): a
+# small set of centroids partitions the corpus into cells; a query
+# probes only its `nprobe` nearest cells, so the exact-scoring work
+# drops from |corpus| to |corpus|·nprobe/n_cells. At 100 TB the cell id
+# is a physical partition key (partitionBy("cell") on the index write),
+# so a probe is PARTITION PRUNING — the scan itself skips the other
+# cells; nothing outside the probed cells is even read.
+#
+# Two quantizer sources, same probe operator:
+# - ivf_seed_centroids: deterministic data-independent ±1 rows
+#   (normalized), inlined as double literals into BOTH Spark SQL and
+#   DuckDB SQL — the full assign→probe→score→top-k chain is
+#   oracle-checkable end to end, like the Rademacher LSH tier above.
+# - ivf_train: spherical k-means (Lloyd's) over the corpus — the
+#   production quantizer. Each iteration is ONE distributed pass
+#   (BLAS argmax assignment in an Arrow-batched UDF + per-(cell,dim)
+#   mean via posexplode groupBy); only n_cells×dim floats ever reach
+#   the driver, so training scales to any corpus size.
+#
+# Assignment metric is cosine via argmax dot against NORMALIZED
+# centroids (embedding norm is a positive per-row constant, so it
+# factors out of the argmax) — the same metric the exact scorer uses.
+
+
+def ivf_seed_centroids(dim: int, n_cells: int = 16,
+                       salt: str = "tls-ivf-v1") -> list[list[float]]:
+    """Deterministic ±1/sqrt(dim) centroid rows from md5 parity — unit
+    norm, data-independent, reproducible as plain literals in any
+    engine."""
+    import hashlib
+
+    inv = 1.0 / float(np.sqrt(dim))
+    return [
+        [
+            inv if hashlib.md5(f"{salt}:{c}:{j}".encode()).digest()[0] % 2 == 0
+            else -inv
+            for j in range(dim)
+        ]
+        for c in range(n_cells)
+    ]
+
+
+def _centroid_dots_expr(emb_col: str, centroids: list[list[float]]) -> str:
+    """Spark SQL: array of dot(emb, centroid_c) for every cell, centroid
+    rows inlined as double literals (repr round-trips float64 exactly,
+    so Spark and DuckDB parse bit-identical constants)."""
+    dots = []
+    for row in centroids:
+        arr = ", ".join(f"cast({v!r} as double)" for v in row)
+        dots.append(
+            f"aggregate(zip_with({_vecd(emb_col)}, array({arr}),"
+            f" (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
+        )
+    return "array(" + ", ".join(dots) + ")"
+
+
+def _centroid_dots_sql(emb_col: str, centroids: list[list[float]],
+                       dim: int) -> str:
+    dots = []
+    for row in centroids:
+        arr = "[" + ", ".join(repr(v) for v in row) + "]"
+        dots.append(
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> ({emb_col})[i]::DOUBLE * ({arr}::DOUBLE[])[i]))"
+        )
+    return "[" + ", ".join(dots) + "]"
+
+
+def ivf_cell_col(emb_col: str, centroids: list[list[float]]) -> Column:
+    """long cell id = argmax over centroids of dot (first max wins),
+    pure Catalyst — at scale this is the index-build projection feeding
+    partitionBy("cell")."""
+    d = _centroid_dots_expr(emb_col, centroids)
+    return F.expr(
+        f"cast(array_position({d}, array_max({d})) - 1 AS long)"
+    )
+
+
+def ivf_cells(emb: DataFrame,
+              centroids: list[list[float]] | None = None) -> DataFrame:
+    """(cell, n_vectors) histogram of the IVF layout — the balance check
+    an index build runs before committing a partitioning."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(64)
+    return (
+        emb.select(ivf_cell_col("embedding", centroids).alias("cell"))
+        .groupBy("cell").agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+def ivf_cells_sql(table: str, dim: int = 64,
+                  centroids: list[list[float]] | None = None) -> str:
+    if centroids is None:
+        centroids = ivf_seed_centroids(dim)
+    d = _centroid_dots_sql("embedding", centroids, dim)
+    return f"""
+    WITH assigned AS (
+        SELECT (list_position(d, list_max(d)) - 1)::BIGINT AS cell
+        FROM (SELECT {d} AS d FROM {table})
+    )
+    SELECT cell, count(*)::BIGINT AS n_vectors
+    FROM assigned GROUP BY cell ORDER BY cell
+    """
+
+
+def ivf_topk(emb: DataFrame, query_id: int, k: int = 10, nprobe: int = 4,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF probe: route the query to its nprobe best cells, exact-score
+    ONLY rows assigned to those cells, distributed top-k on the result.
+
+    Plan shape at scale: corpus → cell projection (codegen; or pruned
+    scan of a cell-partitioned index) → broadcast-hash join on the tiny
+    probed-cell set → exact cosine → TakeOrderedAndProject. The corpus
+    is never shuffled and only ~nprobe/n_cells of it is scored."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(64)
+    q = emb.where(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probed = (
+        q.select(
+            F.posexplode(F.expr(_centroid_dots_expr("q_emb", centroids)))
+            .alias("cell", "qdot")
+        )
+        .orderBy(F.col("qdot").desc(), "cell")
+        .limit(nprobe)
+        .select(F.col("cell").cast("long").alias("cell"))
+    )
+    assigned = emb.where(F.col("vec_id") != query_id).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "embedding",
+        ivf_cell_col("embedding", centroids).alias("cell"),
+    )
+    sim = F.round(cosine_expr("embedding", "q_emb"), 6)
+    scored = (
+        assigned.join(F.broadcast(probed), "cell")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "cell", sim.alias("sim"))
+    )
+    return _ranked_topk(scored, k, ["sim", "vec_id"]).select(
+        "vec_id", "cell", "sim", "rank"
+    )
+
+
+def ivf_topk_sql(table: str, query_id: int, k: int = 10, nprobe: int = 4,
+                 dim: int = 64,
+                 centroids: list[list[float]] | None = None) -> str:
+    if centroids is None:
+        centroids = ivf_seed_centroids(dim)
+    qd = _centroid_dots_sql("q.embedding", centroids, dim)
+    cd = _centroid_dots_sql("e.embedding", centroids, dim)
+    cos = cosine_sql("a.embedding", "q.embedding", dim)
+    return f"""
+    WITH q AS (SELECT embedding FROM {table} WHERE vec_id = {query_id}),
+    qdots AS (SELECT {qd} AS d FROM q),
+    probed AS (
+        SELECT t.i::BIGINT AS cell
+        FROM qdots, range(0, {len(centroids)}) t(i)
+        ORDER BY qdots.d[t.i + 1] DESC, t.i LIMIT {nprobe}
+    ),
+    assigned AS (
+        SELECT e.vec_id::BIGINT AS vec_id, e.embedding,
+               (list_position({cd}, list_max({cd})) - 1)::BIGINT AS cell
+        FROM {table} e WHERE e.vec_id != {query_id}
+    ),
+    scored AS (
+        SELECT a.vec_id, a.cell, round({cos}, 6) AS sim
+        FROM assigned a JOIN probed p ON a.cell = p.cell, q
+    )
+    SELECT vec_id, cell, sim,
+           row_number() OVER (ORDER BY sim DESC, vec_id)::BIGINT AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+def ivf_train(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
+              dim: int = 64) -> list[list[float]]:
+    """Spherical k-means coarse quantizer (Lloyd's). Initialization is
+    the first n_cells vectors by vec_id (deterministic); each iteration
+    assigns by BLAS argmax-dot in one Arrow-batched UDF and recomputes
+    centroids as per-cell means via posexplode → groupBy(cell, pos) —
+    one distributed pass, driver traffic bounded by n_cells × dim."""
+    from pyspark.sql.functions import pandas_udf
+
+    init = emb.orderBy("vec_id").limit(n_cells).select("embedding").collect()
+    cents = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in init])
+    for _ in range(n_iter):
+        normed = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+        @pandas_udf("long")
+        def assign(e: pd.Series) -> pd.Series:
+            mat = np.stack(e.to_numpy()).astype(np.float64)
+            return pd.Series(np.argmax(mat @ normed.T, axis=1))
+
+        means = (
+            emb.select(assign("embedding").alias("cell"),
+                       F.posexplode(F.expr(_vecd("embedding"))).alias("pos", "v"))
+            .groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        for r in means:
+            new[r.cell, r.pos] = r.m
+        cents = new
+    normed = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    return [[float(v) for v in row] for row in normed]

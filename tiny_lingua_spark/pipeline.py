@@ -321,3 +321,37 @@ def run_resumable(
         stats["rows"] += manifest["rows"]
         stats["kept"] += manifest["kept"]
     return stats
+
+
+# ----------------------------------------------- bucketed co-location
+#
+# For tables joined or aggregated on the same key run after run (e.g.
+# clip features ⋈ transcript labels on clip_id, or the dedup pair table
+# ⋈ documents), Spark's table bucketing moves the shuffle to WRITE time:
+# both sides are hash-partitioned into the same bucket files once, and
+# every later equi-join/groupBy on the key reads pre-co-located data —
+# the plan has NO Exchange. At 100 TB that converts an O(input) shuffle
+# per run into a one-time layout cost, amortized across every downstream
+# consumer. (`sortBy` additionally pre-sorts within buckets so the
+# sort-merge join skips its Sort.)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 64, path: str | None = None,
+                   sort: bool = True) -> None:
+    """Persist df as a parquet table bucketed (and bucket-sorted) on
+    `key`. `path` makes it an external table at that location; otherwise
+    it lands in spark.sql.warehouse.dir."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  key: str) -> DataFrame:
+    """Equi-join two identically-bucketed tables on their bucket key —
+    plans with zero Exchange nodes (verified in tests/test_plans.py)."""
+    return spark.table(left_table).join(spark.table(right_table), key)
