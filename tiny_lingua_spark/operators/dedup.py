@@ -92,37 +92,56 @@ N_HASHES = 8
 BAND_SIZE = 2  # → 4 bands; P(candidate) = 1-(1-j^2)^4
 
 
+MERSENNE31 = (1 << 31) - 1  # CW modulus: 127 slots × p stays far below 2^63
+
+
 def minhash_bands(df: DataFrame, id_col: str, text_col: str,
                   n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
                   k_shingle: int = 3, hash_fn: str = "md5") -> DataFrame:
     """(id, band_idx, band_hash) — one row per LSH band per document.
 
-    MinHash_i(doc) = min over shingles of hash(i || '|' || shingle). A
-    band hashes `band_size` consecutive signature slots together.
+    MinHash_i(doc) = min over shingles of slot_i(shingle). A band hashes
+    `band_size` consecutive signature slots together.
 
     hash_fn (mirrors models/fasttext.bucket_col):
-    - "md5": hex strings are fixed-length so lexicographic min ==
-      numeric min; portable bit-for-bit to the DuckDB oracle. ~10× the
-      CPU of xxhash64 — with 128 production hashes the signature
-      aggregate is the dominant stage cost.
+    - "md5": ONE md5 per distinct shingle split into two 31-bit halves
+      (h1, h2), then the Carter-Wegman family slot_i = (h1 + i·h2) mod
+      (2^31-1) — the standard "one hash, k permutations" MinHash (as in
+      Broder's original scheme / the datasketch library), so the
+      production 128-slot signature costs one digest + 128 multiply-adds
+      instead of 128 digests per shingle. Every step is plain int64
+      arithmetic that DuckDB reproduces bit-for-bit: the full candidate
+      chain stays oracle-checkable at production parameters.
     - "xxhash64": Spark's codegen'd XXH64, seeded per slot; band_hash
-      becomes int64. The 10^12-row path. Not reproducible in DuckDB, so
-      pipelines using it rely on the md5 twin for oracle checks (same
-      algorithm, different hash family — candidate sets differ only in
-      which random permutation they approximate).
+      becomes int64. The zero-Python-zero-md5 path. Not reproducible in
+      DuckDB, so pipelines using it rely on the md5 twin for oracle
+      checks (same algorithm, different hash family — candidate sets
+      differ only in which random permutation they approximate).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(shingles_expr(text_col, k_shingle))).alias("shingle"),
     ).dropDuplicates(["id", "shingle"])
     if hash_fn == "xxhash64":
-        slot = lambda i: F.xxhash64(F.lit(i), F.col("shingle"))  # noqa: E731
+        sh = sh.select("id", *[
+            F.xxhash64(F.lit(i), F.col("shingle")).alias(f"s{i}")
+            for i in range(n_hashes)
+        ])
         band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
     else:
-        slot = lambda i: F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))  # noqa: E731
-        band_hash = lambda cols: F.md5(F.concat(*cols))  # noqa: E731
+        p, p1 = MERSENNE31, MERSENNE31 - 1
+        md5 = "md5(shingle)"
+        h1 = f"(cast(conv(substr({md5}, 1, 8), 16, 10) AS bigint) % {p})"
+        h2 = f"(cast(conv(substr({md5}, 9, 8), 16, 10) AS bigint) % {p1} + 1)"
+        sh = sh.select(
+            "id", F.expr(h1).alias("h1"), F.expr(h2).alias("h2")
+        ).select("id", *[
+            F.expr(f"(h1 + {i} * h2) % {MERSENNE31}").alias(f"s{i}")
+            for i in range(n_hashes)
+        ])
+        band_hash = lambda cols: F.md5(F.concat_ws("|", *cols))  # noqa: E731
     mins = sh.groupBy("id").agg(
-        *[F.min(slot(i)).alias(f"mh{i}") for i in range(n_hashes)]
+        *[F.min(f"s{i}").alias(f"mh{i}") for i in range(n_hashes)]
     )
     bands = []
     for b in range(n_hashes // band_size):
@@ -139,13 +158,14 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
 def minhash_bands_sql(table: str, id_col: str, text_col: str,
                       n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
                       k_shingle: int = 3) -> str:
+    p, p1 = MERSENNE31, MERSENNE31 - 1
     mh_cols = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(n_hashes)
+        f"min((h1 + {i} * h2) % {p}) AS mh{i}" for i in range(n_hashes)
     )
     band_rows = ", ".join(
-        "({b}, md5({concat}))".format(
+        "({b}, md5(concat_ws('|', {cols})))".format(
             b=b,
-            concat=" || ".join(f"mh{b * band_size + j}" for j in range(band_size)),
+            cols=", ".join(f"mh{b * band_size + j}" for j in range(band_size)),
         )
         for b in range(n_hashes // band_size)
     )
@@ -153,8 +173,13 @@ def minhash_bands_sql(table: str, id_col: str, text_col: str,
     WITH sh AS (
         SELECT DISTINCT {id_col} AS id, unnest({shingles_sql(text_col, k_shingle)}) AS shingle
         FROM {table}
+    ), hs AS (
+        SELECT id,
+               (('0x' || substr(md5(shingle), 1, 8))::BIGINT % {p}) AS h1,
+               (('0x' || substr(md5(shingle), 9, 8))::BIGINT % {p1} + 1) AS h2
+        FROM sh
     ), sig AS (
-        SELECT id, {mh_cols} FROM sh GROUP BY id
+        SELECT id, {mh_cols} FROM hs GROUP BY id
     )
     SELECT id, b.band_idx::BIGINT AS band_idx, b.band_hash
     FROM sig, LATERAL (VALUES {band_rows}) AS b(band_idx, band_hash)
