@@ -23,6 +23,7 @@ PLAN_QUERIES = (
     "minhash_pairs",
     "neardup_text",
     "knn_graph",
+    "ivf_topk",
     "cosine_topk",
     "embedding_neardup",
     "ann_lsh_topk",
