@@ -336,3 +336,14 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     # only the probed cells' rows come back
     cells = {r.cell for r in probe.select("cell").distinct().collect()}
     assert cells <= {1, 5, 9}
+
+
+def test_simhash_single_python_stage_per_side(spark):
+    """Join-key null-filter inference must not duplicate the signature
+    UDF below the repartition: exactly one ArrowEvalPython per join
+    side (a regression here doubles the dominant cost at corpus scale)."""
+    from tiny_lingua_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(DOCS)
+    plan = plan_of(simhash_pairs(docs, "doc_id", "text"))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2, plan

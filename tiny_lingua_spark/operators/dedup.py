@@ -377,7 +377,13 @@ def simhash64_udf():
         out[nz] = sigs.view(np.int64)
         return pd.Series(out)
 
-    return simhash
+    # The chunk join keys derive from sig, so Catalyst infers
+    # IsNotNull(chunk_val) → IsNotNull(simhash(text)) and pushes it
+    # below the repartition — evaluating the whole signature UDF a
+    # second time per side just to test a null that can never occur.
+    # The nondeterministic marker pins the (deterministic) UDF at its
+    # declared position; plan test asserts one Python stage per side.
+    return simhash.asNondeterministic()
 
 
 def simhash_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
