@@ -91,7 +91,19 @@ WORDS: dict[str, list[str]] = {
     который то за свой весь год от так о для ты же все тот мочь вы человек
     такой его сказать только или ещё бы себя один как уже до время если
     сам когда другой вот говорить наш мой знать стать при чтобы дело жизнь
-    кто первый очень два день её новый рука даже во со раз где там под"""
+    кто первый очень два день её новый рука даже во со раз где там под
+    привет дела здравствуйте спасибо пожалуйста хорошо плохо сегодня
+    завтра вчера сейчас здесь теперь потом работа город страна мир ночь
+    утро вечер вода дом друг мать отец брат сестра ребёнок женщина
+    мужчина месяц неделя слово глаз земля небо море гора река цветок
+    птица ветер луна звезда сон сердце добрый злой большой маленький
+    старый язык книга школа дерево дождь огонь улица любовь мысль есть
+    была были будет буду могу можешь может можем хочу хочешь хочет
+    видеть вижу видит думать думаю читать писать жить живу люди дети
+    лет три четыре пять шесть семь восемь девять десять сто тысяча
+    понедельник вторник среда четверг пятница суббота воскресенье
+    январь февраль март апрель июнь июль август сентябрь октябрь
+    ноябрь декабрь русский россия москва"""
         .split(),
     "el": """και το να του η της που με τον την τα ο σε αυτό για δεν από θα είναι
     μου ως αλλά ένα στο μας σας τους δύο πολύ εδώ εκεί τώρα μετά πριν πάνω
@@ -192,7 +204,15 @@ WORDS: dict[str, list[str]] = {
     ось говорити наш мій знати стати при щоб справа життя хто перший дуже
     два день її новий рука навіть де там під світ дім вода земля небо море
     гора річка квітка птах вітер місяць зірка мрія серце добрий поганий
-    великий малий мова книга школа дерево дощ вогонь вулиця мати батько"""
+    великий малий мова книга школа дерево дощ вогонь вулиця мати батько
+    привіт дякую добре погано сьогодні завтра вчора зараз тут тепер
+    потім робота місто країна ніч ранок вечір друг мама тато брат
+    сестра дитина жінка чоловік тиждень слово люди діти року три
+    чотири шість сім вісім десять сто тисяча була були буде буду можу
+    можеш може можемо хочу хочеш хоче бачити бачу думати думаю читати
+    писати жити живу понеділок вівторок середа четвер субота неділя
+    січень лютий березень квітень травень червень липень серпень
+    вересень жовтень листопад грудень україна київ українська"""
         .split(),
     "fi": """ja on ei se että hän tämä mutta kuin niin kun myös jos nyt sitten
     koska vielä aina kaikki paljon hyvin vuosi aika elämä päivä käsi työ
@@ -302,7 +322,15 @@ WORDS: dict[str, list[str]] = {
     гаварыць наш мой ведаць стаць пры каб справа жыццё хто першы вельмі два
     дзень яе новы рука нават дзе там пад свет дом вада зямля неба мора гара
     рака кветка птушка вецер месяц зорка мара сэрца добры дрэнны вялікі малы
-    мова кніга школа дрэва дождж агонь вуліца маці бацька сябар горад дзіця"""
+    мова кніга школа дрэва дождж агонь вуліца маці бацька сябар горад дзіця
+    прывітанне дзякуй добра дрэнна сёння заўтра учора цяпер тут потым
+    праца краіна ноч раніца вечар мама тата брат сястра жанчына
+    мужчына тыдзень слова людзі дзеці тры чатыры пяць шэсць сем восем
+    дзевяць дзесяць сто тысяча ёсць была былі будзе буду магу можаш
+    можа можам хачу хочаш хоча бачыць бачу думаць думаю чытаць пісаць
+    жыць жыву панядзелак аўторак серада чацвер пятніца субота нядзеля
+    студзень люты сакавік красавік травень чэрвень ліпень жнівень
+    верасень кастрычнік лістапад снежань беларусь мінск беларуская"""
         .split(),
     "nb": """og i jeg det at en et den til er som på de med han av ikke der så
     var meg seg men har om vi min hadde hun nå over da ved fra du ut sin dem
@@ -325,7 +353,9 @@ WORDS: dict[str, list[str]] = {
     sedmica voz avion muzika hljeb supa historija ostrvo biblioteka pozorište
     univerzitet hiljada kahva bašta čaršija bosanski također veoma insan
     komšija sahat merak sevdah ćuprija avlija pendžer jastuk ćilim zanat
-    hefta dućan kafana mahala musafir halva ćošak amidža daidža tetak"""
+    hefta dućan kafana mahala musafir halva ćošak amidža daidža tetak
+    nana ljekar sarajevo bosna januar februar mart april juni juli
+    august septembar oktobar novembar decembar"""
         .split(),
     "bg": """и в не на аз съм той с що а по това тя този до но те ние как от у
     който то за свой цял година така за ти же всички онзи мога вие човек
@@ -334,7 +364,14 @@ WORDS: dict[str, list[str]] = {
     нов ръка дори къде там под свят дом вода земя небе море планина река
     цвете птица вятър луна звезда мечта сърце добър лош голям малък нов стар
     език книга училище дърво дъжд огън улица майка баща приятел град дете
-    любов ум мисъл български също така винаги никога днес утре вчера сега"""
+    любов ум мисъл български също така винаги никога днес утре вчера сега
+    здравей благодаря моля добре зле напред назад хора деца жена мъж
+    месец седмица дума очи нощ утро вечер страна село народ работа път
+    думи искам трябва имам имаш има имаме имат няма сме сте са бях беше
+    бъде ще щом защото затова обаче въпреки между върху след преди
+    около против понеделник вторник сряда четвъртък петък събота неделя
+    януари февруари март април юни юли август септември октомври
+    ноември декември българия софия"""
         .split(),
     "ca": """i el la els les de que un una ser es no haver per amb seu seva com
     estar tenir li ho tot però més fer o poder dir aquest anar altre si em ja
@@ -356,7 +393,10 @@ WORDS: dict[str, list[str]] = {
     sveučilište tisuća kava vrt hrvatski također vrlo nikad gospodin gospođa
     točka rječnik cesta kolodvor tvrtka ured susjed odmor vjerojatno
     ponedjeljak utorak srijeda četvrtak petak subota nedjelja nogomet
-    županija obitelj uvjet tijekom odnosno primjerice"""
+    županija obitelj uvjet tijekom odnosno primjerice
+    liječnik djed zagreb hrvatska predsjednik proljeće ljeto zima jesen
+    siječanj veljača ožujak travanj svibanj lipanj srpanj kolovoz rujan
+    listopad studeni prosinac"""
         .split(),
     "eo": """kaj la estas ne mi vi li ŝi ni ili kio kiu kie kiam kial nun
     hodiaŭ morgaŭ hieraŭ ĉiam homo mondo vivo tempo tago mano laboro loko
@@ -427,7 +467,18 @@ WORDS: dict[str, list[str]] = {
     flumen flos avis ventus luna stella somnium cor bonus malus magnus
     parvus novus vetus lingua liber schola arbor pluvia ignis mater pater
     amicus urbs puer amor mens cogitatio esse habere posse dicere videre
-    facere ire venire scire velle dare atque etiam tamen igitur autem"""
+    facere ire venire scire velle dare atque etiam tamen igitur autem
+    rex populus senatus bellum pax imperium consul legio miles gladius
+    ager agricola nauta poeta femina puella regina dominus servus civis
+    hostis frater soror filius filia dea templum sacer sanctus annus
+    mensis hora nox lux umbra sol ferrum aurum argentum corpus caput pes
+    dexter sinister maximus minor minimus multum paucus omnis totus
+    nullus nemo nihil aliquis quisque primus secundus tertius quartus
+    quintus unus duo tres quattuor quinque sex septem octo novem decem
+    centum mille amare amo amat amant laudare laudat monere videt audire
+    audit capere capit ducere ducit mittere mittit ponere ponit sum es
+    sumus estis sunt erat erant fuit fuerunt esset quibus rebus inter
+    propter contra sine super gratia causa modo ratione"""
         .split(),
     "lv": """un ir ne tas ka viņš viņa es tu mēs jūs viņi kas kurš kur kad
     kāpēc tagad šodien rīt vakar vienmēr cilvēks pasaule dzīve laiks diena
@@ -453,7 +504,14 @@ WORDS: dict[str, list[str]] = {
     нејзин нов рака дури каде таму под свет дом вода земја небо море
     планина река цвет птица ветер месечина ѕвезда сон срце добар лош голем
     мал јазик книга училиште дрво дожд оган улица мајка татко пријател град
-    дете љубов ум мисла ќе ѓавол џеб раѓање македонски исто многу никогаш"""
+    дете љубов ум мисла ќе ѓавол џеб раѓање македонски исто многу никогаш
+    здраво благодарам молам добро лошо напред назад луѓе деца жена маж
+    месец седмица збор очи ноќ утро вечер село народ пат сакам треба
+    имам имаш има имаме имаат нема сум сме сте бев беше биде бидам
+    зошто затоа меѓутоа помеѓу врз пред околу против понеделник вторник
+    среда четврток петок сабота недела јануари февруари март април
+    јуни јули август септември октомври ноември декември македонија
+    скопје"""
         .split(),
     "ms": """dan yang di itu dengan ini untuk daripada dalam tidak pada ialah
     saya awak kita mereka apa siapa mana bila kenapa sekarang esok semalam
@@ -508,7 +566,17 @@ WORDS: dict[str, list[str]] = {
     вода земља небо море планина река цвет птица ветар месец звезда сан
     срце добро лоше велико мало ново старо језик књига школа дрво киша
     ватра улица мајка отац пријатељ град дете љубав ум мисао ђак ћерка џеп
-    њива љубичица недеља воз авион музика хлеб супа историја острво српски"""
+    њива љубичица недеља воз авион музика хлеб супа историја острво српски
+    су не би ће ћу ћеш ћемо ћете смо сте има имам имамо нема може морам
+    мора треба хоћу зато јер ако иако него већ још тако овако онда затим
+    година људи деца жена муж брат сестра бака деда учитељ лекар радник
+    село број речи говорити мислити радити видети знати знам знаш знамо
+    причати читати писати певати играти живети јести пити спавати доћи
+    отићи стајати седети први други трећи четврти пети један два три
+    четири пет шест седам осам девет десет сто хиљада велики мали добар
+    лош нови стари млад леп ружан београд србија држава влада председник
+    понедељак уторак среда четвртак петак субота јануар фебруар март
+    април мај јун јул август септембар октобар новембар децембар"""
         .split(),
     "sn": """uye ne kuti iyi iyo ini iwe isu imi ivo chii ani kupi rini sei
     zvino nhasi mangwana nezuro munhu nyika upenyu nguva zuva ruoko basa
@@ -534,7 +602,16 @@ WORDS: dict[str, list[str]] = {
     velik majhen nov star jezik knjiga šola drevo dež ogenj ulica mati oče
     prijatelj otrok ljubezen um misel slovenščina zelo samo tudi še vedno
     nikoli danes jutri včeraj zdaj kje kdo zakaj teden vlak letalo glasba
-    kruh juha zgodovina otok knjižnica gledališče univerza tisoč"""
+    kruh juha zgodovina otok knjižnica gledališče univerza tisoč
+    lahko bil bila bilo smo ste bomo boste bodo imam imaš ima imamo imajo
+    sva sta bova bosta midva vidva onadva ljudje leto nekaj več manj potem
+    zato vendar toda torej verjetno ravno lepo hitro počasi gledati slišati
+    govoriti misliti delati narediti priti iti stati sedeti ležati spati
+    jesti piti brati pisati peti igrati živeti prvi drugi tretji četrti
+    peti dva trije štirje pet šest sedem osem devet deset sto sobota
+    nedelja ponedeljek torek sreda četrtek petek država vlada predsednik
+    občina železnica letališče ljubljana slovenija otroci ženska moški
+    brat sestra učitelj zdravnik delavec vas število"""
         .split(),
     "so": """iyo waa ma kan taas aniga adiga annaga idinka iyaga maxay yaa
     xaggee goorma waayo hadda maanta berri shalay qof adduun nolol waqti
@@ -639,7 +716,7 @@ NO_SPACE_LANGS = frozenset({"zh", "ja"})
 
 # Bump when WORDS / generation logic changes — cached model artifacts key
 # on this so stale models are never reused.
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 ISO_LANGS = tuple(sorted(WORDS))
 
