@@ -347,3 +347,45 @@ def test_simhash_single_python_stage_per_side(spark):
     docs = spark.read.parquet(DOCS)
     plan = plan_of(simhash_pairs(docs, "doc_id", "text"))
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2, plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Hot-key skew handling the pipeline relies on at 100 TB: one join
+    key carrying half the rows would pin a single task; AQE must detect
+    the oversized shuffle partition at runtime and split it — visible
+    as SortMergeJoin(skew=true) in the FINAL adaptive plan. Thresholds
+    are lowered to match the test's data volume (at real scale the
+    defaults fire the same way)."""
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            conf.get("spark.sql.adaptive.skewJoin."
+                     "skewedPartitionThresholdInBytes"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin."
+                 "skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise((F.col("id") % 50) + 1).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        small = spark.range(51).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag"))
+        j = big.join(small, "k").select("k", "payload", "tag")
+        assert len(j.collect()) == 200_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
