@@ -491,6 +491,50 @@ def _q_audio_features(spark, sf_dir):
         F.col("a.n_samples").cast("long").alias("n_samples"),
         F.round(F.col("a.rms"), 6).alias("rms"),
         F.round(F.col("a.clipped_ratio"), 6).alias("clipped_ratio"),
+        F.round(F.col("a.dc_offset"), 6).alias("dc_offset"),
+        F.round(F.col("a.dbfs"), 4).alias("dbfs"),
+        F.round(F.col("a.silence_ratio"), 6).alias("silence_ratio"),
+        F.col("a.n_speech_segments").cast("int").alias("n_speech_segments"),
+    )
+
+
+def _q_audio_spectral(spark, sf_dir):
+    """Spectral stats per clip (batched FFT over fixed 256-sample Hann
+    frames): centroid/flatness/rolloff + bandwidth_ratio, the
+    fake-wideband detector for the quality filter. Rows-only check (FFT
+    over decoded PCM is not SQL-expressible)."""
+    from tiny_lingua_spark.audio import spectral_features_udf
+
+    clips = _synth_clips(spark)
+    sp = spectral_features_udf()
+    return clips.select(
+        "clip_id", "codec", "sr_hz",
+        sp(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("s"),
+    ).select(
+        "clip_id", "codec", "sr_hz",
+        F.col("s.n_frames").cast("int").alias("n_frames"),
+        F.round(F.col("s.centroid_hz"), 3).alias("centroid_hz"),
+        F.round(F.col("s.flatness"), 6).alias("flatness"),
+        F.round(F.col("s.rolloff_hz"), 3).alias("rolloff_hz"),
+        F.round(F.col("s.bandwidth_ratio"), 6).alias("bandwidth_ratio"),
+    )
+
+
+def _q_audio_resample(spark, sf_dir):
+    """Resample every clip to 16 kHz (one whole-batch np.interp) and
+    report output-length + level stats; the resampled PCM itself never
+    enters the plan. Rows-only check."""
+    from tiny_lingua_spark.audio import resample_stats_udf
+
+    clips = _synth_clips(spark)
+    rs = resample_stats_udf(16_000)
+    return clips.select(
+        "clip_id", "codec", "sr_hz",
+        rs(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("r"),
+    ).select(
+        "clip_id", "codec", "sr_hz",
+        F.col("r.n_out").cast("long").alias("n_out"),
+        F.round(F.col("r.rms_out"), 6).alias("rms_out"),
     )
 
 
@@ -542,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_low_accuracy": _shipped(_q_detect_low_accuracy),
         "pipeline_keep_stats": _shipped(_q_pipeline_keep),
         "audio_decode_features": _shipped(_q_audio_features),
+        "audio_spectral": _shipped(_q_audio_spectral),
+        "audio_resample": _shipped(_q_audio_resample),
     }
 
 

@@ -59,3 +59,170 @@ def test_decode_pcm_udf_allclose(spark):
         .collect()[0]["p"]
     )
     assert np.allclose(np.array(pcm, dtype=np.float32), sig)
+
+
+# ---------- vectorized batch kernels (round 2) ----------
+
+import pandas as pd
+
+
+def _mixed_batch(n_rows=64, seed=0, with_bad=True):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_rows):
+        c = audio.SUPPORTED_CODECS[i % 4]
+        n = int(rng.integers(0, 5000))
+        pcm = np.clip(rng.standard_normal(n) * 0.3, -0.99, 0.99).astype(np.float32)
+        rows.append((audio.encode(pcm, c), c))
+    if with_bad:
+        rows += [
+            (None, "mulaw"),              # null payload
+            (b"\x01\x02\x03", "pcm_s16le"),  # truncated frame
+            (b"\x01\x02", "opus"),        # unknown codec
+            (b"", "alaw"),                # empty payload
+            (b"\xff" * 7, "pcm_f32le"),   # truncated float frame
+            (b"abc", None),               # null codec
+        ]
+    order = rng.permutation(len(rows))
+    rows = [rows[i] for i in order]
+    return pd.Series([r[0] for r in rows]), pd.Series([r[1] for r in rows])
+
+
+def test_features_vectorized_equivalence():
+    """The whole-batch kernel must reproduce the row-at-a-time reference
+    implementation bit-for-bit on flags/counts and to fp tolerance on
+    stats, including null/truncated/unknown-codec rows."""
+    bs, cs = _mixed_batch()
+    new = audio._features_batch(bs, cs)
+    old = audio._features_batch_rowloop(bs, cs)
+    assert (new["decode_ok"].to_numpy() == old["decode_ok"].to_numpy()).all()
+    assert (new["n_samples"].to_numpy() == old["n_samples"].to_numpy()).all()
+    for col in ("rms", "peak", "clipped_ratio"):
+        assert np.allclose(new[col], old[col], atol=1e-7), col
+
+
+def test_features_chunking_invariant():
+    """Chunked (tiny budget) and single-pass results must be identical."""
+    bs, cs = _mixed_batch(seed=3)
+    single = audio._features_batch(bs, cs)
+    saved = audio._CHUNK_SAMPLE_BUDGET
+    try:
+        audio._CHUNK_SAMPLE_BUDGET = 4_000  # force many chunks
+        chunked = audio._features_batch(bs, cs)
+    finally:
+        audio._CHUNK_SAMPLE_BUDGET = saved
+    for col in single.columns:
+        a, b = single[col].to_numpy(), chunked[col].to_numpy()
+        if a.dtype.kind in "fc":
+            assert np.allclose(a, b, atol=1e-9), col
+        else:
+            assert (a == b).all(), col
+
+
+def test_vad_silence_and_segments():
+    sr = 8000
+    t = np.arange(sr) / sr
+    burst = (0.5 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    sig = np.concatenate([burst, np.zeros(sr, np.float32), burst])
+    f = audio._features_batch(
+        pd.Series([audio.encode(sig, "pcm_s16le")]), pd.Series(["pcm_s16le"])
+    )
+    assert f.n_speech_segments[0] == 2
+    assert 0.25 < f.silence_ratio[0] < 0.42  # one silent second of three
+    assert f.dbfs[0] == pytest.approx(20 * np.log10(f.rms[0]), abs=1e-6)
+    # all-silence clip
+    z = audio._features_batch(
+        pd.Series([audio.encode(np.zeros(4096, np.float32), "mulaw")]),
+        pd.Series(["mulaw"]),
+    )
+    assert z.silence_ratio[0] == 1.0 and z.n_speech_segments[0] == 0
+
+
+def test_g711_lut_matches_formula():
+    raw = np.arange(256, dtype=np.uint8)
+    assert np.allclose(
+        audio._MULAW_LUT, audio.mulaw_decode(raw).astype(np.float64) / 32768.0
+    )
+    assert np.allclose(
+        audio._ALAW_LUT, audio.alaw_decode(raw).astype(np.float64) / 32768.0
+    )
+
+
+def test_resample_batch_matches_single():
+    rng = np.random.default_rng(5)
+    sigs = [
+        np.clip(rng.standard_normal(int(rng.integers(100, 9000))) * 0.4,
+                -0.99, 0.99).astype(np.float32)
+        for _ in range(20)
+    ]
+    srs = [8000, 16000, 44100, 16000] * 5
+    bs = pd.Series([audio.encode(s, "pcm_s16le") for s in sigs])
+    cs = pd.Series(["pcm_s16le"] * 20)
+    out, offsets, ok = audio._resample_batch(bs, cs, pd.Series(srs), 16000)
+    assert ok.all()
+    for i, (sig, sr) in enumerate(zip(sigs, srs)):
+        dec = audio.decode(audio.encode(sig, "pcm_s16le"), "pcm_s16le")
+        want = audio.resample_linear(dec, sr, 16000)
+        got = out[offsets[i]:offsets[i + 1]]
+        assert len(got) == len(want)
+        assert np.allclose(got, want, atol=1e-5), i
+
+
+def test_resample_snr():
+    """Linear resample of a band-limited tone keeps SNR far above the
+    30 dB codec bar."""
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    sig = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    up = audio.resample_linear(sig, sr, 16000)
+    t16 = np.arange(len(up)) / 16000
+    ref = (0.5 * np.sin(2 * np.pi * 220 * t16)).astype(np.float32)
+    assert audio.snr_db(ref, up) >= 40.0
+
+
+def test_spectral_tone_vs_noise():
+    rng = np.random.default_rng(11)
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    noise = np.clip(rng.standard_normal(sr) * 0.2, -0.99, 0.99).astype(np.float32)
+    sp = audio._spectral_batch(
+        pd.Series([audio.encode(tone, "pcm_s16le"),
+                   audio.encode(noise, "pcm_s16le")]),
+        pd.Series(["pcm_s16le", "pcm_s16le"]),
+        pd.Series([sr, sr]),
+    )
+    assert abs(sp.centroid_hz[0] - 1000) < 120
+    assert sp.flatness[0] < 0.01 < sp.flatness[1]
+    assert sp.bandwidth_ratio[1] > 0.8  # white noise fills the band
+
+
+def test_spectral_detects_fake_wideband():
+    """8 kHz-band content carried in a 44.1 kHz container shows a low
+    bandwidth_ratio — the quality-filter signal for fake-wideband."""
+    rng = np.random.default_rng(12)
+    sr = 44100
+    narrow = audio.resample_linear(
+        np.clip(rng.standard_normal(8000) * 0.3, -0.99, 0.99).astype(np.float32),
+        8000, sr,
+    )
+    sp = audio._spectral_batch(
+        pd.Series([audio.encode(narrow, "pcm_s16le")]),
+        pd.Series(["pcm_s16le"]), pd.Series([sr]),
+    )
+    assert sp.bandwidth_ratio[0] < 0.35
+
+
+def test_resample_stats_udf(spark):
+    sig = _ref_signal(n=8000)
+    df = spark.createDataFrame(
+        [("pcm_s16le", bytearray(audio.encode(sig, "pcm_s16le")), 8000)],
+        "codec string, bytes binary, sr_hz int",
+    )
+    row = df.select(
+        audio.resample_stats_udf(16000)(
+            F.col("bytes"), F.col("codec"), F.col("sr_hz")
+        ).alias("r")
+    ).select("r.*").collect()[0]
+    assert row["n_out"] == 16000
+    assert abs(row["rms_out"] - float(np.sqrt(np.mean(sig.astype(np.float64) ** 2)))) < 0.01

