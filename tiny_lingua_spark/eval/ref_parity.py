@@ -66,16 +66,25 @@ def load_ref_corpus(spark: SparkSession, path: str = REF_TESTDATA) -> DataFrame:
     return df.where(F.col("lang").isin(list(REF_ISO_CODES)))
 
 
-def split_train_eval(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Deterministic half-split of the sentences category by text hash.
+# sentences-category split: 4 of 5 hash folds train, fold 0 evaluates.
+# Round 2 moved from 50/50 to 80/20 — single words and word pairs stay
+# FULLY held out either way, and the extra training sentences close most
+# of the data-volume gap vs the reference's Leipzig-trained models
+# (−3.5 pp mean → −0.6 pp measured on the 300-item/category sample).
+TRAIN_FOLDS = 5
 
-    Train = even-hash sentences; eval = odd-hash sentences + ALL single
-    words and word pairs (those categories never enter training).
+
+def split_train_eval(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic fold-split of the sentences category by text hash.
+
+    Train = sentences in folds 1..TRAIN_FOLDS-1; eval = fold-0 sentences
+    + ALL single words and word pairs (those categories never enter
+    training).
     """
     is_sent = F.col("category") == "sentences"
-    even = F.pmod(F.xxhash64("text"), F.lit(2)) == 0
-    train = corpus.where(is_sent & even).select("lang", "text")
-    eval_df = corpus.where(~is_sent | ~even).select(
+    fold = F.pmod(F.xxhash64("text"), F.lit(TRAIN_FOLDS))
+    train = corpus.where(is_sent & (fold != 0)).select("lang", "text")
+    eval_df = corpus.where(~is_sent | (fold == 0)).select(
         F.col("lang").alias("expected"), "category", "text"
     )
     return train, eval_df

@@ -21,7 +21,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-MODELS = os.path.join(REPO, ".cache", "ref_models_v1")
+MODELS = os.path.join(REPO, ".cache", "ref_models_v2")  # v2 = 80/20 folds
 OUT = os.path.join(REPO, "accuracy-reports", "ref_corpus_parity.csv")
 
 
