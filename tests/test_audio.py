@@ -226,3 +226,29 @@ def test_resample_stats_udf(spark):
     ).select("r.*").collect()[0]
     assert row["n_out"] == 16000
     assert abs(row["rms_out"] - float(np.sqrt(np.mean(sig.astype(np.float64) ** 2)))) < 0.01
+
+
+def test_spectral_and_resample_chunking_invariant():
+    bs, cs = _mixed_batch(seed=9)
+    srs = pd.Series([8000 + 100 * (i % 5) for i in range(len(bs))])
+    single_sp = audio._chunked_frame_apply(audio._spectral_batch, bs, cs, srs)
+    single_rs = audio._chunked_frame_apply(
+        lambda b, c, s: audio._resample_stats_chunk(b, c, s, 16000), bs, cs, srs
+    )
+    saved = audio._CHUNK_SAMPLE_BUDGET
+    try:
+        audio._CHUNK_SAMPLE_BUDGET = 4_000
+        many_sp = audio._chunked_frame_apply(audio._spectral_batch, bs, cs, srs)
+        many_rs = audio._chunked_frame_apply(
+            lambda b, c, s: audio._resample_stats_chunk(b, c, s, 16000),
+            bs, cs, srs,
+        )
+    finally:
+        audio._CHUNK_SAMPLE_BUDGET = saved
+    for single, many in ((single_sp, many_sp), (single_rs, many_rs)):
+        for col in single.columns:
+            a, b = single[col].to_numpy(), many[col].to_numpy()
+            if a.dtype.kind in "fc":
+                assert np.allclose(a, b, atol=1e-9), col
+            else:
+                assert (a == b).all(), col

@@ -115,10 +115,11 @@ def decode(data: bytes, codec: str) -> np.ndarray:
     """encoded bytes → float32 [-1,1]."""
     if codec == "pcm_f32le":
         pcm = np.frombuffer(data, dtype="<f4").astype(np.float32)
-        # corrupt float payloads can carry NaN/±Inf bit patterns; treat
-        # NaN as silence and ±Inf as full-scale clipping so downstream
-        # features (rms/peak/clipped_ratio) stay finite
-        return np.nan_to_num(pcm, nan=0.0, posinf=1.0, neginf=-1.0)
+        # corrupt float payloads can carry NaN/±Inf/huge bit patterns;
+        # treat NaN as silence and anything beyond full scale as clipped
+        # so downstream features (rms/peak/clipped_ratio) stay finite
+        np.nan_to_num(pcm, copy=False, nan=0.0, posinf=1.0, neginf=-1.0)
+        return np.clip(pcm, -1.0, 1.0, out=pcm)
     if codec == "pcm_s16le":
         return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     raw = np.frombuffer(data, dtype=np.uint8)
@@ -183,6 +184,7 @@ def _decode_into(payload: bytes, codec: str, out: np.ndarray) -> None:
     if codec == "pcm_f32le":
         np.copyto(out, np.frombuffer(payload, dtype="<f4"))
         np.nan_to_num(out, copy=False, nan=0.0, posinf=1.0, neginf=-1.0)
+        np.clip(out, -1.0, 1.0, out=out)
     elif codec == "pcm_s16le":
         np.multiply(np.frombuffer(payload, dtype="<i2"),
                     np.float32(1.0 / 32768.0), out=out, casting="unsafe")
@@ -466,14 +468,7 @@ def _features_chunk(bytes_s, codec_s) -> pd.DataFrame:
 def _features_batch(bytes_s: pd.Series, codec_s: pd.Series) -> pd.DataFrame:
     """Vectorized per-clip features; chunked by sample budget so peak
     memory stays bounded regardless of Arrow batch size."""
-    bounds = _row_chunks(bytes_s)
-    if len(bounds) == 2:
-        return _features_chunk(bytes_s, codec_s)
-    parts = [
-        _features_chunk(bytes_s.iloc[a:b], codec_s.iloc[a:b])
-        for a, b in zip(bounds[:-1], bounds[1:])
-    ]
-    return pd.concat(parts, ignore_index=True)
+    return _chunked_frame_apply(_features_chunk, bytes_s, codec_s)
 
 
 def _features_batch_rowloop(bytes_s: pd.Series, codec_s: pd.Series) -> pd.DataFrame:
@@ -598,6 +593,29 @@ def resample_udf(sr_to: int):
 RESAMPLE_STATS_SCHEMA = "n_out int, rms_out double"
 
 
+def _chunked_frame_apply(fn, *series):
+    """Apply a chunk kernel over sample-budget row slices and concat —
+    the same bounded-memory scheme as _features_batch, shared by every
+    batch UDF whose temporaries scale with total samples."""
+    bounds = _row_chunks(series[0])
+    if len(bounds) == 2:
+        return fn(*series)
+    parts = [
+        fn(*(s.iloc[a:b] for s in series))
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+    return pd.concat(parts, ignore_index=True)
+
+
+def _resample_stats_chunk(bytes_s, codec_s, sr_s, sr_to: int) -> pd.DataFrame:
+    out, offsets, ok = _resample_batch(bytes_s, codec_s, sr_s, sr_to)
+    lens = np.diff(offsets)
+    sums = _segment_sums(out * out, offsets)
+    rms = np.sqrt(sums / np.maximum(lens, 1))
+    rms[lens == 0] = 0.0
+    return pd.DataFrame({"n_out": lens.astype(np.int32), "rms_out": rms})
+
+
 def resample_stats_udf(sr_to: int):
     """Resample inside the batch and emit per-clip stats ONLY — the
     resampled waveform never enters the Spark plan (same scale rule as
@@ -607,13 +625,9 @@ def resample_stats_udf(sr_to: int):
     @pandas_udf(RESAMPLE_STATS_SCHEMA)
     def resample_stats(b: pd.Series, codec: pd.Series,
                        sr: pd.Series) -> pd.DataFrame:
-        out, offsets, ok = _resample_batch(b, codec, sr, sr_to)
-        lens = np.diff(offsets)
-        sums = _segment_sums(out * out, offsets)
-        rms = np.sqrt(sums / np.maximum(lens, 1))
-        rms[lens == 0] = 0.0
-        return pd.DataFrame(
-            {"n_out": lens.astype(np.int32), "rms_out": rms}
+        return _chunked_frame_apply(
+            lambda bb, cc, ss: _resample_stats_chunk(bb, cc, ss, sr_to),
+            b, codec, sr,
         )
 
     return resample_stats
@@ -684,6 +698,6 @@ def spectral_features_udf():
     @pandas_udf(SPECTRAL_SCHEMA)
     def spectral_features(b: pd.Series, codec: pd.Series,
                           sr: pd.Series) -> pd.DataFrame:
-        return _spectral_batch(b, codec, sr)
+        return _chunked_frame_apply(_spectral_batch, b, codec, sr)
 
     return spectral_features

@@ -30,6 +30,9 @@ PLAN_QUERIES = (
     "simhash_pairs",
     "events_sessions",
     "pipeline_keep_stats",
+    "audio_decode_features",
+    "audio_spectral",
+    "audio_resample",
 )
 
 
