@@ -389,3 +389,19 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_audio_feature_plans_are_single_arrow_stage(spark):
+    """Every audio feature query must plan as scan → ONE ArrowEvalPython
+    → project: no exchange (per-row features are embarrassingly
+    parallel), no second Python stage, PCM never materialized."""
+    import __spark_entry__ as e
+    from tiny_lingua_spark.plans.audit import audit
+
+    qs = e.queries()
+    for name in ("audio_decode_features", "audio_spectral",
+                 "audio_resample"):
+        a = audit(qs[name](spark, "/root/testdata/sf0.001"))
+        assert a["python_eval_nodes"] == 1, (name, a)
+        assert a["exchanges"] == 0, (name, a)
+        assert a["row_at_a_time_python"] == 0, (name, a)

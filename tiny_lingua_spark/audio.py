@@ -15,6 +15,8 @@ downstream feature extraction that genuinely needs samples.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -359,8 +361,11 @@ def _frame_geometry(offsets: np.ndarray):
 # memory bound for one vectorized pass: at 10k-row Arrow batches of long
 # clips the concatenated PCM can reach ~1 GB of float32 — chunking by
 # sample budget (not by row) keeps temporaries ~tens of MB while every
-# chunk stays a single vectorized pass
-_CHUNK_SAMPLE_BUDGET = 8_000_000
+# chunk stays a single vectorized pass. Tunable because the right size is
+# host-dependent: on memory-bandwidth-starved machines a smaller,
+# cache-resident budget scales better across many concurrent workers.
+_CHUNK_SAMPLE_BUDGET = int(os.environ.get("TLS_AUDIO_CHUNK_BUDGET",
+                                          "8000000"))
 
 
 def _row_chunks(bytes_s, budget: int = _CHUNK_SAMPLE_BUDGET):

@@ -96,8 +96,9 @@ def timed_run(cores: int) -> dict:
 
     # three timed reps, keep the best: first reps absorb residual JIT/GC
     # adaptation; min is the steady-state figure (standard bench practice)
+    # two interleaved launches per phase (see main): fewer reps per launch
     reps = []
-    for _ in range(3 if cores <= 2 else 5):
+    for _ in range(2 if cores <= 2 else 3):
         t0 = time.time()
         quality_filter(big, registry).write.mode("overwrite").format("noop").save()
         reps.append(time.time() - t0)
@@ -115,8 +116,8 @@ def main() -> None:
         return
 
     ensure_clips()
-    results = {}
-    for cores in CORES:
+
+    def launch(cores: int) -> dict:
         # Pin the WHOLE process tree (JVM + every Python worker) to
         # `cores` CPUs — local[N] alone only caps JVM task slots, while
         # chained pandas UDFs spawn extra Python workers per slot, so an
@@ -132,8 +133,26 @@ def main() -> None:
         if not line:
             print(out.stdout[-3000:], out.stderr[-3000:])
             raise SystemExit(f"run at local[{cores}] failed")
-        results[cores] = json.loads(line[-1][len("RESULT "):])
-        print(json.dumps(results[cores]))
+        return json.loads(line[-1][len("RESULT "):])
+
+    # INTERLEAVED phases: the sandbox hypervisor has minute-scale CPU-steal
+    # windows that can triple a rep's wall time; running all N-core reps
+    # then all 4N-core reps lets one window bias the efficiency ratio in
+    # either direction. Alternating fresh-JVM launches (N, 4N, N, 4N) and
+    # taking the min per phase gives both phases a shot at a clean window.
+    results = {}
+    for cores in (CORES[0], CORES[1], CORES[0], CORES[1]):
+        r = launch(cores)
+        prev = results.get(cores)
+        if prev is None or r["wall_sec"] < prev["wall_sec"]:
+            keep, other = r, prev
+        else:
+            keep, other = prev, r
+        if other is not None:
+            keep = dict(keep)
+            keep["all_reps_sec"] = keep["all_reps_sec"] + other["all_reps_sec"]
+        results[cores] = keep
+        print(json.dumps(r))
 
     t8, t32 = results[CORES[0]]["wall_sec"], results[CORES[1]]["wall_sec"]
     eff = (t8 / t32) / (CORES[1] / CORES[0])
