@@ -88,3 +88,28 @@ def test_resumable_run(spark, registry, tmp_path):
 
     total = spark.read.parquet(out_dir).count()
     assert total == 120
+
+
+def test_chars_per_sec_consistency_metric(spark, registry):
+    """chars_per_sec flags transcripts whose speech rate is impossible for
+    the clip duration; binding only when a caller opts in."""
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    clips_pd, _ = generate_clips(n=40, seed=7)
+    clips = spark.createDataFrame(clips_pd)
+    out = quality_filter(clips, registry).select(
+        "clip_id", "dur_ms", "transcript", "chars_per_sec", "keep"
+    ).toPandas()
+    expect = out.transcript.str.len().fillna(0) / (out.dur_ms / 1000.0).clip(lower=0.001)
+    assert (abs(out.chars_per_sec - expect.round(3)) < 1e-6).all()
+
+    # opting into a rate ceiling drops the over-rate rows and only them
+    strict = quality_filter(
+        clips, registry, thresholds={"max_chars_per_sec": 30.0}
+    ).select("clip_id", "chars_per_sec", "keep").toPandas().set_index("clip_id")
+    base = out.set_index("clip_id")
+    over = strict[strict.chars_per_sec > 30.0]
+    assert (~over.keep).all()
+    under = strict[strict.chars_per_sec <= 30.0]
+    assert (under.keep == base.loc[under.index].keep).all()

@@ -49,6 +49,8 @@ AUDIO_THRESHOLDS = {
     # frame-VAD silence share; 1.0 = non-binding default (diagnostic only,
     # so fixture keep/drop labels are unaffected unless a caller opts in)
     "max_silence_ratio": 1.0,
+    # transcript↔audio speech-rate sanity; inf = non-binding default
+    "max_chars_per_sec": float("inf"),
 }
 
 
@@ -175,6 +177,13 @@ def quality_filter(
             F.col("e.char_entropy").alias("char_entropy"),
             F.col("e.perplexity").alias("perplexity"),
             scrubbed_col(F.col("transcript")).alias("scrubbed"),
+            # transcript↔audio consistency: impossible speech rates flag
+            # misaligned transcripts (codegen expr; normal speech lands
+            # roughly 5-25 chars/sec across languages)
+            F.round(
+                F.coalesce(F.length("transcript"), F.lit(0))
+                / F.greatest(F.col("dur_ms") / 1000.0, F.lit(0.001)), 3
+            ).alias("chars_per_sec"),
         )
     )
     if ft_model is not None:
@@ -192,6 +201,7 @@ def quality_filter(
         & (F.col("rms") >= th["min_rms"])
         & (F.col("clipped_ratio") <= th["max_clipped_ratio"])
         & (F.col("silence_ratio") <= th["max_silence_ratio"])
+        & (F.col("chars_per_sec") <= th["max_chars_per_sec"])
         & (F.col("dur_ms") >= th["min_dur_ms"])
         & (F.col("dur_ms") <= th["max_dur_ms"])
     )
