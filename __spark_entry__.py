@@ -209,6 +209,18 @@ def _q_tokens(spark, sf_dir):
     )
 
 
+def _q_repetition(spark, sf_dir):
+    from tiny_lingua_spark.functions.quality import repetition_metrics_cols
+
+    names = ["dup_line_frac", "dup_line_char_frac", "dup_word_frac",
+             "top_2gram_char_frac", "top_3gram_char_frac"]
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *[F.round(c, 6).alias(n)
+          for c, n in zip(repetition_metrics_cols("text"), names)],
+    )
+
+
 def _q_quality_buckets(spark, sf_dir):
     from tiny_lingua_spark.functions.quality import (
         quality_buckets, quality_score_col)
@@ -558,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text": _shipped(_q_scrub),
         "token_stats": _shipped(_q_tokens),
         "quality_buckets": _shipped(_q_quality_buckets),
+        "repetition_metrics": _shipped(_q_repetition),
         "exact_dedup": _shipped(_q_exact_dedup),
         "screen_lang_confusion": _shipped(_q_screen_confusion),
         "screen_lang_accuracy": _shipped(_q_screen_accuracy),
@@ -605,7 +618,8 @@ def _trigram_decl_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from tiny_lingua_spark.models.fasttext import score_fasttext_sql
 
-    from tiny_lingua_spark.functions.quality import quality_score_sql
+    from tiny_lingua_spark.functions.quality import (
+        quality_score_sql, repetition_metrics_sql)
 
     qm = quality_metrics_sql("text")
     qscore = quality_score_sql()
@@ -638,6 +652,8 @@ def oracle_sql() -> dict[str, str]:
                    {fingerprint_sql('text')} AS fingerprint
             FROM documents
         """,
+        "repetition_metrics": repetition_metrics_sql(
+            "documents", "doc_id", "text"),
         "quality_buckets": f"""
             WITH m AS (SELECT doc_id, {', '.join(f'({expr})::DOUBLE AS {name}' if name not in ('n_chars','n_tokens') else f'({expr})::BIGINT AS {name}' for name, expr in qm.items())} FROM documents),
             scored AS (SELECT *, {qscore} AS q_score FROM m)

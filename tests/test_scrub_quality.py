@@ -45,3 +45,48 @@ def test_quality_metrics(spark):
     assert m.loc["empty", "max_char_run"] == 0
     assert m.loc["zh", "alpha_ratio"] == 1.0
     assert m.loc["zh", "char_entropy"] > 2.5
+
+
+def test_repetition_metrics(spark):
+    """Gopher-style repetition metrics: hand-computed expectations."""
+    from tiny_lingua_spark.functions.quality import repetition_metrics_cols
+
+    rows = [
+        ("grams", "a b a b a b c"),
+        ("lines", "line one\nline two\nline one\n\nline one"),
+        ("empty", ""),
+        ("uniq", "unique words only here now"),
+    ]
+    df = spark.createDataFrame(rows, "k string, transcript string")
+    names = ["dup_line_frac", "dup_line_char_frac", "dup_word_frac",
+             "top_2gram_char_frac", "top_3gram_char_frac"]
+    m = df.select(
+        "k", *[c.alias(n) for c, n in
+               zip(repetition_metrics_cols(), names)]
+    ).toPandas().set_index("k")
+
+    # "a b" occurs 3x, len 3, text len 13 → 9/13; "a b a" 2x len 5 → 10/13
+    assert abs(m.loc["grams", "top_2gram_char_frac"] - 9 / 13) < 1e-9
+    assert abs(m.loc["grams", "top_3gram_char_frac"] - 10 / 13) < 1e-9
+    # 7 words, 3 distinct → 4/7 duplicates
+    assert abs(m.loc["grams", "dup_word_frac"] - 4 / 7) < 1e-9
+    # 4 non-empty lines, "line one" 3x → dup_line_frac 2/4;
+    # dup chars = 2 extra copies × 8 over 32 total line chars = 0.5
+    assert abs(m.loc["lines", "dup_line_frac"] - 0.5) < 1e-9
+    assert abs(m.loc["lines", "dup_line_char_frac"] - 0.5) < 1e-9
+    assert (m.loc["empty"] == 0.0).all()
+    assert (m.loc["uniq", ["dup_line_frac", "dup_word_frac"]] == 0.0).all()
+
+
+def test_repetition_metrics_no_shuffle(spark):
+    """The per-doc frequency scan is an array aggregate — the plan must
+    stay one codegen stage with no Exchange (the explode/groupBy
+    formulation would shuffle on doc_id)."""
+    from tiny_lingua_spark.functions.quality import repetition_metrics_cols
+
+    df = spark.createDataFrame([("d", "a b a")], "doc_id string, t string")
+    plan = df.select(
+        "doc_id", *repetition_metrics_cols("t")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

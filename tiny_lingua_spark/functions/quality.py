@@ -199,3 +199,164 @@ def with_quality_metrics(df: DataFrame, text_col: str = "transcript") -> DataFra
     return df.select(
         "*", *quality_metrics_cols(text_col), extra(F.col(text_col)).alias("_x")
     ).select("*", "_x.max_char_run", "_x.char_entropy").drop("_x")
+
+
+# ------------- repetition metrics (Gopher-style, Rae et al. 2021) -------
+#
+# Fraction-of-repetition signals from the public Gopher/MassiveText
+# filtering recipe: duplicate-line fraction, duplicate-line CHARACTER
+# fraction, duplicate-word fraction, and top word-n-gram character
+# fraction. On the Spark side every metric is a PURE Catalyst array
+# expression — the per-document frequency scan is `aggregate()` over an
+# `array_sort()`ed array (a run-length pass), so the whole operator is
+# whole-stage codegen with ZERO shuffle. The obvious alternative
+# (explode n-grams → groupBy doc_id → window max) shuffles on doc_id —
+# the highest-cardinality key in a 10^12-row corpus — for a value every
+# row can compute locally. The DuckDB oracle deliberately USES that
+# explode/groupBy formulation: independent mechanics, identical values.
+
+
+def _words_expr(text_col: str) -> str:
+    return (
+        f"if(length(trim({text_col})) > 0,"
+        f" split(trim({text_col}), '\\\\s+'),"
+        f" cast(array() as array<string>))"
+    )
+
+
+def _lines_expr(text_col: str) -> str:
+    # non-empty trimmed lines; single-line texts degenerate gracefully
+    return (
+        f"filter(transform(split({text_col}, '\\\\n'), l -> trim(l)),"
+        f" l -> l != '')"
+    )
+
+
+def _dup_frac(arr: str) -> str:
+    return (
+        f"if(size({arr}) > 0,"
+        f" (size({arr}) - size(array_distinct({arr}))) / cast(size({arr}) as double),"
+        f" cast(0.0 as double))"
+    )
+
+
+def _dup_char_frac(arr: str) -> str:
+    """Chars in every occurrence-beyond-the-first over total chars, via a
+    run-length pass on the sorted array (sorted ⇒ equal items adjacent)."""
+    total = f"aggregate({arr}, 0L, (a, x) -> a + length(x))"
+    dup = (
+        f"aggregate(array_sort({arr}),"
+        f" named_struct('prev', cast(null as string), 'dup', 0L),"
+        f" (a, x) -> named_struct('prev', x,"
+        f"   'dup', a.dup + if(a.prev <=> x, cast(length(x) as bigint), 0L)),"
+        f" a -> a.dup)"
+    )
+    return (
+        f"if({total} > 0, {dup} / cast({total} as double),"
+        f" cast(0.0 as double))"
+    )
+
+
+def _top_ngram_chars(words: str, n: int) -> str:
+    """count(top n-gram) × length(top n-gram) where the top word-n-gram
+    is the most frequent (ties → lexicographically smallest, which the
+    strictly-greater update picks for free on the sorted array)."""
+    grams = (
+        f"if(size({words}) >= {n},"
+        f" transform(sequence(1, size({words}) - {n - 1}),"
+        f"   i -> array_join(slice({words}, i, {n}), ' ')),"
+        f" cast(array() as array<string>))"
+    )
+    run = "if(a.prev <=> x, a.run + 1L, 1L)"
+    return (
+        f"aggregate(array_sort({grams}),"
+        f" named_struct('prev', cast(null as string), 'run', 0L,"
+        f"              'best', 0L, 'bestlen', 0L),"
+        f" (a, x) -> named_struct('prev', x,"
+        f"   'run', {run},"
+        f"   'best', if({run} > a.best, {run}, a.best),"
+        f"   'bestlen', if({run} > a.best, cast(length(x) as bigint), a.bestlen)),"
+        f" a -> a.best * a.bestlen)"
+    )
+
+
+def repetition_metrics_cols(text_col: str = "transcript",
+                            top_ns: tuple[int, ...] = (2, 3)) -> list[Column]:
+    """Per-row repetition metrics as shuffle-free Catalyst columns."""
+    words = _words_expr(text_col)
+    lines = _lines_expr(text_col)
+    n_chars = f"length({text_col})"
+    cols = [
+        F.expr(_dup_frac(lines)).alias("dup_line_frac"),
+        F.expr(_dup_char_frac(lines)).alias("dup_line_char_frac"),
+        F.expr(_dup_frac(words)).alias("dup_word_frac"),
+    ]
+    for n in top_ns:
+        frac = (
+            f"if({n_chars} > 0,"
+            f" {_top_ngram_chars(words, n)} / cast({n_chars} as double),"
+            f" cast(0.0 as double))"
+        )
+        cols.append(F.expr(frac).alias(f"top_{n}gram_char_frac"))
+    return cols
+
+
+def repetition_metrics_sql(table: str, id_col: str,
+                           text_col: str = "transcript",
+                           top_ns: tuple[int, ...] = (2, 3)) -> str:
+    """DuckDB oracle twin of repetition_metrics_cols — explode/groupBy
+    mechanics (unnest → count → window top-1), same values to 6 dp."""
+    top_cols = ", ".join(
+        f"round(coalesce(coalesce(t{n}.chars, 0)"
+        f" / nullif(length(b.text), 0), 0.0), 6)"
+        f" AS top_{n}gram_char_frac" for n in top_ns
+    )
+    top_ctes = ", ".join(
+        f"""g{n} AS (
+            SELECT id, gram, count(*) AS cnt, length(gram) AS glen
+            FROM (SELECT id, unnest(list_transform(
+                       range(1, greatest(len(words) - {n - 1}, 0) + 1),
+                       i -> array_to_string(words[i:i + {n - 1}], ' '))) AS gram
+                  FROM base)
+            GROUP BY id, gram
+        ), t{n} AS (
+            SELECT id, cnt * glen AS chars
+            FROM (SELECT id, cnt, glen,
+                         row_number() OVER (PARTITION BY id
+                                            ORDER BY cnt DESC, gram ASC) AS rk
+                  FROM g{n})
+            WHERE rk = 1
+        )""" for n in top_ns
+    )
+    top_joins = " ".join(f"LEFT JOIN t{n} ON t{n}.id = b.id" for n in top_ns)
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS id, {text_col} AS text,
+               CASE WHEN length(trim({text_col})) > 0
+                    THEN regexp_split_to_array(trim({text_col}), '\\s+')
+                    ELSE [] END AS words,
+               list_filter(list_transform(string_split({text_col}, chr(10)),
+                                          l -> trim(l)),
+                           l -> l <> '') AS lines
+        FROM {table}
+    ), linec AS (
+        SELECT id, sum(cnt * llen) AS total, sum((cnt - 1) * llen) AS dup
+        FROM (SELECT id, line, count(*) AS cnt, length(line) AS llen
+              FROM (SELECT id, unnest(lines) AS line FROM base)
+              GROUP BY id, line)
+        GROUP BY id
+    ), {top_ctes}
+    SELECT b.id AS {id_col},
+           round(CASE WHEN len(b.lines) > 0
+                      THEN (len(b.lines) - len(list_distinct(b.lines)))
+                           / len(b.lines)::DOUBLE
+                      ELSE 0.0 END, 6) AS dup_line_frac,
+           round(coalesce(linec.dup / nullif(linec.total, 0), 0.0), 6)
+               AS dup_line_char_frac,
+           round(CASE WHEN len(b.words) > 0
+                      THEN (len(b.words) - len(list_distinct(b.words)))
+                           / len(b.words)::DOUBLE
+                      ELSE 0.0 END, 6) AS dup_word_frac,
+           {top_cols}
+    FROM base b LEFT JOIN linec ON linec.id = b.id {top_joins}
+    """
