@@ -154,6 +154,32 @@ def _synth_clips(spark: SparkSession, n: int = 300) -> DataFrame:
     return spark.createDataFrame(clips_pd)
 
 
+def _synth_clips_with_dups(spark: SparkSession, n: int = 120,
+                           n_dups: int = 8) -> DataFrame:
+    """Synthetic clips plus planted near-duplicates: the first n_dups
+    clips re-encoded as µ-law copies (new clip_ids) — the audio_neardup
+    query must recover exactly these pairs."""
+    import pandas as pd
+
+    from tiny_lingua_spark import audio
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.session import ship_package
+
+    ship_package(spark)
+    clips_pd, _labels = generate_clips(n=n, seed=42)
+    dup_rows = []
+    for _, r in clips_pd.head(n_dups).iterrows():
+        pcm = audio.decode(bytes(r["bytes"]), r.codec)
+        dup_rows.append({
+            "clip_id": r.clip_id.replace("clip-", "dupmu-"),
+            "bytes": audio.encode(pcm, "mulaw"),
+            "sr_hz": r.sr_hz, "dur_ms": r.dur_ms, "codec": "mulaw",
+            "transcript": r.transcript,
+        })
+    both = pd.concat([clips_pd, pd.DataFrame(dup_rows)], ignore_index=True)
+    return spark.createDataFrame(both)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: detect language over sf0.001 documents with the full
     n-gram engine, join quality metrics, aggregate per detected lang."""
@@ -489,6 +515,34 @@ def _q_pipeline_keep(spark, sf_dir):
     )
 
 
+def _q_audio_neardup(spark, sf_dir):
+    from tiny_lingua_spark import audio_fp
+
+    clips = _synth_clips_with_dups(spark)
+    # exact-bin verification: the synthetic tone grid is 37 Hz-spaced vs
+    # 31.25 Hz bins, so the ±1-bin default would blur neighbor tones
+    return audio_fp.audio_neardup(clips, bin_tol=0, threshold=0.8)
+
+
+def _q_audio_segments(spark, sf_dir):
+    from tiny_lingua_spark import audio_fp
+
+    return audio_fp.segment_clips(_synth_clips(spark))
+
+
+def _q_audio_embed_knn(spark, sf_dir):
+    """Audio embeddings feeding the generic KNN operator (clip ids
+    mapped to dense ints via their numeric suffix)."""
+    from tiny_lingua_spark import audio_fp
+    from tiny_lingua_spark.operators.similarity import knn_graph
+
+    vecs = audio_fp.audio_embeddings(_synth_clips(spark, n=100)).select(
+        F.substring("vec_id", 6, 8).cast("long").alias("vec_id"),
+        "embedding",
+    )
+    return knn_graph(vecs, n_src=20, k=3)
+
+
 def _q_audio_features(spark, sf_dir):
     from tiny_lingua_spark.audio import decode_features_udf
 
@@ -601,6 +655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_features": _shipped(_q_audio_features),
         "audio_spectral": _shipped(_q_audio_spectral),
         "audio_resample": _shipped(_q_audio_resample),
+        "audio_neardup": _shipped(_q_audio_neardup),
+        "audio_segments": _shipped(_q_audio_segments),
+        "audio_embed_knn": _shipped(_q_audio_embed_knn),
     }
 
 

@@ -1,0 +1,178 @@
+"""Audio fingerprint / near-dup / segmentation / embedding tests.
+
+Fixture clips are synthesized FM "speech-like" sweeps plus stationary
+tones; duplicates are planted as transcoded (µ-law / A-law) and
+resampled (44.1 kHz container) copies of the same waveform — the real
+near-dup shapes in a crawled audio corpus.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio, audio_fp
+
+
+SR = 16000
+
+
+def _speechlike(seed: int, sr: int = SR, secs: float = 2.0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = int(sr * secs)
+    t = np.arange(n) / sr
+    f = 300 + 150 * np.sin(2 * np.pi * 1.3 * t) + 37 * seed % 400
+    phase = np.cumsum(2 * np.pi * f / sr)
+    sig = 0.4 * np.sin(phase) + 0.2 * np.sin(2 * phase)
+    sig += 0.03 * rng.standard_normal(n)
+    return np.clip(sig, -0.99, 0.99).astype(np.float32)
+
+
+def _transcode(sig: np.ndarray, codec: str) -> bytes:
+    return audio.encode(sig, codec)
+
+
+def _clip_rows():
+    """9 clips: 3 originals, each with a µ-law copy; original 0 also has
+    a 44.1 kHz resampled f32 copy; plus 2 unrelated fillers."""
+    rows = []
+    for i in range(3):
+        sig = _speechlike(i)
+        rows.append((f"orig-{i}", _transcode(sig, "pcm_s16le"), SR,
+                     2000, "pcm_s16le"))
+        rows.append((f"dup-mu-{i}", _transcode(sig, "mulaw"), SR,
+                     2000, "mulaw"))
+    sig0_44 = audio.resample_linear(_speechlike(0), SR, 44100)
+    rows.append(("dup-44k-0", _transcode(sig0_44, "pcm_f32le"), 44100,
+                 2000, "pcm_f32le"))
+    for j in (7, 8):
+        rows.append((f"other-{j}", _transcode(_speechlike(40 + j), "alaw"),
+                     SR, 2000, "alaw"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    return spark.createDataFrame(
+        _clip_rows(),
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+
+
+def test_fingerprint_shape_and_determinism(clips):
+    fp = audio_fp.fingerprint_udf()
+    out = clips.select(
+        "clip_id", fp("bytes", "codec", "sr_hz").alias("fp")
+    ).toPandas().set_index("clip_id")
+    # 2 s at 8 kHz canonical = 16000 samples / 2048 per block = 7 blocks
+    assert all(len(v) == 7 for v in out.fp)
+    again = clips.select(
+        "clip_id", fp("bytes", "codec", "sr_hz").alias("fp")
+    ).toPandas().set_index("clip_id")
+    for cid in out.index:
+        assert list(out.loc[cid, "fp"]) == list(again.loc[cid, "fp"])
+
+
+def test_fingerprint_robust_to_transcode_and_resample(clips):
+    fp = audio_fp.fingerprint_udf()
+    out = clips.select(
+        "clip_id", fp("bytes", "codec", "sr_hz").alias("fp")
+    ).toPandas().set_index("clip_id")
+
+    def bins(cid):
+        return np.array(
+            [(w >> audio_fp._BIN_SHIFT)
+             & ((1 << (audio_fp._BLOCK_SHIFT - audio_fp._BIN_SHIFT)) - 1)
+             for w in out.loc[cid, "fp"]]
+        )
+
+    for i in range(3):
+        d = np.abs(bins(f"orig-{i}") - bins(f"dup-mu-{i}"))
+        assert (d <= 1).mean() >= 0.85, f"mu-law copy {i} diverged: {d}"
+    d44 = np.abs(bins("orig-0") - bins("dup-44k-0"))
+    assert (d44 <= 1).mean() >= 0.85, f"44.1 kHz copy diverged: {d44}"
+    dx = np.abs(bins("orig-1") - bins("other-7"))
+    assert (dx <= 1).mean() <= 0.4, "unrelated clips should not align"
+
+
+def test_audio_neardup_finds_planted_pairs(clips):
+    pairs = audio_fp.audio_neardup(clips).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    expected = {
+        ("dup-mu-0", "orig-0"), ("dup-mu-1", "orig-1"),
+        ("dup-mu-2", "orig-2"), ("dup-44k-0", "orig-0"),
+        ("dup-44k-0", "dup-mu-0"),
+    }
+    assert expected <= got, f"missing {expected - got}"
+    for t in got:
+        assert not t[0].startswith("other") and not t[1].startswith("other"), t
+    assert (pairs.match_frac >= 0.6).all()
+
+
+def test_audio_neardup_plan_is_bucketed(clips):
+    plan = audio_fp.audio_neardup(clips)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_segments(spark):
+    sr = SR
+    t = np.arange(int(0.3 * sr)) / sr
+    burst = (0.5 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    gap = np.zeros(int(0.3 * sr), dtype=np.float32)
+    sig = np.concatenate([burst, gap, burst, gap])
+    df = spark.createDataFrame(
+        [("two", audio.encode(sig, "pcm_s16le"), sr, 1200, "pcm_s16le"),
+         ("silent", audio.encode(gap, "pcm_s16le"), sr, 300, "pcm_s16le"),
+         ("tiny", audio.encode(burst[:100], "pcm_s16le"), sr, 6,
+          "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    segs = audio_fp.segment_clips(df).toPandas()
+    two = segs[segs.clip_id == "two"].sort_values("seg_idx")
+    assert len(two) == 2
+    assert abs(two.iloc[0].start_ms - 0) <= 20
+    assert abs(two.iloc[0].end_ms - 300) <= 20
+    assert abs(two.iloc[1].start_ms - 600) <= 20
+    assert abs(two.iloc[1].end_ms - 900) <= 20
+    assert (two.rms > 0.2).all()
+    assert (segs.clip_id != "silent").all()
+    # sub-frame clip falls back to whole-clip segment
+    tiny = segs[segs.clip_id == "tiny"]
+    assert len(tiny) == 1 and tiny.iloc[0].end_ms == 6
+
+
+def test_embeddings_unit_norm_and_similarity(clips):
+    emb = audio_fp.audio_embeddings(clips).toPandas().set_index("vec_id")
+    vecs = {k: np.array(v) for k, v in emb.embedding.items()}
+    for k, v in vecs.items():
+        assert len(v) == audio_fp.EMBED_DIM
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5, k
+    for i in range(3):
+        cos_dup = float(vecs[f"orig-{i}"] @ vecs[f"dup-mu-{i}"])
+        assert cos_dup > 0.95, f"dup {i} cosine {cos_dup}"
+    cos_diff = float(vecs["orig-0"] @ vecs["other-7"])
+    assert cos_diff < 0.9, f"unrelated cosine {cos_diff}"
+
+
+def test_embeddings_feed_knn_graph(clips):
+    """Audio embeddings drop into the generic similarity operators once
+    string clip ids are mapped to ints."""
+    from pyspark.sql import Window
+    from tiny_lingua_spark.operators.similarity import knn_graph
+
+    vecs = audio_fp.audio_embeddings(clips)
+    w = Window.orderBy("vec_id")
+    mapped = vecs.select(
+        F.col("vec_id").alias("clip_id"),
+        (F.row_number().over(w) - 1).alias("vec_id"),
+        "embedding",
+    )
+    ids = {r.vec_id: r.clip_id
+           for r in mapped.select("vec_id", "clip_id").collect()}
+    g = knn_graph(mapped.select("vec_id", "embedding"), k=2).toPandas()
+    top = {ids[s]: ids[d] for s, d in
+           zip(g[g["rank"] == 1].src_id, g[g["rank"] == 1].nbr_id)}
+    assert top["orig-0"] in ("dup-mu-0", "dup-44k-0")
+    assert top["dup-mu-1"] == "orig-1"

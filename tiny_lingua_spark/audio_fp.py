@@ -1,0 +1,437 @@
+"""Audio fingerprinting, near-duplicate detection, VAD segmentation and
+embeddings — the audio side of the training-data dedup/similarity suite
+(SURVEY.md §2.6; no reference counterpart — tiny-lingua is text-only,
+but the target corpus is audio clip + transcript pairs).
+
+Fingerprint design (public formulations only). We evaluated the two
+classic schemes — Haitsma & Kalker's band-energy sign-delta bits
+(ISMIR 2002) and Wang's spectral-peak landmarks (Shazam, ISMIR 2003) —
+and both lose under SET-based matching for re-encoded copies: their
+robustness comes from aligned-Hamming / offset-histogram matching,
+which doesn't map onto a distributed hash join. What does map is the
+observation that near-duplicate *copies* of a recording are
+time-aligned, so the fingerprint can be a time-anchored sequence:
+
+- decode, then resample to a canonical 8 kHz inside the Arrow batch
+  (one global np.interp — audio._resample_batch), so copies stored at
+  different container rates fingerprint identically;
+- 256-sample frames → one batched rfft; blocks of 8 frames (256 ms);
+- per block, two quantizations of the mean spectrum: the dominant
+  log-spaced BAND (coarse, flip-resistant → LSH items) and the dominant
+  FFT BIN (fine, ±1-bin-stable → verification), packed with the block
+  index into one int64 word.
+
+Near-dup is then the same candidates-then-verify chain as
+operators/dedup.neardup_text: MinHash-LSH over each clip's set of
+(block, band) items → candidate pairs → verification joins the
+(block, bin) sequences per pair and scores the fraction of aligned
+blocks whose dominant bin agrees within ±1, over the LONGER clip's
+block count (so a short clip cannot "match" a long one).
+
+The embedding is statistic pooling (mean + std of log band energies
+over frames) at the same canonical rate, L2-normalized so cosine = dot
+— it plugs straight into operators/similarity.py (knn_graph,
+neardup_lsh, ivf_topk).
+
+Scale notes (100 TB): PCM never enters the Spark plan — every kernel
+decodes inside the Arrow batch and emits fingerprints/segments/
+embeddings only (the same rule as audio.decode_features_udf).
+Candidate generation is join-within-band-bucket, never a cross join;
+verification joins are per-candidate-pair. The fingerprint relation
+feeds the MinHash aggregate, the per-clip set sizes and the
+verification join — identical shuffle subtrees that AQE deduplicates
+(ReusedExchange), so clips are decoded once per run, not once per
+consumer.
+
+Everything is whole-batch numpy: one resample, one rfft over all
+frames in the Arrow batch, band sums via a single axis-1 reduceat —
+no per-row Python loops (input-hint rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .audio import (
+    FRAME_SAMPLES,
+    SILENCE_RMS,
+    _chunked_frame_apply,
+    _frame_geometry,
+    _frame_sums,
+    _resample_batch,
+    decode_concat,
+)
+from .operators.dedup import minhash_bands_from_items
+
+# canonical fingerprint rate: telephone band carries the content that
+# survives every codec this pipeline decodes (G.711 is 8 kHz native)
+FP_SR = 8000
+# 17 log-spaced band edges over the 129 rfft bins → 16 coarse bands
+N_BANDS = 17
+# 8 frames per block = 256 ms at 8 kHz: long enough to average codec
+# noise out of the block spectrum, short enough to discriminate content
+BLOCK_FRAMES = 8
+
+_BIN_SHIFT = 5          # low 5 bits: coarse band (< 32)
+_BLOCK_SHIFT = 13       # next 8 bits: dominant bin (< 256); rest: block
+
+
+def _band_edges(n_bins: int = FRAME_SAMPLES // 2 + 1,
+                n_bands: int = N_BANDS) -> np.ndarray:
+    """Strictly increasing bin edges, log-spaced from bin 1 (skip DC) to
+    the Nyquist bin. Rounding collisions at the low end are repaired by
+    bumping each edge past its predecessor."""
+    edges = np.round(np.geomspace(1, n_bins - 1, n_bands + 1)).astype(np.int64)
+    for i in range(1, len(edges)):
+        if edges[i] <= edges[i - 1]:
+            edges[i] = edges[i - 1] + 1
+    return edges
+
+
+_EDGES = _band_edges()
+
+
+def _batch_spectrogram(samples: np.ndarray, offsets: np.ndarray):
+    """(frame_starts, row_of_frame, n_frames, power) — ONE rfft over
+    every full frame in the chunk; power is (n_frames × 129)."""
+    frame_starts, row_of_frame, n_frames = _frame_geometry(offsets)
+    if not frame_starts.size:
+        return frame_starts, row_of_frame, n_frames, None
+    idx = frame_starts[:, None] + np.arange(FRAME_SAMPLES)[None, :]
+    frames = samples[idx].astype(np.float64)
+    frames *= np.hanning(FRAME_SAMPLES)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    return frame_starts, row_of_frame, n_frames, power
+
+
+def _band_energies(power: np.ndarray) -> np.ndarray:
+    """(n × N_BANDS) band sums; reduceat over sorted edge starts sums
+    bins [e_i, e_{i+1}), sliced to the last edge so the final band does
+    not swallow the tail."""
+    return np.add.reduceat(power[:, : _EDGES[-1]], _EDGES[:-1], axis=1)
+
+
+def _fingerprint_chunk(bytes_s, codec_s, sr_s) -> pd.Series:
+    """Per-clip list of packed int64 block words at the canonical rate:
+
+        word = (block_idx << 13) | (dominant_bin << 5) | dominant_band
+
+    Clips shorter than one block (2048 samples at 8 kHz ≈ 256 ms)
+    fingerprint to an empty list."""
+    samples, offsets, ok = _resample_batch(bytes_s, codec_s, sr_s, FP_SR)
+    n = len(ok)
+    _, row_of_frame, n_frames, power = _batch_spectrogram(samples, offsets)
+    if power is None:
+        return pd.Series([[] for _ in range(n)])
+
+    # full blocks per row; frames of a row are contiguous, so block f
+    # spans frames [row_first + f*B, row_first + (f+1)*B)
+    n_blocks = n_frames // BLOCK_FRAMES
+    total_blocks = int(n_blocks.sum())
+    if total_blocks == 0:
+        return pd.Series([[] for _ in range(n)])
+    row_first_frame = np.concatenate([[0], np.cumsum(n_frames)])[:-1]
+    row_of_block = np.repeat(np.arange(n, dtype=np.int64), n_blocks)
+    cumb = np.concatenate([[0], np.cumsum(n_blocks)])
+    k = np.arange(total_blocks, dtype=np.int64) - np.repeat(cumb[:-1], n_blocks)
+    block_start_frame = row_first_frame[row_of_block] + k * BLOCK_FRAMES
+    # mean block spectrum via reduceat pairs (start, start+B) — blocks of
+    # one row are contiguous but rows may have trailing partial blocks,
+    # so sum each block's frame span explicitly
+    idx = np.empty(2 * total_blocks, dtype=np.int64)
+    idx[0::2] = block_start_frame
+    idx[1::2] = block_start_frame + BLOCK_FRAMES
+    if idx[-1] >= len(power):
+        power = np.vstack([power, np.zeros((1, power.shape[1]))])
+    block_power = np.add.reduceat(power, idx, axis=0)[0::2] / BLOCK_FRAMES
+
+    top_bin = np.argmax(block_power[:, 1:], axis=1) + 1  # skip DC
+    bands = _band_energies(block_power)[:, : N_BANDS - 1]
+    top_band = np.argmax(bands, axis=1)
+    words = (
+        (k << _BLOCK_SHIFT)
+        | (top_bin.astype(np.int64) << _BIN_SHIFT)
+        | top_band.astype(np.int64)
+    )
+    rows = [a.tolist() for a in np.split(words, cumb[1:-1])]
+    return pd.Series(rows)
+
+
+def fingerprint_udf():
+    """array<bigint> of per-block fingerprint words (see module doc)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def audio_fingerprint(b: pd.Series, codec: pd.Series,
+                          sr: pd.Series) -> pd.Series:
+        return _chunked_frame_apply(_fingerprint_chunk, b, codec, sr)
+
+    return audio_fingerprint
+
+
+# ----------------------------------------------------------- near-dup
+
+# 16 hashes in 4 bands of 4: coarse (block, band) items are stable
+# under transcoding (the whole point of the coarse tier), so the LSH
+# knee can sit high — P(candidate) = 1-(1-j^4)^4 ≈ 0.5 at j ≈ 0.66 —
+# and the fine verification tier rejects the false positives.
+FP_N_HASHES = 16
+FP_BAND_SIZE = 4
+
+
+def _fingerprints(clips: DataFrame, id_col: str, bytes_col: str,
+                  codec_col: str, sr_col: str) -> DataFrame:
+    fp = fingerprint_udf()
+    return clips.select(
+        F.col(id_col).alias("id"),
+        fp(F.col(bytes_col), F.col(codec_col), F.col(sr_col)).alias("fp"),
+    )
+
+
+def fingerprint_items(clips: DataFrame, id_col: str = "clip_id",
+                      bytes_col: str = "bytes", codec_col: str = "codec",
+                      sr_col: str = "sr_hz") -> DataFrame:
+    """(id, shingle) — the distinct coarse (block, band) item set per
+    clip, the LSH input. shingle = (block_idx << 5) | band."""
+    fps = _fingerprints(clips, id_col, bytes_col, codec_col, sr_col)
+    coarse = (
+        f"transform(fp, x -> shiftleft(shiftright(x, {_BLOCK_SHIFT}),"
+        f" {_BIN_SHIFT}) | (x & {(1 << _BIN_SHIFT) - 1}))"
+    )
+    return (
+        fps.select("id", F.explode(F.expr(coarse)).alias("shingle"))
+        .dropDuplicates(["id", "shingle"])
+    )
+
+
+def audio_neardup(clips: DataFrame, id_col: str = "clip_id",
+                  bytes_col: str = "bytes", codec_col: str = "codec",
+                  sr_col: str = "sr_hz", threshold: float = 0.6,
+                  bin_tol: int = 1, n_hashes: int = FP_N_HASHES,
+                  band_size: int = FP_BAND_SIZE,
+                  hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-duplicate audio pairs: MinHash-LSH over coarse fingerprint
+    items → candidate pairs → aligned fine verification.
+
+    Returns (id_a, id_b, match_frac), id_a < id_b, where match_frac is
+    the fraction of aligned 256 ms blocks whose dominant spectral bin
+    agrees within ±bin_tol, over the LONGER clip's block count.
+    xxhash64 default: the decode step has no SQL twin, so nothing pins
+    the md5/CW hash family here."""
+    fps = _fingerprints(clips, id_col, bytes_col, codec_col, sr_col)
+    coarse = (
+        f"transform(fp, x -> shiftleft(shiftright(x, {_BLOCK_SHIFT}),"
+        f" {_BIN_SHIFT}) | (x & {(1 << _BIN_SHIFT) - 1}))"
+    )
+    items = (
+        fps.select("id", F.explode(F.expr(coarse)).alias("shingle"))
+        .dropDuplicates(["id", "shingle"])
+    )
+    bands = minhash_bands_from_items(items, n_hashes, band_size, hash_fn)
+    a = bands.hint("shuffle_hash").alias("a")
+    b = bands.hint("shuffle_hash").alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    blocks = fps.select(
+        "id",
+        F.size("fp").alias("n_blocks"),
+        F.explode("fp").alias("w"),
+    ).select(
+        "id", "n_blocks",
+        F.shiftright("w", _BLOCK_SHIFT).alias("block"),
+        (F.shiftright("w", _BIN_SHIFT)
+         % F.lit(1 << (_BLOCK_SHIFT - _BIN_SHIFT))).alias("bin"),
+    )
+    ba = blocks.alias("ba")
+    bb = blocks.alias("bb")
+    matched = (
+        cand.join(ba, F.col("ba.id") == F.col("id_a"))
+        .join(bb, (F.col("bb.id") == F.col("id_b"))
+              & (F.col("ba.block") == F.col("bb.block")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                (F.abs(F.col("ba.bin") - F.col("bb.bin")) <= bin_tol)
+                .cast("long")
+            ).alias("n_match"),
+            F.max("ba.n_blocks").alias("na"),
+            F.max("bb.n_blocks").alias("nb"),
+        )
+    )
+    return (
+        matched.select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_match") / F.greatest("na", "nb"), 6
+            ).alias("match_frac"),
+        )
+        .where(F.col("match_frac") >= threshold)
+    )
+
+
+# ------------------------------------------------------- VAD segments
+
+SEGMENTS_SCHEMA = (
+    "array<struct<seg_idx:int,start_ms:int,end_ms:int,rms:double>>"
+)
+
+
+def _segments_chunk(bytes_s, codec_s, sr_s) -> pd.Series:
+    """Speech segments per clip from the frame-energy VAD: consecutive
+    runs of frames with rms ≥ SILENCE_RMS, at the clip's NATIVE rate
+    (segment timing must be true milliseconds). Segment rms comes from a cumulative
+    frame-energy sum — no second pass over samples. Clips shorter than
+    one frame fall back to whole-clip: one segment iff the row rms
+    clears the VAD threshold."""
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    n = len(ok)
+    sr = np.maximum(np.asarray(sr_s, dtype=np.float64), 1.0)
+    lens = np.diff(offsets)
+    out: list[list[tuple]] = [[] for _ in range(n)]
+
+    frame_starts, row_of_frame, n_frames = _frame_geometry(offsets)
+    if frame_starts.size:
+        sq = samples.astype(np.float64) ** 2
+        frame_e = _frame_sums(sq, frame_starts)
+        speech = np.sqrt(frame_e / FRAME_SAMPLES) >= SILENCE_RMS
+        first = np.concatenate([[True], row_of_frame[1:] != row_of_frame[:-1]])
+        prev = np.concatenate([[False], speech[:-1]])
+        nxt = np.concatenate([speech[1:], [False]])
+        last = np.concatenate([row_of_frame[1:] != row_of_frame[:-1], [True]])
+        rises = np.flatnonzero(speech & (first | ~prev))
+        falls = np.flatnonzero(speech & (last | ~nxt)) + 1  # exclusive
+        cum_e = np.concatenate([[0.0], np.cumsum(frame_e)])
+        row_first_frame = np.concatenate([[0], np.cumsum(n_frames)])[:-1]
+        seg_row = row_of_frame[rises]
+        ms_per_frame = FRAME_SAMPLES * 1000.0 / sr[seg_row]
+        start_f = rises - row_first_frame[seg_row]
+        end_f = falls - row_first_frame[seg_row]
+        seg_rms = np.sqrt(
+            (cum_e[falls] - cum_e[rises]) / ((falls - rises) * FRAME_SAMPLES)
+        )
+        start_ms = np.round(start_f * ms_per_frame).astype(np.int64)
+        end_ms = np.round(end_f * ms_per_frame).astype(np.int64)
+        # per-SEGMENT construction loop (O(speech segments), not O(rows)
+        # or O(samples)) — nested variable-length structs have no
+        # columnar assembly path in pandas
+        seg_counts = np.zeros(n, dtype=np.int64)
+        for kk in range(len(rises)):
+            r = int(seg_row[kk])
+            out[r].append(
+                (int(seg_counts[r]), int(start_ms[kk]), int(end_ms[kk]),
+                 float(seg_rms[kk]))
+            )
+            seg_counts[r] += 1
+
+    short = (n_frames == 0) & (lens > 0)
+    if short.any():
+        sq_all = samples.astype(np.float64) ** 2
+        for r in np.flatnonzero(short):
+            seg = sq_all[offsets[r]:offsets[r + 1]]
+            rms = float(np.sqrt(seg.mean()))
+            if rms >= SILENCE_RMS:
+                end = int(round(lens[r] * 1000.0 / sr[r]))
+                out[r] = [(0, 0, end, rms)]
+    return pd.Series(out)
+
+
+def segments_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(SEGMENTS_SCHEMA)
+    def audio_segments(b: pd.Series, codec: pd.Series,
+                       sr: pd.Series) -> pd.Series:
+        return _chunked_frame_apply(_segments_chunk, b, codec, sr)
+
+    return audio_segments
+
+
+def segment_clips(clips: DataFrame, id_col: str = "clip_id",
+                  bytes_col: str = "bytes", codec_col: str = "codec",
+                  sr_col: str = "sr_hz") -> DataFrame:
+    """Explode clips into per-utterance rows — the ASR-pipeline shape
+    (one row per speech segment; PCM still never in the plan)."""
+    seg = segments_udf()
+    return (
+        clips.select(
+            F.col(id_col).alias("clip_id"),
+            F.col(sr_col).alias("sr_hz"),
+            F.explode(
+                seg(F.col(bytes_col), F.col(codec_col), F.col(sr_col))
+            ).alias("s"),
+        )
+        .select(
+            "clip_id", "sr_hz",
+            F.col("s.seg_idx").alias("seg_idx"),
+            F.col("s.start_ms").alias("start_ms"),
+            F.col("s.end_ms").alias("end_ms"),
+            F.round(F.col("s.rms"), 6).alias("rms"),
+        )
+    )
+
+
+# -------------------------------------------------------- embeddings
+
+EMBED_DIM = 2 * (N_BANDS - 1)  # per-band mean + std of log energy
+
+
+def _embedding_chunk(bytes_s, codec_s, sr_s) -> pd.Series:
+    """L2-normalized statistic-pooling embedding at the canonical rate:
+    per-band mean and std of log band energies over frames (2 × 16
+    dims). Rows without a full frame embed to the zero vector (cosine 0
+    vs everything)."""
+    samples, offsets, ok = _resample_batch(bytes_s, codec_s, sr_s, FP_SR)
+    n = len(ok)
+    _, row_of_frame, n_frames, power = _batch_spectrogram(samples, offsets)
+    emb = np.zeros((n, EMBED_DIM), dtype=np.float64)
+    if power is not None:
+        bands = _band_energies(power)[:, : N_BANDS - 1]
+        logb = np.log(bands + 1e-12)
+        # frames of one row are contiguous → per-row sums via ONE
+        # reduceat over the starts of non-empty rows (the _segment_sums
+        # trick, on the frame axis)
+        framed = n_frames > 0
+        row_first_frame = np.concatenate([[0], np.cumsum(n_frames)])[:-1]
+        starts = row_first_frame[framed].astype(np.int64)
+        sums = np.add.reduceat(logb, starts, axis=0)
+        sqs = np.add.reduceat(logb * logb, starts, axis=0)
+        nf = n_frames[framed][:, None].astype(np.float64)
+        mean = sums / nf
+        var = np.maximum(sqs / nf - mean * mean, 0.0)
+        emb[framed, : N_BANDS - 1] = mean
+        emb[framed, N_BANDS - 1:] = np.sqrt(var)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = np.where(norm > 0, emb / np.maximum(norm, 1e-12), 0.0)
+    return pd.Series([row.astype(np.float32).tolist() for row in emb])
+
+
+def embedding_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def audio_embedding(b: pd.Series, codec: pd.Series,
+                        sr: pd.Series) -> pd.Series:
+        return _chunked_frame_apply(_embedding_chunk, b, codec, sr)
+
+    return audio_embedding
+
+
+def audio_embeddings(clips: DataFrame, id_col: str = "clip_id",
+                     bytes_col: str = "bytes", codec_col: str = "codec",
+                     sr_col: str = "sr_hz") -> DataFrame:
+    """(vec_id, embedding) — the shape operators/similarity.py expects,
+    so audio clips drop straight into knn_graph / neardup_lsh /
+    ivf_topk (those ops cast vec_id to long; map string clip ids to
+    ints first when feeding them)."""
+    emb = embedding_udf()
+    return clips.select(
+        F.col(id_col).alias("vec_id"),
+        emb(F.col(bytes_col), F.col(codec_col),
+            F.col(sr_col)).alias("embedding"),
+    )

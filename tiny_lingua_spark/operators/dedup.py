@@ -122,6 +122,17 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"),
         F.explode(F.expr(shingles_expr(text_col, k_shingle))).alias("shingle"),
     ).dropDuplicates(["id", "shingle"])
+    return minhash_bands_from_items(sh, n_hashes, band_size, hash_fn)
+
+
+def minhash_bands_from_items(items: DataFrame, n_hashes: int = N_HASHES,
+                             band_size: int = BAND_SIZE,
+                             hash_fn: str = "md5") -> DataFrame:
+    """Banded MinHash over an already-materialized (id, shingle) item
+    relation — the text path above and the audio-fingerprint path
+    (audio_fp.audio_neardup) share this step. `shingle` may be any
+    atomic type for xxhash64; the md5/CW path casts to string."""
+    sh = items
     if hash_fn == "xxhash64":
         sh = sh.select("id", *[
             F.xxhash64(F.lit(i), F.col("shingle")).alias(f"s{i}")
@@ -130,7 +141,7 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
         band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
     else:
         p, p1 = MERSENNE31, MERSENNE31 - 1
-        md5 = "md5(shingle)"
+        md5 = "md5(cast(shingle as string))"
         h1 = f"(cast(conv(substr({md5}, 1, 8), 16, 10) AS bigint) % {p})"
         h2 = f"(cast(conv(substr({md5}, 9, 8), 16, 10) AS bigint) % {p1} + 1)"
         sh = sh.select(
