@@ -42,6 +42,10 @@ BENCH_QUERIES = (
     "perplexity_scores",      # char-LM stupid-backoff perplexity (pandas UDF)
     "simhash_pairs",          # vectorized simhash + chunk-bucket Hamming join
     "ivf_topk",               # IVF-Flat ANN probe (seeded quantizer, 4/16 cells)
+    "repetition_metrics",     # Gopher repetition rules (shuffle-free array aggs)
+    "audio_neardup",          # audio fingerprint MinHash-LSH + aligned verify
+    "audio_segments",         # frame-energy VAD → per-utterance rows
+    "audio_embed_knn",        # audio embeddings → brute KNN graph
 )
 
 

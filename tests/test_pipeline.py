@@ -113,3 +113,26 @@ def test_chars_per_sec_consistency_metric(spark, registry):
     assert (~over.keep).all()
     under = strict[strict.chars_per_sec <= 30.0]
     assert (under.keep == base.loc[under.index].keep).all()
+
+
+def test_repetition_diagnostics_in_pipeline(spark, registry):
+    """Repetition columns ride the pipeline; the ceiling binds only on
+    opt-in and drops exactly the over-threshold rows."""
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    clips_pd, _ = generate_clips(n=40, seed=11)
+    clips = spark.createDataFrame(clips_pd)
+    base = quality_filter(clips, registry).select(
+        "clip_id", "top_2gram_char_frac", "keep"
+    ).toPandas().set_index("clip_id")
+    assert (base.top_2gram_char_frac >= 0).all()
+
+    strict = quality_filter(
+        clips, registry, thresholds={"max_top_2gram_char_frac": 0.3}
+    ).select("clip_id", "top_2gram_char_frac", "keep") \
+        .toPandas().set_index("clip_id")
+    over = strict[strict.top_2gram_char_frac > 0.3]
+    assert (~over.keep).all()
+    under = strict[strict.top_2gram_char_frac <= 0.3]
+    assert (under.keep == base.loc[under.index].keep).all()

@@ -211,7 +211,8 @@ def audio_neardup(clips: DataFrame, id_col: str = "clip_id",
                   sr_col: str = "sr_hz", threshold: float = 0.6,
                   bin_tol: int = 1, n_hashes: int = FP_N_HASHES,
                   band_size: int = FP_BAND_SIZE,
-                  hash_fn: str = "xxhash64") -> DataFrame:
+                  hash_fn: str = "xxhash64",
+                  persist_fp: bool = True) -> DataFrame:
     """Near-duplicate audio pairs: MinHash-LSH over coarse fingerprint
     items → candidate pairs → aligned fine verification.
 
@@ -219,8 +220,32 @@ def audio_neardup(clips: DataFrame, id_col: str = "clip_id",
     the fraction of aligned 256 ms blocks whose dominant spectral bin
     agrees within ±bin_tol, over the LONGER clip's block count.
     xxhash64 default: the decode step has no SQL twin, so nothing pins
-    the md5/CW hash family here."""
+    the md5/CW hash family here.
+
+    The fingerprint relation fans out to four join sides (both LSH
+    sides, both verification sides); without materialization Spark
+    re-decodes the corpus once PER side. persist_fp=True (default)
+    persists the ~10^4×-smaller fingerprint relation so audio is
+    decoded exactly once; at production scale, write fingerprints to
+    their own table instead and call neardup_from_fingerprints."""
     fps = _fingerprints(clips, id_col, bytes_col, codec_col, sr_col)
+    if persist_fp:
+        from pyspark import StorageLevel
+
+        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    return neardup_from_fingerprints(
+        fps, threshold=threshold, bin_tol=bin_tol, n_hashes=n_hashes,
+        band_size=band_size, hash_fn=hash_fn)
+
+
+def neardup_from_fingerprints(fps: DataFrame, threshold: float = 0.6,
+                              bin_tol: int = 1,
+                              n_hashes: int = FP_N_HASHES,
+                              band_size: int = FP_BAND_SIZE,
+                              hash_fn: str = "xxhash64") -> DataFrame:
+    """The dedup chain over a precomputed (id, fp array<bigint>)
+    relation — the production entry point when fingerprints live in
+    their own table."""
     coarse = (
         f"transform(fp, x -> shiftleft(shiftright(x, {_BLOCK_SHIFT}),"
         f" {_BIN_SHIFT}) | (x & {(1 << _BIN_SHIFT) - 1}))"

@@ -36,6 +36,7 @@ from .functions.quality import (
     keep_decision_col,
     quality_extra_udf,
     quality_metrics_cols,
+    repetition_metrics_cols,
 )
 from .functions.scrub import scrubbed_col
 from .models.registry import ModelRegistry
@@ -51,6 +52,10 @@ AUDIO_THRESHOLDS = {
     "max_silence_ratio": 1.0,
     # transcript↔audio speech-rate sanity; inf = non-binding default
     "max_chars_per_sec": float("inf"),
+    # Gopher-style repetition ceilings; 1.0+/inf = non-binding defaults
+    # (diagnostic columns always present; callers opt into enforcement)
+    "max_dup_line_frac": 1.0,
+    "max_top_2gram_char_frac": float("inf"),
 }
 
 
@@ -184,6 +189,9 @@ def quality_filter(
                 F.coalesce(F.length("transcript"), F.lit(0))
                 / F.greatest(F.col("dur_ms") / 1000.0, F.lit(0.001)), 3
             ).alias("chars_per_sec"),
+            # Gopher-style repetition diagnostics (shuffle-free array
+            # aggregates — see quality.repetition_metrics_cols)
+            *repetition_metrics_cols("transcript", top_ns=(2,)),
         )
     )
     if ft_model is not None:
@@ -205,8 +213,12 @@ def quality_filter(
         & (F.col("dur_ms") >= th["min_dur_ms"])
         & (F.col("dur_ms") <= th["max_dur_ms"])
     )
+    repetition_ok = (
+        (F.col("dup_line_frac") <= th["max_dup_line_frac"])
+        & (F.col("top_2gram_char_frac") <= th["max_top_2gram_char_frac"])
+    )
     return df.withColumn("audio_ok", audio_ok).withColumn(
-        "keep", keep_decision_col(th) & audio_ok
+        "keep", keep_decision_col(th) & audio_ok & repetition_ok
     )
 
 
