@@ -260,6 +260,10 @@ def _q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_span_dedup(spark, sf_dir):
+    return dedup.span_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _q_screen_confusion(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -626,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": _shipped(_q_quality_buckets),
         "repetition_metrics": _shipped(_q_repetition),
         "exact_dedup": _shipped(_q_exact_dedup),
+        "span_dedup": _shipped(_q_span_dedup),
         "screen_lang_confusion": _shipped(_q_screen_confusion),
         "screen_lang_accuracy": _shipped(_q_screen_accuracy),
         "lang_doc_stats": _shipped(_q_lang_stats),
@@ -720,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY 1
         """,
         "exact_dedup": dedup.exact_dedup_groups_sql("documents", "doc_id", "text"),
+        "span_dedup": dedup.span_dedup_sql("documents", "doc_id", "text"),
         "screen_lang_confusion": f"""
             SELECT lang AS label_lang, {screen_lang_sql('text')} AS screen_lang,
                    count(*)::BIGINT AS n

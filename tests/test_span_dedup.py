@@ -1,0 +1,73 @@
+"""C4/Dolma-style global span dedup (operators/dedup.py::span_dedup)."""
+
+import duckdb
+import pandas as pd
+
+from tiny_lingua_spark.operators.dedup import span_dedup, span_dedup_sql
+
+BANNER = "accept all cookies to continue browsing"  # 6 words -> 2 spans of 5/1
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_banner_removed_keeps_first(spark):
+    unique_a = "alpha beta gamma delta epsilon zeta"
+    unique_b = "one two three four five six"
+    df = _df(spark, [
+        (1, f"{BANNER} {unique_a}"),
+        (2, f"{BANNER} {unique_b}"),
+        (3, BANNER),
+    ])
+    got = {r["doc_id"]: r for r in span_dedup(df, span_words=5).collect()}
+    # doc 1 owns every banner span (lowest doc_id); keeps everything
+    assert got[1]["n_spans"] == got[1]["n_spans_kept"]
+    assert BANNER.split()[0] in got[1]["dedup_text"]
+    # docs 2 and 3 lose the aligned banner spans
+    assert got[2]["n_spans_kept"] < got[2]["n_spans"]
+    # doc 3's aligned 5-word prefix span is dropped; its short tail span
+    # ("browsing") is unique (doc 1's second span starts there but spans on)
+    assert got[3]["n_spans_kept"] == 1 and got[3]["dedup_text"] == "browsing"
+    # doc 2's own unique tail survives
+    assert "one two three four five" in got[2]["dedup_text"]
+
+
+def test_duplicate_span_within_one_doc(spark):
+    five = "a b c d e"
+    df = _df(spark, [(7, f"{five} {five} {five}")])
+    row = span_dedup(df, span_words=5).collect()[0]
+    assert row["n_spans"] == 3 and row["n_spans_kept"] == 1
+    assert row["dedup_text"] == five
+
+
+def test_partial_tail_span_and_empty(spark):
+    df = _df(spark, [(1, "w1 w2 w3 w4 w5 w6 w7"), (2, "")])
+    got = {r["doc_id"]: r for r in span_dedup(df, span_words=5).collect()}
+    assert got[1]["n_spans"] == 2  # 5 + trailing 2
+    assert got[1]["dedup_text"] == "w1 w2 w3 w4 w5 w6 w7"
+    assert got[2]["n_spans"] == 1  # the empty-string span
+
+
+def test_matches_duckdb_oracle(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (
+        span_dedup(docs).orderBy("doc_id").toPandas().reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    exp = con.sql(span_dedup_sql("documents") + " ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_plan_is_aggregate_not_window(spark):
+    """First-owner selection must be a partial-aggregable groupBy, not a
+    row_number window over the span hash (hot spans -> one reducer)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = span_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan

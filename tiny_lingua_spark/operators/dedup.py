@@ -438,3 +438,111 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ------------------------------------------------- span-level dedup (C4)
+
+SPAN_WORDS = 5
+
+
+def _span_rows(df: DataFrame, id_col: str, text_col: str,
+               span_words: int) -> DataFrame:
+    """One row per non-overlapping word span: (doc_id, pos, span, h)."""
+    spans = F.expr(
+        f"transform(sequence(0,"
+        f" cast(ceil(size(_words) / {span_words}.0) as int) - 1),"
+        f" i -> array_join(slice(_words, i * {span_words} + 1,"
+        f" {span_words}), ' '))"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_words"),
+        )
+        .select("doc_id", F.posexplode(spans).alias("pos", "span"))
+        .withColumn("pos", F.col("pos").cast("long"))
+        .withColumn("h", F.md5(F.col("span")))
+    )
+
+
+def span_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               span_words: int = SPAN_WORDS) -> DataFrame:
+    """C4/Dolma-style global span dedup: drop every occurrence of a
+    word-span except the corpus-wide first (ordered by doc id, then
+    position), then reassemble each document from its kept spans.
+
+    The reference has no corpus ops (it is a language-ID library,
+    LanguageDetector.kt:114); this is the target-spec training-data
+    tier between exact doc dedup and MinHash near-dup: boilerplate
+    repeated across billions of pages (cookie banners, license
+    headers) is removed span-by-span even when the surrounding
+    documents are unique.
+
+    Scale shape (100 TB): the first-owner per span is computed with
+    groupBy(md5).agg(min(struct(doc,pos))) — partial map-side combine
+    absorbs hot spans (a banner duplicated 10^9 times contributes one
+    partial row per map task), which a row_number window over the
+    span hash would funnel into a single reducer. The join back is on
+    the md5 key (uniform by construction), and reassembly shuffles on
+    doc id (uniform). Three shuffles, all on uniform keys, no window
+    over a skewed key, no cross join.
+    """
+    s = _span_rows(df, id_col, text_col, span_words)
+    firsts = s.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    joined = s.join(firsts, "h").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "span"))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("keep").cast("long")).alias("n_spans_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["span"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .select("doc_id", "n_spans", "n_spans_kept", "dedup_text")
+    )
+
+
+def span_dedup_sql(table: str, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   span_words: int = SPAN_WORDS) -> str:
+    """DuckDB twin of span_dedup (row_number formulation — the oracle
+    does not need the skew-proof aggregate, only identical results)."""
+    return f"""
+    WITH w AS (
+      SELECT {id_col} AS doc_id,
+             regexp_split_to_array(trim({text_col}), '\\s+') AS words
+      FROM {table}
+    ), s AS (
+      SELECT doc_id, i::BIGINT AS pos,
+             array_to_string(
+               words[(i * {span_words} + 1):(i * {span_words} + {span_words})],
+               ' ') AS span
+      FROM w, LATERAL unnest(
+        range(CAST(ceil(len(words) / {span_words}.0) AS BIGINT))) AS t(i)
+    ), r AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY md5(span)
+                                ORDER BY doc_id, pos) AS rn
+      FROM s
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_spans_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN span END,
+                               ' ' ORDER BY pos), '') AS dedup_text
+    FROM r
+    GROUP BY doc_id
+    """
