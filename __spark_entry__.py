@@ -590,6 +590,29 @@ def _q_audio_spectral(spark, sf_dir):
     )
 
 
+def _q_audio_loudness(spark, sf_dir):
+    """R128-style gated integrated loudness + normalization gain per
+    clip (overlapping 400 ms blocks, absolute + relative gates) — one
+    paired-reduceat pass per Arrow batch; PCM never enters the plan.
+    Rows-only check (numpy block/gating math is not SQL-expressible)."""
+    from tiny_lingua_spark.audio import loudness_udf
+
+    clips = _synth_clips(spark)
+    lu = loudness_udf()
+    return clips.select(
+        "clip_id", "codec", "sr_hz",
+        lu(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("l"),
+    ).select(
+        "clip_id", "codec", "sr_hz",
+        F.col("l.decode_ok").alias("decode_ok"),
+        F.col("l.n_blocks").cast("long").alias("n_blocks"),
+        F.round(F.col("l.integrated_lufs"), 6).alias("integrated_lufs"),
+        F.round(F.col("l.gated_block_ratio"), 6).alias("gated_block_ratio"),
+        F.round(F.col("l.loudness_range_lu"), 6).alias("loudness_range_lu"),
+        F.round(F.col("l.gain_to_target_db"), 6).alias("gain_to_target_db"),
+    )
+
+
 def _q_audio_resample(spark, sf_dir):
     """Resample every clip to 16 kHz (one whole-batch np.interp) and
     report output-length + level stats; the resampled PCM itself never
@@ -660,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_features": _shipped(_q_audio_features),
         "audio_spectral": _shipped(_q_audio_spectral),
         "audio_resample": _shipped(_q_audio_resample),
+        "audio_loudness": _shipped(_q_audio_loudness),
         "audio_neardup": _shipped(_q_audio_neardup),
         "audio_segments": _shipped(_q_audio_segments),
         "audio_embed_knn": _shipped(_q_audio_embed_knn),

@@ -252,3 +252,98 @@ def test_spectral_and_resample_chunking_invariant():
                 assert np.allclose(a, b, atol=1e-9), col
             else:
                 assert (a == b).all(), col
+
+
+# ---------- gated loudness (R128-style) ----------
+
+def _loud_batch(n_rows=48, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_rows):
+        c = audio.SUPPORTED_CODECS[i % 4]
+        sr = [8000, 16000, 22050][i % 3]
+        n = int(rng.integers(0, 3 * sr))
+        pcm = np.clip(rng.standard_normal(n) * 0.2, -0.99, 0.99).astype(np.float32)
+        # half the rows get a leading silent stretch the gate must drop
+        if i % 2 == 0 and n > sr:
+            pcm[: n // 2] = 0.0
+        rows.append((audio.encode(pcm, c), c, sr))
+    rows += [(None, "mulaw", 8000), (b"\x01", "pcm_s16le", 16000),
+             (b"", "alaw", 8000)]
+    return (pd.Series([r[0] for r in rows]),
+            pd.Series([r[1] for r in rows]),
+            pd.Series([r[2] for r in rows]))
+
+
+def test_loudness_sine_closed_form():
+    """Steady sine at amplitude a: every block has ms = a^2/2, no block is
+    gated out, integrated = -0.691 + 10*log10(a^2/2)."""
+    sr = 16000
+    a = 0.25
+    t = np.arange(2 * sr, dtype=np.float64) / sr
+    pcm = (a * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    out = audio._loudness_chunk(
+        pd.Series([audio.encode(pcm, "pcm_f32le")]),
+        pd.Series(["pcm_f32le"]), pd.Series([sr]))
+    expected = -0.691 + 10 * np.log10(a * a / 2)
+    assert abs(out["integrated_lufs"][0] - expected) < 0.05
+    assert out["gated_block_ratio"][0] == 1.0
+    assert out["loudness_range_lu"][0] < 0.1
+    assert abs(out["gain_to_target_db"][0]
+               - (audio.TARGET_LUFS - expected)) < 0.05
+
+
+def test_loudness_gating_ignores_silence():
+    """Half-silence/half-tone clip: gating drops the silent blocks, so
+    integrated tracks the tone, not the 3-dB-down whole-clip mean."""
+    sr = 16000
+    a = 0.3
+    t = np.arange(2 * sr, dtype=np.float64) / sr
+    tone = (a * np.sin(2 * np.pi * 300.0 * t)).astype(np.float32)
+    clip = np.concatenate([np.zeros(2 * sr, dtype=np.float32), tone])
+    out = audio._loudness_chunk(
+        pd.Series([audio.encode(clip, "pcm_f32le")]),
+        pd.Series(["pcm_f32le"]), pd.Series([sr]))
+    tone_lufs = -0.691 + 10 * np.log10(a * a / 2)
+    assert abs(out["integrated_lufs"][0] - tone_lufs) < 0.5
+    assert out["gated_block_ratio"][0] < 0.75
+
+
+def test_loudness_vectorized_equivalence():
+    bs, cs, srs = _loud_batch()
+    new = audio._loudness_chunk(bs, cs, srs)
+    old = audio._loudness_rowloop(bs, cs, srs)
+    assert (new["decode_ok"].to_numpy() == old["decode_ok"].to_numpy()).all()
+    assert (new["n_blocks"].to_numpy() == old["n_blocks"].to_numpy()).all()
+    for col in ("integrated_lufs", "gated_block_ratio",
+                "loudness_range_lu", "gain_to_target_db"):
+        assert np.allclose(new[col], old[col], atol=1e-5), col
+
+
+def test_loudness_chunking_invariant(monkeypatch):
+    bs, cs, srs = _loud_batch(seed=9)
+    whole = audio._loudness_chunk(bs, cs, srs)
+    monkeypatch.setattr(audio, "_CHUNK_SAMPLE_BUDGET", 20000)
+    chunked = audio._chunked_frame_apply(audio._loudness_chunk, bs, cs, srs)
+    for col in whole.columns:
+        assert np.allclose(
+            np.asarray(whole[col], dtype=float),
+            np.asarray(chunked[col], dtype=float), atol=1e-9), col
+
+
+def test_loudness_udf(spark):
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64) / sr
+    pcm = (0.2 * np.sin(2 * np.pi * 200.0 * t)).astype(np.float32)
+    rows = [("a", audio.encode(pcm, "mulaw"), "mulaw", sr),
+            ("b", None, "mulaw", sr)]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    udf = audio.loudness_udf()
+    got = {r["clip_id"]: r for r in df.select(
+        "clip_id", udf(F.col("bytes"), F.col("codec"),
+                       F.col("sr_hz")).alias("l")).select(
+        "clip_id", "l.*").collect()}
+    assert got["a"]["decode_ok"] and got["a"]["integrated_lufs"] > -30
+    assert not got["b"]["decode_ok"]
+    assert got["b"]["integrated_lufs"] == audio.LOUDNESS_FLOOR

@@ -706,3 +706,214 @@ def spectral_features_udf():
         return _chunked_frame_apply(_spectral_batch, b, codec, sr)
 
     return spectral_features
+
+
+# ---------- gated loudness (EBU R128-style) ----------
+
+# R128 gating geometry/thresholds (public: EBU Tech 3341/3342): 400 ms
+# momentary blocks at 75% overlap, absolute gate at -70 LUFS, relative
+# gate 10 LU below the abs-gated mean. Deviation, documented: the
+# K-weighting pre-filter is omitted (mono speech at 8-16 kHz; the shelf
+# +4 dB above ~2 kHz shifts speech loudness by well under the gating
+# granularity) — so values are "LUFS-style" gated loudness, not
+# certifiable LUFS.
+BLOCK_SEC = 0.4
+HOP_SEC = 0.1
+ABS_GATE_LUFS = -70.0
+REL_GATE_LU = 10.0
+LOUDNESS_FLOOR = -120.0
+TARGET_LUFS = -23.0
+_MS_EPS = 1e-12
+
+LOUDNESS_SCHEMA = (
+    "decode_ok boolean, n_blocks int, integrated_lufs double,"
+    " gated_block_ratio double, loudness_range_lu double,"
+    " gain_to_target_db double"
+)
+
+
+def _block_geometry(offsets: np.ndarray, sr: np.ndarray):
+    """Overlapping gating-block layout over concatenated rows.
+
+    Per-row block length is sr-dependent (0.4 s) with a 0.1 s hop; rows
+    shorter than one block get a single whole-row fallback block.
+    Returns (starts, ends, row_of_block, n_blocks_per_row).
+    """
+    lens = np.diff(offsets)
+    blk = np.maximum(np.round(BLOCK_SEC * sr), 1).astype(np.int64)
+    hop = np.maximum(np.round(HOP_SEC * sr), 1).astype(np.int64)
+    n_blocks = np.where(
+        lens >= blk, (lens - blk) // hop + 1, (lens > 0).astype(np.int64)
+    )
+    total = int(n_blocks.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, n_blocks
+    rob = np.repeat(np.arange(len(lens), dtype=np.int64), n_blocks)
+    cum = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(n_blocks, out=cum[1:])
+    k = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], n_blocks)
+    starts = offsets[:-1][rob] + k * hop[rob]
+    ends = np.minimum(starts + blk[rob], offsets[1:][rob])
+    return starts, ends, rob, n_blocks
+
+
+def _overlapped_block_sums(sq: np.ndarray, starts: np.ndarray,
+                           ends: np.ndarray) -> np.ndarray:
+    """Sums over (possibly overlapping) [start, end) blocks via ONE paired
+    reduceat: indices interleave (start, end); even slots are valid
+    because start < end there, odd slots (end_k, start_k+1 — possibly
+    decreasing under 75% overlap) are discarded."""
+    if starts.size == 0:
+        return np.zeros(0, dtype=np.float64)
+    if ends[-1] >= len(sq):
+        padded = _ARENA.get("loudpad", sq.dtype, len(sq) + 1)
+        padded[:len(sq)] = sq
+        padded[len(sq)] = 0
+        sq = padded
+    idx = np.empty(2 * len(starts), dtype=np.int64)
+    idx[0::2] = starts
+    idx[1::2] = ends
+    return np.add.reduceat(sq, idx, dtype=np.float64)[0::2]
+
+
+def _lufs(ms: np.ndarray) -> np.ndarray:
+    return -0.691 + 10.0 * np.log10(np.maximum(ms, _MS_EPS))
+
+
+def _loudness_chunk(bytes_s, codec_s, sr_s,
+                    target_lufs: float = TARGET_LUFS) -> pd.DataFrame:
+    """R128-style gated integrated loudness, fully vectorized: decode in
+    codec-grouped order, one squared pass, one paired reduceat over all
+    gating blocks of the batch, per-row gating via bincount reductions —
+    no per-row or per-block Python."""
+    samples, offsets, ok, order = decode_grouped(bytes_s, codec_s)
+    n = len(ok)
+    sr_g = np.asarray(sr_s, dtype=np.float64)[order]
+    sq = np.multiply(samples, samples,
+                     out=_ARENA.get("loudsq", np.float32, len(samples)))
+
+    starts, ends, rob, n_blocks = _block_geometry(offsets, sr_g)
+    blk_len = np.maximum(ends - starts, 1).astype(np.float64)
+    ms = _overlapped_block_sums(sq, starts, ends) / blk_len
+    bl = _lufs(ms)
+
+    # gate 1: absolute
+    abs_mask = bl > ABS_GATE_LUFS
+    w_abs = abs_mask.astype(np.float64)
+    cnt_abs = np.bincount(rob, weights=w_abs, minlength=n)
+    sum_abs = np.bincount(rob, weights=ms * w_abs, minlength=n)
+    mean_abs = sum_abs / np.maximum(cnt_abs, 1)
+    rel_thresh = _lufs(mean_abs) - REL_GATE_LU  # per row
+
+    # gate 2: relative (rows with no abs-gated blocks keep an empty set)
+    rel_mask = abs_mask & (bl > rel_thresh[rob]) & (cnt_abs[rob] > 0)
+    w_rel = rel_mask.astype(np.float64)
+    cnt_rel = np.bincount(rob, weights=w_rel, minlength=n)
+    sum_rel = np.bincount(rob, weights=ms * w_rel, minlength=n)
+    integrated = np.where(
+        cnt_rel > 0, _lufs(sum_rel / np.maximum(cnt_rel, 1)), LOUDNESS_FLOOR
+    )
+
+    # loudness range proxy: p95 - p10 of block loudness over the
+    # abs-gated set (EBU 3342 uses a -20 LU relative gate; the abs-gated
+    # set is the stable superset and the spread statistic is the same)
+    lra = np.zeros(n, dtype=np.float64)
+    if abs_mask.any():
+        sel_rob = rob[abs_mask]
+        sel_bl = bl[abs_mask]
+        srt = np.lexsort((sel_bl, sel_rob))
+        sel_rob = sel_rob[srt]
+        sel_bl = sel_bl[srt]
+        cnt = np.bincount(sel_rob, minlength=n).astype(np.int64)
+        row_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cnt, out=row_start[1:])
+        has = cnt > 0
+        lo = row_start[:-1][has] + ((cnt[has] - 1) * 0.10).astype(np.int64)
+        hi = row_start[:-1][has] + ((cnt[has] - 1) * 0.95).astype(np.int64)
+        lra[has] = sel_bl[hi] - sel_bl[lo]
+
+    nb_total = np.maximum(n_blocks, 1).astype(np.float64)
+    gated_ratio = cnt_rel / nb_total
+
+    # grouped row order → original row order
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n, dtype=np.int64)
+    out = pd.DataFrame({
+        "decode_ok": ok,
+        "n_blocks": n_blocks[inv].astype(np.int32),
+        "integrated_lufs": integrated[inv],
+        "gated_block_ratio": gated_ratio[inv],
+        "loudness_range_lu": lra[inv],
+        "gain_to_target_db": target_lufs - integrated[inv],
+    })
+    bad = ~ok
+    if bad.any():
+        out.loc[bad, "n_blocks"] = 0
+        out.loc[bad, "integrated_lufs"] = LOUDNESS_FLOOR
+        out.loc[bad, "gated_block_ratio"] = 0.0
+        out.loc[bad, "loudness_range_lu"] = 0.0
+        out.loc[bad, "gain_to_target_db"] = target_lufs - LOUDNESS_FLOOR
+    return out
+
+
+def _loudness_rowloop(bytes_s, codec_s, sr_s,
+                      target_lufs: float = TARGET_LUFS) -> pd.DataFrame:
+    """Reference row-at-a-time implementation — equivalence oracle only."""
+    rows = []
+    for b, c, sr in zip(bytes_s, codec_s, np.asarray(sr_s, dtype=float)):
+        try:
+            if b is None or c not in SUPPORTED_CODECS:
+                raise ValueError
+            pcm = decode(bytes(b), c).astype(np.float64)
+        except Exception:
+            rows.append((False, 0, LOUDNESS_FLOOR, 0.0, 0.0,
+                         target_lufs - LOUDNESS_FLOOR))
+            continue
+        blk = max(int(round(BLOCK_SEC * sr)), 1)
+        hop = max(int(round(HOP_SEC * sr)), 1)
+        if len(pcm) >= blk:
+            starts = list(range(0, len(pcm) - blk + 1, hop))
+            blocks = [pcm[s:s + blk] for s in starts]
+        elif len(pcm) > 0:
+            blocks = [pcm]
+        else:
+            blocks = []
+        ms = np.array([float(np.mean(p * p)) for p in blocks])
+        bl = _lufs(ms) if len(ms) else np.zeros(0)
+        keep1 = ms[bl > ABS_GATE_LUFS]
+        bl1 = bl[bl > ABS_GATE_LUFS]
+        if len(keep1):
+            rel = _lufs(np.array([keep1.mean()]))[0] - REL_GATE_LU
+            keep2 = keep1[bl1 > rel]
+        else:
+            keep2 = keep1
+        integ = _lufs(np.array([keep2.mean()]))[0] if len(keep2) \
+            else LOUDNESS_FLOOR
+        if len(bl1):
+            s = np.sort(bl1)
+            lra = s[int((len(s) - 1) * 0.95)] - s[int((len(s) - 1) * 0.10)]
+        else:
+            lra = 0.0
+        rows.append((True, len(blocks), integ,
+                     len(keep2) / max(len(blocks), 1), lra,
+                     target_lufs - integ))
+    return pd.DataFrame(rows, columns=[
+        "decode_ok", "n_blocks", "integrated_lufs", "gated_block_ratio",
+        "loudness_range_lu", "gain_to_target_db"])
+
+
+def loudness_udf(target_lufs: float = TARGET_LUFS):
+    """Per-clip gated loudness + normalization gain; features only — the
+    decoded waveform never enters the Spark plan (narrow projection, no
+    shuffle; the 10^12-row scale shape)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LOUDNESS_SCHEMA)
+    def audio_loudness(b: pd.Series, codec: pd.Series,
+                       sr: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(
+            lambda bb, cc, ss: _loudness_chunk(bb, cc, ss, target_lufs),
+            b, codec, sr)
+
+    return audio_loudness
