@@ -136,3 +136,26 @@ def test_repetition_diagnostics_in_pipeline(spark, registry):
     assert (~over.keep).all()
     under = strict[strict.top_2gram_char_frac <= 0.3]
     assert (under.keep == base.loc[under.index].keep).all()
+
+
+def test_loudness_threshold_opt_in(spark, registry):
+    """integrated_lufs rides the fused enrich UDF; the -inf default is
+    non-binding, and opting into a floor drops quiet clips only."""
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    clips_pd, _ = generate_clips(n=24, seed=11)
+    clips = spark.createDataFrame(clips_pd)
+    base = quality_filter(clips, registry).select(
+        "clip_id", "integrated_lufs", "keep").toPandas()
+    assert base["integrated_lufs"].notna().all()
+    cut = float(base["integrated_lufs"].median())
+    gated = quality_filter(
+        clips, registry, thresholds={"min_integrated_lufs": cut}
+    ).select("clip_id", "keep").toPandas().set_index("clip_id")["keep"]
+    b = base.set_index("clip_id")
+    for cid, row in b.iterrows():
+        if row["integrated_lufs"] < cut:
+            assert not gated[cid]
+        else:
+            assert gated[cid] == row["keep"]

@@ -392,7 +392,12 @@ def _features_chunk(bytes_s, codec_s) -> pd.DataFrame:
     codec-grouped order, compute all stats via segment reductions sharing
     a single squared-cumsum, scatter row-level results back by `order` —
     no per-row Python loops, no sample-level reorder."""
-    samples, offsets, ok, order = decode_grouped(bytes_s, codec_s)
+    return _features_from_decoded(*decode_grouped(bytes_s, codec_s))
+
+
+def _features_from_decoded(samples, offsets, ok, order) -> pd.DataFrame:
+    """Feature math over an already-decoded grouped batch — split out so
+    fused kernels (features + loudness in the enrich UDF) decode once."""
     n = len(ok)
     lens = np.diff(offsets)  # grouped order
     safe = np.maximum(lens, 1).astype(np.float64)
@@ -787,7 +792,14 @@ def _loudness_chunk(bytes_s, codec_s, sr_s,
     codec-grouped order, one squared pass, one paired reduceat over all
     gating blocks of the batch, per-row gating via bincount reductions —
     no per-row or per-block Python."""
-    samples, offsets, ok, order = decode_grouped(bytes_s, codec_s)
+    return _loudness_from_decoded(
+        *decode_grouped(bytes_s, codec_s), sr_s, target_lufs)
+
+
+def _loudness_from_decoded(samples, offsets, ok, order, sr_s,
+                           target_lufs: float = TARGET_LUFS) -> pd.DataFrame:
+    """Loudness math over an already-decoded grouped batch (see
+    _features_from_decoded for the decode-once rationale)."""
     n = len(ok)
     sr_g = np.asarray(sr_s, dtype=np.float64)[order]
     sq = np.multiply(samples, samples,
@@ -901,6 +913,23 @@ def _loudness_rowloop(bytes_s, codec_s, sr_s,
     return pd.DataFrame(rows, columns=[
         "decode_ok", "n_blocks", "integrated_lufs", "gated_block_ratio",
         "loudness_range_lu", "gain_to_target_db"])
+
+
+def _features_loudness_chunk(bytes_s, codec_s, sr_s,
+                             target_lufs: float = TARGET_LUFS) -> pd.DataFrame:
+    """Fused kernel for the pipeline enrich UDF: ONE decode feeds both the
+    feature and loudness passes (decode is the dominant cost; the two
+    squared passes are cheap vector multiplies into separate arenas)."""
+    decoded = decode_grouped(bytes_s, codec_s)
+    f = _features_from_decoded(*decoded)
+    l = _loudness_from_decoded(*decoded, sr_s, target_lufs)
+    return pd.concat(
+        [f, l.drop(columns=["decode_ok", "n_blocks"])], axis=1)
+
+
+def _features_loudness_batch(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    return _chunked_frame_apply(
+        _features_loudness_chunk, bytes_s, codec_s, sr_s)
 
 
 def loudness_udf(target_lufs: float = TARGET_LUFS):

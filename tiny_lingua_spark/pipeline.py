@@ -56,6 +56,8 @@ AUDIO_THRESHOLDS = {
     # (diagnostic columns always present; callers opt into enforcement)
     "max_dup_line_frac": 1.0,
     "max_top_2gram_char_frac": float("inf"),
+    # R128-style gated loudness floor; -inf = non-binding default
+    "min_integrated_lufs": float("-inf"),
 }
 
 
@@ -69,7 +71,8 @@ _ENRICH_SCORERS: dict = {}
 
 ENRICH_SCHEMA = (
     "decode_ok boolean, n_samples int, rms double, clipped_ratio double,"
-    " silence_ratio double, lang string, confidence double,"
+    " silence_ratio double, integrated_lufs double,"
+    " gain_to_target_db double, lang string, confidence double,"
     " second_lang string, second_confidence double, perplexity double,"
     " max_char_run int, char_entropy double"
 )
@@ -88,7 +91,7 @@ def make_enrich_udf(registry: ModelRegistry,
     """
     from pyspark.sql.functions import pandas_udf
 
-    from .audio import _features_batch
+    from .audio import _features_loudness_batch
     from .functions.perplexity import PerplexityScorer
     from .functions.quality import extra_metrics_batch
     from .operators.detect import _executor_detector, broadcast_key
@@ -97,8 +100,8 @@ def make_enrich_udf(registry: ModelRegistry,
     key = broadcast_key(bc_low, bc_high, params)
 
     @pandas_udf(ENRICH_SCHEMA)
-    def enrich(b: pd.Series, codec: pd.Series, raw: pd.Series,
-               cleaned: pd.Series) -> pd.DataFrame:
+    def enrich(b: pd.Series, codec: pd.Series, sr: pd.Series,
+               raw: pd.Series, cleaned: pd.Series) -> pd.DataFrame:
         det = _executor_detector(key, bc_low, bc_high, params)
         # module-level singleton: caches must outlive the task (closures
         # are re-deserialized per task)
@@ -108,7 +111,7 @@ def make_enrich_udf(registry: ModelRegistry,
                 _ENRICH_SCORERS.clear()
             scorer = PerplexityScorer(det.models)
             _ENRICH_SCORERS[key] = scorer
-        audio = _features_batch(b, codec)
+        audio = _features_loudness_batch(b, codec, sr)
         d = det.detect_batch(raw, cleaned)
         ppl = scorer.batch(cleaned, d["lang"])
         extra = extra_metrics_batch(raw)
@@ -116,9 +119,9 @@ def make_enrich_udf(registry: ModelRegistry,
         out["perplexity"] = ppl
         return out[
             ["decode_ok", "n_samples", "rms", "clipped_ratio",
-             "silence_ratio", "lang", "confidence", "second_lang",
-             "second_confidence", "perplexity", "max_char_run",
-             "char_entropy"]
+             "silence_ratio", "integrated_lufs", "gain_to_target_db",
+             "lang", "confidence", "second_lang", "second_confidence",
+             "perplexity", "max_char_run", "char_entropy"]
         ]
 
     return enrich
@@ -160,8 +163,8 @@ def quality_filter(
         df.withColumn("cleaned", cleaned_text_col(F.col("transcript")))
         .withColumn(
             "e",
-            enrich(F.col("bytes"), F.col("codec"), F.col("transcript"),
-                   F.col("cleaned")),
+            enrich(F.col("bytes"), F.col("codec"), F.col("sr_hz"),
+                   F.col("transcript"), F.col("cleaned")),
         )
         .select(
             *extra_cols,
@@ -177,6 +180,8 @@ def quality_filter(
             F.col("e.rms").alias("rms"),
             F.col("e.clipped_ratio").alias("clipped_ratio"),
             F.col("e.silence_ratio").alias("silence_ratio"),
+            F.col("e.integrated_lufs").alias("integrated_lufs"),
+            F.col("e.gain_to_target_db").alias("gain_to_target_db"),
             *quality_metrics_cols("transcript"),
             F.col("e.max_char_run").alias("max_char_run"),
             F.col("e.char_entropy").alias("char_entropy"),
@@ -209,6 +214,7 @@ def quality_filter(
         & (F.col("rms") >= th["min_rms"])
         & (F.col("clipped_ratio") <= th["max_clipped_ratio"])
         & (F.col("silence_ratio") <= th["max_silence_ratio"])
+        & (F.col("integrated_lufs") >= th["min_integrated_lufs"])
         & (F.col("chars_per_sec") <= th["max_chars_per_sec"])
         & (F.col("dur_ms") >= th["min_dur_ms"])
         & (F.col("dur_ms") <= th["max_dur_ms"])
