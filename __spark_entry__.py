@@ -264,6 +264,20 @@ def _q_span_dedup(spark, sf_dir):
     return dedup.span_dedup(_docs(spark, sf_dir), "doc_id", "text")
 
 
+_SAMPLE_FRACTIONS = {"en": 0.25, "zh": 1.0}
+
+
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic stratified downsampling (md5-keyed codegen filter;
+    retry/partitioning-independent, unlike RNG sampleBy)."""
+    from tiny_lingua_spark.operators import sampling
+
+    return sampling.stratified_sample_by_hash(
+        _docs(spark, sf_dir), "doc_id", "lang", _SAMPLE_FRACTIONS,
+        default_fraction=0.5,
+    ).select("doc_id", "lang", "source")
+
+
 def _q_screen_confusion(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -654,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": _shipped(_q_repetition),
         "exact_dedup": _shipped(_q_exact_dedup),
         "span_dedup": _shipped(_q_span_dedup),
+        "hash_sample": _shipped(_q_hash_sample),
         "screen_lang_confusion": _shipped(_q_screen_confusion),
         "screen_lang_accuracy": _shipped(_q_screen_accuracy),
         "lang_doc_stats": _shipped(_q_lang_stats),
@@ -750,6 +765,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup": dedup.exact_dedup_groups_sql("documents", "doc_id", "text"),
         "span_dedup": dedup.span_dedup_sql("documents", "doc_id", "text"),
+        "hash_sample": (
+            "SELECT doc_id, lang, source FROM ("
+            + __import__("tiny_lingua_spark.operators.sampling",
+                         fromlist=["sampling"]).stratified_sample_by_hash_sql(
+                "documents", "doc_id", "lang", _SAMPLE_FRACTIONS, 0.5)
+            + ")"
+        ),
         "screen_lang_confusion": f"""
             SELECT lang AS label_lang, {screen_lang_sql('text')} AS screen_lang,
                    count(*)::BIGINT AS n

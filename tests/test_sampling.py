@@ -1,0 +1,76 @@
+"""Deterministic hash sampling (operators/sampling.py)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tiny_lingua_spark.operators import sampling
+
+SF = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _docs(spark):
+    return spark.read.parquet(SF)
+
+
+def test_fraction_and_determinism(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    got = sampling.sample_by_hash(docs, "doc_id", 0.3)
+    k1 = {r["doc_id"] for r in got.select("doc_id").collect()}
+    k2 = {r["doc_id"] for r in
+          sampling.sample_by_hash(docs.repartition(7), "doc_id", 0.3)
+          .select("doc_id").collect()}
+    assert k1 == k2  # partitioning-independent
+    assert abs(len(k1) / n - 0.3) < 0.12
+
+
+def test_nested_subsets(spark):
+    docs = _docs(spark)
+    small = {r["doc_id"] for r in
+             sampling.sample_by_hash(docs, "doc_id", 0.05).collect()}
+    big = {r["doc_id"] for r in
+           sampling.sample_by_hash(docs, "doc_id", 0.4).collect()}
+    assert small <= big
+
+
+def test_different_seeds_differ(spark):
+    docs = _docs(spark)
+    a = {r["doc_id"] for r in
+         sampling.sample_by_hash(docs, "doc_id", 0.3, seed=1).collect()}
+    b = {r["doc_id"] for r in
+         sampling.sample_by_hash(docs, "doc_id", 0.3, seed=2).collect()}
+    assert a != b
+
+
+def test_stratified_matches_duckdb(spark):
+    fractions = {"en": 0.25, "zh": 1.0}
+    got = (
+        sampling.stratified_sample_by_hash(
+            _docs(spark), "doc_id", "lang", fractions,
+            default_fraction=0.5)
+        .select("doc_id", "lang").orderBy("doc_id").toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}'")
+    exp = con.sql(
+        "SELECT doc_id, lang FROM ("
+        + sampling.stratified_sample_by_hash_sql(
+            "documents", "doc_id", "lang", fractions, 0.5)
+        + ") ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    langs = set(got["lang"])
+    assert "zh" in langs  # fraction 1.0 keeps every zh row
+
+
+def test_invalid_fraction():
+    with pytest.raises(ValueError):
+        sampling._threshold(1.5)
+
+
+def test_plan_is_scan_level_filter(spark):
+    plan = (
+        sampling.sample_by_hash(_docs(spark), "doc_id", 0.1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure filter, no shuffle

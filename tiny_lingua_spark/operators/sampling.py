@@ -1,0 +1,82 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+Target-spec component (no reference counterpart — tiny-lingua is a
+language-ID library): corpus downsampling at 10^12 rows must be
+deterministic, not RNG-based. `df.sample()` / `sampleBy()` draw from a
+per-partition RNG stream, so results change under retries, AQE
+re-planning, or a different partition layout — poison for resumable runs
+and for train/eval splits that must be reproducible across clusters.
+
+Hash sampling instead keeps a row iff the first 48 bits of
+md5(seed ":" id) fall below fraction * 2^48:
+
+- deterministic: same rows on every run, any partitioning, any retry
+- a pure codegen filter: no shuffle, no state, pushes past column
+  pruning into the scan stage
+- composable: disjoint seeds give independent samples; nested fractions
+  (0.1 then 0.01 with the same seed) give nested subsets
+- oracle-portable: md5 reproduces bit-for-bit in DuckDB (same pattern as
+  models/fasttext.py's feature hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HASH_SPACE = 1 << 48  # 12 hex chars of md5
+
+
+def hash_bucket_col(id_col: Column, seed: int = 42) -> Column:
+    """Uniform 48-bit bucket from md5(seed ':' id) — the sampling key."""
+    keyed = F.concat(F.lit(f"{seed}:"), id_col.cast("string"))
+    return F.conv(F.substring(F.md5(keyed), 1, 12), 16, 10).cast("long")
+
+
+def hash_bucket_sql(id_expr: str, seed: int = 42) -> str:
+    return (f"(('0x' || substr(md5('{seed}:' || CAST({id_expr} AS VARCHAR)),"
+            f" 1, 12))::BIGINT)")
+
+
+def _threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(fraction * _HASH_SPACE)
+
+
+def sample_by_hash(df: DataFrame, id_col: str, fraction: float,
+                   seed: int = 42) -> DataFrame:
+    """Keep a deterministic ~fraction of rows, keyed on id_col."""
+    return df.where(hash_bucket_col(F.col(id_col), seed)
+                    < F.lit(_threshold(fraction)))
+
+
+def sample_by_hash_sql(table: str, id_expr: str, fraction: float,
+                       seed: int = 42) -> str:
+    return (f"SELECT * FROM {table} WHERE {hash_bucket_sql(id_expr, seed)}"
+            f" < {_threshold(fraction)}")
+
+
+def stratified_sample_by_hash(df: DataFrame, id_col: str, strata_col: str,
+                              fractions: dict, default_fraction: float = 0.0,
+                              seed: int = 42) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep the long tail whole) — one CASE expression, still a
+    pure codegen filter; unlike `sampleBy`, retry- and
+    partitioning-independent."""
+    th = F.lit(_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        th = F.when(F.col(strata_col) == F.lit(value),
+                    F.lit(_threshold(frac))).otherwise(th)
+    return df.where(hash_bucket_col(F.col(id_col), seed) < th)
+
+
+def stratified_sample_by_hash_sql(table: str, id_expr: str, strata_expr: str,
+                                  fractions: dict,
+                                  default_fraction: float = 0.0,
+                                  seed: int = 42) -> str:
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{value}' THEN {_threshold(frac)}"
+        for value, frac in sorted(fractions.items())
+    )
+    return (f"SELECT * FROM {table} WHERE {hash_bucket_sql(id_expr, seed)} <"
+            f" (CASE {cases} ELSE {_threshold(default_fraction)} END)")
