@@ -256,6 +256,19 @@ def _q_quality_buckets(spark, sf_dir):
     return quality_buckets(scored)
 
 
+def _q_quality_calibrated(spark, sf_dir):
+    """Data-driven quality histogram: exact-percentile thresholds (the
+    oracle tier; the 100 TB path swaps in the approx_percentile sketch —
+    see functions/quality.score_quantiles) + one hash aggregate."""
+    from tiny_lingua_spark.functions.quality import (
+        calibrated_buckets, quality_score_col, score_quantiles)
+
+    docs = _docs(spark, sf_dir).select("doc_id", *quality_metrics_cols("text"))
+    scored = docs.withColumn("q_score", quality_score_col())
+    th = score_quantiles(scored, approx=False)
+    return calibrated_buckets(scored, th)
+
+
 def _q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -665,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text": _shipped(_q_scrub),
         "token_stats": _shipped(_q_tokens),
         "quality_buckets": _shipped(_q_quality_buckets),
+        "quality_calibrated": _shipped(_q_quality_calibrated),
         "repetition_metrics": _shipped(_q_repetition),
         "exact_dedup": _shipped(_q_exact_dedup),
         "span_dedup": _shipped(_q_span_dedup),
@@ -763,6 +777,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(q_score), 6) AS avg_score
             FROM scored GROUP BY 1
         """,
+        "quality_calibrated": __import__(
+            "tiny_lingua_spark.functions.quality",
+            fromlist=["quality"]).calibrated_buckets_sql(
+            f"SELECT *, {qscore} AS q_score FROM (SELECT doc_id, "
+            + ", ".join(
+                f"({expr})::DOUBLE AS {name}"
+                if name not in ("n_chars", "n_tokens")
+                else f"({expr})::BIGINT AS {name}"
+                for name, expr in qm.items())
+            + " FROM documents)"),
         "exact_dedup": dedup.exact_dedup_groups_sql("documents", "doc_id", "text"),
         "span_dedup": dedup.span_dedup_sql("documents", "doc_id", "text"),
         "hash_sample": (

@@ -46,6 +46,9 @@ BENCH_QUERIES = (
     "audio_neardup",          # audio fingerprint MinHash-LSH + aligned verify
     "audio_segments",         # frame-energy VAD → per-utterance rows
     "audio_embed_knn",        # audio embeddings → brute KNN graph
+    "audio_loudness",         # R128-style gated loudness (paired reduceat)
+    "span_dedup",             # C4-style global span dedup (agg+join, no window)
+    "hash_sample",            # deterministic stratified sampling (codegen filter)
 )
 
 

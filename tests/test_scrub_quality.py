@@ -90,3 +90,27 @@ def test_repetition_metrics_no_shuffle(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_score_quantiles_sketch_close_to_exact(spark):
+    """The approx_percentile sketch (100 TB path) must land within sketch
+    tolerance of the exact sort-based percentiles (oracle tier)."""
+    from tiny_lingua_spark.functions.quality import (
+        calibrated_buckets, quality_metrics_cols, quality_score_col,
+        score_quantiles)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", *quality_metrics_cols("text"))
+    scored = docs.withColumn("q_score", quality_score_col())
+    exact = score_quantiles(scored, approx=False)
+    approx = score_quantiles(scored, approx=True)
+    assert len(exact) == len(approx) == 3
+    for e, a in zip(exact, approx):
+        assert abs(e - a) < 0.02, (e, a)
+    out = calibrated_buckets(scored, exact).collect()
+    assert sum(r["n_docs"] for r in out) == scored.count()
+    assert {r["bucket"] for r in out} <= {0, 1, 2, 3}
+    plan = calibrated_buckets(scored, exact) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # thresholds are literals, not a join

@@ -360,3 +360,64 @@ def repetition_metrics_sql(table: str, id_col: str,
            {top_cols}
     FROM base b LEFT JOIN linec ON linec.id = b.id {top_joins}
     """
+
+
+# ------------------------------------------- quantile calibration
+
+def score_quantiles(df: DataFrame, col: str = "q_score",
+                    probs: tuple = (0.25, 0.5, 0.75),
+                    approx: bool = True,
+                    accuracy: int = 10_000) -> list[float]:
+    """Corpus-level score quantiles, collected to the driver (K doubles).
+
+    approx=True (the 100 TB path) uses `approx_percentile` — a mergeable
+    quantile sketch aggregated map-side, one partial-agg pass, bounded
+    memory regardless of corpus size. approx=False computes exact
+    interpolated percentiles (sort-based aggregate; the oracle tier —
+    bit-identical to DuckDB's quantile_cont, so calibrated bucketing is
+    value-hash checkable end to end).
+    """
+    parr = "array(" + ", ".join(repr(p) for p in probs) + ")"
+    fn = (f"approx_percentile({col}, {parr}, {accuracy})" if approx
+          else f"percentile({col}, {parr})")
+    row = df.selectExpr(f"{fn} AS q").collect()[0]["q"]
+    return [float(v) for v in row]
+
+
+def calibrated_buckets(df: DataFrame, thresholds: list[float],
+                       col: str = "q_score") -> DataFrame:
+    """Histogram over data-driven thresholds: bucket i = #thresholds ≤
+    score. Thresholds are driver-side literals (K doubles), so this stays
+    ONE hash aggregate — no join, no second scan of the corpus beyond the
+    quantile pass."""
+    bucket = sum(
+        (F.col(col) >= F.lit(t)).cast("long") for t in thresholds
+    ).alias("bucket")
+    return (
+        df.select(bucket, F.col(col))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg(col), 6).alias("avg_score"),
+        )
+    )
+
+
+def calibrated_buckets_sql(metrics_cte: str, probs: tuple = (0.25, 0.5, 0.75),
+                           col: str = "q_score") -> str:
+    """DuckDB twin: quantile_cont thresholds (same interpolation formula
+    as Spark's exact `percentile`) + the same >=-count bucketing."""
+    plist = "[" + ", ".join(repr(p) for p in probs) + "]"
+    comparisons = " + ".join(
+        f"(CASE WHEN {col} >= th[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(len(probs))
+    )
+    return f"""
+    WITH scored AS ({metrics_cte}),
+    th_t AS (SELECT quantile_cont({col}, {plist}) AS th FROM scored)
+    SELECT ({comparisons})::BIGINT AS bucket,
+           count(*)::BIGINT AS n_docs,
+           round(avg({col}), 6) AS avg_score
+    FROM scored, th_t
+    GROUP BY 1
+    """
