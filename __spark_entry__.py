@@ -592,6 +592,7 @@ def _q_audio_features(spark, sf_dir):
         F.round(F.col("a.dbfs"), 4).alias("dbfs"),
         F.round(F.col("a.silence_ratio"), 6).alias("silence_ratio"),
         F.col("a.n_speech_segments").cast("int").alias("n_speech_segments"),
+        F.round(F.col("a.snr_est_db"), 4).alias("snr_est_db"),
     )
 
 

@@ -347,3 +347,31 @@ def test_loudness_udf(spark):
     assert got["a"]["decode_ok"] and got["a"]["integrated_lufs"] > -30
     assert not got["b"]["decode_ok"]
     assert got["b"]["integrated_lufs"] == audio.LOUDNESS_FLOOR
+
+
+def test_snr_estimate_tone_plus_noise():
+    """Known mixture: alternating loud-tone / quiet-noise stretches; the
+    VAD splits frames into the two classes and the SNR estimate must
+    track the true energy ratio."""
+    rng = np.random.default_rng(5)
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    tone = 0.3 * np.sin(2 * np.pi * 250.0 * t)          # speech stand-in
+    noise = rng.standard_normal(sr) * 0.003              # below SILENCE_RMS
+    clip = np.concatenate([tone, noise, tone, noise]).astype(np.float32)
+    out = audio._features_batch(
+        pd.Series([audio.encode(clip, "pcm_f32le")]),
+        pd.Series(["pcm_f32le"]))
+    true_snr = 10 * np.log10(np.mean(tone ** 2) / np.mean(noise ** 2))
+    assert abs(out["snr_est_db"][0] - true_snr) < 2.0
+    # sentinels
+    pure = audio._features_batch(
+        pd.Series([audio.encode(tone.astype(np.float32), "pcm_f32le"),
+                   audio.encode((noise).astype(np.float32), "pcm_f32le"),
+                   audio.encode(np.zeros(0, np.float32), "pcm_f32le"),
+                   None]),
+        pd.Series(["pcm_f32le"] * 3 + ["mulaw"]))
+    assert pure["snr_est_db"][0] == 99.0     # no silent frames
+    assert pure["snr_est_db"][1] == -99.0    # no speech frames
+    assert pure["snr_est_db"][2] == 0.0      # empty
+    assert pure["snr_est_db"][3] == 0.0      # bad decode

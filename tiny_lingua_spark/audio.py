@@ -316,7 +316,7 @@ SILENCE_RMS = 0.01
 AUDIO_FEATURES_SCHEMA = (
     "decode_ok boolean, n_samples int, rms double, peak double,"
     " clipped_ratio double, dc_offset double, dbfs double,"
-    " silence_ratio double, n_speech_segments int"
+    " silence_ratio double, n_speech_segments int, snr_est_db double"
 )
 
 
@@ -421,11 +421,29 @@ def _features_from_decoded(samples, offsets, ok, order) -> pd.DataFrame:
     # energy VAD over fixed-size frames; short rows fall back to row rms
     silence_ratio = np.where(rms < SILENCE_RMS, 1.0, 0.0)
     n_segments = np.where((lens > 0) & (rms >= SILENCE_RMS), 1, 0).astype(np.int64)
+    # SNR estimate: speech-frame mean energy vs silent-frame noise floor;
+    # ±99 dB sentinels when one class is absent, 0.0 for empty/bad rows
+    snr_est = np.where(lens > 0,
+                       np.where(rms >= SILENCE_RMS, 99.0, -99.0), 0.0)
     frame_starts, row_of_frame, n_frames = _frame_geometry(offsets)
     framed = n_frames > 0
     if frame_starts.size:
         frame_rms = np.sqrt(_frame_sums(sq, frame_starts) / FRAME_SAMPLES)
         speech = frame_rms >= SILENCE_RMS
+        fe = frame_rms * frame_rms
+        se = np.bincount(row_of_frame, weights=fe * speech, minlength=n)
+        sc = np.bincount(row_of_frame, weights=speech.astype(np.float64),
+                         minlength=n)
+        ne = np.bincount(row_of_frame, weights=fe * ~speech, minlength=n)
+        nc = np.bincount(row_of_frame, weights=(~speech).astype(np.float64),
+                         minlength=n)
+        both = framed & (sc > 0) & (nc > 0)
+        snr_est[both] = np.clip(
+            10.0 * np.log10((se[both] / sc[both])
+                            / np.maximum(ne[both] / nc[both], 1e-12)),
+            -99.0, 99.0)
+        snr_est[framed & (sc > 0) & (nc == 0)] = 99.0
+        snr_est[framed & (sc == 0) & (nc > 0)] = -99.0
         silent_counts = np.bincount(
             row_of_frame, weights=(~speech).astype(np.float64), minlength=n
         )
@@ -463,12 +481,13 @@ def _features_from_decoded(samples, offsets, ok, order) -> pd.DataFrame:
             "dbfs": dbfs[inv],
             "silence_ratio": silence_ratio[inv],
             "n_speech_segments": n_segments[inv].astype(np.int32),
+            "snr_est_db": snr_est[inv],
         }
     )
     bad = ~ok
     if bad.any():
         for col in ("rms", "peak", "clipped_ratio", "dc_offset",
-                    "silence_ratio"):
+                    "silence_ratio", "snr_est_db"):
             out.loc[bad, col] = 0.0
         out.loc[bad, "dbfs"] = -120.0
         out.loc[bad, "n_speech_segments"] = 0

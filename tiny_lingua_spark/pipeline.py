@@ -58,6 +58,8 @@ AUDIO_THRESHOLDS = {
     "max_top_2gram_char_frac": float("inf"),
     # R128-style gated loudness floor; -inf = non-binding default
     "min_integrated_lufs": float("-inf"),
+    # VAD-frame SNR-estimate floor; -inf = non-binding default
+    "min_snr_est_db": float("-inf"),
 }
 
 
@@ -71,7 +73,7 @@ _ENRICH_SCORERS: dict = {}
 
 ENRICH_SCHEMA = (
     "decode_ok boolean, n_samples int, rms double, clipped_ratio double,"
-    " silence_ratio double, integrated_lufs double,"
+    " silence_ratio double, snr_est_db double, integrated_lufs double,"
     " gain_to_target_db double, lang string, confidence double,"
     " second_lang string, second_confidence double, perplexity double,"
     " max_char_run int, char_entropy double"
@@ -119,7 +121,8 @@ def make_enrich_udf(registry: ModelRegistry,
         out["perplexity"] = ppl
         return out[
             ["decode_ok", "n_samples", "rms", "clipped_ratio",
-             "silence_ratio", "integrated_lufs", "gain_to_target_db",
+             "silence_ratio", "snr_est_db", "integrated_lufs",
+             "gain_to_target_db",
              "lang", "confidence", "second_lang", "second_confidence",
              "perplexity", "max_char_run", "char_entropy"]
         ]
@@ -180,6 +183,7 @@ def quality_filter(
             F.col("e.rms").alias("rms"),
             F.col("e.clipped_ratio").alias("clipped_ratio"),
             F.col("e.silence_ratio").alias("silence_ratio"),
+            F.col("e.snr_est_db").alias("snr_est_db"),
             F.col("e.integrated_lufs").alias("integrated_lufs"),
             F.col("e.gain_to_target_db").alias("gain_to_target_db"),
             *quality_metrics_cols("transcript"),
@@ -215,6 +219,7 @@ def quality_filter(
         & (F.col("clipped_ratio") <= th["max_clipped_ratio"])
         & (F.col("silence_ratio") <= th["max_silence_ratio"])
         & (F.col("integrated_lufs") >= th["min_integrated_lufs"])
+        & (F.col("snr_est_db") >= th["min_snr_est_db"])
         & (F.col("chars_per_sec") <= th["max_chars_per_sec"])
         & (F.col("dur_ms") >= th["min_dur_ms"])
         & (F.col("dur_ms") <= th["max_dur_ms"])
