@@ -186,3 +186,26 @@ def test_ngram_extraction_windows(t, n):
         assert len(g) == n
         assert g in t
         assert lm.is_letter_mask(g).all()  # letters-only windows
+
+
+@given(st.binary(max_size=400),
+       st.sampled_from(["pcm_s16le", "mulaw", "alaw", "pcm_f32le", "opus"]),
+       st.sampled_from([0, 8000, 16000, 44100]))
+@FAST
+def test_audio_loudness_never_crash(raw, codec, sr):
+    """Arbitrary bytes through the gated-loudness path: finite outputs or
+    a clean decode_ok=False floor row — never an exception."""
+    import pandas as pd
+
+    from tiny_lingua_spark.audio import LOUDNESS_FLOOR, _loudness_chunk
+
+    out = _loudness_chunk(pd.Series([raw]), pd.Series([codec]),
+                          pd.Series([sr]))
+    assert len(out) == 1
+    row = out.iloc[0]
+    if row.decode_ok:
+        assert np.isfinite(row.integrated_lufs)
+        assert 0.0 <= row.gated_block_ratio <= 1.0
+        assert row.integrated_lufs >= LOUDNESS_FLOOR
+    else:
+        assert row.integrated_lufs == LOUDNESS_FLOOR
