@@ -71,3 +71,34 @@ def test_plan_is_aggregate_not_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_packed_equals_struct_path(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = span_dedup(docs).orderBy("doc_id").toPandas()
+    b = span_dedup(docs, packed_pos_bits=None).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_string_ids_use_struct_fallback(spark):
+    df = spark.createDataFrame(
+        [("a", "w1 w2 w3 w4 w5"), ("b", "w1 w2 w3 w4 w5")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r for r in span_dedup(df).collect()}
+    assert got["a"]["n_spans_kept"] == 1 and got["b"]["n_spans_kept"] == 0
+
+
+def test_pos_overflow_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    long_doc = " ".join(f"w{i}" for i in range(40))  # 8 spans > 2^2
+    df = spark.createDataFrame([(1, long_doc)], "doc_id long, text string")
+    with pytest.raises(Exception):
+        span_dedup(df, packed_pos_bits=2).collect()
+
+
+def test_default_plan_has_no_sort_aggregate(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = span_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan  # packed first-owner is Tungsten

@@ -467,7 +467,8 @@ def _span_rows(df: DataFrame, id_col: str, text_col: str,
 
 def span_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text",
-               span_words: int = SPAN_WORDS) -> DataFrame:
+               span_words: int = SPAN_WORDS,
+               packed_pos_bits: int | None = 20) -> DataFrame:
     """C4/Dolma-style global span dedup: drop every occurrence of a
     word-span except the corpus-wide first (ordered by doc id, then
     position), then reassemble each document from its kept spans.
@@ -489,14 +490,35 @@ def span_dedup(df: DataFrame, id_col: str = "doc_id",
     over a skewed key, no cross join.
     """
     s = _span_rows(df, id_col, text_col, span_words)
-    firsts = s.groupBy("h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first")
-    )
-    joined = s.join(firsts, "h").withColumn(
-        "keep",
-        (F.col("doc_id") == F.col("first.doc_id"))
-        & (F.col("pos") == F.col("first.pos")),
-    )
+    id_type = df.schema[id_col].dataType.typeName()
+    if packed_pos_bits and id_type in ("long", "integer", "short", "byte"):
+        # Tungsten fast path: (doc_id << bits) | pos is a plain BIGINT, so
+        # the first-owner aggregate plans as HashAggregate with map-side
+        # partial_min; min(struct) would fall back to SortAggregate
+        # (struct buffers aren't Tungsten-mutable). Lexicographic order is
+        # preserved while pos < 2^bits — guarded loudly below (a doc would
+        # need > span_words * 2^bits words to trip it).
+        limit = 1 << packed_pos_bits
+        packed = (F.col("doc_id").cast("long") * F.lit(limit)
+                  + F.col("pos"))
+        key = F.when(F.col("pos") < limit, packed).otherwise(
+            F.raise_error(F.lit(
+                f"span_dedup: pos >= 2^{packed_pos_bits}; re-run with "
+                "higher packed_pos_bits or packed_pos_bits=None")))
+        firsts = s.groupBy("h").agg(F.min(key).alias("_first_packed"))
+        joined = s.join(firsts, "h").withColumn(
+            "keep", packed == F.col("_first_packed"))
+    else:
+        # type-agnostic path (string ids): struct min — still partial-
+        # aggregated map-side (SortAggregate), just not hash-based
+        firsts = s.groupBy("h").agg(
+            F.min(F.struct("doc_id", "pos")).alias("first")
+        )
+        joined = s.join(firsts, "h").withColumn(
+            "keep",
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos")),
+        )
     kept_struct = F.when(F.col("keep"), F.struct("pos", "span"))
     return (
         joined.groupBy("doc_id")

@@ -33,6 +33,10 @@ PLAN_QUERIES = (
     "audio_decode_features",
     "audio_spectral",
     "audio_resample",
+    "audio_loudness",
+    "span_dedup",
+    "hash_sample",
+    "quality_calibrated",
 )
 
 
