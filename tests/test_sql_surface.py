@@ -54,3 +54,24 @@ def test_scrub_template(spark, sql_ready):
         f"SELECT {scrub_sql_expr('text')} AS scrubbed FROM sql_scrub"
     ).collect()[0]["scrubbed"]
     assert got == "mail me at <EMAIL> or call <PHONE>"
+
+
+def test_audio_udfs_from_sql(spark, sql_ready):
+    import numpy as np
+
+    from tiny_lingua_spark import audio
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64) / sr
+    pcm = (0.25 * np.sin(2 * np.pi * 300.0 * t)).astype(np.float32)
+    spark.createDataFrame(
+        [("c1", audio.encode(pcm, "alaw"), "alaw", sr)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    ).createOrReplaceTempView("sql_clips")
+    row = spark.sql(
+        "SELECT tl_audio_features(bytes, codec).rms AS rms, "
+        "tl_loudness(bytes, codec, sr_hz).integrated_lufs AS lufs "
+        "FROM sql_clips"
+    ).collect()[0]
+    assert abs(row["rms"] - 0.25 / np.sqrt(2)) < 0.01
+    assert row["lufs"] > -20

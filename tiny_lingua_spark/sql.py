@@ -61,4 +61,9 @@ def register_all(
     spark.udf.register(
         "tl_multilang", make_multilang_udf(registry.bc_low, registry.bc_high, params)
     )
-    return ["tl_detect", "tl_confidence", "tl_perplexity", "tl_multilang"]
+    from .audio import decode_features_udf, loudness_udf
+
+    spark.udf.register("tl_audio_features", decode_features_udf())
+    spark.udf.register("tl_loudness", loudness_udf())
+    return ["tl_detect", "tl_confidence", "tl_perplexity", "tl_multilang",
+            "tl_audio_features", "tl_loudness"]
