@@ -49,6 +49,7 @@ BENCH_QUERIES = (
     "audio_loudness",         # R128-style gated loudness (paired reduceat)
     "span_dedup",             # C4-style global span dedup (agg+join, no window)
     "hash_sample",            # deterministic stratified sampling (codegen filter)
+    "quality_calibrated",     # quantile-calibrated buckets (percentile + 1 agg)
 )
 
 
