@@ -356,6 +356,13 @@ def _q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_pairs(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_neardup_components(spark, sf_dir):
+    """Near-dup clusters: MinHash-LSH candidate pairs → connected
+    components (iterative min-label propagation; recursive-CTE oracle)."""
+    pairs = dedup.minhash_pairs(_docs(spark, sf_dir), "doc_id", "text")
+    return dedup.connected_components(pairs)
+
+
 def _q_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", "source")
 
@@ -691,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": _shipped(_q_minhash_bands),
         "minhash_pairs": _shipped(_q_minhash_pairs),
         "jaccard_pairs": _shipped(_q_jaccard_pairs),
+        "neardup_components": _shipped(_q_neardup_components),
         "neardup_text": _shipped(_q_neardup_text),
         "cosine_topk": _shipped(_q_cosine_topk),
         "knn_graph": _shipped(_q_knn_graph),
@@ -859,6 +867,8 @@ def oracle_sql() -> dict[str, str]:
         "fasttext_lang": ft_sql,
         "detect_trigram_declarative": _trigram_decl_sql(),
         "minhash_bands": dedup.minhash_bands_sql("documents", "doc_id", "text"),
+        "neardup_components": dedup.connected_components_sql(
+            dedup.minhash_pairs_sql("documents", "doc_id", "text")),
         "minhash_pairs": dedup.minhash_pairs_sql("documents", "doc_id", "text"),
         "jaccard_pairs": dedup.jaccard_pairs_sql(
             "documents", "doc_id", "text", "source"

@@ -50,6 +50,7 @@ BENCH_QUERIES = (
     "span_dedup",             # C4-style global span dedup (agg+join, no window)
     "hash_sample",            # deterministic stratified sampling (codegen filter)
     "quality_calibrated",     # quantile-calibrated buckets (percentile + 1 agg)
+    "neardup_components",     # pair graph -> clusters (min-label propagation)
 )
 
 

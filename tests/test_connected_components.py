@@ -1,0 +1,49 @@
+"""Near-dup cluster extraction (operators/dedup.py::connected_components)."""
+
+import duckdb
+import pandas as pd
+
+from tiny_lingua_spark.operators import dedup
+
+EDGES = [(1, 2), (2, 3), (3, 4),           # chain (diameter 3)
+         (10, 11), (11, 12), (10, 12),     # triangle
+         (20, 21),                         # isolated pair
+         (30, 31), (31, 32), (30, 33)]     # star
+
+
+def _pairs(spark):
+    return spark.createDataFrame(EDGES, "id_a long, id_b long")
+
+
+def test_components_are_min_reachable(spark):
+    got = {r["id"]: r["comp"]
+           for r in dedup.connected_components(_pairs(spark)).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20,
+                   30: 30, 31: 30, 32: 30, 33: 30}
+
+
+def test_matches_recursive_cte_oracle(spark):
+    values = ", ".join(f"({a},{b})" for a, b in EDGES)
+    got = (dedup.connected_components(_pairs(spark))
+           .orderBy("id").toPandas().reset_index(drop=True))
+    exp = duckdb.sql(dedup.connected_components_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(id_a, id_b)"
+    ) + " ORDER BY id").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_converges_before_max_iter(spark):
+    # a longer chain needs diameter rounds; max_iter above that is a no-op
+    chain = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = dedup.connected_components(df, max_iter=25).collect()
+    assert all(r["comp"] == 0 for r in got)
+
+
+def test_propagation_round_is_aggregate_not_window(spark):
+    out = dedup.connected_components(_pairs(spark), max_iter=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

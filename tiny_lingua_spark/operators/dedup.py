@@ -568,3 +568,81 @@ def span_dedup_sql(table: str, id_col: str = "doc_id",
     FROM r
     GROUP BY doc_id
     """
+
+
+# ------------------------------------- connected components (clusters)
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise edges: (id, component) where
+    component = min id reachable through the pair graph. The step LSH
+    verification stops at (pairs); production dedup keeps one canonical
+    doc per connected component.
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetrized edge list, takes the per-node min over {own label} ∪
+    {neighbor labels} (one shuffled join + one hash aggregate per round,
+    both keyed on node id — uniform, partial-aggregated), and stops when
+    a round changes no label. Rounds needed = graph diameter; near-dup
+    components are shallow (a dup cluster is near-clique), so this
+    converges in a handful of rounds — the Kiveris et al. large-star/
+    small-star variant only pays off on path-shaped giant components,
+    which LSH candidate graphs do not produce. `localCheckpoint` after
+    every round cuts the exponential lineage an iterative plan would
+    otherwise accumulate.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.select("node", "comp").union(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("id"), "comp")
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB twin: transitive closure via a recursive CTE, then
+    component = min reachable id. Exponential in component size — oracle
+    tier only (near-dup components at oracle SF are tiny)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS id, least(src, min(dst)) AS comp
+    FROM reach GROUP BY src
+    """
