@@ -508,6 +508,13 @@ def _q_multilang_sections(spark, sf_dir):
     )
 
 
+def _q_simhash_declarative(spark, sf_dir):
+    """Declarative 60-bit SimHash (md5 votes as 60 sum aggregates, one
+    shuffle) — value-hash-checkable twin of the pandas-UDF tier."""
+    return dedup.simhash_declarative_pairs(_docs(spark, sf_dir),
+                                           "doc_id", "text")
+
+
 def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -714,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_doc_labels": _shipped(_q_detect_labels),
         "detect_lang_counts": _shipped(_q_detect_counts),
         "simhash_pairs": _shipped(_q_simhash_pairs),
+        "simhash_declarative": _shipped(_q_simhash_declarative),
         "ann_lsh_topk": _shipped(_q_ann_lsh),
         "accuracy_report": _shipped(_q_accuracy_report),
         "detect_low_accuracy": _shipped(_q_detect_low_accuracy),
@@ -869,6 +877,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": dedup.minhash_bands_sql("documents", "doc_id", "text"),
         "neardup_components": dedup.connected_components_sql(
             dedup.minhash_pairs_sql("documents", "doc_id", "text")),
+        "simhash_declarative": dedup.simhash_declarative_pairs_sql(
+            "documents", "doc_id", "text"),
         "minhash_pairs": dedup.minhash_pairs_sql("documents", "doc_id", "text"),
         "jaccard_pairs": dedup.jaccard_pairs_sql(
             "documents", "doc_id", "text", "source"

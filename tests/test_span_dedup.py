@@ -102,3 +102,47 @@ def test_default_plan_has_no_sort_aggregate(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = span_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan  # packed first-owner is Tungsten
+
+
+# --------------- declarative simhash tier (lives with corpus dedup) ---
+
+def test_simhash_declarative_matches_duckdb(spark):
+    import duckdb
+
+    from tiny_lingua_spark.operators.dedup import (
+        simhash_declarative_pairs, simhash_declarative_pairs_sql)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (simhash_declarative_pairs(docs, "doc_id", "text")
+           .orderBy("id_a", "id_b").toPandas().reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    exp = con.sql(simhash_declarative_pairs_sql("documents", "doc_id", "text")
+                  + " ORDER BY id_a, id_b").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_simhash_declarative_finds_planted_neardup(spark):
+    from tiny_lingua_spark.operators.dedup import simhash_declarative_pairs
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "changed")
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in simhash_declarative_pairs(df, "doc_id", "text",
+                                                max_hamming=12).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_declarative_plan_no_python(spark):
+    from tiny_lingua_spark.operators.dedup import simhash_declarative_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (simhash_declarative_pairs(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

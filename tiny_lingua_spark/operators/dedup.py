@@ -646,3 +646,111 @@ def connected_components_sql(pairs_sql: str) -> str:
     SELECT src AS id, least(src, min(dst)) AS comp
     FROM reach GROUP BY src
     """
+
+
+# --------------------------------- declarative simhash (oracle tier)
+
+SIMHASH_DECL_BITS = 60          # 15 md5 hex chars — fits signed BIGINT
+SIMHASH_DECL_CHUNKS = 4         # 15-bit chunks; pigeonhole for dist ≤ 3
+
+
+def simhash_declarative_sigs(df: DataFrame, id_col: str,
+                             text_col: str) -> DataFrame:
+    """60-bit SimHash as PURE Catalyst: md5 token hash (DuckDB-
+    bit-identical), bit-votes as 60 sum aggregates in ONE hash aggregate
+    — no token×bit explode, no Python stage. Cross-validates the
+    pandas-UDF tier's architecture (`simhash64_udf` — faster per token,
+    SipHash, rows-only oracle) with an end-to-end value-checkable twin.
+
+    Scale shape: explode to tokens (no shuffle), one partial-aggregated
+    groupBy(id) carrying 60 small longs — the same single-shuffle
+    profile as exact dedup; signature assembly is a codegen projection.
+    Docs with no tokens produce no row (join tiers treat absent as
+    no-signature).
+    """
+    tok = F.explode(
+        F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    toks = (
+        df.select(F.col(id_col).alias("id"), tok)
+        .where(F.col("tok") != "")
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+            .cast("long"))
+    )
+    votes = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"v{b}")
+        for b in range(SIMHASH_DECL_BITS)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sig = None
+    for b in range(SIMHASH_DECL_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.cast("long").alias("sig"))
+
+
+def simhash_declarative_pairs(df: DataFrame, id_col: str, text_col: str,
+                              max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs over the declarative signatures: 4×15-bit chunk
+    buckets (pigeonhole: Hamming ≤ 3 → ≥ 1 identical chunk), per-chunk
+    shuffled-hash self-join, never a cross join."""
+    sigs = simhash_declarative_sigs(df, id_col, text_col)
+    chunk_w = SIMHASH_DECL_BITS // SIMHASH_DECL_CHUNKS
+    mask = (1 << chunk_w) - 1
+    chunks = sigs.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftright(F.col("sig"), i * chunk_w)
+                .bitwiseAND(F.lit(mask)).alias("chunk_val"))
+            for i in range(SIMHASH_DECL_CHUNKS)
+        ])).alias("c"),
+    ).select("id", "sig", "c.chunk_idx", "c.chunk_val")
+    a = chunks.hint("shuffle_hash").alias("a")
+    b = chunks.hint("shuffle_hash").alias("b")
+    hamming = F.bit_count(F.expr("a.sig ^ b.sig"))
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_declarative_pairs_sql(table: str, id_col: str, text_col: str,
+                                  max_hamming: int = 3) -> str:
+    bits = SIMHASH_DECL_BITS
+    chunk_w = bits // SIMHASH_DECL_CHUNKS
+    mask = (1 << chunk_w) - 1
+    vote_cols = ", ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(bits))
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits))
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT id, sig, {i} AS chunk_idx,"
+        f" (sig >> {i * chunk_w}) & {mask} AS chunk_val FROM sigs"
+        for i in range(SIMHASH_DECL_CHUNKS))
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id,
+             ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+      FROM {table},
+           LATERAL unnest(regexp_split_to_array(lower({text_col}), '\\s+'))
+             AS t(tok)
+      WHERE t.tok <> ''
+    ), agg AS (
+      SELECT id, {vote_cols} FROM toks GROUP BY id
+    ), sigs AS (
+      SELECT id, ({sig_terms})::BIGINT AS sig FROM agg
+    ), chunks AS ({chunk_rows})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+    WHERE a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
