@@ -277,6 +277,19 @@ def _q_span_dedup(spark, sf_dir):
     return dedup.span_dedup(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Daily-increment dedup: bloom-prefiltered exact anti-join of a
+    'new batch' against the 'historical corpus'. The two sides are a
+    deterministic md5(doc_id) split of `documents` with a built-in
+    overlap band (first hex 8/9 sits in BOTH), so the anti-join is
+    non-trivial; the history side is scanned once and never shuffled."""
+    docs = _docs(spark, sf_dir)
+    h0 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    batch = docs.where(h0 >= F.lit("8"))
+    history = docs.where(h0 < F.lit("a"))
+    return dedup.incremental_new_docs(batch, history, "doc_id", "text")
+
+
 _SAMPLE_FRACTIONS = {"en": 0.25, "zh": 1.0}
 
 
@@ -697,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": _shipped(_q_repetition),
         "exact_dedup": _shipped(_q_exact_dedup),
         "span_dedup": _shipped(_q_span_dedup),
+        "incremental_dedup": _shipped(_q_incremental_dedup),
         "hash_sample": _shipped(_q_hash_sample),
         "screen_lang_confusion": _shipped(_q_screen_confusion),
         "screen_lang_accuracy": _shipped(_q_screen_accuracy),
@@ -806,6 +820,11 @@ def oracle_sql() -> dict[str, str]:
             + " FROM documents)"),
         "exact_dedup": dedup.exact_dedup_groups_sql("documents", "doc_id", "text"),
         "span_dedup": dedup.span_dedup_sql("documents", "doc_id", "text"),
+        "incremental_dedup": dedup.incremental_new_docs_sql(
+            "documents", "doc_id", "text",
+            batch_pred="substr(md5(doc_id::VARCHAR), 1, 1) >= '8'",
+            history_pred="substr(md5(doc_id::VARCHAR), 1, 1) < 'a'",
+        ),
         "hash_sample": (
             "SELECT doc_id, lang, source FROM ("
             + __import__("tiny_lingua_spark.operators.sampling",

@@ -48,6 +48,7 @@ BENCH_QUERIES = (
     "audio_embed_knn",        # audio embeddings → brute KNN graph
     "audio_loudness",         # R128-style gated loudness (paired reduceat)
     "span_dedup",             # C4-style global span dedup (agg+join, no window)
+    "incremental_dedup",      # batch-vs-history bloom-prefiltered anti-join
     "hash_sample",            # deterministic stratified sampling (codegen filter)
     "quality_calibrated",     # quantile-calibrated buckets (percentile + 1 agg)
     "neardup_components",     # pair graph -> clusters (min-label propagation)

@@ -1,0 +1,103 @@
+"""Incremental (batch-vs-history) dedup: bloom-prefiltered anti-join.
+
+The bloom tier must return EXACTLY the plain anti-join's rows (bloom
+false positives are removed by the exact join; false negatives do not
+exist), and the history side must never be shuffled before the
+broadcast anti-join.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators import dedup
+
+
+def _frames(spark):
+    # history: h0..h5; batch: b0..b5 where b1/b3 duplicate history texts
+    # (b3 with different whitespace/case — normalization must catch it)
+    # and b4/b5 duplicate EACH OTHER (batch-internal copies collapse).
+    history = spark.createDataFrame(
+        [(f"h{i}", f"history text number {i}") for i in range(6)],
+        "doc_id string, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("b0", "fresh content zero"),
+            ("b1", "history text number 2"),
+            ("b2", "fresh content two"),
+            ("b3", "  History   Text  NUMBER 4 "),
+            ("b4", "fresh content shared"),
+            ("b5", "fresh content shared"),
+        ],
+        "doc_id string, text string",
+    )
+    return batch, history
+
+
+def _rows(df):
+    return sorted(
+        (r.fingerprint, r.keep_id, r.n_copies)
+        for r in df.collect()
+    )
+
+
+def test_bloom_tier_matches_plain_anti_join(spark):
+    batch, history = _frames(spark)
+    got = dedup.incremental_new_docs(batch, history, "doc_id", "text")
+    want = dedup.incremental_new_docs(
+        batch, history, "doc_id", "text", use_bloom=False
+    )
+    rows = _rows(got)
+    assert rows == _rows(want)
+    assert [r[1] for r in rows] != []
+    keep_ids = {r[1] for r in rows}
+    assert keep_ids == {"b0", "b2", "b4"}  # b4 < b5; b1/b3 seen in history
+    by_keep = {r[1]: r[2] for r in rows}
+    assert by_keep["b4"] == 2  # batch-internal copies collapsed
+
+
+def test_tiny_bloom_forces_false_positives_result_still_exact(spark):
+    # m_bits floor (64) with 6 batch docs → heavy collision rate; the
+    # exact anti-join behind the bloom must absorb every false positive.
+    batch, history = _frames(spark)
+    got = dedup.incremental_new_docs(
+        batch, history, "doc_id", "text", fpp=0.99, expected_items=1
+    )
+    want = dedup.incremental_new_docs(
+        batch, history, "doc_id", "text", use_bloom=False
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_empty_batch_and_empty_history(spark):
+    batch, history = _frames(spark)
+    empty = batch.where(F.lit(False))
+    assert dedup.incremental_new_docs(empty, history, "doc_id", "text").count() == 0
+    got = dedup.incremental_new_docs(batch, empty, "doc_id", "text")
+    # no history → every distinct batch fingerprint is new
+    assert got.count() == 5
+
+
+def test_bloom_geometry_and_positions_agree():
+    m, k = dedup._bloom_geometry(1000, 0.001)
+    assert m % 64 == 0 and m >= 14000 and 1 <= k <= 16
+    # probe bit-math matches the build bit-math on a known bitset
+    words = np.zeros(4, dtype=np.uint64)
+    pos = np.array([0, 63, 64, 255], dtype=np.int64)
+    np.bitwise_or.at(
+        words, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
+    )
+    bits = (words[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+    assert bits.all()
+    assert words.sum() > 0
+
+
+def test_history_side_is_never_shuffle_joined(spark):
+    batch, history = _frames(spark)
+    df = dedup.incremental_new_docs(batch, history, "doc_id", "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the anti-join consumes the survivor set via a broadcast
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -754,3 +754,152 @@ def simhash_declarative_pairs_sql(table: str, id_col: str, text_col: str,
       ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
     WHERE a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}
     """
+
+
+# -------------------------- incremental dedup (new batch vs history)
+
+# Daily-increment dedup: keep only batch rows whose content has never
+# been seen in a (much larger) historical corpus. The naive anti-join
+# shuffles BOTH sides on the fingerprint; at 10^12 historical rows that
+# shuffle of the big side is the whole job. Instead:
+#
+#   1. fingerprint the batch (small side) and build a Bloom bitset from
+#      it — positions are computed IN CATALYST (xxhash64, codegen), the
+#      bitset is assembled per-partition in one mapInPandas pass and
+#      OR-ed on the driver (the manual analog of the JVM's
+#      BloomFilterAggregate treeAggregate);
+#   2. scan history ONCE, column-pruned to the fingerprint expression,
+#      and drop everything the Bloom rules out — an Arrow-vectorized
+#      bit-probe over positions that were, again, computed in Catalyst
+#      (no hashing in Python, no shuffle of history);
+#   3. the survivors (≈ |batch ∩ history| + fpp·|history|) are tiny, so
+#      they broadcast into an exact LEFT ANTI join against the batch
+#      fingerprints.
+#
+# Bloom filters have no false negatives, so every historical fingerprint
+# actually present in the batch survives step 2 — the final anti-join is
+# EXACT; fpp only controls how much dead weight rides the broadcast.
+
+BLOOM_FPP = 0.001
+_LN2 = 0.6931471805599453
+
+
+def _bloom_geometry(n_items: int, fpp: float) -> tuple[int, int]:
+    """(m_bits rounded up to a 64-bit word, k hashes) for n items @ fpp."""
+    import math
+
+    n = max(int(n_items), 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (_LN2 * _LN2))))
+    m = (m + 63) & ~63
+    k = max(1, min(16, round(m / n * _LN2)))
+    return m, k
+
+
+def bloom_positions(col: Column, m_bits: int, k: int) -> Column:
+    """k Bloom bit positions as array<long>, computed JVM-side.
+
+    Shared by the build and probe paths so the two sides agree by
+    construction; xxhash64(seed_i, value) gives k independent hashes
+    without leaving whole-stage codegen."""
+    return F.array(*[
+        F.pmod(F.xxhash64(F.lit(i), col), F.lit(m_bits)) for i in range(k)
+    ])
+
+
+def _bloom_bitset(fp_df: DataFrame, fp_col: str, m_bits: int, k: int) -> np.ndarray:
+    """Build the bitset distributed: one partial uint64 bitset per
+    partition (vectorized scatter-or), OR-ed on the driver."""
+    n_words = m_bits // 64
+    pos_df = fp_df.select(bloom_positions(F.col(fp_col), m_bits, k).alias("pos"))
+
+    def build(batches):
+        words = np.zeros(n_words, dtype=np.uint64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            pos = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in pdf["pos"]]
+            )
+            np.bitwise_or.at(
+                words, pos >> 6,
+                np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)),
+            )
+        if any_rows:
+            yield pd.DataFrame({"bitset": [words.tobytes()]})
+
+    out = np.zeros(n_words, dtype=np.uint64)
+    for row in pos_df.mapInPandas(build, "bitset binary").collect():
+        out |= np.frombuffer(row.bitset, dtype=np.uint64)
+    return out
+
+
+def _bloom_probe_udf(bc_words, k: int):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def maybe_in_bloom(pos: pd.Series) -> pd.Series:
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        w = bc_words.value
+        arr = np.stack(pos.to_numpy()).astype(np.int64)  # (n, k)
+        bits = (w[arr >> 6] >> (arr.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    return maybe_in_bloom
+
+
+def incremental_new_docs(batch: DataFrame, history: DataFrame,
+                         id_col: str, text_col: str,
+                         fpp: float = BLOOM_FPP,
+                         expected_items: int | None = None,
+                         use_bloom: bool = True) -> DataFrame:
+    """Batch fingerprints absent from the historical corpus:
+    (fingerprint, keep_id, n_copies) — keep_id/n_copies collapse
+    batch-internal copies exactly like exact_dedup_groups.
+
+    use_bloom=False is the plain anti-join twin (the correctness
+    oracle); both paths return identical rows."""
+    batch_fp = exact_dedup_groups(batch, id_col, text_col)
+    hist_fp = history.select(
+        F.md5(normalized_col(F.col(text_col))).alias("fingerprint")
+    )
+    if not use_bloom:
+        return batch_fp.join(hist_fp.distinct(), "fingerprint", "left_anti")
+
+    n = expected_items if expected_items is not None else batch.count()
+    m_bits, k = _bloom_geometry(n, fpp)
+    words = _bloom_bitset(batch_fp, "fingerprint", m_bits, k)
+    bc = batch.sparkSession.sparkContext.broadcast(words)
+    survivors = (
+        hist_fp
+        .withColumn("_pos", bloom_positions(F.col("fingerprint"), m_bits, k))
+        .where(_bloom_probe_udf(bc, k)(F.col("_pos")))
+        .select("fingerprint")
+        .distinct()
+    )
+    return batch_fp.join(F.broadcast(survivors), "fingerprint", "left_anti")
+
+
+def incremental_new_docs_sql(table: str, id_col: str, text_col: str,
+                             batch_pred: str, history_pred: str) -> str:
+    """DuckDB oracle: exact anti-join over the same md5 fingerprints."""
+    fp = f"md5(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH batch_fp AS (
+        SELECT {fp} AS fingerprint,
+               min({id_col}) AS keep_id,
+               count(*)::BIGINT AS n_copies
+        FROM {table} WHERE {batch_pred}
+        GROUP BY 1
+    ), history_fp AS (
+        SELECT DISTINCT {fp} AS fingerprint
+        FROM {table} WHERE {history_pred}
+    )
+    SELECT b.fingerprint, b.keep_id, b.n_copies
+    FROM batch_fp b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM history_fp h WHERE h.fingerprint = b.fingerprint
+    )
+    """
