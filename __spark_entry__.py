@@ -235,6 +235,23 @@ def _q_tokens(spark, sf_dir):
     )
 
 
+def _q_vocab_topk(spark, sf_dir):
+    """Distributed vocabulary builder: token counts + doc frequency,
+    top-k via TakeOrderedAndProject (never a global-window sort)."""
+    from tiny_lingua_spark.functions.text import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), "text", k=200)
+
+
+def _q_normalize_text(spark, sf_dir):
+    """Control-strip + NFC normalization; pure-ASCII rows bypass the
+    Python stage via a codegen'd rlike split."""
+    from tiny_lingua_spark.functions.cleaning import normalize_corpus
+
+    return normalize_corpus(_docs(spark, sf_dir), "text") \
+        .select("doc_id", "norm_text")
+
+
 def _q_repetition(spark, sf_dir):
     from tiny_lingua_spark.functions.quality import repetition_metrics_cols
 
@@ -374,6 +391,18 @@ def _q_neardup_components(spark, sf_dir):
     components (iterative min-label propagation; recursive-CTE oracle)."""
     pairs = dedup.minhash_pairs(_docs(spark, sf_dir), "doc_id", "text")
     return dedup.connected_components(pairs)
+
+
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash (winnowing) document fingerprints — MOSS-style
+    local fingerprinting; zero-shuffle per-row array math."""
+    return dedup.winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_winnow_pairs(spark, sf_dir):
+    """Partial-overlap candidates from shared winnowing fingerprints
+    (containment score — catches excerpts whole-doc MinHash misses)."""
+    return dedup.winnow_pairs(_docs(spark, sf_dir), "doc_id", "text")
 
 
 def _q_jaccard_pairs(spark, sf_dir):
@@ -705,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": _shipped(_q_quality),
         "scrub_text": _shipped(_q_scrub),
         "token_stats": _shipped(_q_tokens),
+        "vocab_topk": _shipped(_q_vocab_topk),
+        "normalize_text": _shipped(_q_normalize_text),
         "quality_buckets": _shipped(_q_quality_buckets),
         "quality_calibrated": _shipped(_q_quality_calibrated),
         "repetition_metrics": _shipped(_q_repetition),
@@ -721,6 +752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _shipped(_q_jaccard_pairs),
         "neardup_components": _shipped(_q_neardup_components),
         "neardup_text": _shipped(_q_neardup_text),
+        "winnow_fingerprints": _shipped(_q_winnow_fingerprints),
+        "winnow_pairs": _shipped(_q_winnow_pairs),
         "cosine_topk": _shipped(_q_cosine_topk),
         "knn_graph": _shipped(_q_knn_graph),
         "embedding_neardup": _shipped(_q_embedding_neardup),
@@ -763,6 +796,8 @@ def _trigram_decl_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from tiny_lingua_spark.models.fasttext import score_fasttext_sql
+    from tiny_lingua_spark.functions.cleaning import normalize_corpus_sql
+    from tiny_lingua_spark.functions.text import vocab_topk_sql
 
     from tiny_lingua_spark.functions.quality import (
         quality_score_sql, repetition_metrics_sql)
@@ -789,6 +824,8 @@ def oracle_sql() -> dict[str, str]:
         "scrub_text": (
             f"SELECT doc_id, {scrubbed_sql('text')} AS scrubbed FROM documents"
         ),
+        "vocab_topk": vocab_topk_sql("documents", "text", k=200),
+        "normalize_text": normalize_corpus_sql("documents", "doc_id", "text"),
         "token_stats": f"""
             SELECT doc_id,
                    (CASE WHEN length(trim(text)) > 0
@@ -903,6 +940,10 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "text", "source"
         ),
         "neardup_text": dedup.neardup_text_sql("documents", "doc_id", "text"),
+        "winnow_fingerprints": dedup.winnow_fingerprints_sql(
+            "documents", "doc_id", "text"),
+        "winnow_pairs": dedup.winnow_pairs_sql(
+            "documents", "doc_id", "text"),
         "cosine_topk": similarity.topk_vs_query_sql("embeddings", 0, 10, EMB_DIM),
         "knn_graph": similarity.knn_graph_sql("embeddings", 20, 3, EMB_DIM),
         "embedding_neardup": similarity.neardup_lsh_sql("embeddings", 0.4, EMB_DIM),

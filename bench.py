@@ -52,6 +52,7 @@ BENCH_QUERIES = (
     "hash_sample",            # deterministic stratified sampling (codegen filter)
     "quality_calibrated",     # quantile-calibrated buckets (percentile + 1 agg)
     "neardup_components",     # pair graph -> clusters (min-label propagation)
+    "winnow_pairs",           # rolling-hash winnowing fingerprint overlap join
 )
 
 

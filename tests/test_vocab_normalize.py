@@ -1,0 +1,111 @@
+"""Vocabulary builder (functions/text.py::vocab_topk) and Unicode
+normalization (functions/cleaning.py::normalize_corpus)."""
+
+import duckdb
+import pandas as pd
+
+from tiny_lingua_spark.functions.cleaning import (
+    normalize_corpus,
+    normalize_corpus_sql,
+)
+from tiny_lingua_spark.functions.text import vocab_topk, vocab_topk_sql
+
+SF_DIR = "/root/testdata/sf0.001/documents.parquet"
+
+
+# ------------------------------------------------------------ vocab_topk
+
+def test_vocab_counts_and_docfreq(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b b c"), (3, "  A  ")],
+        "doc_id long, text string")
+    rows = {r["token"]: r for r in vocab_topk(df, "text", k=10).collect()}
+    assert rows["a"]["n_occurrences"] == 4 and rows["a"]["n_docs"] == 3
+    assert rows["b"]["n_occurrences"] == 3 and rows["b"]["n_docs"] == 2
+    assert rows["c"]["n_occurrences"] == 1 and rows["c"]["n_docs"] == 1
+
+
+def test_vocab_topk_order_and_limit(spark):
+    df = spark.createDataFrame(
+        [(1, "z z z y y x w")], "doc_id long, text string")
+    got = [r["token"] for r in vocab_topk(df, "text", k=3).collect()]
+    assert got == ["z", "y", "w"]  # count desc, then token asc on ties
+
+
+def test_vocab_matches_duckdb(spark):
+    docs = spark.read.parquet(SF_DIR)
+    got = vocab_topk(docs, "text", k=50).toPandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}'")
+    exp = con.sql(vocab_topk_sql("documents", "text", k=50)).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_vocab_plan_take_ordered_not_window(spark):
+    docs = spark.read.parquet(SF_DIR)
+    plan = vocab_topk(docs, "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+# ------------------------------------------------------- normalize_corpus
+
+def test_nfc_composes_and_strips_controls(spark):
+    decomposed = "cafe\u0301 u\u0308ber"   # combining acute / diaeresis
+    composed = "caf\u00e9 \u00fcber"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, "plain ascii"), (3, "ctrl\x00\x1fhere"),
+         (4, None), (5, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["norm_text"]
+           for r in normalize_corpus(df, "text").collect()}
+    assert got[1] == composed
+    assert got[2] == "plain ascii"
+    assert got[3] == "ctrlhere"
+    assert got[4] is None and got[5] == ""
+
+
+def test_normalize_matches_duckdb(spark):
+    docs = spark.read.parquet(SF_DIR)
+    got = (
+        normalize_corpus(docs, "text")
+        .select("doc_id", "norm_text")
+        .orderBy("doc_id").toPandas().reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}'")
+    exp = con.sql(
+        normalize_corpus_sql("documents", "doc_id", "text")
+        + " ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_normalize_matches_duckdb_on_nonascii(spark):
+    rows = [(i, t) for i, t in enumerate([
+        "café crème brûlée",
+        "Å ngström",
+        "⅋ upside down ampersand",
+        "한국어 조합 각",    # jamo -> syllable under NFC
+        "mixed ascii and é",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (normalize_corpus(df, "text").select("doc_id", "norm_text")
+           .orderBy("doc_id").toPandas().reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = con.sql(
+        normalize_corpus_sql("t", "doc_id", "text") + " ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_ascii_rows_skip_python_stage(spark):
+    """The ASCII leg of the union must contain no Python eval node."""
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = normalize_corpus(df, "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # exactly one ArrowEvalPython (the non-ASCII leg), not two
+    assert plan.count("ArrowEvalPython") == 1

@@ -1,0 +1,179 @@
+"""Winnowing fingerprints (operators/dedup.py::winnow_*).
+
+Properties from Schleimer/Wilkerson/Aiken (SIGMOD 2003):
+- guarantee: a shared substring of length >= w + k - 1 produces at
+  least one shared selected hash;
+- density: consecutive selected positions are at most w apart
+  (every window contributes a selection inside itself).
+"""
+
+import duckdb
+import pandas as pd
+
+from tiny_lingua_spark.operators.dedup import (
+    WINNOW_K,
+    WINNOW_W,
+    winnow_fingerprints,
+    winnow_fingerprints_sql,
+    winnow_pairs,
+    winnow_pairs_sql,
+)
+
+SF_DIR = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _python_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Independent per-row reference: hashlib md5 60-bit grams, window
+    min with rightmost tie-break."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    if len(norm) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(norm[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(norm) - k + 1)
+    ]
+    weff = min(w, len(hs))
+    out = set()
+    for i in range(len(hs) - weff + 1):
+        window = hs[i : i + weff]
+        m = min(window)
+        pos = i + max(j for j, v in enumerate(window) if v == m)
+        out.add((pos + 1, m))  # 1-based gram position
+    return out
+
+
+def test_matches_python_reference(spark):
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "  Multiple   spaces\tand\nnewlines collapse  "),
+        (3, "short"),
+        (4, ""),
+        (5, "ünïcödé grams über ällés with ünïcödé grams"),
+        (6, "aaaaaaaaaaaaaaaaaaaa"),  # constant text -> heavy hash ties
+    ]
+    got = {
+        (r["id"], r["pos"], r["h"])
+        for r in winnow_fingerprints(
+            _df(spark, texts), "doc_id", "text"
+        ).collect()
+    }
+    exp = {
+        (i, pos, h)
+        for i, t in texts
+        for pos, h in _python_winnow(t, WINNOW_K, WINNOW_W)
+    }
+    assert got == exp
+    assert not any(i == 4 for i, _, _ in got)  # empty doc: no fingerprints
+
+
+def test_guarantee_shared_substring_detected(spark):
+    # planted common substring of exactly w + k - 1 chars
+    t = WINNOW_W + WINNOW_K - 1
+    shared = "zqxjkvwpbym"[:t]
+    assert len(shared) == t
+    df = _df(spark, [
+        (1, f"left padding text {shared} right padding"),
+        (2, f"completely different words {shared} other tail"),
+    ])
+    fps = winnow_fingerprints(df, "doc_id", "text")
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["id"], set()).add(r["h"])
+    assert by_doc[1] & by_doc[2], "guarantee violated: no shared hash"
+
+
+def test_density_gap_at_most_w(spark):
+    docs = spark.read.parquet(SF_DIR).limit(50)
+    fps = winnow_fingerprints(docs, "doc_id", "text").collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], []).append(r["pos"])
+    for poss in by_doc.values():
+        poss.sort()
+        gaps = [b - a for a, b in zip(poss, poss[1:])]
+        assert all(g <= WINNOW_W for g in gaps)
+
+
+def test_fingerprints_match_duckdb(spark):
+    docs = spark.read.parquet(SF_DIR)
+    got = (
+        winnow_fingerprints(docs, "doc_id", "text")
+        .orderBy("id", "pos", "h").toPandas().reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}'")
+    exp = con.sql(
+        winnow_fingerprints_sql("documents", "doc_id", "text")
+        + " ORDER BY id, pos, h"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pairs_match_duckdb(spark):
+    docs = spark.read.parquet(SF_DIR)
+    got = (
+        winnow_pairs(docs, "doc_id", "text")
+        .orderBy("id_a", "id_b").toPandas().reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}'")
+    exp = con.sql(
+        winnow_pairs_sql("documents", "doc_id", "text")
+        + " ORDER BY id_a, id_b"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pairs_find_partial_overlap_minhash_misses(spark):
+    """A short excerpt quoted inside a long unrelated document: whole-doc
+    shingle Jaccard is tiny, but winnowing containment flags it."""
+    excerpt = "the five boxing wizards jump quickly tonight"
+    long_host = " ".join(f"host{i} filler{i * 7 % 13}" for i in range(80))
+    df = _df(spark, [
+        (1, excerpt),
+        (2, f"{long_host} {excerpt} {long_host}"),
+        (3, "unrelated content entirely about other topics and themes"),
+    ])
+    rows = {(r["id_a"], r["id_b"]): r for r in
+            winnow_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in rows
+    assert rows[(1, 2)]["overlap"] > 0.8  # excerpt nearly contained
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_hot_cap_drops_boilerplate_hash(spark):
+    """A gram shared by more than hot_cap docs must not generate pairs."""
+    banner = "identical boilerplate banner text"
+    df = _df(spark, [(i, banner) for i in range(10)])
+    assert winnow_pairs(df, "doc_id", "text", hot_cap=5).count() == 0
+    assert winnow_pairs(df, "doc_id", "text", hot_cap=16).count() == 45
+
+
+def test_plan_pure_catalyst_no_cartesian(spark):
+    docs = spark.read.parquet(SF_DIR)
+    for q in (winnow_fingerprints(docs, "doc_id", "text"),
+              winnow_pairs(docs, "doc_id", "text")):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+
+def test_xxhash64_scale_tier_runs(spark):
+    """Scale knob: same pipeline, codegen XXH64 grams (no md5/conv).
+    Different hash family -> different selections; assert structure."""
+    docs = spark.read.parquet(SF_DIR).limit(100)
+    fps = winnow_fingerprints(docs, "doc_id", "text", hash_fn="xxhash64")
+    plan = fps._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in plan and "conv" not in plan
+    n = fps.count()
+    assert n > 0
+    pairs = winnow_pairs(docs, "doc_id", "text", hash_fn="xxhash64")
+    assert pairs.count() >= 0

@@ -10,6 +10,7 @@ works identically in the DuckDB oracle (same RE2/Java-compatible pattern).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 # Shared with oracle SQL. [\p{N}\p{P}] is valid in both Java regex (Spark)
@@ -38,3 +39,68 @@ def cleaned_text_sql(expr: str) -> str:
 def has_letter_col(col: Column) -> Column:
     """Guard for the empty/no-letter short-circuit (LanguageDetector.kt:226-228)."""
     return col.rlike(r"\p{L}")
+
+
+# ------------------- Unicode normalization (target-spec, no ref analog)
+
+# C0/C1 control characters except \t \n \r — crawl junk that breaks
+# tokenizers downstream. Valid in Java regex (Spark) and RE2 (DuckDB).
+CONTROL_CHARS_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+# A string that matches this is pure ASCII and therefore NFC-invariant
+# (NFC never rewrites ASCII), so it can skip the Python stage entirely.
+ASCII_ONLY_RE = r"^[\x00-\x7F]*$"
+
+
+def strip_control_col(col: Column) -> Column:
+    return F.regexp_replace(col, CONTROL_CHARS_RE, "")
+
+
+def nfc_udf():
+    """NFC Unicode normalization, Arrow-batched via the vectorized
+    `pd.Series.str.normalize` (CPython unicodedata — no per-row Python
+    loop). DuckDB's `nfc_normalize` (utf8proc) is the oracle twin; both
+    implement canonical composition, so they agree except across Unicode
+    version skew on newly-assigned codepoints."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return nfc
+
+
+def normalize_corpus(df, text_col: str, out_col: str = "norm_text"):
+    """Control-strip + NFC-normalize a text column.
+
+    100 TB shape: web corpora are predominantly ASCII rows, and NFC is
+    the identity on ASCII — so the plan SPLITS on a codegen'd
+    `rlike('^[\\x00-\\x7F]*$')` and only non-ASCII rows pay the Arrow
+    round-trip into the Python stage (a `when(...)` branch would not
+    help: Spark extracts Python UDFs into an ArrowEvalPython node that
+    evaluates for every row regardless of the branch). The union is
+    narrow (input columns + one string) and both legs keep their scan
+    pushdown."""
+    stripped = strip_control_col(F.col(text_col))
+    base = df.withColumn("_stripped", stripped)
+    ascii_or_null = (
+        F.col("_stripped").isNull() | F.col("_stripped").rlike(ASCII_ONLY_RE)
+    )
+    fast = base.where(ascii_or_null).withColumn(out_col, F.col("_stripped"))
+    slow = base.where(~ascii_or_null).withColumn(
+        out_col, nfc_udf()(F.col("_stripped"))
+    )
+    return fast.unionByName(slow).drop("_stripped")
+
+
+def normalize_corpus_sql(table: str, id_col: str, text_col: str,
+                         out_col: str = "norm_text") -> str:
+    """DuckDB twin: utf8proc NFC over the identically control-stripped
+    text (the oracle does not need the ASCII split — only equal rows)."""
+    return f"""
+    SELECT {id_col},
+           nfc_normalize(
+             regexp_replace({text_col}, '{CONTROL_CHARS_RE}', '', 'g')
+           ) AS {out_col}
+    FROM {table}
+    """

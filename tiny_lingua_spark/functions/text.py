@@ -91,3 +91,47 @@ def screen_lang_sql(text_expr: str) -> str:
         f"when {scores[l]} = {best} and {best} > 0 then '{l}'" for l in SCREEN_LANGS
     )
     return f"(case {whens} else 'und' end)"
+
+
+def vocab_topk(df, text_col: str, k: int = 200):
+    """Distributed vocabulary builder: top-k tokens by total occurrence
+    with document frequency — the first step of any tokenizer/vocab
+    training run over a corpus.
+
+    Scale shape: explode → ONE logical aggregate; Spark plans the
+    count-distinct via Expand + two-phase partial aggregation, so
+    stopword-hot tokens are absorbed map-side and never funnel into one
+    reducer. The final top-k is `orderBy().limit(k)` →
+    TakeOrderedAndProject (per-partition partial top-k, tiny driver
+    merge) — never a global-window sort (round-1 finding #1).
+    Deterministic total order: count desc, token asc."""
+    toks = df.select(
+        F.col("doc_id") if "doc_id" in df.columns else F.monotonically_increasing_id().alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def vocab_topk_sql(table: str, text_col: str, k: int = 200) -> str:
+    return f"""
+    SELECT token,
+           count(*)::BIGINT AS n_occurrences,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM (
+      SELECT doc_id, unnest(
+        regexp_split_to_array(lower(trim({text_col})), '\\s+')) AS token
+      FROM {table}
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT {k}
+    """

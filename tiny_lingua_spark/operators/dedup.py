@@ -903,3 +903,192 @@ def incremental_new_docs_sql(table: str, id_col: str, text_col: str,
         SELECT 1 FROM history_fp h WHERE h.fingerprint = b.fingerprint
     )
     """
+
+
+# ------------------------- winnowing fingerprints (rolling-hash, MOSS)
+
+# Local document fingerprinting per Schleimer/Wilkerson/Aiken, "Winnowing:
+# Local Algorithms for Document Fingerprinting" (SIGMOD 2003, public):
+# hash every character k-gram of the normalized text, slide a window of w
+# consecutive gram hashes, and select each window's minimum (rightmost
+# occurrence on ties). Guarantees: (a) any substring match of length
+# ≥ w + k - 1 between two documents shares at least one selected hash;
+# (b) selected positions are at most w apart (density 2/(w+1)).
+#
+# The reference has no corpus ops; this is the target-spec "document
+# fingerprinting (rolling hash)" tier — it finds PARTIAL overlap
+# (quotations, excerpts, stitched crawls) that whole-doc MinHash misses
+# because shared substrings drown in unshared shingles.
+#
+# Scale shape: fingerprint selection is per-row array math (zero
+# shuffle); candidate pairs shuffle once on the 60-bit hash (uniform by
+# construction) with a document-frequency cap that drops boilerplate-hot
+# hashes before the self-join, so per-bucket fan-out is bounded by
+# hot_cap² and there is never a cross join. Same md5-oracle /
+# xxhash64-scale-knob split as MinHash above.
+
+WINNOW_K = 8   # char k-gram length (noise threshold: matches < k ignored)
+WINNOW_W = 4   # window size (guarantee threshold t = w + k - 1 = 11 chars)
+WINNOW_HOT_CAP = 64  # drop hashes shared by more docs than this
+
+
+def _winnow_hash_expr(gram: str, hash_fn: str) -> str:
+    if hash_fn == "xxhash64":
+        return f"xxhash64({gram})"
+    # 60-bit md5 prefix — DuckDB-bit-identical (simhash_declarative idiom)
+    return f"cast(conv(substr(md5({gram}), 1, 15), 16, 10) as bigint)"
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = WINNOW_K, w: int = WINNOW_W,
+                        hash_fn: str = "md5") -> DataFrame:
+    """(id, pos, h): winnowing-selected k-gram hashes with their 1-based
+    gram positions. Documents whose normalized text is shorter than k
+    emit no fingerprints.
+
+    Pure Catalyst: the gram-hash array and the per-window minima are
+    let-bound via single-element `transform(array(...), x -> ...)`
+    wrappers so each is evaluated ONCE per row (CollapseProject would
+    otherwise inline the md5 chain into every consumer). The short-doc
+    filter runs before any array math, so every `sequence(1, n)` has
+    n ≥ 1 — Spark's sequence(1, 0) counts DOWN, which would silently
+    corrupt the window walk."""
+    d = (
+        df.select(
+            F.col(id_col).alias("id"),
+            normalized_col(F.col(text_col)).alias("_norm"),
+        )
+        .withColumn("_g", (F.length("_norm") - F.lit(k - 1)).cast("int"))
+        .where(F.col("_g") >= 1)
+        .withColumn("_w", F.least(F.lit(w), F.col("_g")))
+        .withColumn("_nw", F.col("_g") - F.col("_w") + 1)
+    )
+    hs = (
+        f"transform(sequence(1, _g), i -> "
+        f"{_winnow_hash_expr(f'substring(_norm, i, {k})', hash_fn)})"
+    )
+    fps = f"""
+    element_at(transform(array({hs}), hs ->
+      element_at(transform(array(
+          transform(sequence(1, _nw), i -> array_min(slice(hs, i, _w)))
+        ), mins ->
+        array_distinct(transform(sequence(1, _nw), i ->
+          named_struct(
+            'pos', cast(i + array_max(filter(sequence(0, _w - 1),
+                     j -> element_at(hs, i + j) = element_at(mins, i)))
+                   as bigint),
+            'h', element_at(mins, i))))
+      ), 1)
+    ), 1)
+    """
+    return (
+        d.select("id", F.explode(F.expr(fps)).alias("fp"))
+        .select("id", F.col("fp.pos").alias("pos"), F.col("fp.h").alias("h"))
+    )
+
+
+def winnow_fingerprints_sql(table: str, id_col: str, text_col: str,
+                            k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """DuckDB twin (md5 tier): identical normalization, gram hashing,
+    window minima and rightmost-tie selection."""
+    return f"""
+    WITH d AS (
+      SELECT {id_col} AS id,
+             regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g') AS norm
+      FROM {table}
+    ), g AS (
+      SELECT id, norm, (length(norm) - {k} + 1) AS ng
+      FROM d WHERE length(norm) >= {k}
+    ), h AS (
+      SELECT id, ng, least({w}, ng) AS wf,
+             list_transform(range(1, ng + 1),
+               i -> ('0x' || substr(md5(substr(norm, i, {k})), 1, 15))::BIGINT
+             ) AS hs
+      FROM g
+    ), m AS (
+      SELECT id, wf, hs,
+             list_transform(range(1, ng - wf + 2),
+               i -> list_min(hs[i : i + wf - 1])) AS mins
+      FROM h
+    )
+    SELECT DISTINCT id,
+           (i + list_max(list_filter(range(0, wf),
+              j -> hs[i + j] = mins[i])))::BIGINT AS pos,
+           mins[i] AS h
+    FROM m, LATERAL unnest(range(1, len(mins) + 1)) AS t(i)
+    """
+
+
+def winnow_pairs(df: DataFrame, id_col: str, text_col: str,
+                 k: int = WINNOW_K, w: int = WINNOW_W,
+                 min_shared: int = 2, hot_cap: int = WINNOW_HOT_CAP,
+                 hash_fn: str = "md5") -> DataFrame:
+    """(id_a, id_b, shared, overlap): documents sharing ≥ min_shared
+    selected hashes; overlap = shared / min(|fp_a|, |fp_b|) — a
+    containment score, so a short excerpt inside a long document still
+    scores high (the case winnowing exists for).
+
+    Hashes appearing in more than hot_cap documents (boilerplate) are
+    dropped BEFORE the self-join: the per-hash pair fan-out is capped at
+    hot_cap², and at 10^12 rows the cap is what keeps the posting join
+    from quadratic blowup on cookie-banner grams. `shared`/`overlap`
+    count surviving hashes only (deterministic — the SQL twin applies
+    the identical cap)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w, hash_fn) \
+        .select("id", "h").distinct()
+    n_fp = fps.groupBy("id").agg(F.count("*").cast("long").alias("n_fp"))
+    doc_freq = fps.groupBy("h").agg(F.count("*").alias("df_h"))
+    keep_h = doc_freq.where(
+        (F.col("df_h") >= 2) & (F.col("df_h") <= hot_cap)).select("h")
+    posting = fps.join(keep_h, "h")
+    # SHUFFLE_HASH: corpus-sized posting lists on both sides — same
+    # reasoning as minhash_pairs (broadcast impossible at scale,
+    # sort-merge pays a useless sort on a throwaway 60-bit key)
+    a = posting.hint("shuffle_hash").alias("a")
+    b = posting.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    na = n_fp.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    nb = n_fp.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    overlap = F.round(
+        F.col("shared").cast("double")
+        / F.least("n_a", "n_b").cast("double"), 6)
+    return (
+        pairs.join(na, "id_a").join(nb, "id_b")
+        .select("id_a", "id_b", "shared", overlap.alias("overlap"))
+    )
+
+
+def winnow_pairs_sql(table: str, id_col: str, text_col: str,
+                     k: int = WINNOW_K, w: int = WINNOW_W,
+                     min_shared: int = 2,
+                     hot_cap: int = WINNOW_HOT_CAP) -> str:
+    fp = winnow_fingerprints_sql(table, id_col, text_col, k, w)
+    return f"""
+    WITH fps AS (
+      SELECT DISTINCT id, h FROM ({fp})
+    ), n_fp AS (
+      SELECT id, count(*)::BIGINT AS n_fp FROM fps GROUP BY id
+    ), keep_h AS (
+      SELECT h FROM fps GROUP BY h
+      HAVING count(*) BETWEEN 2 AND {hot_cap}
+    ), posting AS (
+      SELECT fps.id, fps.h FROM fps JOIN keep_h USING (h)
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared
+      FROM posting a JOIN posting b ON a.h = b.h AND a.id < b.id
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_shared}
+    )
+    SELECT p.id_a, p.id_b, p.shared,
+           round(p.shared::DOUBLE / least(na.n_fp, nb.n_fp)::DOUBLE, 6)
+             AS overlap
+    FROM pairs p
+    JOIN n_fp na ON na.id = p.id_a
+    JOIN n_fp nb ON nb.id = p.id_b
+    """

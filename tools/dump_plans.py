@@ -28,6 +28,7 @@ PLAN_QUERIES = (
     "embedding_neardup",
     "ann_lsh_topk",
     "simhash_pairs",
+    "winnow_pairs",
     "events_sessions",
     "pipeline_keep_stats",
     "audio_decode_features",
