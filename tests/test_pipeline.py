@@ -102,7 +102,10 @@ def test_chars_per_sec_consistency_metric(spark, registry):
         "clip_id", "dur_ms", "transcript", "chars_per_sec", "keep"
     ).toPandas()
     expect = out.transcript.str.len().fillna(0) / (out.dur_ms / 1000.0).clip(lower=0.001)
-    assert (abs(out.chars_per_sec - expect.round(3)) < 1e-6).all()
+    # compare against the unrounded value: Spark rounds HALF_UP, pandas
+    # half-to-even, and exact .xxx5 quotients (e.g. 106 chars / 0.256 s)
+    # land one ulp apart between the two
+    assert (abs(out.chars_per_sec - expect) <= 5e-4 + 1e-9).all()
 
     # opting into a rate ceiling drops the over-rate rows and only them
     strict = quality_filter(

@@ -1,0 +1,89 @@
+"""Measure the SHIPPED pretrained models against the reference's REAL
+accuracy corpus — the seed-vocabulary realism gauge (distinct from
+tools/ref_accuracy.py, which trains on the corpus itself to measure
+ENGINE parity).
+
+Evaluates the pretrained registry on the ref_parity eval split (fold-0
+sentences + all single words / word pairs) and writes a per-language
+accuracy table so vocabulary changes can be A/B'd:
+
+    python tools/pretrained_ref_eval.py [out.json]
+
+Compare two runs with:
+
+    python tools/pretrained_ref_eval.py --diff old.json new.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def measure(out_path: str) -> None:
+    from pyspark.sql import functions as F
+
+    from tiny_lingua_spark import corpus as seed_corpus
+    from tiny_lingua_spark.eval import ref_parity
+    from tiny_lingua_spark.models.registry import ModelRegistry
+    from tiny_lingua_spark.models.train import train_and_write
+    from tiny_lingua_spark.session import get_spark
+
+    if not ref_parity.ref_corpus_available():
+        raise SystemExit("reference test corpus not present")
+    spark = get_spark("pretrained-ref-eval", shuffle_partitions=16)
+    models = os.path.join(
+        REPO, ".cache", f"models_v{seed_corpus.CORPUS_VERSION}")
+    if not os.path.exists(os.path.join(models, "_SUCCESS")):
+        train_and_write(spark, models)
+    reg = ModelRegistry(spark, models)
+    ref = ref_parity.load_ref_corpus(spark)
+    _, eval_df = ref_parity.split_train_eval(ref)
+    pred = ref_parity.detect_ref_corpus(eval_df, reg)
+    rows = (
+        pred.groupBy("expected")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("predicted") == F.col("expected")).cast("int"))
+            .alias("hits"),
+        )
+        .collect()
+    )
+    table = {
+        r["expected"]: round(100.0 * r["hits"] / r["n"], 2) for r in rows
+    }
+    overall = round(sum(table.values()) / len(table), 2)
+    out = {"corpus_version": seed_corpus.CORPUS_VERSION,
+           "overall_mean": overall, "by_lang": dict(sorted(table.items()))}
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"overall mean accuracy: {overall}% over {len(table)} languages")
+    print(f"wrote {out_path}")
+
+
+def diff(old_path: str, new_path: str) -> None:
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    print(f"overall: {old['overall_mean']} -> {new['overall_mean']}")
+    deltas = {
+        l: round(new["by_lang"][l] - old["by_lang"].get(l, 0.0), 2)
+        for l in new["by_lang"]
+    }
+    moved = {l: d for l, d in deltas.items() if abs(d) >= 0.5}
+    for l, d in sorted(moved.items(), key=lambda kv: kv[1]):
+        print(f"  {l}: {old['by_lang'].get(l)} -> {new['by_lang'][l]} "
+              f"({d:+.2f})")
+    regressions = [l for l, d in deltas.items() if d <= -1.0]
+    print(f"languages regressed >1pp: {regressions or 'none'}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--diff":
+        diff(sys.argv[2], sys.argv[3])
+    else:
+        measure(sys.argv[1] if len(sys.argv) > 1
+                else os.path.join(REPO, ".cache", "pretrained_ref_eval.json"))
