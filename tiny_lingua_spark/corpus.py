@@ -779,9 +779,9 @@ _V8_EXTRA: dict[str, list[str]] = {
     haut bas vieux jeune nouveau vite lent fort faible heureux triste vrai
     libre riche pauvre propre sale calme profond proche loin prochain
     dernier même différent important possible beau belle toujours souvent
-    jamais ici aujourdhui demain hier ensemble contre entre pendant autour
+    jamais ici aujourd'hui demain hier ensemble contre entre pendant autour
     avant derrière dessus dessous presque assez vraiment encore déjà
-    peutêtre rien quelque chose tout"""
+    peut-être rien quelque chose tout"""
         .split(),
     "es": """fue fueron era eran sido soy eres somos son está están estaba
     estaban estado hace hacía hecho va iba ido viene venía venido puede
@@ -861,7 +861,7 @@ NO_SPACE_LANGS = frozenset({"zh", "ja"})
 
 # Bump when WORDS / generation logic changes — cached model artifacts key
 # on this so stale models are never reused.
-CORPUS_VERSION = 8
+CORPUS_VERSION = 9
 
 ISO_LANGS = tuple(sorted(WORDS))
 

@@ -1031,16 +1031,19 @@ def winnow_pairs(df: DataFrame, id_col: str, text_col: str,
     Hashes appearing in more than hot_cap documents (boilerplate) are
     dropped BEFORE the self-join: the per-hash pair fan-out is capped at
     hot_cap², and at 10^12 rows the cap is what keeps the posting join
-    from quadratic blowup on cookie-banner grams. `shared`/`overlap`
-    count surviving hashes only (deterministic — the SQL twin applies
-    the identical cap)."""
+    from quadratic blowup on cookie-banner grams. `shared`, `overlap`
+    AND the containment denominator all count surviving (post-filter)
+    hashes only, so an exact duplicate reaches overlap = 1.0 even when
+    most of its fingerprints are hot-capped boilerplate (deterministic —
+    the SQL twin applies the identical cap)."""
     fps = winnow_fingerprints(df, id_col, text_col, k, w, hash_fn) \
         .select("id", "h").distinct()
-    n_fp = fps.groupBy("id").agg(F.count("*").cast("long").alias("n_fp"))
     doc_freq = fps.groupBy("h").agg(F.count("*").alias("df_h"))
     keep_h = doc_freq.where(
         (F.col("df_h") >= 2) & (F.col("df_h") <= hot_cap)).select("h")
     posting = fps.join(keep_h, "h")
+    # denominator over the SAME retained-hash universe as `shared`
+    n_fp = posting.groupBy("id").agg(F.count("*").cast("long").alias("n_fp"))
     # SHUFFLE_HASH: corpus-sized posting lists on both sides — same
     # reasoning as minhash_pairs (broadcast impossible at scale,
     # sort-merge pays a useless sort on a throwaway 60-bit key)
@@ -1072,13 +1075,13 @@ def winnow_pairs_sql(table: str, id_col: str, text_col: str,
     return f"""
     WITH fps AS (
       SELECT DISTINCT id, h FROM ({fp})
-    ), n_fp AS (
-      SELECT id, count(*)::BIGINT AS n_fp FROM fps GROUP BY id
     ), keep_h AS (
       SELECT h FROM fps GROUP BY h
       HAVING count(*) BETWEEN 2 AND {hot_cap}
     ), posting AS (
       SELECT fps.id, fps.h FROM fps JOIN keep_h USING (h)
+    ), n_fp AS (
+      SELECT id, count(*)::BIGINT AS n_fp FROM posting GROUP BY id
     ), pairs AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared
       FROM posting a JOIN posting b ON a.h = b.h AND a.id < b.id

@@ -65,7 +65,8 @@ _SLOT = MAX_N + 1  # per-row accumulator slots indexed by n (1..5)
 class DetectorParams:
     minimum_relative_distance: float = 0.0
     low_accuracy: bool = False
-    # None = all 18; otherwise the configured subset (builder API) —
+    # None = the full repertoire (langmeta.ISO_CODES, 77 languages);
+    # otherwise the configured subset (builder API) —
     # rule tables are derived PER SUBSET, as the reference derives its
     # per-detector alphabet maps (LanguageDetector.kt:83-97)
     languages: tuple[str, ...] | None = None

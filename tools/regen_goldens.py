@@ -51,24 +51,35 @@ def main() -> None:
 
     with open(GOLDEN, encoding="utf-8") as f:
         cases = json.load(f)
-    texts = [c["text"] for c in cases]
+    # (text, expected-iso-or-None); dedupe by text, first wins
+    seen: dict[str, str | None] = {}
+    for c in cases:
+        if c["text"] not in seen:
+            seen[c["text"]] = c.get("expected")
 
-    # one deterministic eval sentence per language lacking a golden case
-    covered = {c["decision"] for c in cases}
+    # one deterministic eval sentence per language lacking a golden case.
+    # Coverage is keyed on the INTENDED language (`expected`), not on the
+    # decision — otherwise a misdetected language never counts as covered
+    # and every regen appends another duplicate case for it.
+    covered = {e for e in seen.values() if e}
     for iso in lm.ISO_CODES:
         if iso not in covered:
-            texts.append(corpus.sentences(iso, 1, split="golden")[0])
+            seen[corpus.sentences(iso, 1, split="golden")[0]] = iso
 
     out = []
-    for t in texts:
+    for t, expected in seen.items():
         idxs, confs = det.confidence_values(t, clean_text_py(t))
-        out.append(
-            {
-                "text": t,
-                "decision": det.decide(idxs, confs),
-                "confidences": _format(idxs, confs, lm.ISO_CODES),
-            }
-        )
+        case = {
+            "text": t,
+            "decision": det.decide(idxs, confs),
+            "confidences": _format(idxs, confs, lm.ISO_CODES),
+        }
+        if expected:
+            case["expected"] = expected
+            if case["decision"] != expected:
+                print(f"WARN: {expected} golden text detected as "
+                      f"{case['decision']}: {t[:50]!r}")
+        out.append(case)
     with open(GOLDEN, "w", encoding="utf-8") as f:
         json.dump(out, f, ensure_ascii=False, indent=1)
         f.write("\n")
