@@ -45,9 +45,11 @@ from tiny_lingua_spark.operators import dedup, similarity  # noqa: E402
 
 from tiny_lingua_spark import pretrained  # noqa: E402
 
-# committed pretrained artifacts (deterministic, derived from the in-repo
-# corpus); fall back to training into .cache only if they are missing
-MODELS_DIR = pretrained.ngram_models_path(CORPUS_VERSION) or os.path.join(
+# committed pretrained artifacts; the default registry prefers the
+# real-corpus-trained production models (pretrained/ngram_ref_v*) over
+# the seed-corpus fixture, falling back to training into .cache only if
+# both are missing
+MODELS_DIR = pretrained.default_ngram_models_path(CORPUS_VERSION) or os.path.join(
     _REPO, ".cache", f"models_v{CORPUS_VERSION}")
 FASTTEXT_DIR = pretrained.fasttext_path(CORPUS_VERSION) or os.path.join(
     _REPO, ".cache", f"fasttext_v{CORPUS_VERSION}")
@@ -781,6 +783,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": _shipped(_q_audio_segments),
         "audio_embed_knn": _shipped(_q_audio_embed_knn),
     }
+
+
+# Deterministic UDF-tier queries pinned by committed expected-output
+# parquet (regenerated by tools/regen_expected.py, which re-runs each
+# query twice and verifies the value hash is stable before committing):
+# the DuckDB oracle is a plain scan of the expected file, so the driver
+# hash-verifies the detector/audio engines themselves. These pin the
+# sf0.01 testdata inputs (the synthetic-clip queries are sf-independent).
+GOLDEN_ORACLE_QUERIES = (
+    "detect_doc_labels",
+    "detect_lang_counts",
+    "detect_low_accuracy",
+    "multilang_sections",
+    "accuracy_report",
+    "pipeline_keep_stats",
+    "perplexity_scores",
+    "simhash_pairs",
+    "audio_decode_features",
+    "audio_spectral",
+    "audio_resample",
+    "audio_loudness",
+    "audio_neardup",
+    "audio_segments",
+    "audio_embed_knn",
+)
+
+EXPECTED_DIR = os.path.join(_REPO, "expected")
+
+
+def _golden_oracles() -> dict[str, str]:
+    out = {}
+    for name in GOLDEN_ORACLE_QUERIES:
+        p = os.path.join(EXPECTED_DIR, f"{name}.parquet")
+        if os.path.exists(p):
+            out[name] = f"SELECT * FROM '{p}'"
+    return out
 
 
 def _trigram_decl_sql() -> str:

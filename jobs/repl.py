@@ -27,7 +27,7 @@ def main() -> None:
     from tiny_lingua_spark.builder import LanguageDetectorBuilder
     from tiny_lingua_spark.session import get_spark
 
-    models = args.models or pretrained.ngram_models_path(corpus.CORPUS_VERSION)
+    models = args.models or pretrained.default_ngram_models_path(corpus.CORPUS_VERSION)
     if models is None:
         raise SystemExit("no pretrained models; run tools/train_models.py")
     spark = get_spark("lingua-repl", shuffle_partitions=4)

@@ -61,7 +61,10 @@ def main() -> None:
         from tiny_lingua_spark.data.clips import CLIPS_SCHEMA, generate_clips
         from tiny_lingua_spark.models.train import train_and_write
 
-        models_dir = args.models or os.path.join(
+        from tiny_lingua_spark import pretrained
+
+        models_dir = args.models or pretrained.default_ngram_models_path(
+            CORPUS_VERSION) or os.path.join(
             REPO, ".cache", f"models_v{CORPUS_VERSION}")
         if not os.path.exists(os.path.join(models_dir, "_SUCCESS")):
             train_and_write(spark, models_dir)

@@ -275,9 +275,64 @@ def _loud_batch(n_rows=48, seed=3):
             pd.Series([r[2] for r in rows]))
 
 
+def _kw_gain_db(f: float, fs: float) -> float:
+    """Analytic K-weighting cascade gain at frequency f (dB), evaluated
+    directly from the designed biquad coefficients."""
+    z = np.exp(-2j * np.pi * f / fs)
+    g = 1.0 + 0j
+    for b, a in audio._kw_biquads(fs):
+        g *= (b[0] + b[1] * z + b[2] * z * z) / \
+             (a[0] + a[1] * z + a[2] * z * z)
+    return float(20 * np.log10(abs(g)))
+
+
+def test_kweight_coeffs_48k():
+    """The per-rate biquad design must reproduce the coefficient table
+    printed in ITU-R BS.1770-4 at 48 kHz."""
+    (b1, a1), (b2, a2) = audio._kw_biquads(48000.0)
+    assert np.allclose(
+        b1, [1.53512485958697, -2.69169618940638, 1.19839281085285],
+        atol=1e-10)
+    assert np.allclose(
+        a1, [1.0, -1.69065929318241, 0.73248077421585], atol=1e-10)
+    assert np.allclose(b2, [1.0, -2.0, 1.0], atol=1e-10)
+    assert np.allclose(
+        a2, [1.0, -1.99004745483398, 0.99007225036621], atol=1e-10)
+
+
+def test_loudness_997hz_compliance():
+    """BS.1770 compliance case: a full-scale 997 Hz sine reads
+    -3.01 LKFS (the -0.691 constant cancels the K-weighting gain
+    at 997 Hz by design)."""
+    sr = 48000
+    t = np.arange(3 * sr, dtype=np.float64) / sr
+    pcm = np.sin(2 * np.pi * 997.0 * t).astype(np.float32)
+    out = audio._loudness_chunk(
+        pd.Series([audio.encode(pcm, "pcm_f32le")]),
+        pd.Series(["pcm_f32le"]), pd.Series([sr]))
+    assert abs(out["integrated_lufs"][0] - (-3.01)) < 0.05
+
+
+def test_kweight_lowfreq_highpass():
+    """The RLB high-pass must attenuate rumble: a 25 Hz sine reads
+    ~10 dB under its unweighted mean-square loudness."""
+    sr = 16000
+    a = 0.5
+    t = np.arange(3 * sr, dtype=np.float64) / sr
+    pcm = (a * np.sin(2 * np.pi * 25.0 * t)).astype(np.float32)
+    out = audio._loudness_chunk(
+        pd.Series([audio.encode(pcm, "pcm_f32le")]),
+        pd.Series(["pcm_f32le"]), pd.Series([sr]))
+    unweighted = -0.691 + 10 * np.log10(a * a / 2)
+    expected = unweighted + _kw_gain_db(25.0, sr)
+    assert out["integrated_lufs"][0] < unweighted - 6.0
+    assert abs(out["integrated_lufs"][0] - expected) < 1.0
+
+
 def test_loudness_sine_closed_form():
-    """Steady sine at amplitude a: every block has ms = a^2/2, no block is
-    gated out, integrated = -0.691 + 10*log10(a^2/2)."""
+    """Steady sine at amplitude a: every block has ms = a^2/2 scaled by
+    the K-weighting power gain at the tone frequency, no block is gated
+    out, integrated = -0.691 + 10*log10(a^2/2) + gain_db(440 Hz)."""
     sr = 16000
     a = 0.25
     t = np.arange(2 * sr, dtype=np.float64) / sr
@@ -285,7 +340,7 @@ def test_loudness_sine_closed_form():
     out = audio._loudness_chunk(
         pd.Series([audio.encode(pcm, "pcm_f32le")]),
         pd.Series(["pcm_f32le"]), pd.Series([sr]))
-    expected = -0.691 + 10 * np.log10(a * a / 2)
+    expected = -0.691 + 10 * np.log10(a * a / 2) + _kw_gain_db(440.0, sr)
     assert abs(out["integrated_lufs"][0] - expected) < 0.05
     assert out["gated_block_ratio"][0] == 1.0
     assert out["loudness_range_lu"][0] < 0.1
@@ -304,7 +359,7 @@ def test_loudness_gating_ignores_silence():
     out = audio._loudness_chunk(
         pd.Series([audio.encode(clip, "pcm_f32le")]),
         pd.Series(["pcm_f32le"]), pd.Series([sr]))
-    tone_lufs = -0.691 + 10 * np.log10(a * a / 2)
+    tone_lufs = -0.691 + 10 * np.log10(a * a / 2) + _kw_gain_db(300.0, sr)
     assert abs(out["integrated_lufs"][0] - tone_lufs) < 0.5
     assert out["gated_block_ratio"][0] < 0.75
 
@@ -326,9 +381,11 @@ def test_loudness_chunking_invariant(monkeypatch):
     monkeypatch.setattr(audio, "_CHUNK_SAMPLE_BUDGET", 20000)
     chunked = audio._chunked_frame_apply(audio._loudness_chunk, bs, cs, srs)
     for col in whole.columns:
+        # chunking changes FFT sizes in the K-weighting convolution; the
+        # float32-quantized weighted samples may differ by an ulp
         assert np.allclose(
             np.asarray(whole[col], dtype=float),
-            np.asarray(chunked[col], dtype=float), atol=1e-9), col
+            np.asarray(chunked[col], dtype=float), atol=1e-5), col
 
 
 def test_loudness_udf(spark):

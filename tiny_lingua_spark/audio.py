@@ -15,6 +15,7 @@ downstream feature extraction that genuinely needs samples.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -732,15 +733,15 @@ def spectral_features_udf():
     return spectral_features
 
 
-# ---------- gated loudness (EBU R128-style) ----------
+# ---------- gated loudness (EBU R128) ----------
 
 # R128 gating geometry/thresholds (public: EBU Tech 3341/3342): 400 ms
 # momentary blocks at 75% overlap, absolute gate at -70 LUFS, relative
-# gate 10 LU below the abs-gated mean. Deviation, documented: the
-# K-weighting pre-filter is omitted (mono speech at 8-16 kHz; the shelf
-# +4 dB above ~2 kHz shifts speech loudness by well under the gating
-# granularity) — so values are "LUFS-style" gated loudness, not
-# certifiable LUFS.
+# gate 10 LU below the abs-gated mean. Samples are K-weighted first
+# (ITU-R BS.1770-4 two-stage pre-filter: high-frequency shelf + RLB
+# high-pass, coefficients re-designed per sample rate from the published
+# analog parameters; at 48 kHz they reproduce the table printed in the
+# standard — pinned by test_kweight_coeffs_48k).
 BLOCK_SEC = 0.4
 HOP_SEC = 0.1
 ABS_GATE_LUFS = -70.0
@@ -754,6 +755,145 @@ LOUDNESS_SCHEMA = (
     " gated_block_ratio double, loudness_range_lu double,"
     " gain_to_target_db double"
 )
+
+
+# ---- K-weighting (ITU-R BS.1770-4 pre-filter) ----
+
+# below ~2×1682 Hz the shelf design's tan() prewarp is out of range;
+# such sample rates don't occur for speech audio — pass through unweighted
+_KW_MIN_SR = 4000
+_KW_TAIL_EPS = 1e-10  # truncate the impulse response at -200 dB
+_KW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _kw_biquads(fs: float):
+    """The two BS.1770-4 biquads designed for sample rate ``fs``.
+
+    Public analog parameters (stage 1 high-shelf: f0 = 1681.97 Hz,
+    gain +3.9998 dB, Q = 0.70718; stage 2 RLB high-pass: f0 = 38.135 Hz,
+    Q = 0.50033) mapped through the bilinear transform — the standard's
+    printed 48 kHz coefficient table falls out of this design exactly.
+    Returns [(b, a), (b, a)] with a[0] == 1."""
+    f0, gain_db, q = 1681.974450955533, 3.999843853973347, 0.7071752369554196
+    k = math.tan(math.pi * f0 / fs)
+    vh = 10.0 ** (gain_db / 20.0)
+    vb = vh ** 0.4996667741545416
+    a0 = 1.0 + k / q + k * k
+    shelf = (
+        np.array([(vh + vb * k / q + k * k) / a0,
+                  2.0 * (k * k - vh) / a0,
+                  (vh - vb * k / q + k * k) / a0]),
+        np.array([1.0, 2.0 * (k * k - 1.0) / a0,
+                  (1.0 - k / q + k * k) / a0]),
+    )
+    f0, q = 38.13547087602444, 0.5003270373238773
+    k = math.tan(math.pi * f0 / fs)
+    a0 = 1.0 + k / q + k * k
+    highpass = (
+        np.array([1.0, -2.0, 1.0]),
+        np.array([1.0, 2.0 * (k * k - 1.0) / a0,
+                  (1.0 - k / q + k * k) / a0]),
+    )
+    return [shelf, highpass]
+
+
+def _kw_iir_row(pcm: np.ndarray, fs: float) -> np.ndarray:
+    """Exact sample-recurrence K-weighting of ONE row (direct form II
+    transposed) — the equivalence oracle for the vectorized FFT path."""
+    if fs < _KW_MIN_SR:
+        return np.asarray(pcm, dtype=np.float64)
+    y = np.asarray(pcm, dtype=np.float64)
+    for b, a in _kw_biquads(fs):
+        x, y = y, np.empty_like(y)
+        b0, b1, b2 = b
+        _, a1, a2 = a
+        z1 = z2 = 0.0
+        for t in range(len(x)):
+            yt = b0 * x[t] + z1
+            z1 = b1 * x[t] - a1 * yt + z2
+            z2 = b2 * x[t] - a2 * yt
+            y[t] = yt
+    return y
+
+
+def _kw_impulse(fs: int) -> np.ndarray:
+    """Truncated impulse response of the K-weighting cascade at ``fs``
+    (cached per worker). The cascade is a stable 4-pole IIR whose
+    response decays below 1e-10 within ~10k samples at any speech rate,
+    so convolving with this truncated kernel equals the exact recurrence
+    to far beyond float32 PCM precision."""
+    h = _KW_CACHE.get(fs)
+    if h is None:
+        x = np.zeros(16384)
+        x[0] = 1.0
+        h = _kw_iir_row(x, float(fs))
+        keep = np.nonzero(np.abs(h) > _KW_TAIL_EPS)[0]
+        h = h[: int(keep[-1]) + 1] if keep.size else h[:1]
+        _KW_CACHE[fs] = h
+    return h
+
+
+# overlap-add FFT block size: temporaries stay ~hundreds of KB so malloc
+# recycles already-resident heap pages — ONE big rfft over the whole
+# chunk would fresh-mmap ~100 MB per call, and on memory-cgroup hosts
+# first-touch page faults can cost 100x the FFT arithmetic itself
+# (the same finding behind _Arena)
+_KW_NFFT = 1 << 15
+_KW_HCACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _k_weight(samples: np.ndarray, offsets: np.ndarray,
+              sr_g: np.ndarray) -> np.ndarray:
+    """K-weight a concatenated grouped batch, one overlap-add FFT
+    convolution per distinct sample rate: rows of a rate group are laid
+    out in a padded scratch arena separated by len(h)-1 zeros, so the
+    linear convolution filters every row with per-row state isolation
+    (the gap absorbs each row's IIR tail — no cross-row leakage, no
+    per-sample Python: the only loops are per row for the gather/scatter
+    memcpy and per 32k-sample FFT block). Memory is bounded by the
+    caller's TLS_AUDIO_CHUNK_BUDGET chunking plus the fixed FFT block."""
+    out = _ARENA.get("kw", np.float32, len(samples))
+    lens = np.diff(offsets)
+    srs = np.asarray(sr_g, dtype=np.int64)
+    for fs in np.unique(srs):
+        rows = np.nonzero((srs == fs) & (lens > 0))[0]
+        if not rows.size:
+            continue
+        if fs < _KW_MIN_SR:
+            for i in rows:
+                out[offsets[i]:offsets[i + 1]] = \
+                    samples[offsets[i]:offsets[i + 1]]
+            continue
+        h = _kw_impulse(int(fs))
+        gap = len(h) - 1
+        rl = lens[rows]
+        pstart = np.zeros(rows.size, dtype=np.int64)
+        np.cumsum(rl[:-1] + gap, out=pstart[1:])
+        total = int(pstart[-1] + rl[-1] + gap)
+        pad = _ARENA.get("kwpad", np.float64, total)
+        pad[:] = 0.0
+        for j, i in enumerate(rows):
+            pad[pstart[j]:pstart[j] + rl[j]] = \
+                samples[offsets[i]:offsets[i + 1]]
+        nfft = _KW_NFFT
+        while nfft < 2 * len(h):
+            nfft <<= 1
+        key = (int(fs), nfft)
+        hf = _KW_HCACHE.get(key)
+        if hf is None:
+            hf = _KW_HCACHE[key] = np.fft.rfft(h, nfft)
+        step = nfft - gap
+        y = _ARENA.get("kwy", np.float64, total)
+        y[:] = 0.0
+        for a in range(0, total, step):
+            seg = pad[a:a + step]
+            # linear conv of a step-long segment fits in nfft — no wrap
+            yb = np.fft.irfft(np.fft.rfft(seg, nfft) * hf, nfft)
+            e = min(a + len(seg) + gap, total)
+            y[a:e] += yb[:e - a]
+        for j, i in enumerate(rows):
+            out[offsets[i]:offsets[i + 1]] = y[pstart[j]:pstart[j] + rl[j]]
+    return out
 
 
 def _block_geometry(offsets: np.ndarray, sr: np.ndarray):
@@ -821,8 +961,9 @@ def _loudness_from_decoded(samples, offsets, ok, order, sr_s,
     _features_from_decoded for the decode-once rationale)."""
     n = len(ok)
     sr_g = np.asarray(sr_s, dtype=np.float64)[order]
-    sq = np.multiply(samples, samples,
-                     out=_ARENA.get("loudsq", np.float32, len(samples)))
+    kw = _k_weight(samples, offsets, sr_g)
+    sq = np.multiply(kw, kw,
+                     out=_ARENA.get("loudsq", np.float32, len(kw)))
 
     starts, ends, rob, n_blocks = _block_geometry(offsets, sr_g)
     blk_len = np.maximum(ends - starts, 1).astype(np.float64)
@@ -896,7 +1037,7 @@ def _loudness_rowloop(bytes_s, codec_s, sr_s,
         try:
             if b is None or c not in SUPPORTED_CODECS:
                 raise ValueError
-            pcm = decode(bytes(b), c).astype(np.float64)
+            pcm = _kw_iir_row(decode(bytes(b), c), sr)
         except Exception:
             rows.append((False, 0, LOUDNESS_FLOOR, 0.0, 0.0,
                          target_lufs - LOUDNESS_FLOOR))

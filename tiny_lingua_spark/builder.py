@@ -164,7 +164,19 @@ class LanguageDetectorBuilder:
 
     # ---- build ----
 
-    def build(self, spark: SparkSession, models_path: str) -> SparkLanguageDetector:
+    def build(self, spark: SparkSession,
+              models_path: str | None = None) -> SparkLanguageDetector:
+        if models_path is None:
+            from . import pretrained
+            from .corpus import CORPUS_VERSION
+
+            models_path = pretrained.default_ngram_models_path(CORPUS_VERSION)
+            if models_path is None:
+                raise ValueError(
+                    "no pretrained models shipped; pass models_path "
+                    "(train via tools/train_ref_models.py or "
+                    "tools/train_models.py)"
+                )
         registry = ModelRegistry(spark, models_path)
         det = SparkLanguageDetector(registry, self._params)
         if self._preload:

@@ -99,6 +99,30 @@ def train_ref_models(spark: SparkSession, out_path: str,
     return out_path
 
 
+def train_ref_pretrained(spark: SparkSession, out_path: str,
+                         testdata_path: str = REF_TESTDATA,
+                         extra_n_sentences: int = 800) -> str:
+    """Train the SHIPPED pretrained registry: real reference-corpus
+    sentences (train folds only — fold 0 plus all single words / word
+    pairs stay held out for tools/pretrained_ref_eval.py) for the 75
+    reference languages, plus seed-corpus sentences for the repo-extra
+    languages the reference corpus doesn't cover (kn, ml) so every
+    language on the axis has a model."""
+    from .. import corpus as seed_corpus
+    from .. import langmeta as lm
+
+    corpus = load_ref_corpus(spark, testdata_path)
+    train, _ = split_train_eval(corpus)
+    extras = tuple(c for c in lm.ISO_CODES if c not in REF_ISO_CODES)
+    if extras:
+        rows = seed_corpus.training_corpus(langs=extras,
+                                           n_sentences=extra_n_sentences)
+        extra_df = spark.createDataFrame(rows, "lang string, text string")
+        train = train.unionByName(extra_df)
+    write_models(train_ngram_models(spark, train), out_path)
+    return out_path
+
+
 def detect_ref_corpus(eval_df: DataFrame, registry: ModelRegistry) -> DataFrame:
     udf = make_detect_udf(
         registry.bc_low, registry.bc_high,

@@ -1,13 +1,21 @@
 """Broadcast model registry.
 
 Turns the `ngram_freq` Parquet model table into the runtime form consumed
-by the detector UDF: per n-gram length, a dict mapping gram → float32
-vector over the configured language axis. Lookup of one gram yields the
-frequency for *all* languages at once — the numpy equivalent of the
-reference's per-(language × gram) map probes
+by the detector UDF: per n-gram length, a CSR-style SparseGramTable
+mapping gram → float32 vector over the configured language axis. Lookup
+of one gram yields the frequency for *all* languages at once — the numpy
+equivalent of the reference's per-(language × gram) map probes
 (UniBiTrigramLookup.kt:29-54, ImmutableLong2FloatMap.kt:64-68); we always
 take the hash-map semantics of withIncreasedDetectionSpeed()
 (UniBiTrigramLookup.kt:195-203), which is accuracy-neutral.
+
+The sparse layout matters at production vocabulary size: the shipped
+real-corpus registry holds ~1.7M (lang, gram) entries over ~1M distinct
+grams. A dict of per-gram numpy vectors would broadcast ~1 GB (and
+unpickle a million tiny arrays per executor python worker); the CSR form
+is three flat arrays plus one str→int dict (~60 MB), unpickled as one
+allocation — the same reason the reference ships packed primitive-array
+models (ImmutableLong2FloatMap.kt) instead of object maps.
 
 Broadcast once per session (`sc.broadcast`) ↔ the reference's shared
 lazy-loaded model holders (LanguageDetector.kt:683-711). uni/bi/tri and
@@ -19,42 +27,92 @@ LanguageDetector.kt:545-549).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.broadcast import Broadcast
 from pyspark.sql import SparkSession
 
-from ..langmeta import ISO_CODES, N_LANGS
+from ..langmeta import ISO_CODES
 
-ModelDicts = dict[int, dict[str, np.ndarray]]
+ModelDicts = "dict[int, SparseGramTable]"
+
+
+class SparseGramTable:
+    """gram → dense float32 language vector, stored sparse (CSR).
+
+    `index[gram]` gives the row; `lang_idx[indptr[r]:indptr[r+1]]` /
+    `freq[...]` hold the (language, frequency) pairs of that row. The
+    dense 77-wide vector is materialized per lookup — callers
+    (GramMatrixCache) memoize per gram across batches, so densification
+    happens once per distinct gram per executor."""
+
+    __slots__ = ("index", "indptr", "lang_idx", "freq", "n_langs")
+
+    def __init__(self, index: dict, indptr: np.ndarray,
+                 lang_idx: np.ndarray, freq: np.ndarray, n_langs: int):
+        self.index = index
+        self.indptr = indptr
+        self.lang_idx = lang_idx
+        self.freq = freq
+        self.n_langs = n_langs
+
+    def get(self, gram: str, default=None):
+        r = self.index.get(gram)
+        if r is None:
+            return default
+        a, b = self.indptr[r], self.indptr[r + 1]
+        v = np.zeros(self.n_langs, dtype=np.float32)
+        v[self.lang_idx[a:b]] = self.freq[a:b]
+        return v
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+
+def build_gram_tables(pdf: pd.DataFrame,
+                      langs: tuple[str, ...] = ISO_CODES
+                      ) -> dict[int, SparseGramTable]:
+    """(lang, n, gram, freq) rows → {n: SparseGramTable}, vectorized."""
+    idx = {c: i for i, c in enumerate(langs)}
+    li = pdf["lang"].map(idx)
+    keep = li.notna().to_numpy()
+    li_all = li.to_numpy(na_value=-1)[keep].astype(np.int16)
+    n_all = pdf["n"].to_numpy()[keep].astype(np.int64)
+    gram_all = pdf["gram"].to_numpy()[keep]
+    freq_all = pdf["freq"].to_numpy()[keep].astype(np.float32)
+
+    out: dict[int, SparseGramTable] = {}
+    for n in np.unique(n_all):
+        m = n_all == n
+        grams, freqs, lidx = gram_all[m], freq_all[m], li_all[m]
+        order = np.argsort(grams, kind="stable")
+        grams, freqs, lidx = grams[order], freqs[order], lidx[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], grams[1:] != grams[:-1])))
+        indptr = np.append(starts, len(grams)).astype(np.int64)
+        index = {g: j for j, g in enumerate(grams[starts])}
+        out[int(n)] = SparseGramTable(
+            index, indptr, lidx, freqs, len(langs))
+    return out
 
 
 def build_model_dicts(
     rows: list[tuple[str, int, str, float]],
     langs: tuple[str, ...] = ISO_CODES,
-) -> ModelDicts:
-    """rows of (lang, n, gram, freq) → {n: {gram: float32[len(langs)]}}."""
-    idx = {c: i for i, c in enumerate(langs)}
-    out: ModelDicts = {}
-    for lang, n, gram, freq in rows:
-        li = idx.get(lang)
-        if li is None:
-            continue
-        d = out.setdefault(int(n), {})
-        vec = d.get(gram)
-        if vec is None:
-            vec = np.zeros(len(langs), dtype=np.float32)
-            d[gram] = vec
-        vec[li] = freq
-    return out
+) -> dict[int, SparseGramTable]:
+    """rows of (lang, n, gram, freq) → gram tables (list-input helper)."""
+    pdf = pd.DataFrame(rows, columns=["lang", "n", "gram", "freq"])
+    return build_gram_tables(pdf, langs)
 
 
 def load_model_dicts(spark: SparkSession, path: str,
                      langs: tuple[str, ...] = ISO_CODES,
-                     max_n: int = 5) -> ModelDicts:
+                     max_n: int = 5) -> dict[int, SparseGramTable]:
     df = spark.read.parquet(path).where(f"n <= {max_n}")
-    # model tables are vocabulary-bounded (small); collect → dict is the
-    # broadcast-build step, same role as the reference's binary model load
-    rows = [(r["lang"], r["n"], r["gram"], r["freq"]) for r in df.collect()]
-    return build_model_dicts(rows, langs)
+    # model tables are vocabulary-bounded (small relative to the corpus);
+    # Arrow-collect → vectorized CSR build is the broadcast-build step,
+    # same role as the reference's binary model load
+    pdf = df.select("lang", "n", "gram", "freq").toPandas()
+    return build_gram_tables(pdf, langs)
 
 
 class ModelRegistry:
@@ -64,8 +122,8 @@ class ModelRegistry:
                  langs: tuple[str, ...] = ISO_CODES):
         self.langs = langs
         dicts = load_model_dicts(spark, path, langs)
-        low = {n: dicts.get(n, {}) for n in (1, 2, 3)}
-        high = {n: dicts.get(n, {}) for n in (4, 5)}
+        low = {n: t for n, t in dicts.items() if n <= 3}
+        high = {n: t for n, t in dicts.items() if n >= 4}
         sc = spark.sparkContext
         self.bc_low: Broadcast = sc.broadcast(low)
         self.bc_high: Broadcast = sc.broadcast(high)

@@ -1,12 +1,19 @@
 """Pretrained model artifacts, committed for reproducible cold starts.
 
-Both are DERIVED, deterministic outputs of in-repo code on the in-repo
-seeded corpus (no external data):
+All are DERIVED, deterministic outputs of in-repo code:
 
-- ngram_freq_v{N}/   models/train.py::train_and_write   (seed 42)
+- ngram_ref_v{K}/    eval/ref_parity.py::train_ref_pretrained — the
+                     PRODUCTION registry, trained on the reference's
+                     real accuracy-corpus train folds (fold 0 + all
+                     single words / word pairs stay held out; the two
+                     repo-extra languages kn/ml come from the seed
+                     corpus). Regenerate: python tools/train_ref_models.py
+- ngram_freq_v{N}/   models/train.py::train_and_write (seed 42) — the
+                     fully in-repo deterministic TEST fixture
 - fasttext_v{N}/     models/fasttext.py::train_and_write_fasttext
 
-Regenerate after corpus/model changes (bump corpus.CORPUS_VERSION):
+Regenerate the seed artifacts after corpus/model changes (bump
+corpus.CORPUS_VERSION):
 
     python tools/train_models.py
 """
@@ -17,10 +24,24 @@ import os
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
+# bump when the ref-pretrained training recipe changes
+REF_VERSION = 1
+
 
 def ngram_models_path(version: int) -> str | None:
     p = os.path.join(_DIR, f"ngram_freq_v{version}")
     return p if os.path.exists(os.path.join(p, "_SUCCESS")) else None
+
+
+def ref_ngram_models_path(version: int = REF_VERSION) -> str | None:
+    p = os.path.join(_DIR, f"ngram_ref_v{version}")
+    return p if os.path.exists(os.path.join(p, "_SUCCESS")) else None
+
+
+def default_ngram_models_path(corpus_version: int) -> str | None:
+    """The registry a production user gets: real-corpus-trained models
+    when shipped, else the seed-corpus fixture."""
+    return ref_ngram_models_path() or ngram_models_path(corpus_version)
 
 
 def fasttext_path(version: int) -> str | None:

@@ -27,7 +27,7 @@ sys.path.insert(0, REPO)
 def measure(out_path: str) -> None:
     from pyspark.sql import functions as F
 
-    from tiny_lingua_spark import corpus as seed_corpus
+    from tiny_lingua_spark import corpus as seed_corpus, pretrained
     from tiny_lingua_spark.eval import ref_parity
     from tiny_lingua_spark.models.registry import ModelRegistry
     from tiny_lingua_spark.models.train import train_and_write
@@ -36,10 +36,16 @@ def measure(out_path: str) -> None:
     if not ref_parity.ref_corpus_available():
         raise SystemExit("reference test corpus not present")
     spark = get_spark("pretrained-ref-eval", shuffle_partitions=16)
-    models = os.path.join(
-        REPO, ".cache", f"models_v{seed_corpus.CORPUS_VERSION}")
-    if not os.path.exists(os.path.join(models, "_SUCCESS")):
-        train_and_write(spark, models)
+    # the registry a production user gets by default (ref-trained when
+    # shipped; its training saw only folds 1..4 — this eval set is the
+    # held-out fold 0 + all single words / word pairs)
+    models = pretrained.default_ngram_models_path(seed_corpus.CORPUS_VERSION)
+    if models is None:
+        models = os.path.join(
+            REPO, ".cache", f"models_v{seed_corpus.CORPUS_VERSION}")
+        if not os.path.exists(os.path.join(models, "_SUCCESS")):
+            train_and_write(spark, models)
+    print(f"evaluating registry: {models}")
     reg = ModelRegistry(spark, models)
     ref = ref_parity.load_ref_corpus(spark)
     _, eval_df = ref_parity.split_train_eval(ref)

@@ -72,7 +72,7 @@ def timed_run(cores: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     from tiny_lingua_spark import pretrained
 
-    models_dir = pretrained.ngram_models_path(CORPUS_VERSION)
+    models_dir = pretrained.default_ngram_models_path(CORPUS_VERSION)
     if models_dir is None:
         models_dir = os.path.join(REPO, ".cache", f"models_v{CORPUS_VERSION}")
         if not os.path.exists(os.path.join(models_dir, "_SUCCESS")):

@@ -1,0 +1,50 @@
+"""Regenerate the shipped PRODUCTION n-gram registry
+(tiny_lingua_spark/pretrained/ngram_ref_v{K}) from the reference's real
+accuracy corpus.
+
+    python tools/train_ref_models.py
+
+Fold discipline (eval/ref_parity.py::split_train_eval): only sentence
+folds 1..4 train; fold-0 sentences and ALL single words / word pairs
+stay held out — tools/pretrained_ref_eval.py measures the shipped
+registry on exactly that held-out set. The repo-extra languages (kn,
+ml), absent from the reference corpus, train from the in-repo seed
+corpus so the 77-language axis has no zero-model entries.
+
+Requires the reference checkout at /root/reference (read in place;
+nothing from it is committed — the committed artifact is the derived
+n-gram frequency table).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from tiny_lingua_spark import pretrained
+    from tiny_lingua_spark.eval import ref_parity as rpar
+    from tiny_lingua_spark.session import get_spark
+
+    if not rpar.ref_corpus_available():
+        raise SystemExit(f"reference corpus not found at {rpar.REF_TESTDATA}")
+
+    out = os.path.join(REPO, "tiny_lingua_spark", "pretrained",
+                       f"ngram_ref_v{pretrained.REF_VERSION}")
+    spark = get_spark("train-ref-models")
+    shutil.rmtree(out, ignore_errors=True)
+    rpar.train_ref_pretrained(spark, out)
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            if f.endswith(".crc"):
+                os.remove(os.path.join(root, f))
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
