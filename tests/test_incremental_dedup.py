@@ -93,6 +93,37 @@ def test_bloom_geometry_and_positions_agree():
     assert words.sum() > 0
 
 
+def test_bloom_geometry_driver_memory_cap():
+    """The bitset is hard-capped: at 10^9 batch items @ fpp 1e-3 the
+    ideal filter is ~1.8 GB, over the 256 MB default cap → geometry
+    refuses (the operator falls back to the exact distributed anti-join);
+    any geometry the cap does admit stays under the byte budget."""
+    assert dedup._bloom_geometry(1_000_000_000, 0.001) is None
+    cap = 32 << 20
+    for n in (1, 1000, 10_000_000, 17_000_000):
+        geom = dedup._bloom_geometry(n, 0.001, max_bytes=cap)
+        if geom is not None:
+            m, k = geom
+            assert m <= cap * 8 and m % 64 == 0 and 1 <= k <= 16
+    # 10^9 items under a raised cap is admitted and still bounded
+    m, k = dedup._bloom_geometry(1_000_000_000, 0.001, max_bytes=4 << 30)
+    assert m <= (4 << 30) * 8
+
+
+def test_oversized_batch_falls_back_to_exact_anti_join(spark):
+    """expected_items over the cap → bloom path auto-degrades to the
+    plain anti-join; result identical."""
+    batch, history = _frames(spark)
+    got = dedup.incremental_new_docs(
+        batch, history, "doc_id", "text",
+        expected_items=1_000_000_000,
+    )
+    want = dedup.incremental_new_docs(
+        batch, history, "doc_id", "text", use_bloom=False
+    )
+    assert _rows(got) == _rows(want)
+
+
 def test_history_side_is_never_shuffle_joined(spark):
     batch, history = _frames(spark)
     df = dedup.incremental_new_docs(batch, history, "doc_id", "text")

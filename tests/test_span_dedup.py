@@ -146,3 +146,39 @@ def test_simhash_declarative_plan_no_python(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_tiers_agree_on_planted_ground_truth(spark):
+    """Cross-family equivalence of the two simhash tiers (SipHash UDF vs
+    md5 declarative): they hash differently, so their borderline pair
+    sets may differ, but on planted ground truth — exact/near duplicates
+    of long token streams vs unrelated documents — both must recover
+    exactly the planted pairs and nothing else."""
+    import random
+
+    from tiny_lingua_spark.operators.dedup import (
+        simhash_declarative_pairs, simhash_pairs)
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(4000)]
+    rows = []
+    for d in range(20):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(120)]
+        rows.append((d, " ".join(toks)))
+        if d < 6:  # planted near-dup: one token of 120 replaced
+            near = list(toks)
+            near[60] = "replaced"
+            rows.append((100 + d, " ".join(near)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    planted = {(d, 100 + d) for d in range(6)}
+
+    udf_pairs = {(r["id_a"], r["id_b"])
+                 for r in simhash_pairs(df, "doc_id", "text").collect()}
+    decl_pairs = {(r["id_a"], r["id_b"])
+                  for r in simhash_declarative_pairs(
+                      df, "doc_id", "text").collect()}
+    assert planted <= udf_pairs, planted - udf_pairs
+    assert planted <= decl_pairs, planted - decl_pairs
+    # no pair between two different base documents in either family
+    assert not {p for p in udf_pairs if p not in planted}
+    assert not {p for p in decl_pairs if p not in planted}

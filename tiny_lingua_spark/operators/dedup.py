@@ -584,7 +584,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     symmetrized edge list, takes the per-node min over {own label} ∪
     {neighbor labels} (one shuffled join + one hash aggregate per round,
     both keyed on node id — uniform, partial-aggregated), and stops when
-    a round changes no label. Rounds needed = graph diameter; near-dup
+    a round changes no label. The changed-count rides the SAME job as the
+    round's materialization via `observe` — one action per round, not a
+    separate count() join. Rounds needed = graph diameter; near-dup
     components are shallow (a dup cluster is near-clique), so this
     converges in a handful of rounds — the Kiveris et al. large-star/
     small-star variant only pays off on path-shaped giant components,
@@ -592,6 +594,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     every round cuts the exponential lineage an iterative plan would
     otherwise accumulate.
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"),
@@ -606,24 +610,28 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        prop = (
+        neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
-            .select(F.col("src").alias("node"), "comp")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("comp").alias("nmin"))
         )
+        obs = Observation()
         new_labels = (
-            labels.select("node", "comp").union(prop)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"),
+                        F.coalesce(F.col("nmin"), F.col("comp"))
+                        ).alias("comp"),
+                (F.coalesce(F.col("nmin"), F.col("comp"))
+                 < F.col("comp")).cast("long").alias("_chg"),
+            )
+            .observe(obs, F.sum("_chg").alias("changed"))
+            .drop("_chg")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if not (obs.get["changed"] or 0):
             break
     return labels.select(F.col("node").alias("id"), "comp")
 
@@ -781,16 +789,28 @@ def simhash_declarative_pairs_sql(table: str, id_col: str, text_col: str,
 # EXACT; fpp only controls how much dead weight rides the broadcast.
 
 BLOOM_FPP = 0.001
+# hard driver/executor memory bound for the bitset (bytes). 256 MB holds
+# ~1.4e8 items at fpp 1e-3; a batch too big for its bitset to fit the cap
+# falls back to the plain distributed anti-join — at that batch size the
+# bloom prefilter's advantage is gone anyway (the "increment" is no
+# longer small next to history), so the fallback IS the scale path.
+BLOOM_MAX_BYTES = 256 << 20
 _LN2 = 0.6931471805599453
 
 
-def _bloom_geometry(n_items: int, fpp: float) -> tuple[int, int]:
-    """(m_bits rounded up to a 64-bit word, k hashes) for n items @ fpp."""
+def _bloom_geometry(n_items: int, fpp: float,
+                    max_bytes: int = BLOOM_MAX_BYTES
+                    ) -> tuple[int, int] | None:
+    """(m_bits rounded up to a 64-bit word, k hashes) for n items @ fpp,
+    or None when the bitset would exceed ``max_bytes`` (caller falls back
+    to the exact anti-join — correctness never depends on the filter)."""
     import math
 
     n = max(int(n_items), 1)
     m = max(64, int(math.ceil(-n * math.log(fpp) / (_LN2 * _LN2))))
     m = (m + 63) & ~63
+    if m > max_bytes * 8:
+        return None
     k = max(1, min(16, round(m / n * _LN2)))
     return m, k
 
@@ -808,7 +828,10 @@ def bloom_positions(col: Column, m_bits: int, k: int) -> Column:
 
 def _bloom_bitset(fp_df: DataFrame, fp_col: str, m_bits: int, k: int) -> np.ndarray:
     """Build the bitset distributed: one partial uint64 bitset per
-    partition (vectorized scatter-or), OR-ed on the driver."""
+    partition (vectorized scatter-or), the partials OR-ed executor-side
+    in a single coalesced task so the driver receives exactly ONE
+    m-bit array — never n_partitions of them (the manual analog of the
+    JVM BloomFilterAggregate's treeAggregate merge)."""
     n_words = m_bits // 64
     pos_df = fp_df.select(bloom_positions(F.col(fp_col), m_bits, k).alias("pos"))
 
@@ -829,8 +852,23 @@ def _bloom_bitset(fp_df: DataFrame, fp_col: str, m_bits: int, k: int) -> np.ndar
         if any_rows:
             yield pd.DataFrame({"bitset": [words.tobytes()]})
 
+    def or_partials(batches):
+        acc = None
+        for pdf in batches:
+            for b in pdf["bitset"]:
+                w = np.frombuffer(b, dtype=np.uint64)
+                acc = w.copy() if acc is None else np.bitwise_or(acc, w, out=acc)
+        if acc is not None:
+            yield pd.DataFrame({"bitset": [acc.tobytes()]})
+
+    merged = (
+        pos_df.mapInPandas(build, "bitset binary")
+        .coalesce(1)  # narrow: partials stream into one merge task
+        .mapInPandas(or_partials, "bitset binary")
+        .collect()
+    )
     out = np.zeros(n_words, dtype=np.uint64)
-    for row in pos_df.mapInPandas(build, "bitset binary").collect():
+    for row in merged:
         out |= np.frombuffer(row.bitset, dtype=np.uint64)
     return out
 
@@ -854,13 +892,18 @@ def incremental_new_docs(batch: DataFrame, history: DataFrame,
                          id_col: str, text_col: str,
                          fpp: float = BLOOM_FPP,
                          expected_items: int | None = None,
-                         use_bloom: bool = True) -> DataFrame:
+                         use_bloom: bool = True,
+                         max_bloom_bytes: int = BLOOM_MAX_BYTES) -> DataFrame:
     """Batch fingerprints absent from the historical corpus:
     (fingerprint, keep_id, n_copies) — keep_id/n_copies collapse
     batch-internal copies exactly like exact_dedup_groups.
 
     use_bloom=False is the plain anti-join twin (the correctness
-    oracle); both paths return identical rows."""
+    oracle); both paths return identical rows. The bloom path also
+    degrades to it automatically when the batch is too large for its
+    bitset to fit ``max_bloom_bytes`` — exactness never depends on the
+    prefilter, only the amount of history surviving into the broadcast
+    does."""
     batch_fp = exact_dedup_groups(batch, id_col, text_col)
     hist_fp = history.select(
         F.md5(normalized_col(F.col(text_col))).alias("fingerprint")
@@ -869,7 +912,10 @@ def incremental_new_docs(batch: DataFrame, history: DataFrame,
         return batch_fp.join(hist_fp.distinct(), "fingerprint", "left_anti")
 
     n = expected_items if expected_items is not None else batch.count()
-    m_bits, k = _bloom_geometry(n, fpp)
+    geom = _bloom_geometry(n, fpp, max_bloom_bytes)
+    if geom is None:
+        return batch_fp.join(hist_fp.distinct(), "fingerprint", "left_anti")
+    m_bits, k = geom
     words = _bloom_bitset(batch_fp, "fingerprint", m_bits, k)
     bc = batch.sparkSession.sparkContext.broadcast(words)
     survivors = (
