@@ -991,4 +991,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": similarity.ann_lsh_sql("embeddings", 0, 10, 16, EMB_DIM),
         "ivf_topk": similarity.ivf_topk_sql("embeddings", 0, 10, 4, EMB_DIM),
         "ivf_cells": similarity.ivf_cells_sql("embeddings", EMB_DIM),
+        **_golden_oracles(),
     }

@@ -61,6 +61,45 @@ def force(df) -> int:
     return 0
 
 
+def _first_touch_probe_mb_s() -> float:
+    """First-touch page-fault bandwidth of a fresh 200 MB numpy buffer.
+
+    This host intermittently enters a window where first-touch faults run
+    ~100x slow while cache-resident arithmetic is unaffected (BENCH.md
+    environment-variance appendix); every memory-heavy query inflates in
+    that window. Healthy ≈ 1000+ MB/s, degraded ≈ 5-10 MB/s."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.empty(25_000_000)  # 200 MB
+    a[:] = 1.0
+    dt = max(time.time() - t0, 1e-9)
+    del a
+    return 200.0 / dt
+
+
+# below this the host is in the degraded window — retry, then stamp
+_PROBE_HEALTHY_MB_S = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "400"))
+
+
+def _gate_on_host_health() -> tuple[float, bool]:
+    """Probe; if degraded, wait and re-probe a few times. Returns the
+    last probe value and whether the record should be stamped degraded
+    (the driver always gets its JSON line — a degraded record is
+    flagged, never silently emitted as if healthy)."""
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4"))
+    wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "90"))
+    mb_s = _first_touch_probe_mb_s()
+    for _ in range(retries):
+        if mb_s >= _PROBE_HEALTHY_MB_S:
+            return mb_s, False
+        print(f"bench: host degraded (first-touch {mb_s:.0f} MB/s); "
+              f"waiting {wait_s:.0f}s", file=sys.stderr)
+        time.sleep(wait_s)
+        mb_s = _first_touch_probe_mb_s()
+    return mb_s, mb_s < _PROBE_HEALTHY_MB_S
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -69,6 +108,8 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+
+    probe_mb_s, degraded = _gate_on_host_health()
 
     spark = get_spark("tiny-lingua-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
@@ -98,14 +139,18 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
         "cpus": cpus,
-    }))
+        "first_touch_mb_s": round(probe_mb_s, 1),
+    }
+    if degraded:
+        record["host_degraded"] = True
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

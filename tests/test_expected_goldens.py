@@ -1,0 +1,38 @@
+"""Committed expected-output parquet (expected/<q>.parquet) freshness.
+
+The driver hash-verifies the UDF-tier queries against these files, so a
+stale golden silently turns a behavior change into a CORRECTNESS failure
+at round end. This spot-checks the cheap synthetic-clip queries (they
+don't depend on the sf dir) against their committed files with the
+driver's own comparison; tools/regen_expected.py re-pins after
+intentional changes.
+"""
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry  # noqa: E402
+from tools.check_oracles import value_hash  # noqa: E402
+
+
+@pytest.mark.parametrize("name", ["audio_resample", "audio_segments",
+                                  "simhash_pairs", "audio_neardup"])
+def test_expected_golden_fresh(spark, name):
+    import duckdb
+
+    path = os.path.join(entry.EXPECTED_DIR, f"{name}.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"{name} golden not generated yet")
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    got = entry.queries()[name](spark, sf_dir).toPandas()
+    want = duckdb.sql(f"SELECT * FROM '{path}'").df()
+    assert len(got) == len(want)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert value_hash(got) == value_hash(want), (
+        f"{name} drifted from its committed golden — if intentional, "
+        "run tools/regen_expected.py and review the diff")

@@ -1,0 +1,69 @@
+"""Regenerate expected/<query>.parquet — committed oracle outputs for the
+deterministic UDF-tier driver queries (__spark_entry__.GOLDEN_ORACLE_QUERIES).
+
+    python tools/regen_expected.py [names...]
+
+For each query the tool runs the Spark plan TWICE at sf0.01 (fresh
+DataFrame each time), verifies the two runs value-hash identically
+(catches any accidental nondeterminism before it gets committed as an
+oracle), writes the result as a single parquet file, and finally
+round-trips it through DuckDB to confirm the driver-side comparison
+(row count + sorted-column schema + order-insensitive repr hash)
+matches the live query.
+
+These files pin the sf0.01 testdata inputs and the shipped pretrained
+models — regenerate after any change to models, detector semantics,
+audio kernels, or the synthetic clip generator, and REVIEW the diff:
+expected outputs are goldens, not something to rubber-stamp.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.check_oracles import value_hash
+    from tiny_lingua_spark.session import get_spark
+
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+    os.makedirs(e.EXPECTED_DIR, exist_ok=True)
+    spark = get_spark("regen-expected", shuffle_partitions=8)
+    qs = e.queries()
+    failed = []
+    for name in e.GOLDEN_ORACLE_QUERIES:
+        if only and name not in only:
+            continue
+        first = qs[name](spark, sf_dir).toPandas()
+        second = qs[name](spark, sf_dir).toPandas()
+        if value_hash(first) != value_hash(second):
+            print(f"FAIL {name}: two runs hash differently — "
+                  "NOT a golden-oracle candidate")
+            failed.append(name)
+            continue
+        path = os.path.join(e.EXPECTED_DIR, f"{name}.parquet")
+        first.to_parquet(path, index=False)
+        rt = duckdb.sql(f"SELECT * FROM '{path}'").df()
+        ok = (len(rt) == len(first)
+              and sorted(rt.columns) == sorted(first.columns)
+              and value_hash(rt) == value_hash(first))
+        if not ok:
+            print(f"FAIL {name}: DuckDB round-trip hash mismatch")
+            failed.append(name)
+            os.remove(path)
+            continue
+        print(f"ok   {name}: rows={len(first)} -> {path}")
+    print("FAILED:", failed if failed else "none")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
