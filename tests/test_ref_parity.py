@@ -1,7 +1,7 @@
 """Accuracy parity against the reference's REAL accuracy corpus.
 
 Converts the round-1 'F1=1.0 on our own synthetic corpus' into real
-evidence: models trained on 4 of 5 hash folds of the reference's
+evidence: models trained on 9 of 10 hash folds of the reference's
 Leipzig-derived sentences files, evaluated on held-out data (fold-0
 sentences + ALL single words / word pairs) via the A1-A3 harness, must
 land within a stated band of the reference's published numbers
@@ -23,7 +23,7 @@ pytestmark = pytest.mark.skipif(
 MODELS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".cache",
-    "ref_models_v2",  # v2 = 80/20 sentence folds (ref_parity.TRAIN_FOLDS)
+    "ref_models_v3",  # v3 = 90/10 sentence folds (ref_parity.TRAIN_FOLDS)
 )
 
 
@@ -37,8 +37,8 @@ def parity(spark):
 
 
 def test_mean_average_within_band(parity):
-    """Measured at the 80/20 fold split: ours 85.7 vs reference 86.4 mean
-    average — trained on ~800 sentences/language where the reference saw
+    """Measured at the 90/10 fold split: ours 86.2 vs reference 86.4 mean
+    average — trained on ~900 sentences/language where the reference saw
     megabytes. The band pins that gap so it can only shrink."""
     ours = parity.avg_pct.mean()
     ref = parity.ref_avg_pct.mean()

@@ -66,12 +66,13 @@ def load_ref_corpus(spark: SparkSession, path: str = REF_TESTDATA) -> DataFrame:
     return df.where(F.col("lang").isin(list(REF_ISO_CODES)))
 
 
-# sentences-category split: 4 of 5 hash folds train, fold 0 evaluates.
-# Round 2 moved from 50/50 to 80/20 — single words and word pairs stay
-# FULLY held out either way, and the extra training sentences close most
-# of the data-volume gap vs the reference's Leipzig-trained models
-# (−3.5 pp mean → −0.6 pp measured on the 300-item/category sample).
-TRAIN_FOLDS = 5
+# sentences-category split: folds 1..N-1 train, fold 0 evaluates.
+# Round 2 moved 50/50 → 80/20 (−3.5 pp mean → −0.8); round 3 moved
+# 80/20 → 90/10 — single words and word pairs stay FULLY held out either
+# way, and each step of extra training sentences closes more of the
+# data-volume gap vs the reference's Leipzig-trained models (90/10:
+# mean delta −0.12 pp, languages below −5 pp 5 → 1).
+TRAIN_FOLDS = 10
 
 
 def split_train_eval(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:

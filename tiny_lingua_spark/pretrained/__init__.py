@@ -25,7 +25,8 @@ import os
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
 # bump when the ref-pretrained training recipe changes
-REF_VERSION = 1
+# v2 = 90/10 sentence folds (ref_parity.TRAIN_FOLDS = 10)
+REF_VERSION = 2
 
 
 def ngram_models_path(version: int) -> str | None:

@@ -21,7 +21,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-MODELS = os.path.join(REPO, ".cache", "ref_models_v2")  # v2 = 80/20 folds
+MODELS = os.path.join(REPO, ".cache", "ref_models_v3")  # v3 = 90/10 folds
 OUT = os.path.join(REPO, "accuracy-reports", "ref_corpus_parity.csv")
 
 
