@@ -99,3 +99,20 @@ def test_api_parity_helpers():
     # increased-speed is a documented no-op (hash semantics always on)
     b = LanguageDetectorBuilder.from_iso_codes("en", "fr")
     assert b.with_increased_detection_speed() is b
+
+
+def test_build_defaults_to_shipped_production_registry(spark):
+    """build(spark) with no models_path resolves the shipped default
+    (real-corpus registry when present, else the seed fixture)."""
+    from tiny_lingua_spark import pretrained
+    from tiny_lingua_spark.builder import LanguageDetectorBuilder
+    from tiny_lingua_spark.corpus import CORPUS_VERSION
+
+    expected = pretrained.default_ngram_models_path(CORPUS_VERSION)
+    if expected is None:
+        import pytest
+
+        pytest.skip("no committed pretrained artifacts")
+    det = LanguageDetectorBuilder.from_iso_codes("en", "de", "fr").build(spark)
+    assert det.detect_language_of("the quick brown fox jumps over it") == "en"
+    assert det.detect_language_of("der schnelle braune fuchs springt") == "de"
