@@ -309,6 +309,29 @@ def _q_incremental_dedup(spark, sf_dir):
     return dedup.incremental_new_docs(batch, history, "doc_id", "text")
 
 
+# Decontamination driver query: a deterministic tenth of `documents`
+# plays the held-out benchmark; the rest is the corpus. k=4 grams on the
+# small-vocab testdata (the API default is the 13-gram convention).
+_DECONTAM_K = 4
+_DECONTAM_BENCH_PRED = "doc_id % 10 = 0"
+
+
+def _q_decontaminate(spark, sf_dir):
+    from tiny_lingua_spark.operators import decontam
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.expr(_DECONTAM_BENCH_PRED))
+    corpus = docs.where(~F.expr(_DECONTAM_BENCH_PRED))
+    return decontam.contamination_hits(
+        corpus, bench, "doc_id", "text", k=_DECONTAM_K)
+
+
+def _q_source_stats(spark, sf_dir):
+    from tiny_lingua_spark.operators import decontam
+
+    return decontam.source_stats(_docs(spark, sf_dir), "source", "text")
+
+
 _SAMPLE_FRACTIONS = {"en": 0.25, "zh": 1.0}
 
 
@@ -745,6 +768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _shipped(_q_span_dedup),
         "incremental_dedup": _shipped(_q_incremental_dedup),
         "hash_sample": _shipped(_q_hash_sample),
+        "decontaminate": _shipped(_q_decontaminate),
+        "source_stats": _shipped(_q_source_stats),
         "screen_lang_confusion": _shipped(_q_screen_confusion),
         "screen_lang_accuracy": _shipped(_q_screen_accuracy),
         "lang_doc_stats": _shipped(_q_lang_stats),
@@ -900,6 +925,14 @@ def oracle_sql() -> dict[str, str]:
             batch_pred="substr(md5(doc_id::VARCHAR), 1, 1) >= '8'",
             history_pred="substr(md5(doc_id::VARCHAR), 1, 1) < 'a'",
         ),
+        "decontaminate": __import__(
+            "tiny_lingua_spark.operators.decontam", fromlist=["decontam"]
+        ).contamination_hits_sql(
+            "documents", _DECONTAM_BENCH_PRED, "doc_id", "text",
+            k=_DECONTAM_K),
+        "source_stats": __import__(
+            "tiny_lingua_spark.operators.decontam", fromlist=["decontam"]
+        ).source_stats_sql("documents", "source", "text"),
         "hash_sample": (
             "SELECT doc_id, lang, source FROM ("
             + __import__("tiny_lingua_spark.operators.sampling",

@@ -1,0 +1,83 @@
+"""Benchmark decontamination + source-level filtering.
+
+Planted-case semantics plus the plan shapes that matter at 100 TB:
+the benchmark gram set is broadcast (the corpus never shuffles for the
+probe) and no cartesian product appears anywhere.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators import decontam
+from tiny_lingua_spark.plans.audit import explain_str as plan_of
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # shares the 3-gram "the quick brown" with bench doc 100
+        (1, "look the quick brown fox jumped over everything", "srcA"),
+        (2, "a completely unrelated document about spark plans", "srcA"),
+        (3, "another clean doc with no benchmark overlap at all", "srcB"),
+        # exact copy of doc 4 (dup pair inside srcC)
+        (4, "same text twice in this source", "srcC"),
+        (5, "same text twice in this source", "srcC"),
+        (6, "x1 9 !!", "srcD"),  # junk: short, digits/punct heavy
+        (7, "z9 8 ??", "srcD"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(
+        [(100, "what does the quick brown fox say", "eval")],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_contamination_hits_finds_planted_overlap(corpus, bench):
+    hits = decontam.contamination_hits(corpus, bench, "doc_id", "text", k=3)
+    got = {r["doc_id"]: r["n_hits"] for r in hits.collect()}
+    # only doc 1 shares a 3-gram ("the quick brown" and "quick brown fox")
+    assert got == {1: 2}
+
+
+def test_decontaminate_drops_only_contaminated(corpus, bench):
+    kept = decontam.decontaminate(corpus, bench, "doc_id", "text", k=3)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {2, 3, 4, 5, 6, 7}
+
+
+def test_no_overlap_when_k_exceeds_shared_run(corpus, bench):
+    hits = decontam.contamination_hits(corpus, bench, "doc_id", "text", k=5)
+    assert hits.count() == 0
+
+
+def test_contamination_plan_broadcasts_bench(corpus, bench):
+    hits = decontam.contamination_hits(corpus, bench, "doc_id", "text", k=3)
+    plan = plan_of(hits)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_stats_keep_decisions(corpus):
+    stats = decontam.source_stats(corpus, "source", "text")
+    rows = {r["source"]: r for r in stats.collect()}
+    assert rows["srcA"]["n_docs"] == 2 and rows["srcA"]["keep"]
+    assert rows["srcB"]["keep"]
+    # srcC is 100% one distinct text over two docs -> dup_rate 0.5 (kept
+    # at the <= 0.5 boundary); srcD is junk -> low avg quality, dropped
+    assert rows["srcC"]["dup_rate"] == 0.5 and rows["srcC"]["keep"]
+    assert rows["srcD"]["avg_quality"] < decontam.MIN_AVG_QUALITY
+    assert not rows["srcD"]["keep"]
+
+
+def test_filter_by_source_broadcast_semi_join(corpus):
+    stats = decontam.source_stats(corpus, "source", "text")
+    kept = decontam.filter_by_source(corpus, stats, "source")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 2, 3, 4, 5}
+    plan = plan_of(kept)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

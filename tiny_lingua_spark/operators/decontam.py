@@ -1,0 +1,164 @@
+"""Benchmark decontamination + source(domain)-level filtering.
+
+Training-data-pipeline operators with no reference counterpart
+(SURVEY.md §2.6 target-spec tier; the reference is a language-ID
+library). Both are standard web-corpus hygiene steps:
+
+- **Decontamination**: drop corpus documents that share any k-token
+  n-gram with a held-out evaluation benchmark (the GPT-3 appendix-C /
+  Llama convention uses 13-grams; `k` is a parameter). Scale shape:
+  the benchmark side is tiny (at most millions of grams) next to a
+  100 TB corpus, so its distinct gram set is **broadcast**; the corpus
+  is scanned once, its grams exploded and probed against the broadcast
+  hash relation — the corpus itself never shuffles. Only matching
+  (doc, gram) rows (a sliver) reach the one hash aggregate on doc_id,
+  and the final anti-join is against that tiny contaminated-id set
+  (AQE broadcasts it).
+
+- **Source-level filtering** (RefinedWeb/CCNet-style domain screening):
+  aggregate per-source quality + exact-duplicate rate, decide keep/drop
+  per source, then filter the corpus with a broadcast semi-join on the
+  surviving sources. The per-source aggregate is one shuffle on a
+  low-cardinality key with map-side partial aggregation; hot domains
+  (a single source holding half the corpus) are absorbed by the
+  partials, and AQE splits any residual skewed reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.quality import (
+    quality_metrics_cols,
+    quality_metrics_sql,
+    quality_score_col,
+    quality_score_sql,
+)
+from .dedup import normalized_col, shingles_expr, shingles_sql
+
+# ------------------------------------------------------ decontamination
+
+DEFAULT_K = 13  # GPT-3 appendix C / Llama decontamination convention
+
+
+def benchmark_ngrams(bench: DataFrame, text_col: str, k: int = DEFAULT_K
+                     ) -> DataFrame:
+    """Distinct k-token grams of the benchmark — the small broadcast side."""
+    return (
+        bench.select(F.explode(F.expr(shingles_expr(text_col, k)))
+                     .alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_hits(docs: DataFrame, bench: DataFrame, id_col: str,
+                       text_col: str, k: int = DEFAULT_K) -> DataFrame:
+    """(id, n_hits) for every corpus doc sharing ≥1 k-gram with the
+    benchmark. Corpus-side grams are NOT de-duplicated before the join —
+    that would shuffle the whole corpus; countDistinct after the
+    broadcast join sees only matching rows."""
+    grams = benchmark_ngrams(bench, text_col, k)
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(F.expr(shingles_expr(text_col, k)))
+        .alias("gram"))
+    return (
+        doc_grams.join(F.broadcast(grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").cast("long").alias("n_hits"))
+    )
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
+                  text_col: str, k: int = DEFAULT_K) -> DataFrame:
+    """Corpus minus contaminated docs (anti-join against the tiny hit
+    set; AQE broadcasts it)."""
+    hits = contamination_hits(docs, bench, id_col, text_col, k)
+    return docs.join(hits.select(id_col), id_col, "left_anti")
+
+
+def contamination_hits_sql(table: str, bench_pred: str, id_col: str,
+                           text_col: str, k: int = DEFAULT_K) -> str:
+    """DuckDB twin: benchmark = rows of `table` matching bench_pred;
+    corpus = the rest."""
+    sh = shingles_sql(text_col, k)
+    return f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({sh}) AS gram FROM {table} WHERE {bench_pred}
+    ),
+    dg AS (
+      SELECT {id_col}, unnest({sh}) AS gram
+      FROM {table} WHERE NOT ({bench_pred})
+    )
+    SELECT {id_col}, count(DISTINCT gram)::BIGINT AS n_hits
+    FROM dg JOIN bench USING (gram)
+    GROUP BY 1
+    """
+
+
+# --------------------------------------------------- source-level filter
+
+# Keep thresholds for source screening (tunable; RefinedWeb-style):
+# a source is dropped wholesale when its average composite quality is
+# poor or it is mostly internal duplicates.
+MIN_AVG_QUALITY = 0.5
+MAX_DUP_RATE = 0.5
+
+
+def source_stats(docs: DataFrame, source_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Per-source corpus health: doc count, mean composite quality,
+    exact-duplicate rate, mean length, and the keep decision."""
+    enriched = docs.select(
+        F.col(source_col), F.length(text_col).alias("_len"),
+        F.md5(normalized_col(F.col(text_col))).alias("_fp"),
+        *quality_metrics_cols(text_col),
+    ).withColumn("_score", quality_score_col())
+    stats = enriched.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("_score"), 6).alias("avg_quality"),
+        F.round(F.lit(1.0) - F.countDistinct("_fp") / F.count("*"), 6)
+        .alias("dup_rate"),
+        F.round(F.avg("_len"), 6).alias("avg_len"),
+    )
+    return stats.withColumn(
+        "keep",
+        (F.col("avg_quality") >= MIN_AVG_QUALITY)
+        & (F.col("dup_rate") <= MAX_DUP_RATE),
+    )
+
+
+def filter_by_source(docs: DataFrame, stats: DataFrame,
+                     source_col: str = "source") -> DataFrame:
+    """Corpus restricted to kept sources — broadcast semi-join on the
+    tiny source dimension (a 100 TB corpus has maybe 10^7 domains;
+    the stats relation stays broadcastable)."""
+    kept = stats.where("keep").select(source_col)
+    return docs.join(F.broadcast(kept), source_col, "left_semi")
+
+
+def source_stats_sql(table: str, source_col: str = "source",
+                     text_col: str = "text") -> str:
+    m = quality_metrics_sql(text_col)
+    metric_cols = ", ".join(f"{sql} AS {name}" for name, sql in m.items())
+    return f"""
+    WITH enriched AS (
+      SELECT {source_col}, length({text_col}) AS _len,
+             md5(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'))
+               AS _fp,
+             {metric_cols}
+      FROM {table}
+    ),
+    scored AS (
+      SELECT *, {quality_score_sql()} AS _score FROM enriched
+    )
+    SELECT {source_col},
+           count(*)::BIGINT AS n_docs,
+           round(avg(_score), 6) AS avg_quality,
+           round(1.0 - count(DISTINCT _fp) * 1.0 / count(*), 6) AS dup_rate,
+           round(avg(_len), 6) AS avg_len,
+           (round(avg(_score), 6) >= {MIN_AVG_QUALITY}
+            AND round(1.0 - count(DISTINCT _fp) * 1.0 / count(*), 6)
+                <= {MAX_DUP_RATE}) AS keep
+    FROM scored
+    GROUP BY 1
+    """
