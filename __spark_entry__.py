@@ -346,6 +346,17 @@ def _q_hash_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def _q_temperature_sample(spark, sf_dir):
+    """mT5-style language rebalancing: alpha-temperature keep fractions
+    from one tiny per-language counts job, then the deterministic
+    hash-threshold codegen filter."""
+    from tiny_lingua_spark.operators import sampling
+
+    return sampling.temperature_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", alpha=0.3,
+    ).select("doc_id", "lang", "source")
+
+
 def _q_screen_confusion(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -770,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _shipped(_q_hash_sample),
         "decontaminate": _shipped(_q_decontaminate),
         "source_stats": _shipped(_q_source_stats),
+        "temperature_sample": _shipped(_q_temperature_sample),
         "screen_lang_confusion": _shipped(_q_screen_confusion),
         "screen_lang_accuracy": _shipped(_q_screen_accuracy),
         "lang_doc_stats": _shipped(_q_lang_stats),
@@ -933,6 +945,13 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": __import__(
             "tiny_lingua_spark.operators.decontam", fromlist=["decontam"]
         ).source_stats_sql("documents", "source", "text"),
+        "temperature_sample": (
+            "SELECT doc_id, lang, source FROM ("
+            + __import__("tiny_lingua_spark.operators.sampling",
+                         fromlist=["sampling"]).temperature_sample_sql(
+                "documents", "doc_id", "lang", alpha=0.3)
+            + ")"
+        ),
         "hash_sample": (
             "SELECT doc_id, lang, source FROM ("
             + __import__("tiny_lingua_spark.operators.sampling",

@@ -53,6 +53,9 @@ BENCH_QUERIES = (
     "quality_calibrated",     # quantile-calibrated buckets (percentile + 1 agg)
     "neardup_components",     # pair graph -> clusters (min-label propagation)
     "winnow_pairs",           # rolling-hash winnowing fingerprint overlap join
+    "decontaminate",          # benchmark n-gram overlap (broadcast gram probe)
+    "source_stats",           # per-source quality/dup aggregate + keep flags
+    "temperature_sample",     # mT5-style alpha-temperature language rebalance
 )
 
 

@@ -74,3 +74,46 @@ def test_plan_is_scan_level_filter(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure filter, no shuffle
+
+
+# ------------------------------------------- temperature rebalancing
+
+def test_temperature_fractions_math(spark):
+    # counts: a=800, b=100, c=4; alpha=0.5, budget=400
+    rows = ([(i, "a") for i in range(800)]
+            + [(i + 1000, "b") for i in range(100)]
+            + [(i + 2000, "c") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = sampling.temperature_fractions(df, "lang", alpha=0.5,
+                                        budget_rows=400)
+    w = {"a": 800 ** 0.5, "b": 100 ** 0.5, "c": 4 ** 0.5}
+    ws = sum(w.values())
+    for s, c in (("a", 800), ("b", 100), ("c", 4)):
+        assert fr[s] == round(min(1.0, 400 * (w[s] / ws) / c), 9)
+    # the tail stratum saturates: every one of its rows is kept
+    assert fr["c"] == 1.0
+    kept = sampling.temperature_sample(df, "doc_id", "lang", alpha=0.5,
+                                       budget_rows=400)
+    by = {r["lang"]: r["count"]
+          for r in kept.groupBy("lang").count().collect()}
+    assert by["c"] == 4
+    # rebalanced: dominant stratum's share shrinks vs the raw corpus
+    assert by["a"] / sum(by.values()) < 800 / 904
+
+
+def test_temperature_sample_deterministic_and_sql_twin(spark):
+    docs = _docs(spark)
+    a = {r["doc_id"] for r in
+         sampling.temperature_sample(docs, "doc_id", "lang", alpha=0.3)
+         .collect()}
+    b = {r["doc_id"] for r in
+         sampling.temperature_sample(docs.repartition(5), "doc_id", "lang",
+                                     alpha=0.3).collect()}
+    assert a == b
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}'")
+    sql = sampling.temperature_sample_sql("documents", "doc_id", "lang",
+                                          alpha=0.3)
+    got = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM ({sql})").fetchall()}
+    assert a == got

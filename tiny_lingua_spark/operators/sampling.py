@@ -80,3 +80,65 @@ def stratified_sample_by_hash_sql(table: str, id_expr: str, strata_expr: str,
     )
     return (f"SELECT * FROM {table} WHERE {hash_bucket_sql(id_expr, seed)} <"
             f" (CASE {cases} ELSE {_threshold(default_fraction)} END)")
+
+
+# ------------------------------------------- temperature rebalancing
+
+def temperature_fractions(df: DataFrame, strata_col: str,
+                          alpha: float = 0.3,
+                          budget_rows: int | None = None) -> dict:
+    """mT5/XLM-R-style language rebalancing: target share of stratum L is
+    count(L)^alpha / sum(count^alpha); per-stratum keep fraction is
+    min(1, budget * share / count). One aggregation job on the
+    low-cardinality stratum key; the result (<= #languages rows) is
+    collected and inlined as literals, so the downstream filter is the
+    same pure-codegen hash threshold as stratified_sample_by_hash —
+    deterministic, shuffle-free, and bit-identical to the SQL twin by
+    construction. Excess budget from saturated strata (frac == 1) is not
+    redistributed (single-pass convention)."""
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    total = sum(counts.values())
+    if budget_rows is None:
+        budget_rows = total // 2
+    wsum = sum(c ** alpha for c in counts.values())
+    return {
+        s: round(min(1.0, budget_rows * ((c ** alpha) / wsum) / c), 9)
+        for s, c in counts.items()
+    }
+
+
+def temperature_sample(df: DataFrame, id_col: str, strata_col: str,
+                       alpha: float = 0.3, budget_rows: int | None = None,
+                       seed: int = 42) -> DataFrame:
+    """Deterministic temperature-balanced downsampling (one tiny counts
+    job, then a codegen filter over the full corpus — no shuffle of the
+    data itself)."""
+    fracs = temperature_fractions(df, strata_col, alpha, budget_rows)
+    return stratified_sample_by_hash(df, id_col, strata_col, fracs,
+                                     default_fraction=0.0, seed=seed)
+
+
+def temperature_sample_sql(table: str, id_expr: str, strata_expr: str,
+                           alpha: float = 0.3,
+                           budget_rows_expr: str | None = None,
+                           seed: int = 42) -> str:
+    """Self-contained DuckDB twin: computes the same fractions in SQL.
+    pow/round run in the same libm as the Python side on one host, and
+    both sides round fractions to 9 dp before thresholding, so the kept
+    sets agree (a final-ulp pow divergence would need a hash bucket
+    within ~2^-30 of the threshold to matter)."""
+    budget = budget_rows_expr or "(SELECT floor(sum(c) / 2) FROM counts_base)"
+    return f"""
+    WITH counts_base AS (
+      SELECT {strata_expr} AS s, count(*)::DOUBLE AS c FROM {table} GROUP BY 1
+    ),
+    fr AS (
+      SELECT s, round(least(1.0,
+               ({budget}) * (pow(c, {alpha}) /
+                 (SELECT sum(pow(c, {alpha})) FROM counts_base)) / c),
+             9) AS frac
+      FROM counts_base
+    )
+    SELECT t.* FROM {table} t JOIN fr ON {strata_expr} = fr.s
+    WHERE {hash_bucket_sql(id_expr, seed)} < floor(frac * {_HASH_SPACE})
+    """
