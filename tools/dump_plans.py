@@ -38,6 +38,9 @@ PLAN_QUERIES = (
     "span_dedup",
     "hash_sample",
     "quality_calibrated",
+    "decontaminate",
+    "source_stats",
+    "temperature_sample",
 )
 
 
