@@ -357,6 +357,80 @@ def _q_temperature_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+_PACK_SEQ_LEN = 512
+_PACK_SHARDS = 4
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-split packing plan: per-doc shard, token
+    offset, and training-window span (one hash shuffle + a within-shard
+    window cumsum; metadata only, no token materialization)."""
+    from tiny_lingua_spark.operators import packing
+
+    return packing.pack_sequences(
+        _docs(spark, sf_dir), "doc_id", "text",
+        seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS)
+
+
+_BPE_MERGES = 50
+_BPE_TOP_WORDS = 1000
+
+
+def _bpe_merges_df(spark, sf_dir):
+    from tiny_lingua_spark.operators import bpe
+
+    return bpe.bpe_train(_docs(spark, sf_dir), "text",
+                         n_merges=_BPE_MERGES, top_words=_BPE_TOP_WORDS)
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (Sennrich 2016): word counts are
+    ONE map-side-combined shuffle capped via TakeOrderedAndProject; the
+    merge loop runs on that bounded table (golden-parquet oracle — the
+    iterative loop is not SQL-expressible)."""
+    return _bpe_merges_df(spark, sf_dir)
+
+
+def _q_bpe_tokens(spark, sf_dir):
+    """BPE encoding with the learned merges: broadcast ranks, one Arrow
+    stage, per-batch unique-word cache (golden-parquet oracle)."""
+    from tiny_lingua_spark.operators import bpe
+
+    return bpe.bpe_encode(_docs(spark, sf_dir), "doc_id", "text",
+                          _bpe_merges_df(spark, sf_dir))
+
+
+def _q_c4_clean(spark, sf_dir):
+    """C4-style line/page cleaning over deterministic multi-line pages
+    (documents are single-line, so a page per source is assembled by
+    doc_id order — one small shuffle — then the cleaning itself is a
+    single codegen projection, no shuffle/UDF/explode)."""
+    from tiny_lingua_spark.functions import cleaning
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: F.concat(s["text"], F.lit(".")),
+            ),
+            "\n",
+        ).alias("page")
+    )
+    return cleaning.c4_clean(pages, "source", "page",
+                             min_words=40, min_lines=13)
+
+
+def _q_pack_stats(spark, sf_dir):
+    """Per-shard packing yield (full windows vs dropped tail) — one
+    map-side-combined aggregation."""
+    from tiny_lingua_spark.operators import packing
+
+    return packing.pack_stats(
+        _docs(spark, sf_dir), "doc_id", "text",
+        seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS)
+
+
 def _q_screen_confusion(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -782,6 +856,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _shipped(_q_decontaminate),
         "source_stats": _shipped(_q_source_stats),
         "temperature_sample": _shipped(_q_temperature_sample),
+        "pack_sequences": _shipped(_q_pack_sequences),
+        "pack_stats": _shipped(_q_pack_stats),
+        "c4_clean": _shipped(_q_c4_clean),
+        "bpe_merges": _shipped(_q_bpe_merges),
+        "bpe_tokens": _shipped(_q_bpe_tokens),
         "screen_lang_confusion": _shipped(_q_screen_confusion),
         "screen_lang_accuracy": _shipped(_q_screen_accuracy),
         "lang_doc_stats": _shipped(_q_lang_stats),
@@ -844,6 +923,8 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_neardup",
     "audio_segments",
     "audio_embed_knn",
+    "bpe_merges",
+    "bpe_tokens",
 )
 
 EXPECTED_DIR = os.path.join(_REPO, "expected")
@@ -952,6 +1033,20 @@ def oracle_sql() -> dict[str, str]:
                 "documents", "doc_id", "lang", alpha=0.3)
             + ")"
         ),
+        "pack_sequences": __import__(
+            "tiny_lingua_spark.operators.packing", fromlist=["packing"]
+        ).pack_sequences_sql("documents", "doc_id", "text",
+                             _PACK_SEQ_LEN, _PACK_SHARDS),
+        "pack_stats": __import__(
+            "tiny_lingua_spark.operators.packing", fromlist=["packing"]
+        ).pack_stats_sql("documents", "doc_id", "text",
+                         _PACK_SEQ_LEN, _PACK_SHARDS),
+        "c4_clean": __import__(
+            "tiny_lingua_spark.functions.cleaning", fromlist=["cleaning"]
+        ).c4_clean_sql(
+            "(SELECT source, string_agg(text || '.', chr(10)"
+            " ORDER BY doc_id) AS page FROM documents GROUP BY source)",
+            "source", "page", min_words=40, min_lines=13),
         "hash_sample": (
             "SELECT doc_id, lang, source FROM ("
             + __import__("tiny_lingua_spark.operators.sampling",

@@ -56,6 +56,8 @@ BENCH_QUERIES = (
     "decontaminate",          # benchmark n-gram overlap (broadcast gram probe)
     "source_stats",           # per-source quality/dup aggregate + keep flags
     "temperature_sample",     # mT5-style alpha-temperature language rebalance
+    "pack_sequences",         # GPT-style concat-and-split packing plan
+    "bpe_tokens",             # BPE train (capped word table) + Arrow encode
 )
 
 

@@ -1,0 +1,77 @@
+"""BPE training + encoding (operators/bpe.py).
+
+Target-spec component — public recipe (Sennrich et al. 2016); the
+first merges on the paper's own example corpus are hand-checkable."""
+
+import pytest
+
+from tiny_lingua_spark.operators import bpe
+
+# the classic example: low*5 lower*2 newest*6 widest*3
+SENNRICH = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+
+
+def test_learn_merges_classic_example():
+    merges = bpe.learn_merges(SENNRICH, n_merges=5)
+    assert [(m[1], m[2]) for m in merges] == [
+        ("e", "s"), ("es", "t"), ("est", bpe.END_OF_WORD),
+        ("l", "o"), ("lo", "w"),
+    ]
+    assert merges[2][3] == "est" + bpe.END_OF_WORD
+    assert [m[0] for m in merges] == list(range(5))
+
+
+def test_encode_word_greedy():
+    ranks = {(m[1], m[2]): m[0] for m in bpe.learn_merges(SENNRICH, 5)}
+    assert bpe.encode_word("lowest", ranks) == ["low", "est" + bpe.END_OF_WORD]
+    assert bpe.encode_word("low", ranks) == ["low", bpe.END_OF_WORD]
+    # out-of-vocabulary chars fall back to characters
+    assert bpe.encode_word("xyz", ranks) == ["x", "y", "z", bpe.END_OF_WORD]
+
+
+def test_merges_exhaust_cleanly():
+    # tiny vocab runs out of pairs before n_merges — loop must stop
+    merges = bpe.learn_merges([("ab", 1)], n_merges=50)
+    assert [(m[1], m[2]) for m in merges][:2] == [("a", "b"), ("ab", bpe.END_OF_WORD)]
+    assert len(merges) == 2
+
+
+CORPUS_TEXTS = {
+    0: ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).strip(),
+    1: "the lowest and the newest.",
+    2: None,
+}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        sorted(CORPUS_TEXTS.items()), "doc_id long, text string")
+
+
+def test_bpe_train_distributed(spark, corpus):
+    merges = bpe.bpe_train(corpus, "text", n_merges=5, top_words=100)
+    got = [(r["left"], r["right"]) for r in
+           merges.orderBy("rank").collect()]
+    # doc 1 adds low-frequency words; the 9-count cluster still wins
+    assert got[0] == ("e", "s") and got[1] == ("es", "t")
+    # determinism under repartition
+    again = bpe.bpe_train(corpus.repartition(5), "text",
+                          n_merges=5, top_words=100)
+    assert [tuple(r) for r in merges.collect()] == \
+           [tuple(r) for r in again.collect()]
+
+
+def test_bpe_encode_matches_per_word_reference(spark, corpus):
+    merges = bpe.bpe_train(corpus, "text", n_merges=10, top_words=100)
+    out = {r["doc_id"]: r for r in
+           bpe.bpe_encode(corpus, "doc_id", "text", merges).collect()}
+    ranks = {(r["left"], r["right"]): r["rank"] for r in merges.collect()}
+    for doc_id in (0, 1):
+        text = CORPUS_TEXTS[doc_id]
+        want = []
+        for w in text.lower().split():
+            want.extend(bpe.encode_word(w, ranks))
+        assert out[doc_id]["tokens"] == " ".join(want)
+        assert out[doc_id]["n_tokens"] == len(want)
+    assert out[2]["tokens"] == "" and out[2]["n_tokens"] == 0

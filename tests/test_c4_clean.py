@@ -1,0 +1,78 @@
+"""C4-style line/page cleaning (functions/cleaning.py::c4_clean).
+
+Target-spec component — public C4 recipe (Raffel et al. 2020 §2.2):
+keep sentence-like lines (terminal punctuation, >= min_words words, no
+javascript boilerplate), drop placeholder/code pages."""
+
+import duckdb
+import pytest
+
+from tiny_lingua_spark.functions import cleaning
+
+GOOD = "A perfectly reasonable sentence with enough words."
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        # 0: three good lines + junk that must be stripped
+        (0, f"{GOOD}\nshort line\n{GOOD}\nPlease enable JavaScript to view the comments today.\n{GOOD}"),
+        # 1: lorem ipsum page — lines survive, page dropped
+        (1, f"lorem ipsum dolor sit amet consectetur adipiscing elit.\n{GOOD}\n{GOOD}\n{GOOD}"),
+        # 2: code page — brace kills it
+        (2, "function f() { return 1; }\n" + "\n".join([GOOD] * 3)),
+        # 3: too few surviving lines
+        (3, f"{GOOD}\n{GOOD}\nno terminal punctuation here at all"),
+        # 4: closing-quote terminal + trailing spaces before newline
+        (4, f"He said the whole thing was finished.”\n{GOOD}   \n{GOOD}"),
+        # 5: null page
+        (5, None),
+        # 6: empty page
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def cleaned(pages):
+    return (cleaning.c4_clean(pages, "doc_id", "text")
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def test_line_rules(cleaned):
+    r0 = cleaned.iloc[0]
+    assert r0["n_lines"] == 5 and r0["n_kept_lines"] == 3
+    assert bool(r0["page_keep"])
+    assert r0["clean_text"] == "\n".join([GOOD] * 3)
+    # javascript boilerplate never survives
+    assert "JavaScript" not in r0["clean_text"]
+
+
+def test_page_rules(cleaned):
+    assert not bool(cleaned.iloc[1]["page_keep"])  # lorem ipsum
+    assert cleaned.iloc[1]["n_kept_lines"] == 4    # lines themselves fine
+    assert not bool(cleaned.iloc[2]["page_keep"])  # brace (code)
+    assert not bool(cleaned.iloc[3]["page_keep"])  # < min_lines survive
+    assert bool(cleaned.iloc[4]["page_keep"])      # quote terminal + trim
+
+
+def test_null_and_empty(cleaned):
+    for i in (5, 6):
+        r = cleaned.iloc[i]
+        assert r["n_kept_lines"] == 0 and not bool(r["page_keep"])
+        assert r["clean_text"] == ""
+
+
+def test_duckdb_twin(pages, cleaned):
+    con = duckdb.connect()
+    con.register("t", pages.toPandas())
+    twin = (con.sql(cleaning.c4_clean_sql("t", "doc_id", "text"))
+            .df().sort_values("doc_id").reset_index(drop=True))
+    assert cleaned.equals(twin[cleaned.columns])
+
+
+def test_no_shuffle_plan(pages):
+    plan = (cleaning.c4_clean(pages, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,95 @@
+"""Sequence-packing invariants (operators/packing.py).
+
+Target-spec component — no reference counterpart; the DuckDB twin is
+additionally exercised by the driver oracle (pack_sequences /
+pack_stats in __spark_entry__)."""
+
+import duckdb
+import pytest
+
+from tiny_lingua_spark.operators import packing
+
+SEQ_LEN = 64
+SHARDS = 3
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"word{i} " * (i % 37 + 1)) for i in range(200)]
+    rows += [(200, ""), (201, None), (202, "   "), (203, "x" * 300)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def packed(docs):
+    return (packing.pack_sequences(docs, "doc_id", "text",
+                                   seq_len=SEQ_LEN, n_shards=SHARDS)
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def test_offsets_contiguous_per_shard(packed):
+    # concat semantics: within a shard the docs tile the token stream
+    # exactly — no gap, no overlap, starting at 0
+    for _, g in packed.groupby("shard"):
+        g = g.sort_values("start_off")
+        assert g.iloc[0]["start_off"] == 0
+        ends = (g["start_off"] + g["n_tokens"]).to_numpy()
+        assert (g["start_off"].to_numpy()[1:] == ends[:-1]).all()
+
+
+def test_window_span_arithmetic(packed):
+    start = packed["start_off"]
+    end = start + packed["n_tokens"]
+    assert (packed["first_seq"] == start // SEQ_LEN).all()
+    assert (packed["n_seqs"] == (end - 1) // SEQ_LEN - start // SEQ_LEN + 1).all()
+    # every doc has >= 1 token (the EOD separator), so >= 1 window
+    assert (packed["n_tokens"] >= 1).all()
+    assert (packed["n_seqs"] >= 1).all()
+
+
+def test_every_window_covered(packed):
+    # each shard-local window index up to the tail is covered by >= 1 doc
+    for _, g in packed.groupby("shard"):
+        total = int(g["n_tokens"].sum())
+        covered = set()
+        for _, r in g.iterrows():
+            covered.update(range(int(r["first_seq"]),
+                                 int(r["first_seq"] + r["n_seqs"])))
+        assert covered == set(range((total + SEQ_LEN - 1) // SEQ_LEN))
+
+
+def test_partitioning_independence(docs, packed):
+    again = (packing.pack_sequences(
+        docs.repartition(7), "doc_id", "text",
+        seq_len=SEQ_LEN, n_shards=SHARDS)
+        .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert again.equals(packed)
+
+
+def test_stats_consistent_with_plan(docs, packed):
+    stats = (packing.pack_stats(docs, "doc_id", "text",
+                                seq_len=SEQ_LEN, n_shards=SHARDS)
+             .toPandas().sort_values("shard").reset_index(drop=True))
+    per_shard = packed.groupby("shard")["n_tokens"].agg(["count", "sum"])
+    for _, r in stats.iterrows():
+        assert r["n_docs"] == per_shard.loc[r["shard"], "count"]
+        assert r["total_tokens"] == per_shard.loc[r["shard"], "sum"]
+        assert r["n_full_seqs"] == r["total_tokens"] // SEQ_LEN
+        assert r["tail_tokens"] == r["total_tokens"] % SEQ_LEN
+
+
+def test_duckdb_twin_matches(docs, packed):
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    twin = (con.sql(packing.pack_sequences_sql(
+        "documents", "doc_id", "text", SEQ_LEN, SHARDS))
+        .df().sort_values("doc_id").reset_index(drop=True))
+    assert twin.astype("int64").equals(packed[twin.columns].astype("int64"))
+
+
+def test_param_validation(docs):
+    with pytest.raises(ValueError):
+        packing.pack_sequences(docs, "doc_id", "text", seq_len=0)
+    with pytest.raises(ValueError):
+        packing.pack_sequences(docs, "doc_id", "text", n_shards=0)

@@ -104,3 +104,71 @@ def normalize_corpus_sql(table: str, id_col: str, text_col: str,
            ) AS {out_col}
     FROM {table}
     """
+
+
+# ------------------- C4-style line/page cleaning (target-spec, no ref
+# analog; rules from the public C4 recipe, Raffel et al. 2020 §2.2)
+
+# a kept line must end in terminal punctuation (sentence-final mark or
+# closing quote), carry >= min_words whitespace words, and not be
+# boilerplate ("javascript" cookie/enable notices)
+C4_TERMINAL_RE = r'[.!?"”]$'  # applied to trim(l): no trailing ws left
+C4_BOILERPLATE_WORD = "javascript"
+# page-level drops: placeholder text and raw code
+C4_PAGE_DROP_RE = r"lorem ipsum|\{"
+
+
+def _c4_kept_lines_expr(text_col: str, min_words: int) -> str:
+    # pure higher-order array expr — runs in codegen, zero shuffle
+    return (
+        f"filter(split(coalesce({text_col}, ''), '\\n'), l ->"
+        f" trim(l) rlike '{C4_TERMINAL_RE}'"
+        f" AND size(split(trim(l), '\\\\s+')) >= {min_words}"
+        f" AND NOT lower(l) like '%{C4_BOILERPLATE_WORD}%')"
+    )
+
+
+def c4_clean(df, id_col: str, text_col: str,
+             min_words: int = 5, min_lines: int = 3):
+    """C4 cleaning as a single codegen projection: split the page into
+    lines, keep sentence-like lines (terminal punctuation, >= min_words
+    words, no js boilerplate), rebuild the page, and keep only pages
+    with >= min_lines surviving lines and no placeholder/code markers.
+
+    Scale shape: one narrow map stage — no shuffle, no UDF, no explode
+    (the line set never leaves the row, so a 10^12-page corpus streams
+    straight through the scan stage with filters eligible for pushdown
+    on the cheap page-level predicates)."""
+    kept = F.expr(_c4_kept_lines_expr(text_col, min_words))
+    page_ok = ~F.lower(F.coalesce(F.col(text_col), F.lit(""))).rlike(
+        C4_PAGE_DROP_RE)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+         .cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        ((F.size(kept) >= min_lines) & page_ok).alias("page_keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def c4_clean_sql(table: str, id_col: str, text_col: str,
+                 min_words: int = 5, min_lines: int = 3) -> str:
+    """DuckDB twin of `c4_clean` (list_filter over split lines)."""
+    kept = (
+        f"list_filter(string_split(coalesce({text_col}, ''), chr(10)), l ->"
+        f" regexp_matches(trim(l), '{C4_TERMINAL_RE}')"
+        f" AND len(regexp_split_to_array(trim(l), '\\s+')) >= {min_words}"
+        f" AND NOT contains(lower(l), '{C4_BOILERPLATE_WORD}'))"
+    )
+    return f"""
+    SELECT {id_col},
+           len(string_split(coalesce({text_col}, ''), chr(10)))::BIGINT
+             AS n_lines,
+           len({kept})::BIGINT AS n_kept_lines,
+           (len({kept}) >= {min_lines}
+            AND NOT regexp_matches(lower(coalesce({text_col}, '')),
+                                   '{C4_PAGE_DROP_RE}')) AS page_keep,
+           coalesce(array_to_string({kept}, chr(10)), '') AS clean_text
+    FROM {table}
+    """

@@ -1,0 +1,169 @@
+"""Distributed BPE tokenizer training + encoding (Sennrich et al. 2016).
+
+Target-spec component (no reference counterpart — tiny-lingua is a
+language-ID library): a 100 TB pipeline that reports token budgets or
+packs sequences eventually needs a REAL subword tokenizer, not just the
+BPE-ish length estimate in functions/text.py. This module implements
+the public byte-pair-encoding recipe the way production tokenizer
+trainers do:
+
+- the DISTRIBUTED pass is the word-frequency table: one explode +
+  hash aggregation over the corpus (map-side combine absorbs the Zipf
+  head, so hot words never funnel into one reducer), capped to the
+  top-V words via TakeOrderedAndProject (never a global sort);
+- the merge loop then runs on that bounded table on the driver —
+  V × n_merges work on <= top_words rows, the same shape every
+  public trainer (subword-nmt, fastBPE, HF tokenizers) uses, because
+  pair statistics over a capped word-count table are exact for it and
+  the table is tiny next to the corpus;
+- encoding broadcasts the merge ranks and runs Arrow-batched with a
+  per-batch unique-word cache (Zipf again: a batch of 10k docs holds
+  far fewer unique words than tokens, so the greedy merge loop runs
+  once per unique word, not once per occurrence).
+
+Corpus subsampling for training composes with the deterministic hash
+sampler (operators/sampling.py) upstream.
+
+Determinism: pair ties break on (count desc, pair lexicographic asc);
+the word table is a deterministic top-V (count desc, word asc) — same
+merges for any partitioning, any retry.
+"""
+
+# NOTE: no `from __future__ import annotations` — stringified hints break
+# pandas_udf's Series->DataFrame signature inference.
+from pyspark.sql import DataFrame, functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str, top_words: int) -> list:
+    """Deterministic top-V (word, count) table — ONE shuffle with
+    map-side partial aggregation, top-V via TakeOrderedAndProject."""
+    wc = (
+        df.select(F.explode(F.split(F.lower(F.trim(
+            F.coalesce(F.col(text_col), F.lit("")))), r"\s+")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word").count()
+    )
+    rows = wc.orderBy(F.col("count").desc(), F.col("word")).take(top_words)
+    return [(r["word"], r["count"]) for r in rows]
+
+
+def _pair_stats(vocab: dict) -> dict:
+    stats: dict = {}
+    for symbols, freq in vocab.items():
+        for i in range(len(symbols) - 1):
+            pair = (symbols[i], symbols[i + 1])
+            stats[pair] = stats.get(pair, 0) + freq
+    return stats
+
+
+def _merge_word(symbols: tuple, pair: tuple, merged: str) -> tuple:
+    out, i, n = [], 0, len(symbols)
+    while i < n:
+        if (i < n - 1 and symbols[i] == pair[0]
+                and symbols[i + 1] == pair[1]):
+            out.append(merged)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_merges(counts: list, n_merges: int) -> list:
+    """Classic BPE merge learning over a (word, count) table.
+
+    Returns [(rank, left, right, merged)] with the deterministic
+    tie-break (count desc, pair asc). Words are split to characters
+    plus an END_OF_WORD sentinel so merges can capture suffixes."""
+    vocab = {}
+    for word, freq in counts:
+        key = tuple(word) + (END_OF_WORD,)
+        vocab[key] = vocab.get(key, 0) + freq
+    merges = []
+    for rank in range(n_merges):
+        stats = _pair_stats(vocab)
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merged = best[0] + best[1]
+        vocab = {_merge_word(s, best, merged): f for s, f in vocab.items()}
+        merges.append((rank, best[0], best[1], merged))
+    return merges
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 200,
+              top_words: int = 50_000) -> DataFrame:
+    """Train BPE merges on a corpus; returns the merge table as a
+    DataFrame (rank, left, right, merged) — tiny, broadcast-ready."""
+    spark = df.sparkSession
+    merges = learn_merges(word_counts(df, text_col, top_words), n_merges)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string")
+
+
+def encode_word(word: str, ranks: dict) -> list:
+    """Greedy BPE encode of one word: repeatedly apply the lowest-rank
+    adjacent pair present (the public BPE inference rule), merging all
+    its occurrences per step."""
+    symbols = tuple(word) + (END_OF_WORD,)
+    while len(symbols) > 1:
+        candidates = [
+            (ranks[p], p)
+            for p in set(zip(symbols, symbols[1:])) if p in ranks
+        ]
+        if not candidates:
+            break
+        _, pair = min(candidates)
+        symbols = _merge_word(symbols, pair, pair[0] + pair[1])
+    return list(symbols)
+
+
+def bpe_encode_udf(spark, merges: DataFrame):
+    """Arrow-batched encoder: broadcast the merge ranks, cache the
+    greedy loop per unique word within each batch (Zipf head hits the
+    cache), emit space-joined tokens + token count per document."""
+    import pandas as pd
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    ranks = {(r["left"], r["right"]): r["rank"] for r in merges.collect()}
+    bc = spark.sparkContext.broadcast(ranks)
+    schema = StructType([
+        StructField("tokens", StringType()),
+        StructField("n_tokens", LongType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def enc(texts: pd.Series) -> pd.DataFrame:
+        r = bc.value
+        cache: dict = {}
+        toks_out, n_out = [], []
+        for t in texts:
+            words = (t or "").lower().split()
+            toks: list = []
+            for w in words:
+                got = cache.get(w)
+                if got is None:
+                    got = encode_word(w, r)
+                    cache[w] = got
+                toks.extend(got)
+            toks_out.append(" ".join(toks))
+            n_out.append(len(toks))
+        return pd.DataFrame({"tokens": toks_out, "n_tokens": n_out})
+
+    return enc
+
+
+def bpe_encode(df: DataFrame, id_col: str, text_col: str,
+               merges: DataFrame) -> DataFrame:
+    """Encode a corpus with a learned merge table → one row per doc
+    with the token stream and its exact length (single Arrow stage,
+    no shuffle)."""
+    enc = bpe_encode_udf(df.sparkSession, merges)
+    return df.select(
+        F.col(id_col),
+        enc(F.col(text_col)).alias("e"),
+    ).select(id_col, F.col("e.tokens").alias("tokens"),
+             F.col("e.n_tokens").alias("n_tokens"))

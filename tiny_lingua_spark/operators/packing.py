@@ -1,0 +1,155 @@
+"""GPT-style sequence packing for LLM training-data pipelines.
+
+Target-spec component (no reference counterpart — tiny-lingua is a
+language-ID library): before tensorization, training corpora are packed
+"concat-and-split" — documents are concatenated in a deterministic
+order (an end-of-document separator between them) and the token stream
+is cut into fixed ``seq_len`` training windows. The pipeline's job is
+the *placement plan*: for every document, which window(s) it lands in
+and at which offset. The tensor writer then consumes (shard, start_off)
+and never needs a second pass.
+
+Plan shape (and why it survives 10^12 docs):
+
+- each doc gets a **shard** = md5-hash bucket of its id modulo
+  ``n_shards`` — uniform by construction (no skew), deterministic under
+  retries / AQE / any input partitioning, independent of input order;
+- ONE hash shuffle on shard, then a within-shard window cumsum over the
+  deterministic order (bucket, id). Per-shard work is bounded by
+  choosing n_shards ~ corpus_docs / 10^6, so the sort never exceeds an
+  executor; shards pack independently, so parallelism = n_shards;
+- offsets/window ids are pure integer arithmetic on the cumsum — no
+  token materialization, the output is metadata only;
+- everything is Catalyst expressions (codegen window + projections);
+  the DuckDB twin below is the same SQL.
+
+Cross-shard note: windows are shard-local (a window never spans two
+shards); the per-shard tail (< seq_len tokens) is dropped by the tensor
+writer — `pack_stats` reports exactly how much.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import bpe_token_estimate_col, bpe_token_estimate_sql
+from .sampling import hash_bucket_col, hash_bucket_sql
+
+
+def _tokens_col(text_col: str, sep_tokens: int):
+    return (F.coalesce(bpe_token_estimate_col(text_col), F.lit(0))
+            + F.lit(sep_tokens)).cast("long")
+
+
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   seq_len: int = 2048, n_shards: int = 8,
+                   sep_tokens: int = 1, seed: int = 42) -> DataFrame:
+    """Per-document placement plan: one output row per input document
+    with its shard, token count, start offset in the shard's
+    concatenated token stream, first training window index (shard-local)
+    and the number of windows the document spans.
+
+    Deterministic: identical output for any input partitioning or row
+    order (ordering key is the 48-bit md5 bucket, doc id as tiebreak).
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    bucket = hash_bucket_col(F.col(id_col), seed)
+    w = (Window.partitionBy("shard")
+         .orderBy("bucket", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    end_off = F.sum("n_tokens").over(w)
+    start_off = (end_off - F.col("n_tokens")).alias("start_off")
+    return (
+        df.select(
+            F.col(id_col),
+            F.pmod(bucket, F.lit(n_shards)).cast("int").alias("shard"),
+            bucket.alias("bucket"),
+            _tokens_col(text_col, sep_tokens).alias("n_tokens"),
+        )
+        .select(id_col, "shard", "bucket", "n_tokens",
+                start_off, end_off.alias("end_off"))
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            "start_off",
+            F.expr(f"start_off div {seq_len}").alias("first_seq"),
+            (F.expr(f"(end_off - 1) div {seq_len}")
+             - F.expr(f"start_off div {seq_len}") + 1).alias("n_seqs"),
+        )
+    )
+
+
+def pack_sequences_sql(table: str, id_expr: str, text_expr: str,
+                       seq_len: int = 2048, n_shards: int = 8,
+                       sep_tokens: int = 1, seed: int = 42) -> str:
+    """DuckDB twin of `pack_sequences` (same hash, same order, same
+    integer arithmetic)."""
+    bucket = hash_bucket_sql(id_expr, seed)
+    return f"""
+    WITH toks AS (
+      SELECT {id_expr} AS id,
+             CAST({bucket} % {n_shards} AS INTEGER) AS shard,
+             {bucket} AS bucket,
+             (COALESCE({bpe_token_estimate_sql(text_expr)}, 0)
+              + {sep_tokens})::BIGINT AS n_tokens
+      FROM {table}
+    ),
+    offs AS (
+      SELECT id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY bucket, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      FROM toks
+    )
+    SELECT id AS {id_expr}, shard, n_tokens,
+           (end_off - n_tokens)::BIGINT AS start_off,
+           ((end_off - n_tokens) // {seq_len})::BIGINT AS first_seq,
+           ((end_off - 1) // {seq_len}
+            - (end_off - n_tokens) // {seq_len} + 1)::BIGINT AS n_seqs
+    FROM offs
+    """
+
+
+def pack_stats(df: DataFrame, id_col: str, text_col: str,
+               seq_len: int = 2048, n_shards: int = 8,
+               sep_tokens: int = 1, seed: int = 42) -> DataFrame:
+    """Per-shard packing yield: document count, total tokens, full
+    training windows produced, and the dropped tail. One hash
+    aggregation (map-side combine absorbs the fan-in); the derived
+    columns are integer arithmetic on the aggregate."""
+    bucket = hash_bucket_col(F.col(id_col), seed)
+    return (
+        df.select(
+            F.pmod(bucket, F.lit(n_shards)).cast("int").alias("shard"),
+            _tokens_col(text_col, sep_tokens).alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"))
+        .select(
+            "shard", "n_docs", "total_tokens",
+            F.expr(f"total_tokens div {seq_len}").alias("n_full_seqs"),
+            F.expr(f"total_tokens % {seq_len}").alias("tail_tokens"),
+        )
+    )
+
+
+def pack_stats_sql(table: str, id_expr: str, text_expr: str,
+                   seq_len: int = 2048, n_shards: int = 8,
+                   sep_tokens: int = 1, seed: int = 42) -> str:
+    bucket = hash_bucket_sql(id_expr, seed)
+    return f"""
+    WITH toks AS (
+      SELECT CAST({bucket} % {n_shards} AS INTEGER) AS shard,
+             (COALESCE({bpe_token_estimate_sql(text_expr)}, 0)
+              + {sep_tokens})::BIGINT AS n_tokens
+      FROM {table}
+    )
+    SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS total_tokens,
+           (SUM(n_tokens) // {seq_len})::BIGINT AS n_full_seqs,
+           (SUM(n_tokens) % {seq_len})::BIGINT AS tail_tokens
+    FROM toks GROUP BY shard
+    """

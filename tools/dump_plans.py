@@ -41,6 +41,10 @@ PLAN_QUERIES = (
     "decontaminate",
     "source_stats",
     "temperature_sample",
+    "pack_sequences",
+    "pack_stats",
+    "c4_clean",
+    "bpe_tokens",
 )
 
 
