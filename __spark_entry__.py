@@ -784,6 +784,33 @@ def _q_audio_spectral(spark, sf_dir):
     )
 
 
+def _q_audio_normalize(spark, sf_dir):
+    """Write-side loudness normalization: the analysis gain
+    (loudness_udf) feeds the apply half (transcode_udf) — scale to
+    target LUFS, clamp ±20 dB, re-encode to canonical pcm_s16le.
+    Golden-parquet oracle on bytes md5 + post-gain clipping."""
+    from tiny_lingua_spark.audio import loudness_udf, transcode_udf
+
+    clips = _synth_clips(spark)
+    lu = loudness_udf()
+    tx = transcode_udf("pcm_s16le")
+    return (
+        clips
+        .withColumn("l", lu(F.col("bytes"), F.col("codec"), F.col("sr_hz")))
+        .withColumn("t", tx(F.col("bytes"), F.col("codec"),
+                            F.col("l.gain_to_target_db")))
+        .select(
+            "clip_id",
+            F.col("t.ok").alias("ok"),
+            F.col("t.n_samples").alias("n_samples"),
+            F.round(F.col("t.clipped_out_ratio"), 9)
+             .alias("clipped_out_ratio"),
+            F.length(F.col("t.bytes_out")).cast("long").alias("n_bytes"),
+            F.md5(F.col("t.bytes_out")).alias("bytes_md5"),
+        )
+    )
+
+
 def _q_audio_loudness(spark, sf_dir):
     """R128-style gated integrated loudness + normalization gain per
     clip (overlapping 400 ms blocks, absolute + relative gates) — one
@@ -895,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral": _shipped(_q_audio_spectral),
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
+        "audio_normalize": _shipped(_q_audio_normalize),
         "audio_neardup": _shipped(_q_audio_neardup),
         "audio_segments": _shipped(_q_audio_segments),
         "audio_embed_knn": _shipped(_q_audio_embed_knn),
@@ -923,6 +951,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_neardup",
     "audio_segments",
     "audio_embed_knn",
+    "audio_normalize",
     "bpe_merges",
     "bpe_tokens",
 )

@@ -58,6 +58,7 @@ BENCH_QUERIES = (
     "temperature_sample",     # mT5-style alpha-temperature language rebalance
     "pack_sequences",         # GPT-style concat-and-split packing plan
     "bpe_tokens",             # BPE train (capped word table) + Arrow encode
+    "audio_normalize",        # gain-apply + transcode (write-side R128)
 )
 
 

@@ -1,0 +1,108 @@
+"""Gain-apply + transcode kernel (audio.py transcode_udf) — the write
+side of loudness normalization. Target-spec component."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tiny_lingua_spark import audio
+
+SR = 8000
+
+
+def _sine(freq=440.0, amp=0.25, ms=200):
+    t = np.arange(int(SR * ms / 1000), dtype=np.float32) / SR
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def _chunk(bytes_l, codecs, gains, codec_to="pcm_s16le", max_gain_db=20.0):
+    return audio._gain_transcode_chunk(
+        pd.Series(bytes_l), pd.Series(codecs), pd.Series(gains),
+        codec_to, max_gain_db)
+
+
+def test_gain_roundtrip_snr():
+    pcm = _sine(amp=0.2)
+    out = _chunk([audio.encode(pcm, "pcm_s16le")], ["pcm_s16le"], [6.0])
+    assert bool(out.loc[0, "ok"]) and out.loc[0, "n_samples"] == len(pcm)
+    dec = audio.decode(out.loc[0, "bytes_out"], "pcm_s16le")
+    want = pcm * 10 ** (6.0 / 20.0)
+    assert audio.snr_db(want, dec) >= 30.0
+    assert out.loc[0, "clipped_out_ratio"] == 0.0
+
+
+def test_clipping_reported_and_bounded():
+    pcm = _sine(amp=0.9)
+    out = _chunk([audio.encode(pcm, "pcm_s16le")], ["pcm_s16le"], [12.0])
+    dec = audio.decode(out.loc[0, "bytes_out"], "pcm_s16le")
+    assert np.abs(dec).max() <= 1.0
+    # 0.9 * 10^(12/20) ≈ 3.58 — most of the sine saturates
+    assert out.loc[0, "clipped_out_ratio"] > 0.5
+
+
+def test_gain_clamp_guards_silence():
+    pcm = np.zeros(100, dtype=np.float32)
+    out = _chunk([audio.encode(pcm, "pcm_s16le")], ["pcm_s16le"], [80.0],
+                 max_gain_db=20.0)
+    dec = audio.decode(out.loc[0, "bytes_out"], "pcm_s16le")
+    assert np.abs(dec).max() == 0.0  # clamp kept 0 * 10^(20/20) = 0
+
+
+def test_mixed_codec_scatter_and_transcode_targets():
+    pcm_a, pcm_b = _sine(300.0, 0.3), _sine(700.0, 0.1, ms=120)
+    rows = [
+        (audio.encode(pcm_a, "mulaw"), "mulaw", 0.0, pcm_a),
+        (None, "pcm_s16le", 0.0, None),               # null payload
+        (audio.encode(pcm_b, "pcm_f32le"), "pcm_f32le", 3.0, pcm_b),
+        (b"xyz", "pcm_s16le", 0.0, None),             # width mismatch
+    ]
+    for codec_to in ("pcm_s16le", "pcm_f32le", "mulaw", "alaw"):
+        out = _chunk([r[0] for r in rows], [r[1] for r in rows],
+                     [r[2] for r in rows], codec_to=codec_to)
+        assert list(out["ok"]) == [True, False, True, False]
+        assert out.loc[1, "bytes_out"] is None
+        assert out.loc[3, "bytes_out"] is None
+        for i, gain in ((0, 1.0), (2, 10 ** (3.0 / 20.0))):
+            dec = audio.decode(out.loc[i, "bytes_out"], codec_to)
+            assert audio.snr_db(rows[i][3] * gain, dec) >= 25.0
+
+
+def test_matches_per_row_reference_loop():
+    rng = np.random.default_rng(7)
+    rows, codecs, gains, ref = [], [], [], []
+    for i in range(12):
+        pcm = (rng.standard_normal(50 + i * 13) * 0.2).astype(np.float32)
+        codec = ["pcm_s16le", "mulaw", "alaw", "pcm_f32le"][i % 4]
+        g = float(rng.uniform(-6, 6))
+        rows.append(audio.encode(pcm, codec))
+        codecs.append(codec)
+        gains.append(g)
+        # reference = what the stored bytes decode to, scaled (encode∘
+        # decode is NOT idempotent near full scale: 32767/32768 asymmetry)
+        eff = audio.decode(rows[-1], codec)
+        ref.append(np.clip(eff * np.float32(10 ** (g / 20.0)), -1, 1))
+    out = _chunk(rows, codecs, gains, codec_to="pcm_s16le")
+    for i in range(12):
+        dec = audio.decode(out.loc[i, "bytes_out"], "pcm_s16le")
+        want = np.clip(np.round(ref[i] * 32767.0), -32768, 32767) / 32768.0
+        # float32 kernel vs float64 reference: half-way rounding may
+        # differ by at most one int16 quantization step
+        assert np.abs(dec - want.astype(np.float32)).max() <= 1.001 / 32768
+
+
+def test_udf_on_spark(spark):
+    pcm = _sine(amp=0.25)
+    df = spark.createDataFrame(
+        [(1, audio.encode(pcm, "mulaw"), "mulaw", 6.0)],
+        "clip_id long, bytes binary, codec string, gain_db double")
+    udf = audio.transcode_udf("pcm_s16le")
+    row = df.select("clip_id", udf("bytes", "codec", "gain_db")
+                    .alias("t")).select("clip_id", "t.*").collect()[0]
+    assert row["ok"] and row["n_samples"] == len(pcm)
+    dec = audio.decode(row["bytes_out"], "pcm_s16le")
+    assert audio.snr_db(pcm * 10 ** (6.0 / 20.0), dec) >= 25.0
+
+
+def test_bad_target_codec_rejected():
+    with pytest.raises(ValueError):
+        audio.transcode_udf("opus")

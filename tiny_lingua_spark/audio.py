@@ -1106,3 +1106,93 @@ def loudness_udf(target_lufs: float = TARGET_LUFS):
             b, codec, sr)
 
     return audio_loudness
+
+
+# --------------- gain-apply + transcode (write-side normalization)
+
+# Target-spec component: the pipeline's analysis half computes
+# `gain_to_target_db` (loudness_udf); this is the APPLY half — scale the
+# waveform to target loudness and re-encode to a canonical codec, the
+# write path of a normalize-and-standardize audio corpus job. Split on
+# purpose: analysis runs once per clip inside the single-decode enrich
+# UDF, apply runs only on kept clips (usually a small fraction), so the
+# expensive decode+encode never touches dropped rows.
+
+TRANSCODE_SCHEMA = (
+    "ok boolean, n_samples long, clipped_out_ratio double, bytes_out binary"
+)
+
+
+def _encode_concat(samples: np.ndarray, codec_to: str) -> np.ndarray:
+    """Encode a concatenated float32 arena in one vectorized pass;
+    returns a uint8 view whose per-row spans are offsets × width."""
+    if codec_to == "pcm_f32le":
+        return samples.astype("<f4").view(np.uint8)
+    i16 = np.clip(np.round(samples * np.float32(32767.0)),
+                  -32768, 32767).astype(np.int16)
+    if codec_to == "pcm_s16le":
+        return i16.astype("<i2").view(np.uint8)
+    if codec_to == "mulaw":
+        return mulaw_encode(i16)
+    if codec_to == "alaw":
+        return alaw_encode(i16)
+    raise ValueError(f"unsupported codec: {codec_to}")
+
+
+def _gain_transcode_chunk(bytes_s, codec_s, gain_db_s,
+                          codec_to: str, max_gain_db: float) -> pd.DataFrame:
+    samples, offsets, ok, order = decode_grouped(bytes_s, codec_s)
+    n = len(ok)
+    lens = np.diff(offsets)
+    g_db = np.clip(
+        pd.to_numeric(pd.Series(gain_db_s), errors="coerce")
+          .to_numpy(np.float64, na_value=0.0),
+        -max_gain_db, max_gain_db)
+    lin = (10.0 ** (g_db / 20.0)).astype(np.float32)
+    # per-sample gain in grouped order (row-level repeat, not a gather)
+    scaled = _ARENA.get("xcode_f32", np.float32, len(samples))
+    np.multiply(samples, np.repeat(lin[order], lens), out=scaled)
+    over = (np.abs(scaled) > 1.0).astype(np.float32)
+    clipped = _segment_sums(over, offsets) / np.maximum(lens, 1)
+    np.clip(scaled, -1.0, 1.0, out=scaled)
+    width = _SAMPLE_WIDTH[codec_to]
+    encoded = _encode_concat(scaled, codec_to)
+    bytes_out: list = [None] * n
+    n_samples = np.zeros(n, dtype=np.int64)
+    clipped_orig = np.zeros(n, dtype=np.float64)
+    for j in range(n):  # row-level tobytes memcpy loop, not per-sample
+        i = int(order[j])
+        if not ok[i]:
+            continue
+        a, b = int(offsets[j]) * width, int(offsets[j + 1]) * width
+        bytes_out[i] = encoded[a:b].tobytes()
+        n_samples[i] = lens[j]
+        clipped_orig[i] = clipped[j]
+    return pd.DataFrame({
+        "ok": pd.Series(ok, dtype=bool),
+        "n_samples": n_samples,
+        "clipped_out_ratio": clipped_orig,
+        "bytes_out": bytes_out,
+    })
+
+
+def transcode_udf(codec_to: str = "pcm_s16le", max_gain_db: float = 20.0):
+    """Arrow-batched (bytes, codec, gain_db) → normalized re-encoded
+    bytes. Whole-batch codec-grouped decode, one vectorized gain +
+    encode pass over the concatenated arena, row-level scatter back to
+    input order. Gain is clamped to ±max_gain_db (a silent clip would
+    otherwise explode to full-scale noise); clipped_out_ratio reports
+    post-gain saturation. Narrow projection, no shuffle."""
+    if codec_to not in _SAMPLE_WIDTH:
+        raise ValueError(f"unsupported codec: {codec_to}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(TRANSCODE_SCHEMA)
+    def audio_transcode(b: pd.Series, codec: pd.Series,
+                        gain_db: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(
+            lambda bb, cc, gg: _gain_transcode_chunk(
+                bb, cc, gg, codec_to, max_gain_db),
+            b, codec, gain_db)
+
+    return audio_transcode

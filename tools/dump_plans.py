@@ -45,6 +45,7 @@ PLAN_QUERIES = (
     "pack_stats",
     "c4_clean",
     "bpe_tokens",
+    "audio_normalize",
 )
 
 

@@ -117,6 +117,23 @@ def main() -> None:
 
     ensure_clips()
 
+    def wait_for_healthy_host(max_wait_s: int = 5400) -> float:
+        # same first-touch bandwidth gate as bench.py: a hypervisor-steal
+        # window inflates every rep 2-4x; don't start a phase inside one
+        import numpy as np
+
+        deadline = time.time() + max_wait_s
+        while True:
+            t0 = time.time()
+            a = np.empty(25_000_000)
+            a[:] = 1.0
+            mb_s = 200.0 / max(time.time() - t0, 1e-9)
+            del a
+            if mb_s >= 400 or time.time() > deadline:
+                return mb_s
+            print(f"host degraded ({mb_s:.0f} MB/s) — waiting")
+            time.sleep(60)
+
     def launch(cores: int) -> dict:
         # Pin the WHOLE process tree (JVM + every Python worker) to
         # `cores` CPUs — local[N] alone only caps JVM task slots, while
@@ -124,11 +141,24 @@ def main() -> None:
         # unpinned local[8] silently consumes far more than 8 CPUs and
         # fakes poor scaling. taskset makes this a true N-vs-4N-cores run.
         env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{cores - 1}",
-             sys.executable, os.path.abspath(__file__), "--run", str(cores)],
-            capture_output=True, text=True, timeout=1800, env=env,
-        )
+        probe = wait_for_healthy_host()
+        print(f"phase local[{cores}] start, first-touch {probe:.0f} MB/s")
+        for attempt in (1, 2):
+            try:
+                out = subprocess.run(
+                    ["taskset", "-c", f"0-{cores - 1}",
+                     sys.executable, os.path.abspath(__file__),
+                     "--run", str(cores)],
+                    capture_output=True, text=True, timeout=1800, env=env,
+                )
+                break
+            except subprocess.TimeoutExpired:
+                # a steal window stretched the run past the cap — wait for
+                # a healthy window and retry once rather than dying
+                print(f"phase local[{cores}] timed out (attempt {attempt})")
+                if attempt == 2:
+                    raise
+                wait_for_healthy_host()
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
         if not line:
             print(out.stdout[-3000:], out.stderr[-3000:])
