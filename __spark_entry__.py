@@ -372,6 +372,18 @@ def _q_pack_sequences(spark, sf_dir):
         seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS)
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """CCNet/DCLM-style supervised quality filter: weak labels from the
+    heuristic composite score bootstrap a hashed-bag-of-ngrams linear
+    classifier (one vocabulary-bounded training aggregation, broadcast
+    scoring); self-contained DuckDB twin re-derives train + score."""
+    from tiny_lingua_spark.models import quality_clf
+
+    docs = _docs(spark, sf_dir)
+    w, p = quality_clf.train_quality_classifier(docs)
+    return quality_clf.classify_quality(docs, w, p)
+
+
 _BPE_MERGES = 50
 _BPE_TOP_WORDS = 1000
 
@@ -886,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _shipped(_q_pack_sequences),
         "pack_stats": _shipped(_q_pack_stats),
         "c4_clean": _shipped(_q_c4_clean),
+        "quality_classifier": _shipped(_q_quality_classifier),
         "bpe_merges": _shipped(_q_bpe_merges),
         "bpe_tokens": _shipped(_q_bpe_tokens),
         "screen_lang_confusion": _shipped(_q_screen_confusion),
@@ -1070,6 +1083,9 @@ def oracle_sql() -> dict[str, str]:
             "tiny_lingua_spark.operators.packing", fromlist=["packing"]
         ).pack_stats_sql("documents", "doc_id", "text",
                          _PACK_SEQ_LEN, _PACK_SHARDS),
+        "quality_classifier": __import__(
+            "tiny_lingua_spark.models.quality_clf", fromlist=["quality_clf"]
+        ).quality_classifier_sql("documents"),
         "c4_clean": __import__(
             "tiny_lingua_spark.functions.cleaning", fromlist=["cleaning"]
         ).c4_clean_sql(

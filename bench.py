@@ -59,6 +59,7 @@ BENCH_QUERIES = (
     "pack_sequences",         # GPT-style concat-and-split packing plan
     "bpe_tokens",             # BPE train (capped word table) + Arrow encode
     "audio_normalize",        # gain-apply + transcode (write-side R128)
+    "quality_classifier",     # weak-label fastText quality model (train+score)
 )
 
 

@@ -1,0 +1,72 @@
+"""Supervised quality classifier (models/quality_clf.py) — CCNet/DCLM
+weak-label bootstrap over the fastText machinery."""
+
+import duckdb
+import pytest
+
+from tiny_lingua_spark.models import quality_clf as qc
+
+HQ = ("the quiet morning light settled over the valley while farmers "
+      "walked their fields and children laughed near the river stones")
+LQ = "click 77 buy 99 now 44 free 1234 win 00 cash 555 prize 88 xx"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(30):
+        rows.append((i, f"{HQ} day {i % 7} in the long gentle season"))
+        rows.append((100 + i, f"{LQ} {i} {i * 3} {i * 7}"))
+    rows += [(500, None), (501, "")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def model(corpus):
+    return qc.train_quality_classifier(corpus, thresh=0.7)
+
+
+def test_weak_labels_split(corpus):
+    counts = {r["lang"]: r["count"] for r in
+              qc.weak_quality_labels(corpus, thresh=0.7)
+              .groupBy("lang").count().collect()}
+    assert counts.get("hq", 0) >= 30 and counts.get("lq", 0) >= 30
+
+
+def test_separates_held_out_styles(spark, model):
+    w, p = model
+    held = spark.createDataFrame(
+        [(1, "a calm evening walk across the old wooden bridge together"),
+         (2, "win 123 now 456 free 789 cash 000 buy 111")],
+        "doc_id long, text string")
+    preds = {r["doc_id"]: r["quality_pred"] for r in
+             qc.classify_quality(held, w, p).collect()}
+    assert preds[1] == "hq" and preds[2] == "lq"
+
+
+def test_null_and_empty_score(corpus, model):
+    w, p = model
+    out = {r["doc_id"]: r for r in
+           qc.classify_quality(corpus, w, p).collect()}
+    # zero-feature docs still get a deterministic prior-only decision
+    assert out[500]["quality_pred"] in ("hq", "lq")
+    assert out[500]["quality_pred"] == out[501]["quality_pred"]
+
+
+def test_repartition_determinism(corpus, model):
+    w, p = model
+    a = sorted(map(tuple, qc.classify_quality(corpus, w, p).collect()))
+    b = sorted(map(tuple, qc.classify_quality(
+        corpus.repartition(7), w, p).collect()))
+    assert a == b
+
+
+def test_duckdb_twin(spark, corpus):
+    w, p = qc.train_quality_classifier(corpus, thresh=0.7)
+    out = (qc.classify_quality(corpus, w, p)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", corpus.toPandas())
+    twin = (con.sql(qc.quality_classifier_sql("t", thresh=0.7))
+            .df().sort_values("doc_id").reset_index(drop=True))
+    assert out.equals(twin[out.columns])

@@ -1,0 +1,127 @@
+"""fastText-style supervised quality classifier (CCNet / DCLM recipe).
+
+Target-spec component (no reference counterpart): production web-scale
+pipelines bootstrap a MODEL-based quality filter from weak heuristic
+labels — CCNet trains a fastText classifier against Wikipedia-vs-crawl,
+DCLM against instruction-data positives; the shape is always
+  heuristic/weak labels → hashed-bag-of-ngrams linear classifier →
+  corpus-wide scoring.
+This module composes the two pieces the repo already has:
+
+- weak labels from the Catalyst-only composite quality score
+  (functions/quality.py — codegen, no UDF);
+- the fastText machinery in models/fasttext.py (hashed features,
+  closed-form multinomial training in ONE distributed aggregation —
+  no SGD/parameter server, the right trade at 10^12 rows; scoring via
+  broadcast-joined weights, one shuffle on doc id).
+
+Everything stays declarative end-to-end, so the DuckDB oracle
+re-derives training AND scoring from the raw corpus in one query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.quality import (quality_metrics_cols, quality_metrics_sql,
+                                 quality_score_col, quality_score_sql)
+from .fasttext import (N_BUCKETS, SMOOTH_ALPHA, _features_sql, bucket_sql,
+                       score_fasttext, train_fasttext)
+
+HQ_THRESHOLD = 0.85
+_LABELS = ("hq", "lq")
+
+
+def weak_quality_labels(df: DataFrame, text_col: str = "text",
+                        thresh: float = HQ_THRESHOLD) -> DataFrame:
+    """(lang, text) training frame: 'hq' iff the composite heuristic
+    quality score clears `thresh` — one codegen projection."""
+    m = df.select(F.col(text_col).alias("text"),
+                  *quality_metrics_cols(text_col))
+    return m.select(
+        F.when(quality_score_col() >= thresh, F.lit("hq"))
+         .otherwise(F.lit("lq")).alias("lang"),
+        "text",
+    )
+
+
+def train_quality_classifier(df: DataFrame, text_col: str = "text",
+                             thresh: float = HQ_THRESHOLD,
+                             n_buckets: int = N_BUCKETS):
+    """(weights, priors) for the 2-class quality model — one
+    vocabulary-bounded aggregation over the weakly-labeled corpus."""
+    return train_fasttext(weak_quality_labels(df, text_col, thresh),
+                          n_buckets=n_buckets)
+
+
+def classify_quality(docs: DataFrame, weights: DataFrame,
+                     priors: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, quality_pred, quality_lm_score): model opinion per doc."""
+    s = score_fasttext(docs, weights, priors, id_col=id_col,
+                       text_col=text_col)
+    return s.select(
+        id_col,
+        F.col("ft_lang").alias("quality_pred"),
+        F.col("ft_score").alias("quality_lm_score"),
+    )
+
+
+def quality_classifier_sql(table: str, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           thresh: float = HQ_THRESHOLD,
+                           n_buckets: int = N_BUCKETS,
+                           alpha: float = SMOOTH_ALPHA) -> str:
+    """Self-contained DuckDB twin: weak labels, training, and scoring
+    re-derived from the raw corpus in one query (same md5 feature hash,
+    same closed-form weights, same tie-break; ln/round run in the same
+    libm on one host — the established twin convention)."""
+    qm = quality_metrics_sql(text_col)
+    metric_cols = ", ".join(f"{qm[k]} AS {k}" for k in
+                            ("alpha_ratio", "digit_ratio",
+                             "mean_token_len", "n_chars"))
+    return f"""
+    WITH labeled AS (
+        SELECT CASE WHEN {quality_score_sql()} >= {thresh}
+                    THEN 'hq' ELSE 'lq' END AS lang, text
+        FROM (SELECT {text_col} AS text, {metric_cols} FROM {table})
+    ), feats_tr AS (
+        SELECT lang, {bucket_sql('f.feature', n_buckets)} AS bucket
+        FROM labeled, LATERAL unnest({_features_sql('text')}) AS f(feature)
+    ), counts AS (
+        SELECT lang, bucket, count(*) AS cnt FROM feats_tr GROUP BY 1, 2
+    ), totals AS (
+        SELECT lang, sum(cnt) AS total FROM counts GROUP BY 1
+    ), weights AS (
+        SELECT c.bucket, c.lang,
+               ln((c.cnt + {alpha}) / (t.total + {alpha * n_buckets}))
+               - ln({alpha} / (t.total + {alpha * n_buckets})) AS w
+        FROM counts c JOIN totals t USING (lang)
+    ), priors AS (
+        SELECT l.lang,
+               ln(count(*) / (SELECT count(*)::DOUBLE FROM labeled)) AS b,
+               ln({alpha} / (any_value(t.total) + {alpha * n_buckets}))
+                 AS default_w
+        FROM labeled l JOIN totals t USING (lang) GROUP BY l.lang
+    ), feats AS (
+        SELECT {id_col} AS id, {bucket_sql('f.feature', n_buckets)} AS bucket
+        FROM {table}, LATERAL unnest({_features_sql(text_col)}) AS f(feature)
+    ), nf AS (
+        SELECT {id_col} AS id, len({_features_sql(text_col)})::BIGINT AS n_feats
+        FROM {table}
+    ), contrib AS (
+        SELECT f.id, w.lang, sum(w.w) AS sum_w
+        FROM feats f JOIN weights w ON f.bucket = w.bucket
+        GROUP BY f.id, w.lang
+    ), scored AS (
+        SELECT nf.id, p.lang,
+               p.b + nf.n_feats * p.default_w + coalesce(c.sum_w, 0.0)
+                 AS score
+        FROM nf CROSS JOIN priors p
+        LEFT JOIN contrib c ON c.id = nf.id AND c.lang = p.lang
+    )
+    SELECT id AS {id_col}, lang AS quality_pred,
+           round(score, 6) AS quality_lm_score
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY id ORDER BY score DESC, lang) = 1
+    """

@@ -46,6 +46,7 @@ PLAN_QUERIES = (
     "c4_clean",
     "bpe_tokens",
     "audio_normalize",
+    "quality_classifier",
 )
 
 
