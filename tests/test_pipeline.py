@@ -162,3 +162,22 @@ def test_loudness_threshold_opt_in(spark, registry):
             assert not gated[cid]
         else:
             assert gated[cid] == row["keep"]
+
+
+def test_quality_model_diagnostics(spark, registry):
+    # the supervised quality opinion joins as DIAGNOSTIC columns only:
+    # the keep decision must be bit-identical with and without it
+    from tiny_lingua_spark.models.quality_clf import train_quality_classifier
+
+    clips, _ = clips_dataframes(spark, n=120)
+    qm = train_quality_classifier(
+        clips.select(F.col("transcript").alias("text")), thresh=0.7)
+    base = {r["clip_id"]: r["keep"] for r in
+            quality_filter(clips, registry, n_partitions=4)
+            .select("clip_id", "keep").collect()}
+    out = quality_filter(clips, registry, n_partitions=4,
+                         quality_model=qm)
+    rows = out.select("clip_id", "keep", "quality_pred",
+                      "quality_lm_score").collect()
+    assert {r["clip_id"]: r["keep"] for r in rows} == base
+    assert all(r["quality_pred"] in ("hq", "lq") for r in rows)

@@ -137,6 +137,7 @@ def quality_filter(
     thresholds: dict | None = None,
     n_partitions: int | None = None,
     ft_model: tuple[DataFrame, DataFrame] | None = None,
+    quality_model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Full pipeline → one row per clip with decision + diagnostics.
 
@@ -144,6 +145,11 @@ def quality_filter(
     independent fastText-style language opinion (`ft_lang`) plus a
     `lang_agree` diagnostic; joined back on clip_id (one extra shuffle,
     both model tables broadcast).
+
+    ``quality_model`` = (weights, priors) from models.quality_clf: adds
+    the supervised quality opinion (`quality_pred`, `quality_lm_score`)
+    as diagnostics — the binding keep decision stays the
+    reference-parity heuristic rules.
     """
     th = {**DEFAULT_THRESHOLDS, **AUDIO_THRESHOLDS, **(thresholds or {})}
     enrich = make_enrich_udf(registry, params)
@@ -212,6 +218,15 @@ def quality_filter(
         df = df.join(ft, "clip_id", "left").withColumn(
             "lang_agree", F.col("ft_lang") == F.col("lang")
         )
+    if quality_model is not None:
+        from .models.quality_clf import classify_quality
+
+        qw, qp = quality_model
+        qc = classify_quality(df, qw, qp, id_col="clip_id",
+                              text_col="transcript")
+        # diagnostic opinion only (CCNet/DCLM model filter): the binding
+        # keep decision stays the reference-parity heuristic rules
+        df = df.join(qc, "clip_id", "left")
 
     audio_ok = (
         F.col("decode_ok")
