@@ -372,6 +372,24 @@ def _q_pack_sequences(spark, sf_dir):
         seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS)
 
 
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 0.5}
+_MIX_BUDGET = 6000
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """Token-budget data mixing (Pile/Dolma convention): explicit
+    per-source weights + a total token budget → deterministic keep
+    fractions (one tiny counts job) → pure codegen hash filter."""
+    from tiny_lingua_spark.functions.text import bpe_token_estimate_col
+    from tiny_lingua_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "toks", bpe_token_estimate_col("text"))
+    return sampling.mixture_sample(
+        docs, "doc_id", "source", "toks", _MIX_WEIGHTS, _MIX_BUDGET
+    ).select("doc_id", "source", "lang", "toks")
+
+
 def _q_quality_classifier(spark, sf_dir):
     """CCNet/DCLM-style supervised quality filter: weak labels from the
     heuristic composite score bootstrap a hashed-bag-of-ngrams linear
@@ -898,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _shipped(_q_pack_sequences),
         "pack_stats": _shipped(_q_pack_stats),
         "c4_clean": _shipped(_q_c4_clean),
+        "mixture_sample": _shipped(_q_mixture_sample),
         "quality_classifier": _shipped(_q_quality_classifier),
         "bpe_merges": _shipped(_q_bpe_merges),
         "bpe_tokens": _shipped(_q_bpe_tokens),
@@ -1086,6 +1105,17 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": __import__(
             "tiny_lingua_spark.models.quality_clf", fromlist=["quality_clf"]
         ).quality_classifier_sql("documents"),
+        "mixture_sample": (
+            "SELECT doc_id, source, lang, toks::BIGINT AS toks FROM ("
+            + __import__("tiny_lingua_spark.operators.sampling",
+                         fromlist=["sampling"]).mixture_sample_sql(
+                "(SELECT *, "
+                + __import__("tiny_lingua_spark.functions.text",
+                             fromlist=["text"]).bpe_token_estimate_sql("text")
+                + " AS toks FROM documents)",
+                "doc_id", "source", "toks", _MIX_WEIGHTS, _MIX_BUDGET)
+            + ")"
+        ),
         "c4_clean": __import__(
             "tiny_lingua_spark.functions.cleaning", fromlist=["cleaning"]
         ).c4_clean_sql(

@@ -60,6 +60,7 @@ BENCH_QUERIES = (
     "bpe_tokens",             # BPE train (capped word table) + Arrow encode
     "audio_normalize",        # gain-apply + transcode (write-side R128)
     "quality_classifier",     # weak-label fastText quality model (train+score)
+    "mixture_sample",         # token-budget source mixing (counts + hash filter)
 )
 
 

@@ -117,3 +117,45 @@ def test_temperature_sample_deterministic_and_sql_twin(spark):
     got = {r[0] for r in con.execute(
         f"SELECT doc_id FROM ({sql})").fetchall()}
     assert a == got
+
+
+def test_mixture_fractions_math(spark):
+    rows = ([(i, "a", 100) for i in range(50)]          # 5000 tokens
+            + [(100 + i, "b", 50) for i in range(20)]   # 1000 tokens
+            + [(200 + i, "c", 10) for i in range(5)])   # 50 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, toks long")
+    w = {"a": 1.0, "b": 1.0, "c": 2.0}
+    fr = sampling.mixture_fractions(df, "source", "toks", w,
+                                    token_budget=2000)
+    assert fr["a"] == round(2000 * 0.25 / 5000, 9)
+    assert fr["b"] == round(min(1.0, 2000 * 0.25 / 1000), 9)
+    assert fr["c"] == 1.0  # 1000-token ask vs 50 available: saturated
+    kept = sampling.mixture_sample(df, "doc_id", "source", "toks", w, 2000)
+    by = {r["source"]: r["count"]
+          for r in kept.groupBy("source").count().collect()}
+    assert by["c"] == 5            # saturated stratum keeps everything
+    assert "d" not in by           # unknown sources dropped
+    # dominant source contributes ~budget share, not its raw share
+    assert by["a"] < 50
+
+
+def test_mixture_sample_sql_twin(spark):
+    docs = _docs(spark).withColumn(
+        "toks", __import__("pyspark.sql.functions", fromlist=["F"])
+        .length("text"))
+    w = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+    a = {r["doc_id"] for r in
+         sampling.mixture_sample(docs, "doc_id", "source", "toks", w,
+                                 token_budget=30000).collect()}
+    b = {r["doc_id"] for r in
+         sampling.mixture_sample(docs.repartition(5), "doc_id", "source",
+                                 "toks", w, token_budget=30000).collect()}
+    assert a == b
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}'")
+    sql = sampling.mixture_sample_sql(
+        "(SELECT *, length(text) AS toks FROM documents)",
+        "doc_id", "source", "toks", w, token_budget=30000)
+    got = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM ({sql})").fetchall()}
+    assert a == got

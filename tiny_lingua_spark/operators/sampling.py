@@ -142,3 +142,65 @@ def temperature_sample_sql(table: str, id_expr: str, strata_expr: str,
     SELECT t.* FROM {table} t JOIN fr ON {strata_expr} = fr.s
     WHERE {hash_bucket_sql(id_expr, seed)} < floor(frac * {_HASH_SPACE})
     """
+
+
+# ------------------------------------------- token-budget data mixing
+
+def mixture_fractions(df: DataFrame, strata_col: str, tokens_col,
+                      weights: dict, token_budget: int) -> dict:
+    """Training-mix assembly (The Pile / Dolma convention): given target
+    mixture weights per source and a total token budget, compute the
+    deterministic keep fraction per source so the sampled corpus hits
+    ~budget tokens at the requested proportions. One tiny aggregation on
+    the low-cardinality source key (map-side combined); fractions are
+    collected as literals so the corpus-side filter stays the pure
+    codegen hash threshold. Sources missing from `weights` get 0; a
+    saturated source (frac == 1) keeps everything — single-pass, excess
+    budget is not redistributed (same convention as
+    temperature_fractions)."""
+    from pyspark.sql import functions as F
+
+    totals = {r[0]: r[1] for r in df.groupBy(strata_col)
+              .agg(F.sum(tokens_col).alias("t")).collect()}
+    wsum = float(sum(weights.values()))
+    return {
+        s: round(min(1.0, (token_budget * (w / wsum)) / max(totals.get(s, 0), 1)), 9)
+        for s, w in sorted(weights.items())
+    }
+
+
+def mixture_sample(df: DataFrame, id_col: str, strata_col: str, tokens_col,
+                   weights: dict, token_budget: int,
+                   seed: int = 42) -> DataFrame:
+    """Deterministic token-budget mixture sampling — counts job, then a
+    codegen hash filter; no shuffle of the data itself."""
+    fracs = mixture_fractions(df, strata_col, tokens_col, weights,
+                              token_budget)
+    return stratified_sample_by_hash(df, id_col, strata_col, fracs,
+                                     default_fraction=0.0, seed=seed)
+
+
+def mixture_sample_sql(table: str, id_expr: str, strata_expr: str,
+                       tokens_expr: str, weights: dict, token_budget: int,
+                       seed: int = 42) -> str:
+    """Self-contained DuckDB twin (same 9-dp rounding convention as
+    temperature_sample_sql)."""
+    wsum = float(sum(weights.values()))
+    wcases = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {w}"
+        for s, w in sorted(weights.items())
+    )
+    return f"""
+    WITH tot AS (
+      SELECT {strata_expr} AS s, sum({tokens_expr})::DOUBLE AS t
+      FROM {table} GROUP BY 1
+    ),
+    fr AS (
+      SELECT s, round(least(1.0,
+               ({token_budget} * ((CASE {wcases} ELSE 0 END) / {wsum}))
+               / greatest(t, 1)), 9) AS frac
+      FROM tot
+    )
+    SELECT t.* FROM {table} t JOIN fr ON {strata_expr} = fr.s
+    WHERE {hash_bucket_sql(id_expr, seed)} < floor(frac * {_HASH_SPACE})
+    """

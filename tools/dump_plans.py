@@ -47,6 +47,7 @@ PLAN_QUERIES = (
     "bpe_tokens",
     "audio_normalize",
     "quality_classifier",
+    "mixture_sample",
 )
 
 
