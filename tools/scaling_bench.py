@@ -34,7 +34,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 CLIPS_N = 12000
-MULTIPLIER = 24          # pipeline input = CLIPS_N × MULTIPLIER rows
+# pipeline input = CLIPS_N × MULTIPLIER rows; override when the host's
+# healthy windows are too short for the full-size phase (the record then
+# notes the input size — scaling efficiency is size-independent once the
+# warm-up pass has reached steady state)
+MULTIPLIER = int(os.environ.get("SCALING_BENCH_MULT", "24"))
 MAX_SYNTH_MS = 150
 CLIPS_PATH = os.path.join(REPO, ".cache", "bench_clips.parquet")
 CORES = (2, 8)
@@ -230,8 +234,17 @@ Method notes:
 
 Regenerate: `python tools/scaling_bench.py`
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # preserve the hand-written narrative below the marker (environment
+    # variance appendix, prior-record notes) across regenerations
+    bench_path = os.path.join(REPO, "BENCH.md")
+    marker = "### Environment-variance appendix"
+    tail = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        if marker in old:
+            tail = "\n" + old[old.index(marker):]
+    with open(bench_path, "w") as f:
+        f.write(md + tail)
     print("wrote BENCH.md")
 
 
