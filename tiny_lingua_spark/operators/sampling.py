@@ -164,7 +164,8 @@ def mixture_fractions(df: DataFrame, strata_col: str, tokens_col,
               .agg(F.sum(tokens_col).alias("t")).collect()}
     wsum = float(sum(weights.values()))
     return {
-        s: round(min(1.0, (token_budget * (w / wsum)) / max(totals.get(s, 0), 1)), 9)
+        s: round(min(1.0, (token_budget * (w / wsum))
+                 / max(totals.get(s) or 0, 1)), 9)
         for s, w in sorted(weights.items())
     }
 
