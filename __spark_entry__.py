@@ -814,6 +814,32 @@ def _q_audio_spectral(spark, sf_dir):
     )
 
 
+def _q_audio_mfcc(spark, sf_dir):
+    """Per-clip MFCC summary (HTK-convention front-end, Davis &
+    Mermelstein 1980): batched rfft over fixed 256-sample Hann frames,
+    per-rate mel filterbank + DCT-II as grouped matrix products, mean/std
+    of the first 13 cepstra per clip. Coefficient vectors are emitted as
+    comma-joined rounded strings so the golden-parquet comparison is
+    repr-stable. Golden-parquet oracle (FFT math is not SQL-expressible)."""
+    from tiny_lingua_spark.audio import mfcc_udf
+
+    def _joined(col):
+        return F.concat_ws(
+            ",", F.transform(col, lambda x: F.round(x, 4).cast("string")))
+
+    clips = _synth_clips(spark)
+    mf = mfcc_udf()
+    return clips.select(
+        "clip_id", "codec", "sr_hz",
+        mf(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("m"),
+    ).select(
+        "clip_id", "codec", "sr_hz",
+        F.col("m.n_frames").cast("int").alias("n_frames"),
+        _joined(F.col("m.mfcc_mean")).alias("mfcc_mean"),
+        _joined(F.col("m.mfcc_std")).alias("mfcc_std"),
+    )
+
+
 def _q_audio_normalize(spark, sf_dir):
     """Write-side loudness normalization: the analysis gain
     (loudness_udf) feeds the apply half (transcode_udf) — scale to
@@ -952,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_keep_stats": _shipped(_q_pipeline_keep),
         "audio_decode_features": _shipped(_q_audio_features),
         "audio_spectral": _shipped(_q_audio_spectral),
+        "audio_mfcc": _shipped(_q_audio_mfcc),
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
         "audio_normalize": _shipped(_q_audio_normalize),
@@ -978,6 +1005,7 @@ GOLDEN_ORACLE_QUERIES = (
     "simhash_pairs",
     "audio_decode_features",
     "audio_spectral",
+    "audio_mfcc",
     "audio_resample",
     "audio_loudness",
     "audio_neardup",

@@ -1,0 +1,114 @@
+"""MFCC front-end: filterbank/DCT construction, batched-vs-rowloop
+equivalence, tone localization, chunking invariance, Spark end-to-end."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio as A
+
+
+def _mixed_batch(n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        sr = [8000, 16000, 22050, 44100][i % 4]
+        codec = ["pcm_s16le", "pcm_f32le", "mulaw", "alaw"][i % 4]
+        m = int(rng.integers(0, 2000))
+        t = np.arange(m) / sr
+        pcm = (0.5 * np.sin(2 * np.pi * 440 * t)
+               + 0.05 * rng.standard_normal(m)).astype(np.float32)
+        rows.append((A.encode(pcm, codec), codec, sr))
+    rows.append((None, "pcm_s16le", 16000))           # null payload
+    rows.append((b"\x01\x02\x03", "pcm_s16le", 16000))  # bad byte length
+    rows.append((b"\x01\x02", "weird", 16000))        # unknown codec
+    return (pd.Series([r[0] for r in rows]),
+            pd.Series([r[1] for r in rows]),
+            pd.Series([r[2] for r in rows]))
+
+
+def test_filterbank_shape_and_coverage():
+    fb = A.mel_filterbank(16000)
+    assert fb.shape == (A.N_MELS, A.FRAME_SAMPLES // 2 + 1)
+    assert (fb >= 0).all()
+    # every filter has some mass; interior bins are covered by >=1 filter
+    assert (fb.sum(axis=1) > 0).all()
+    interior = fb.sum(axis=0)[1:-1]
+    assert (interior > 0).all()
+
+
+def test_dct_rows_orthonormal():
+    d = A._dct_matrix()
+    assert np.allclose(d @ d.T, np.eye(A.N_MFCC), atol=1e-12)
+
+
+def test_mfcc_batch_matches_rowloop():
+    b, c, s = _mixed_batch()
+    fast = A._mfcc_batch(b, c, s)
+    slow = A._mfcc_rowloop(b, c, s)
+    assert (fast.n_frames.to_numpy() == slow.n_frames.to_numpy()).all()
+    for col in ("mfcc_mean", "mfcc_std"):
+        fm = np.stack(fast[col].to_list())
+        sm = np.stack(slow[col].to_list())
+        assert np.abs(fm - sm).max() < 1e-9
+
+
+def test_mfcc_chunking_invariant(monkeypatch):
+    b, c, s = _mixed_batch(seed=1)
+    whole = A._chunked_frame_apply(A._mfcc_batch, b, c, s)
+    monkeypatch.setattr(A, "_CHUNK_SAMPLE_BUDGET", 4096)
+    chunked = A._chunked_frame_apply(A._mfcc_batch, b, c, s)
+    assert (whole.n_frames.to_numpy() == chunked.n_frames.to_numpy()).all()
+    for col in ("mfcc_mean", "mfcc_std"):
+        assert np.abs(np.stack(whole[col].to_list())
+                      - np.stack(chunked[col].to_list())).max() < 1e-12
+
+
+def test_tone_hits_nearest_mel_filter():
+    # a pure 1 kHz tone's mel energy must peak in the filter whose
+    # center frequency is nearest 1 kHz
+    sr = 16000
+    t = np.arange(sr) / sr
+    pcm = (0.8 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    b = pd.Series([A.encode(pcm, "pcm_f32le")])
+    samples, offsets, ok = A.decode_concat(b, pd.Series(["pcm_f32le"]))
+    fs, rof, nf = A._frame_geometry(offsets)
+    idx = fs[:, None] + np.arange(A.FRAME_SAMPLES)[None, :]
+    frames = samples[idx].astype(np.float64) * np.hanning(A.FRAME_SAMPLES)
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    mel = power @ A.mel_filterbank(sr).T
+    edges = A._mel_to_hz(np.linspace(0, A._hz_to_mel(sr / 2), A.N_MELS + 2))
+    centers = edges[1:-1]
+    assert mel.mean(axis=0).argmax() == np.abs(centers - 1000).argmin()
+
+
+def test_short_and_broken_rows_zeroed():
+    b = pd.Series([A.encode(np.zeros(100, np.float32), "pcm_s16le"),  # <256
+                   None])
+    c = pd.Series(["pcm_s16le", "pcm_s16le"])
+    s = pd.Series([16000, 16000])
+    out = A._mfcc_batch(b, c, s)
+    assert (out.n_frames == 0).all()
+    assert all(np.all(v == 0.0) for v in out.mfcc_mean)
+    assert all(np.all(v == 0.0) for v in out.mfcc_std)
+
+
+def test_mfcc_udf_spark(spark):
+    from tiny_lingua_spark.data.clips import generate_clips
+
+    clips_pd, _ = generate_clips(n=24, seed=7)
+    df = spark.createDataFrame(clips_pd)
+    mf = A.mfcc_udf()
+    got = (df.select("clip_id", "bytes", "codec", "sr_hz",
+                     mf(F.col("bytes"), F.col("codec"),
+                        F.col("sr_hz")).alias("m"))
+             .select("clip_id", "m.n_frames", "m.mfcc_mean", "m.mfcc_std")
+             .orderBy("clip_id").toPandas())
+    ref = A._mfcc_batch(clips_pd["bytes"], clips_pd["codec"],
+                        clips_pd["sr_hz"])
+    order = np.argsort(clips_pd["clip_id"].to_numpy())
+    assert (got.n_frames.to_numpy()
+            == ref.n_frames.to_numpy()[order]).all()
+    assert np.abs(np.stack(got.mfcc_mean.to_list())
+                  - np.stack(ref.mfcc_mean.to_list())[order]).max() < 1e-9

@@ -33,6 +33,7 @@ PLAN_QUERIES = (
     "pipeline_keep_stats",
     "audio_decode_features",
     "audio_spectral",
+    "audio_mfcc",
     "audio_resample",
     "audio_loudness",
     "span_dedup",
