@@ -243,10 +243,22 @@ Regenerate: `python tools/scaling_bench.py`
         old = open(bench_path).read()
         if marker in old:
             tail = "\n" + old[old.index(marker):]
-    if eff < 0.8 and "Scaling efficiency" in old:
-        # an efficiency this far off the committed healthy record (1.01)
-        # on this host means the phases ran inside a hypervisor-steal
-        # window (see appendix) — log the attempt, keep the record
+    # A steal window can bias the ratio in EITHER direction (a degraded
+    # narrow phase fakes super-linear scaling), so gate on absolute
+    # throughput too: clips/sec is input-size-independent at steady state,
+    # and a degraded run can never beat a healthy one. Keep the old record
+    # unless the new wide-phase throughput is at least 80% of it.
+    import re
+
+    old_cps = 0.0
+    m = re.search(
+        rf"\| local\[{CORES[1]}\] \| [\d,]+ \| [\d.]+ \| ([\d,.]+) \|", old
+    )
+    if m:
+        old_cps = float(m.group(1).replace(",", ""))
+    new_cps = results[CORES[1]]["clips_per_sec"]
+    degraded = not (0.8 <= eff <= 1.15) or new_cps < 0.8 * old_cps
+    if degraded and "Scaling efficiency" in old:
         note = (f"\n\nDegraded-window attempt (NOT the record): "
                 f"eff {eff:.3f}, runs {json.dumps(results)}\n")
         with open(bench_path, "a") as f:
