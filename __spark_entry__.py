@@ -296,6 +296,14 @@ def _q_span_dedup(spark, sf_dir):
     return dedup.span_dedup(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_substr_spans(spark, sf_dir):
+    return dedup.substr_dup_spans(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_substr_dedup(spark, sf_dir):
+    return dedup.substr_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _q_incremental_dedup(spark, sf_dir):
     """Daily-increment dedup: bloom-prefiltered exact anti-join of a
     'new batch' against the 'historical corpus'. The two sides are a
@@ -934,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": _shipped(_q_repetition),
         "exact_dedup": _shipped(_q_exact_dedup),
         "span_dedup": _shipped(_q_span_dedup),
+        "substr_dup_spans": _shipped(_q_substr_spans),
+        "substr_dedup": _shipped(_q_substr_dedup),
         "incremental_dedup": _shipped(_q_incremental_dedup),
         "hash_sample": _shipped(_q_hash_sample),
         "decontaminate": _shipped(_q_decontaminate),
@@ -1102,6 +1112,9 @@ def oracle_sql() -> dict[str, str]:
             + " FROM documents)"),
         "exact_dedup": dedup.exact_dedup_groups_sql("documents", "doc_id", "text"),
         "span_dedup": dedup.span_dedup_sql("documents", "doc_id", "text"),
+        "substr_dup_spans": dedup.substr_dup_spans_sql(
+            "documents", "doc_id", "text"),
+        "substr_dedup": dedup.substr_dedup_sql("documents", "doc_id", "text"),
         "incremental_dedup": dedup.incremental_new_docs_sql(
             "documents", "doc_id", "text",
             batch_pred="substr(md5(doc_id::VARCHAR), 1, 1) >= '8'",

@@ -1,0 +1,104 @@
+"""ExactSubstr dedup (operators/dedup.py::substr_dup_spans/substr_dedup,
+the k-token sliding-window formulation of Lee et al. 2022)."""
+
+import duckdb
+
+from tiny_lingua_spark.operators.dedup import (
+    substr_dedup,
+    substr_dedup_sql,
+    substr_dup_spans,
+    substr_dup_spans_sql,
+)
+
+RUN = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicated_run_merges_to_one_span(spark):
+    # a 10-word run duplicated across docs -> 10-4+1 = 7 dup windows in
+    # the non-owner doc, merged into ONE interval covering the run
+    df = _df(spark, [
+        (1, f"alpha beta {RUN} gamma delta"),
+        (2, f"one two three {RUN} four five six"),
+    ])
+    spans = substr_dup_spans(df, window=4).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert s["doc_id"] == 2
+    assert (s["span_start"], s["span_end"]) == (3, 13)  # tokens 3..12
+    assert s["n_windows"] == 7
+
+
+def test_owner_keeps_non_owner_loses_run(spark):
+    df = _df(spark, [
+        (1, f"alpha beta {RUN} gamma delta"),
+        (2, f"one two three {RUN} four five six"),
+    ])
+    got = {r["doc_id"]: r for r in substr_dedup(df, window=4).collect()}
+    assert got[1]["tokens_removed"] == 0
+    assert got[1]["dedup_text"] == f"alpha beta {RUN} gamma delta"
+    assert got[2]["tokens_removed"] == 10
+    assert got[2]["dedup_text"] == "one two three four five six"
+
+
+def test_short_docs_and_empty_pass_through(spark):
+    df = _df(spark, [(1, "a b c"), (2, ""), (3, "solo")])
+    got = {r["doc_id"]: r for r in substr_dedup(df, window=4).collect()}
+    assert got[1]["dedup_text"] == "a b c" and got[1]["tokens_removed"] == 0
+    assert got[2]["dedup_text"] == "" and got[2]["tokens_removed"] == 0
+    assert got[3]["dedup_text"] == "solo"
+
+
+def test_self_repeat_within_one_doc(spark):
+    # "x1..x4 x1..x4" within one doc: the second occurrence's window is
+    # a duplicate of the first -> second half removed
+    df = _df(spark, [(9, "x1 x2 x3 x4 x1 x2 x3 x4")])
+    row = substr_dedup(df, window=4).collect()[0]
+    assert row["n_tokens"] == 8 and row["tokens_removed"] == 4
+    assert row["dedup_text"] == "x1 x2 x3 x4"
+
+
+def test_adjacent_intervals_merge(spark):
+    # two distinct duplicated runs back-to-back in doc 3 merge into one
+    # contiguous removal interval
+    run_a = "p1 p2 p3 p4"
+    run_b = "q1 q2 q3 q4"
+    df = _df(spark, [
+        (1, f"{run_a} filler1 filler2 filler3 filler4"),
+        (2, f"{run_b} other1 other2 other3 other4"),
+        (3, f"lead1 lead2 {run_a} {run_b} tail1 tail2"),
+    ])
+    spans = substr_dup_spans(df, window=4).where("doc_id = 3").collect()
+    assert len(spans) == 1
+    assert (spans[0]["span_start"], spans[0]["span_end"]) == (2, 10)
+
+
+def test_matches_duckdb_oracle(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    for fn, sql in (
+        (substr_dup_spans, substr_dup_spans_sql("documents")),
+        (substr_dedup, substr_dedup_sql("documents")),
+    ):
+        sdf = fn(docs)
+        cols = list(sdf.columns)
+        got = sdf.toPandas().sort_values(cols).reset_index(drop=True)
+        want = con.sql(sql).df().sort_values(cols).reset_index(drop=True)
+        want = want[cols].astype(got.dtypes.to_dict())
+        assert got.equals(want), f"{fn.__name__} mismatch"
+
+
+def test_plan_has_no_cartesian_or_python(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        substr_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

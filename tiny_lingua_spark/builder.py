@@ -56,12 +56,20 @@ class SparkLanguageDetector:
             self._local = Detector(models, self.params)
         return self._local
 
-    def detect_language_of(self, text: str) -> str:
+    def detect_language_of(self, text: str | None) -> str:
+        # the distributed UDF maps NULL text to "unknown" (pandas NA rows
+        # short-circuit before cleaning); mirror that here rather than
+        # crashing — the reference's Kotlin signature is non-null so this
+        # is Python-surface behavior, not a parity question
+        if text is None:
+            return "unknown"
         det = self._local_detector()
         idxs, confs = det.confidence_values(text, clean_text_py(text))
         return det.decide(idxs, confs)
 
-    def compute_language_confidence_values(self, text: str) -> dict[str, float]:
+    def compute_language_confidence_values(self, text: str | None) -> dict[str, float]:
+        if text is None:
+            return {}
         det = self._local_detector()
         idxs, confs = det.confidence_values(text, clean_text_py(text))
         return {lm.ISO_CODES[int(i)]: float(c) for i, c in zip(idxs, confs)}

@@ -1141,3 +1141,241 @@ def winnow_pairs_sql(table: str, id_col: str, text_col: str,
     JOIN n_fp na ON na.id = p.id_a
     JOIN n_fp nb ON nb.id = p.id_b
     """
+
+
+# -------------------------- substring-level dedup (Lee et al. 2022)
+
+SUBSTR_WINDOW = 8
+
+
+def _sliding_window_rows(df: DataFrame, id_col: str, text_col: str,
+                         window: int) -> DataFrame:
+    """One row per SLIDING word window: (doc_id, pos, h).
+
+    Unlike _span_rows (non-overlapping spans), every token position
+    starts a window, so a duplicated run of L >= window tokens yields
+    L - window + 1 duplicated windows whose union is exactly the run —
+    the k-gram formulation of Lee et al.'s "deduplicate any substring
+    of >= k tokens repeated anywhere in the corpus".
+    """
+    windows = F.expr(
+        f"CASE WHEN size(_words) >= {window} THEN "
+        f"transform(sequence(0, size(_words) - {window}), "
+        f"i -> xxhash64(array_join(slice(_words, i + 1, {window}), ' ')))"
+        f" ELSE array() END"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_words"),
+        )
+        .select("doc_id", F.posexplode(windows).alias("pos", "h"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+def substr_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     window: int = SUBSTR_WINDOW,
+                     packed_pos_bits: int = 20) -> DataFrame:
+    """Merged duplicate-substring intervals per document
+    (doc_id, span_start, span_end, n_windows), token positions,
+    end-exclusive.
+
+    Semantics (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499, ExactSubstr): any word
+    window of `window` tokens that occurs more than once in the corpus
+    is a duplicate; the corpus-wide FIRST occurrence (by doc id, then
+    position) is the owner and stays, every other occurrence is marked
+    for removal. Overlapping/adjacent marked windows within a document
+    merge into maximal intervals (gaps-and-islands), so a long
+    duplicated run comes back as ONE span. The reference library has no
+    corpus ops (it is a language-ID library, LanguageDetector.kt:114);
+    this is the target-spec training-data tier below paragraph-level
+    span_dedup: catches duplicated regions that cross paragraph
+    boundaries or sit inside otherwise-unique lines.
+
+    Scale shape (100 TB): window rows are linear in corpus tokens (one
+    8-byte xxhash64 per position — the window STRING never enters the
+    shuffle). First-owner is groupBy(h).agg(min(packed), count) — hash
+    aggregate with map-side partial combine, so a banner duplicated
+    10^9 times contributes one partial row per map task. The join back
+    is on the uniform 64-bit hash. The two analytic windows
+    (running-max end, island cumsum) partition by doc_id — uniform,
+    bounded by document length, never by the duplicated-content key.
+    No cross join, no collect.
+    """
+    from pyspark.sql.window import Window as W
+
+    rows = _sliding_window_rows(df, id_col, text_col, window)
+    limit = 1 << packed_pos_bits
+    packed = F.col("doc_id").cast("long") * F.lit(limit) + F.col("pos")
+    key = F.when(F.col("pos") < limit, packed).otherwise(
+        F.raise_error(F.lit(
+            f"substr_dup_spans: pos >= 2^{packed_pos_bits}; re-run with "
+            "higher packed_pos_bits")))
+    firsts = rows.groupBy("h").agg(
+        F.min(key).alias("_first"), F.count("*").alias("_cnt"))
+    dups = (
+        rows.join(firsts, "h")
+        .where((F.col("_cnt") > 1) & (packed != F.col("_first")))
+        .select("doc_id", "pos")
+    )
+    prev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1)
+    run_end = F.max(F.col("pos") + window).over(prev)
+    flagged = dups.withColumn(
+        "_new",
+        F.when(run_end.isNull() | (F.col("pos") > run_end), 1).otherwise(0),
+    )
+    cum = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, 0)
+    islands = flagged.withColumn("_island", F.sum("_new").over(cum))
+    return (
+        islands.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def substr_dedup(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 window: int = SUBSTR_WINDOW,
+                 packed_pos_bits: int = 20) -> DataFrame:
+    """Remove duplicated substrings from non-owner occurrences:
+    (doc_id, n_tokens, tokens_removed, dedup_text).
+
+    Policy: a token is dropped iff it is covered by a merged
+    duplicate-window interval from substr_dup_spans (the corpus-wide
+    first occurrence of each window is the owner and is never marked).
+    With self-overlapping repeats (e.g. "x x x ... x") the owner
+    window's tokens can still fall inside a later marked interval —
+    the removal is interval-based, deterministic, and documented, which
+    is the same pragmatic choice the paper makes for overlapping
+    matches (§3.1: remove all but one occurrence, boundaries by span).
+
+    Scale shape: the spans-per-doc list is collected per doc_id
+    (bounded by doc length / window), the documents side is joined on
+    doc_id (uniform), and token filtering happens INSIDE an array
+    expression (codegen higher-order filter + exists) — tokens are
+    never exploded on this path.
+    """
+    spans = substr_dup_spans(df, id_col, text_col, window,
+                             packed_pos_bits)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_words"),
+    )
+    joined = docs.join(per_doc, "doc_id", "left")
+    kept = F.when(F.col("_spans").isNull(), F.col("_words")).otherwise(
+        F.filter(
+            F.col("_words"),
+            lambda x, i: ~F.exists(
+                F.col("_spans"),
+                lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_words").cast("long").alias("n_tokens"),
+        (F.size("_words") - F.size(kept)).cast("long").alias(
+            "tokens_removed"),
+        F.array_join(kept, " ").alias("dedup_text"),
+    )
+
+
+def _substr_spans_sql_body(table: str, id_col: str, text_col: str,
+                           window: int, packed_pos_bits: int) -> str:
+    """Shared CTE chain for the DuckDB twins (groups by the window
+    STRING where the Spark plan groups by xxhash64 — identical results
+    barring a 64-bit collision, which the committed corpus sizes make
+    negligible; same convention as the minhash twins)."""
+    limit = 1 << packed_pos_bits
+    return f"""
+    WITH w AS (
+      SELECT {id_col} AS doc_id,
+             regexp_split_to_array(trim({text_col}), '\\s+') AS words
+      FROM {table}
+    ), g AS (
+      SELECT doc_id, (i - 1)::BIGINT AS pos,
+             array_to_string(words[i:(i + {window} - 1)], ' ') AS gram
+      FROM w, LATERAL unnest(range(1, len(words) - {window} + 2)) AS t(i)
+    ), owner AS (
+      SELECT gram, min(doc_id * {limit} + pos) AS first_packed,
+             count(*) AS c
+      FROM g GROUP BY gram
+    ), d AS (
+      SELECT g.doc_id, g.pos
+      FROM g JOIN owner USING (gram)
+      WHERE owner.c > 1
+        AND g.doc_id * {limit} + g.pos <> owner.first_packed
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + {window}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM d
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, min(pos)::BIGINT AS span_start,
+             (max(pos) + {window})::BIGINT AS span_end,
+             count(*)::BIGINT AS n_windows
+      FROM isl GROUP BY doc_id, island
+    )"""
+
+
+def substr_dup_spans_sql(table: str, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         window: int = SUBSTR_WINDOW,
+                         packed_pos_bits: int = 20) -> str:
+    """DuckDB twin of substr_dup_spans."""
+    body = _substr_spans_sql_body(table, id_col, text_col, window,
+                                  packed_pos_bits)
+    return body + """
+    SELECT doc_id, span_start, span_end, n_windows FROM spans
+    """
+
+
+def substr_dedup_sql(table: str, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     window: int = SUBSTR_WINDOW,
+                     packed_pos_bits: int = 20) -> str:
+    """DuckDB twin of substr_dedup (token explode + range anti-join
+    formulation — the oracle does not need the array-side filter, only
+    identical results; merged spans are disjoint, so the left join
+    matches each token at most once)."""
+    body = _substr_spans_sql_body(table, id_col, text_col, window,
+                                  packed_pos_bits)
+    return body + f"""
+    , tok AS (
+      SELECT doc_id, words[i] AS tok, (i - 1)::BIGINT AS pos
+      FROM w, LATERAL unnest(range(1, len(words) + 1)) AS t(i)
+    ), kept AS (
+      SELECT t.doc_id, t.tok, t.pos
+      FROM tok t LEFT JOIN spans s
+        ON t.doc_id = s.doc_id
+       AND t.pos >= s.span_start AND t.pos < s.span_end
+      WHERE s.doc_id IS NULL
+    )
+    SELECT w.doc_id,
+           len(w.words)::BIGINT AS n_tokens,
+           (len(w.words) - count(k.pos))::BIGINT AS tokens_removed,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '')
+             AS dedup_text
+    FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
+    GROUP BY w.doc_id, len(w.words)
+    """

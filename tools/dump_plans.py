@@ -49,6 +49,7 @@ PLAN_QUERIES = (
     "audio_normalize",
     "quality_classifier",
     "mixture_sample",
+    "substr_dedup",
 )
 
 
