@@ -597,6 +597,17 @@ def _q_ivf_cells(spark, sf_dir):
     return similarity.ivf_cells(_emb(spark, sf_dir))
 
 
+def _q_semdedup_drop(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): within-k-means-cell cosine pruning.
+    tau=0.4 because the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ~0.51); production tau is ~0.95 on real encoders."""
+    return similarity.semdedup_drop(_emb(spark, sf_dir), tau=0.4)
+
+
+def _q_semdedup_stats(spark, sf_dir):
+    return similarity.semdedup_stats(_emb(spark, sf_dir), tau=0.4)
+
+
 # ---- UDF-backed (rows-only oracle) ----
 
 def _q_detect_labels(spark, sf_dir):
@@ -973,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": _shipped(_q_embedding_neardup_exact),
         "ivf_topk": _shipped(_q_ivf_topk),
         "ivf_cells": _shipped(_q_ivf_cells),
+        "semdedup_drop": _shipped(_q_semdedup_drop),
+        "semdedup_stats": _shipped(_q_semdedup_stats),
         "events_sessions": _shipped(_q_events_sessions),
         "fasttext_lang": _shipped(_q_fasttext_lang),
         "perplexity_scores": _shipped(_q_perplexity),
@@ -1254,5 +1267,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": similarity.ann_lsh_sql("embeddings", 0, 10, 16, EMB_DIM),
         "ivf_topk": similarity.ivf_topk_sql("embeddings", 0, 10, 4, EMB_DIM),
         "ivf_cells": similarity.ivf_cells_sql("embeddings", EMB_DIM),
+        "semdedup_drop": similarity.semdedup_drop_sql("embeddings", 0.4, EMB_DIM),
+        "semdedup_stats": similarity.semdedup_stats_sql("embeddings", 0.4, EMB_DIM),
         **_golden_oracles(),
     }

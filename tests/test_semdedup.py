@@ -1,0 +1,114 @@
+"""SemDeDup (arXiv:2303.09540): within-cell cosine pruning.
+
+Checks: planted exact/near duplicates are dropped with the right keeper;
+the survivor set has no remaining within-cell pair >= tau (the paper's
+invariant); plan is cell-bucketed (no cartesian product); stats
+reconcile with the drop list.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _seed_centroids(dim, n_cells=16, salt="tls-ivf-v1"):
+    inv = 1.0 / np.sqrt(dim)
+    return np.array(
+        [
+            [
+                inv
+                if hashlib.md5(f"{salt}:{c}:{j}".encode()).digest()[0] % 2 == 0
+                else -inv
+                for j in range(dim)
+            ]
+            for c in range(n_cells)
+        ]
+    )
+
+
+def _numpy_semdedup(ids, M, tau):
+    """Reference: per-cell lower-triangle scan, lowest id survives."""
+    cells = np.argmax(M @ _seed_centroids(M.shape[1]).T, axis=1)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    dropped = {}
+    for c in np.unique(cells):
+        idx = np.where(cells == c)[0]
+        order = idx[np.argsort(ids[idx])]
+        S = np.round(Mn[order] @ Mn[order].T, 6)
+        for i in range(1, len(order)):
+            near = np.where(S[i, :i] >= tau)[0]
+            if len(near):
+                dropped[int(ids[order[i]])] = int(ids[order[near[0]]])
+    return dropped, cells
+
+
+def test_planted_duplicates_dropped(spark):
+    from tiny_lingua_spark.operators.similarity import semdedup_drop
+
+    emb = spark.read.parquet(EMB).orderBy("vec_id").limit(50)
+    pdf = emb.toPandas()
+    # plant: exact copy of vec 0 and a tiny perturbation of vec 1
+    exact = pdf.iloc[0].copy()
+    exact["vec_id"] = 10_000
+    near = pdf.iloc[1].copy()
+    near["vec_id"] = 10_001
+    near["embedding"] = [
+        float(v) + (0.001 if i == 0 else 0.0)
+        for i, v in enumerate(near["embedding"])
+    ]
+    pdf2 = pdf._append([exact, near], ignore_index=True)
+    df = spark.createDataFrame(pdf2, schema=emb.schema)
+
+    out = semdedup_drop(df, tau=0.99).toPandas().set_index("vec_id")
+    assert 10_000 in out.index and out.loc[10_000, "kept_by"] == 0
+    assert out.loc[10_000, "max_sim"] == 1.0
+    assert 10_001 in out.index and out.loc[10_001, "kept_by"] == 1
+    assert out.loc[10_001, "max_sim"] >= 0.999
+    # the originals (lowest ids) survive
+    assert 0 not in out.index and 1 not in out.index
+
+
+def test_matches_numpy_reference_and_invariant(spark):
+    from tiny_lingua_spark.operators.similarity import semdedup_drop
+
+    emb = spark.read.parquet(EMB)
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf.embedding])
+
+    tau = 0.4
+    ref, cells = _numpy_semdedup(ids, M, tau)
+    out = semdedup_drop(emb, tau=tau).toPandas()
+    got = dict(zip(out.vec_id, out.kept_by))
+    assert got == ref
+    # invariant: among survivors no within-cell pair >= tau remains
+    surv = ~np.isin(ids, list(ref))
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for c in np.unique(cells):
+        m = surv & (cells == c)
+        if m.sum() < 2:
+            continue
+        S = np.round(Mn[m] @ Mn[m].T, 6)
+        np.fill_diagonal(S, -2)
+        assert S.max() < tau
+
+
+def test_stats_reconcile_and_plan(spark):
+    from tiny_lingua_spark.operators.similarity import (
+        semdedup_drop,
+        semdedup_stats,
+    )
+    from tests.test_plans import plan_of
+
+    emb = spark.read.parquet(EMB)
+    drop = semdedup_drop(emb, tau=0.4)
+    stats = semdedup_stats(emb, tau=0.4).toPandas()
+    assert int(stats.n_vectors.sum()) == emb.count()
+    assert int(stats.n_dropped.sum()) == drop.count()
+    assert ((stats.n_vectors - stats.n_dropped) / stats.n_vectors).round(
+        6
+    ).equals(stats.keep_rate)
+    assert "CartesianProduct" not in plan_of(drop)

@@ -577,3 +577,137 @@ def ivf_train(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
         cents = new
     normed = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     return [[float(v) for v in row] for row in normed]
+
+
+# ------------------------------------------------ SemDeDup
+#
+# Semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication",
+# arXiv:2303.09540): cluster the embedding space with a coarse k-means
+# quantizer, then compare vectors ONLY within their cluster — a vector
+# is dropped when an earlier-id vector in the same cell has cosine
+# similarity >= tau. The cells turn the O(n^2) pair space into
+# sum(cell_size^2), exactly like the LSH buckets above, and the cell id
+# doubles as the shuffle/partition key.
+#
+# Scale shape: one codegen projection assigns cells (or a pruned scan of
+# a cell-partitioned index — same layout ivf_topk probes), one
+# shuffle-hash self-join keyed by cell, one hash aggregate. The corpus
+# is shuffled once, on a key whose fan-out the quantizer bounds
+# (n_cells grows with corpus size so cell_size stays ~constant; paper
+# uses 50k cells for LAION-440M). No driver-side state beyond the
+# n_cells x dim centroid literals. Deterministic keep rule (lowest
+# vec_id survives) replaces the paper's random keeper so both engines
+# agree row-for-row.
+
+
+def semdedup_drop(emb: DataFrame, tau: float = 0.4,
+                  centroids: list[list[float]] | None = None) -> DataFrame:
+    """Dropped vectors: (vec_id, cell, kept_by, max_sim, n_near) where
+    kept_by is the lowest-id qualifying neighbor and n_near the number
+    of earlier-id within-cell neighbors at round(cos,6) >= tau.
+
+    NOTE tau: the synthetic test embeddings are near-orthogonal random
+    points (max pairwise cosine ~0.51), so driver queries exercise the
+    operator at tau=0.4; production semantic dedup on real encoder
+    embeddings uses tau in the 0.93..0.97 range (paper Fig. 3)."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(64)
+    assigned = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "embedding",
+        ivf_cell_col("embedding", centroids).alias("cell"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b").hint("shuffle_hash")
+    sim = F.round(cosine_expr("a.embedding", "b.embedding"), 6)
+    pairs = (
+        a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                      F.col("b.vec_id") < F.col("a.vec_id")])
+        .select(F.col("a.vec_id").alias("vec_id"),
+                F.col("a.cell").alias("cell"),
+                F.col("b.vec_id").alias("nbr"),
+                sim.alias("sim"))
+        .where(F.col("sim") >= tau)
+    )
+    return (
+        pairs.groupBy("vec_id", "cell")
+        .agg(F.min("nbr").alias("kept_by"),
+             F.max("sim").alias("max_sim"),
+             F.count(F.lit(1)).alias("n_near"))
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_drop_sql(table: str, tau: float = 0.4, dim: int = 64,
+                      centroids: list[list[float]] | None = None) -> str:
+    if centroids is None:
+        centroids = ivf_seed_centroids(dim)
+    d = _centroid_dots_sql("embedding", centroids, dim)
+    cos = cosine_sql("a.embedding", "b.embedding", dim)
+    return f"""
+    WITH assigned AS (
+        SELECT vec_id::BIGINT AS vec_id, embedding,
+               (list_position(d, list_max(d)) - 1)::BIGINT AS cell
+        FROM (SELECT vec_id, embedding, {d} AS d FROM {table})
+    ),
+    pairs AS (
+        SELECT a.vec_id, a.cell, b.vec_id AS nbr, round({cos}, 6) AS sim
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+    )
+    SELECT vec_id, cell, min(nbr)::BIGINT AS kept_by, max(sim) AS max_sim,
+           count(*)::BIGINT AS n_near
+    FROM pairs WHERE sim >= {tau}
+    GROUP BY vec_id, cell ORDER BY vec_id
+    """
+
+
+def semdedup_stats(emb: DataFrame, tau: float = 0.4,
+                   centroids: list[list[float]] | None = None) -> DataFrame:
+    """Per-cell survivor accounting: (cell, n_vectors, n_dropped,
+    keep_rate). The report a dedup run emits before committing the
+    surviving corpus — survivors themselves are `emb` anti-joined on
+    semdedup_drop's vec_id set."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(64)
+    assigned = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        ivf_cell_col("embedding", centroids).alias("cell"),
+    )
+    drops = (
+        semdedup_drop(emb, tau=tau, centroids=centroids)
+        .select("vec_id", F.lit(1).alias("is_drop"))
+    )
+    return (
+        assigned.join(drops, "vec_id", "left")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.count("is_drop").alias("n_dropped"),
+             F.round(
+                 (F.count(F.lit(1)) - F.count("is_drop"))
+                 / F.count(F.lit(1)), 6).alias("keep_rate"))
+        .orderBy("cell")
+    )
+
+
+def semdedup_stats_sql(table: str, tau: float = 0.4, dim: int = 64,
+                       centroids: list[list[float]] | None = None) -> str:
+    if centroids is None:
+        centroids = ivf_seed_centroids(dim)
+    d = _centroid_dots_sql("embedding", centroids, dim)
+    drop = semdedup_drop_sql(table, tau=tau, dim=dim, centroids=centroids)
+    return f"""
+    WITH assigned AS (
+        SELECT vec_id::BIGINT AS vec_id,
+               (list_position(d, list_max(d)) - 1)::BIGINT AS cell
+        FROM (SELECT vec_id, embedding, {d} AS d FROM {table})
+    ),
+    drops AS (SELECT vec_id FROM ({drop}))
+    SELECT a.cell, count(*)::BIGINT AS n_vectors,
+           count(dr.vec_id)::BIGINT AS n_dropped,
+           round((count(*) - count(dr.vec_id)) / count(*)::DOUBLE, 6)
+               AS keep_rate
+    FROM assigned a LEFT JOIN drops dr ON a.vec_id = dr.vec_id
+    GROUP BY a.cell ORDER BY a.cell
+    """

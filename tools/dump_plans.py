@@ -50,6 +50,7 @@ PLAN_QUERIES = (
     "quality_classifier",
     "mixture_sample",
     "substr_dedup",
+    "semdedup_drop",
 )
 
 
