@@ -354,6 +354,28 @@ def _q_hash_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def _q_component_split(spark, sf_dir):
+    """Leakage-safe train/val split (The-Stack-style): split hash keyed
+    on the near-dup connected-component id, so no near-dup pair can
+    straddle train/val; singletons fall back to their own doc_id."""
+    from tiny_lingua_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    comps = dedup.connected_components(
+        dedup.minhash_pairs(docs, "doc_id", "text"))
+    return sampling.component_split(docs, comps, "doc_id")
+
+
+def _q_split_stats(spark, sf_dir):
+    from tiny_lingua_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    comps = dedup.connected_components(
+        dedup.minhash_pairs(docs, "doc_id", "text"))
+    return sampling.split_stats(
+        sampling.component_split(docs, comps, "doc_id"))
+
+
 def _q_temperature_sample(spark, sf_dir):
     """mT5-style language rebalancing: alpha-temperature keep fractions
     from one tiny per-language counts job, then the deterministic
@@ -957,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dedup": _shipped(_q_substr_dedup),
         "incremental_dedup": _shipped(_q_incremental_dedup),
         "hash_sample": _shipped(_q_hash_sample),
+        "component_split": _shipped(_q_component_split),
+        "split_stats": _shipped(_q_split_stats),
         "decontaminate": _shipped(_q_decontaminate),
         "source_stats": _shipped(_q_source_stats),
         "temperature_sample": _shipped(_q_temperature_sample),
@@ -1183,6 +1207,21 @@ def oracle_sql() -> dict[str, str]:
                 "documents", "doc_id", "lang", _SAMPLE_FRACTIONS, 0.5)
             + ")"
         ),
+        "component_split": __import__(
+            "tiny_lingua_spark.operators.sampling", fromlist=["sampling"]
+        ).component_split_sql(
+            "documents", "doc_id",
+            dedup.connected_components_sql(
+                dedup.minhash_pairs_sql("documents", "doc_id", "text"))),
+        "split_stats": __import__(
+            "tiny_lingua_spark.operators.sampling", fromlist=["sampling"]
+        ).split_stats_sql(
+            __import__(
+                "tiny_lingua_spark.operators.sampling", fromlist=["sampling"]
+            ).component_split_sql(
+                "documents", "doc_id",
+                dedup.connected_components_sql(
+                    dedup.minhash_pairs_sql("documents", "doc_id", "text")))),
         "screen_lang_confusion": f"""
             SELECT lang AS label_lang, {screen_lang_sql('text')} AS screen_lang,
                    count(*)::BIGINT AS n

@@ -1,0 +1,74 @@
+"""Leakage-safe train/val split: near-dup pairs never straddle splits.
+
+The split hash is keyed on the connected-component id of the near-dup
+graph (The Stack, arXiv:2211.15533), own doc_id for singletons — so it
+inherits hash sampling's determinism while eliminating cross-split
+duplicate leakage entirely.
+"""
+
+from pyspark.sql import functions as F
+
+DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+def _split(spark):
+    from tiny_lingua_spark.operators import dedup, sampling
+
+    docs = spark.read.parquet(DOCS)
+    pairs = dedup.minhash_pairs(docs, "doc_id", "text")
+    comps = dedup.connected_components(pairs)
+    return docs, pairs, sampling.component_split(docs, comps, "doc_id")
+
+
+def test_no_pair_straddles_splits(spark):
+    docs, pairs, split = _split(spark)
+    m = {r.doc_id: r.split for r in split.collect()}
+    straddle = [
+        (r.id_a, r.id_b)
+        for r in pairs.select("id_a", "id_b").collect()
+        if m[r.id_a] != m[r.id_b]
+    ]
+    assert straddle == []
+    # total assignment: every doc exactly once
+    assert len(m) == docs.count()
+
+
+def test_id_hash_split_would_leak(spark):
+    """Counterfactual: splitting on doc_id straddles at least one
+    near-dup pair on this corpus — the leak component_split closes."""
+    from tiny_lingua_spark.operators import dedup
+    from tiny_lingua_spark.operators.sampling import (
+        _threshold,
+        hash_bucket_col,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    pairs = dedup.minhash_pairs(docs, "doc_id", "text")
+    naive = docs.select(
+        "doc_id",
+        F.when(
+            hash_bucket_col(F.col("doc_id"), 42) < F.lit(_threshold(0.9)),
+            "train",
+        ).otherwise("val").alias("split"),
+    )
+    m = {r.doc_id: r.split for r in naive.collect()}
+    straddle = [
+        1 for r in pairs.select("id_a", "id_b").collect()
+        if m[r.id_a] != m[r.id_b]
+    ]
+    assert len(straddle) > 0
+
+
+def test_split_is_deterministic_and_stats_reconcile(spark):
+    from tiny_lingua_spark.operators.sampling import split_stats
+
+    docs, _, split = _split(spark)
+    a = sorted(map(tuple, split.collect()))
+    b = sorted(map(tuple, split.repartition(13).collect()))
+    assert a == b
+    st = split_stats(split).toPandas().set_index("split")
+    assert int(st.n_docs.sum()) == docs.count()
+    assert (st.n_components <= st.n_docs).all()
+    # ~90/10 with hash noise
+    frac = st.loc["train", "n_docs"] / st.n_docs.sum()
+    assert 0.8 < frac < 0.97

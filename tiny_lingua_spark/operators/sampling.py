@@ -205,3 +205,82 @@ def mixture_sample_sql(table: str, id_expr: str, strata_expr: str,
     SELECT t.* FROM {table} t JOIN fr ON {strata_expr} = fr.s
     WHERE {hash_bucket_sql(id_expr, seed)} < floor(frac * {_HASH_SPACE})
     """
+
+
+# --------------------------- leakage-safe (dedup-aware) train/val split
+#
+# Hash-splitting on doc_id leaks near-duplicates across splits: two
+# 99%-identical documents hash independently, so ~2·f·(1-f) of dup
+# pairs straddle train/val and eval contamination scales with the dup
+# rate. The fix (used for The Stack / StarCoder data: arXiv:2211.15533
+# splits by near-dup cluster) is to key the split hash on the
+# CONNECTED-COMPONENT id from the near-dup graph — every member of a
+# dup cluster lands in the same split by construction, and singleton
+# docs (no near-dup edge) fall back to their own id, preserving the
+# hash sampler's determinism/retry-independence guarantees.
+#
+# Scale shape: the components table only contains docs that appear in a
+# candidate pair (dup-cluster members — a small fraction of the corpus),
+# so the join is broadcast-able at typical dup rates; the split decision
+# itself is the same pure-codegen md5 filter as sample_by_hash.
+
+
+def component_split(docs: DataFrame, components: DataFrame, id_col: str,
+                    train_fraction: float = 0.9, seed: int = 42,
+                    comp_id: str = "id", comp_col: str = "comp") -> DataFrame:
+    """(id, comp, split): split ∈ {train, val} keyed on the near-dup
+    component id (from `dedup.connected_components`), own id for
+    singletons. No near-dup pair can straddle splits."""
+    thr = _threshold(train_fraction)
+    comps = components.select(F.col(comp_id).alias("__cid"),
+                              F.col(comp_col).alias("__comp"))
+    labeled = (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(F.broadcast(comps), F.col(id_col) == F.col("__cid"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__comp"), F.col(id_col)).alias("comp"),
+        )
+    )
+    split = F.when(hash_bucket_col(F.col("comp"), seed) < F.lit(thr),
+                   F.lit("train")).otherwise(F.lit("val"))
+    return labeled.select(id_col, "comp", split.alias("split")) \
+                  .orderBy(id_col)
+
+
+def component_split_sql(table: str, id_expr: str, components_sql: str,
+                        train_fraction: float = 0.9, seed: int = 42) -> str:
+    """DuckDB twin; `components_sql` must yield (id, comp) — e.g.
+    dedup.connected_components_sql(<pairs twin>)."""
+    thr = _threshold(train_fraction)
+    return f"""
+    WITH comps AS ({components_sql}),
+    labeled AS (
+      SELECT d.{id_expr}::BIGINT AS {id_expr},
+             COALESCE(c.comp, d.{id_expr})::BIGINT AS comp
+      FROM {table} d LEFT JOIN comps c ON d.{id_expr} = c.id
+    )
+    SELECT {id_expr}, comp,
+           CASE WHEN {hash_bucket_sql('comp', seed)} < {thr}
+                THEN 'train' ELSE 'val' END AS split
+    FROM labeled ORDER BY {id_expr}
+    """
+
+
+def split_stats(split_df: DataFrame) -> DataFrame:
+    """Per-split accounting: (split, n_docs, n_components) — the report
+    that goes next to the committed split manifest."""
+    return (
+        split_df.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("comp").alias("n_components"))
+        .orderBy("split")
+    )
+
+
+def split_stats_sql(split_sql: str) -> str:
+    return f"""
+    SELECT split, count(*)::BIGINT AS n_docs,
+           count(DISTINCT comp)::BIGINT AS n_components
+    FROM ({split_sql}) GROUP BY split ORDER BY split
+    """
