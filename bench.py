@@ -59,9 +59,12 @@ BENCH_QUERIES = (
     "pack_sequences",         # GPT-style concat-and-split packing plan
     "bpe_tokens",             # BPE train (capped word table) + Arrow encode
     "audio_normalize",        # gain-apply + transcode (write-side R128)
+    "audio_mfcc",             # batched MFCC front-end (mel filterbank + DCT)
     "quality_classifier",     # weak-label fastText quality model (train+score)
     "mixture_sample",         # token-budget source mixing (counts + hash filter)
     "substr_dedup",           # ExactSubstr k-gram span removal (Lee et al.)
+    "semdedup_drop",          # SemDeDup within-cell cosine pruning
+    "component_split",        # leakage-safe split on near-dup components
 )
 
 
