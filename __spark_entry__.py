@@ -420,6 +420,106 @@ def _q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source", "lang", "toks")
 
 
+_UNIMAX_BUDGET = 20_000
+_UNIMAX_EPOCHS = 4.0
+
+
+def _q_unimax_alloc(spark, sf_dir):
+    """UniMax language balancing (Chung et al. 2023): uniform per-language
+    token budget capped at max_epochs passes — the water-fill allocation
+    (one tiny per-language counts job; closed-form prefix test)."""
+    from tiny_lingua_spark.operators import sampling
+
+    rows = sampling.unimax_allocation(
+        _docs(spark, sf_dir), "lang", "n_chars",
+        token_budget=_UNIMAX_BUDGET, max_epochs=_UNIMAX_EPOCHS)
+    return spark.createDataFrame(
+        [(r["lang"], r["tokens"], r["alloc_tokens"], r["epochs"])
+         for r in rows],
+        "lang string, tokens long, alloc_tokens double, epochs double")
+
+
+def _q_unimax_sample(spark, sf_dir):
+    """UniMax-balanced downsampling: the water-fill keep fractions drive
+    the deterministic codegen hash filter (corpus never shuffles)."""
+    from tiny_lingua_spark.operators import sampling
+
+    return sampling.unimax_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", "n_chars",
+        token_budget=_UNIMAX_BUDGET, max_epochs=_UNIMAX_EPOCHS,
+    ).select("doc_id", "lang", "source")
+
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET = "lang = 'en'"
+_DSIR_K = 100
+
+
+def _fit_dsir(spark, sf_dir):
+    from tiny_lingua_spark.operators import dsir
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(_DSIR_TARGET)
+    return docs, dsir.fit_log_ratio(target, docs, "text", _DSIR_BUCKETS)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023): hashed unigram+
+    bigram bag models for target (en docs) vs raw; per-doc scoring is a
+    pure codegen projection over one array literal — zero shuffle."""
+    from tiny_lingua_spark.operators import dsir
+
+    docs, ratio = _fit_dsir(spark, sf_dir)
+    return dsir.dsir_weights(docs, ratio, "doc_id", "text")
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR Gumbel top-k resampling without replacement — deterministic
+    hash-derived Gumbel noise, executes as TakeOrderedAndProject."""
+    from tiny_lingua_spark.operators import dsir
+
+    docs, ratio = _fit_dsir(spark, sf_dir)
+    return dsir.dsir_select(docs, ratio, _DSIR_K, "doc_id", "text")
+
+
+def _q_clip_consistency(spark, sf_dir):
+    """Audio/transcript joint-consistency filter: speaking-rate
+    plausibility (chars/sec, words/min) over clip metadata — a pure
+    codegen projection; DuckDB twin runs the same SQL over the committed
+    clip-metadata fixture parquet."""
+    from tiny_lingua_spark.functions.quality import clip_consistency_cols
+
+    clips = _synth_clips(spark)
+    return clips.select("clip_id", "dur_ms", *clip_consistency_cols())
+
+
+def _q_clip_speech_rate(spark, sf_dir):
+    """Speech-adjusted transcript rate: decode features give the actual
+    sampled duration + silence ratio; chars per SPEECH second is the
+    alignment-quality signal duration alone can't provide (golden-parquet
+    oracle — the decode/VAD math is not SQL-expressible)."""
+    from tiny_lingua_spark.audio import decode_features_udf
+
+    clips = _synth_clips(spark)
+    feat = decode_features_udf()
+    f_ = feat(F.col("bytes"), F.col("codec"))
+    n_chars = F.length(F.trim(F.col("transcript")))
+    audio_s = F.col("f.n_samples").cast("double") / F.col("sr_hz")
+    speech_s = audio_s * (1.0 - F.col("f.silence_ratio"))
+    return clips.select(
+        "clip_id", "sr_hz", f_.alias("f"), "transcript",
+    ).select(
+        "clip_id", "sr_hz",
+        F.col("f.n_samples").cast("long").alias("n_samples"),
+        n_chars.alias("n_chars"),
+        F.round(audio_s, 6).alias("audio_s"),
+        F.round(speech_s, 6).alias("speech_s"),
+        F.round(n_chars.cast("double")
+                / F.greatest(speech_s, F.lit(0.001)), 6)
+         .alias("chars_per_speech_sec"),
+    )
+
+
 def _q_quality_classifier(spark, sf_dir):
     """CCNet/DCLM-style supervised quality filter: weak labels from the
     heuristic composite score bootstrap a hashed-bag-of-ngrams linear
@@ -984,6 +1084,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _shipped(_q_decontaminate),
         "source_stats": _shipped(_q_source_stats),
         "temperature_sample": _shipped(_q_temperature_sample),
+        "unimax_alloc": _shipped(_q_unimax_alloc),
+        "unimax_sample": _shipped(_q_unimax_sample),
+        "dsir_weights": _shipped(_q_dsir_weights),
+        "dsir_select": _shipped(_q_dsir_select),
+        "clip_consistency": _shipped(_q_clip_consistency),
+        "clip_speech_rate": _shipped(_q_clip_speech_rate),
         "pack_sequences": _shipped(_q_pack_sequences),
         "pack_stats": _shipped(_q_pack_stats),
         "c4_clean": _shipped(_q_c4_clean),
@@ -1059,6 +1165,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_segments",
     "audio_embed_knn",
     "audio_normalize",
+    "clip_speech_rate",
     "bpe_merges",
     "bpe_tokens",
 )
@@ -1172,6 +1279,30 @@ def oracle_sql() -> dict[str, str]:
                 "documents", "doc_id", "lang", alpha=0.3)
             + ")"
         ),
+        "unimax_alloc": __import__(
+            "tiny_lingua_spark.operators.sampling", fromlist=["sampling"]
+        ).unimax_allocation_sql("documents", "lang", "n_chars",
+                                _UNIMAX_BUDGET, _UNIMAX_EPOCHS),
+        "unimax_sample": (
+            "SELECT doc_id, lang, source FROM ("
+            + __import__("tiny_lingua_spark.operators.sampling",
+                         fromlist=["sampling"]).unimax_sample_sql(
+                "documents", "doc_id", "lang", "n_chars",
+                _UNIMAX_BUDGET, _UNIMAX_EPOCHS)
+            + ")"
+        ),
+        "dsir_weights": __import__(
+            "tiny_lingua_spark.operators.dsir", fromlist=["dsir"]
+        ).dsir_weights_sql("documents", "doc_id", "text",
+                           _DSIR_TARGET, _DSIR_BUCKETS),
+        "dsir_select": __import__(
+            "tiny_lingua_spark.operators.dsir", fromlist=["dsir"]
+        ).dsir_select_sql("documents", _DSIR_K, "doc_id", "text",
+                          _DSIR_TARGET, _DSIR_BUCKETS),
+        "clip_consistency": __import__(
+            "tiny_lingua_spark.functions.quality", fromlist=["quality"]
+        ).clip_consistency_sql(
+            f"'{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'"),
         "pack_sequences": __import__(
             "tiny_lingua_spark.operators.packing", fromlist=["packing"]
         ).pack_sequences_sql("documents", "doc_id", "text",

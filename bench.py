@@ -65,6 +65,9 @@ BENCH_QUERIES = (
     "substr_dedup",           # ExactSubstr k-gram span removal (Lee et al.)
     "semdedup_drop",          # SemDeDup within-cell cosine pruning
     "component_split",        # leakage-safe split on near-dup components
+    "dsir_select",            # DSIR hashed-ngram importance resampling
+    "unimax_sample",          # UniMax water-fill language balancing
+    "clip_consistency",       # audio/transcript speaking-rate filter
 )
 
 

@@ -1,0 +1,80 @@
+"""Audio/transcript joint-consistency filter (functions/quality.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.functions.quality import (clip_consistency_cols,
+                                                 clip_consistency_sql)
+from tiny_lingua_spark.plans.audit import explain_str as plan_of
+
+CASES = [
+    # (clip_id, transcript, dur_ms, expected_flags)
+    ("ok", "a perfectly normal sentence spoken here", 3000, ""),
+    ("empty", "", 3000, "no_transcript"),
+    ("blank", "   ", 3000, "no_transcript"),
+    ("shortaudio", "hi", 100, "audio_too_short"),  # 20 cps: rate is fine
+    ("fast", "x" * 500, 1000, "rate_too_fast"),     # 500 chars/s
+    ("slow", "hi", 60_000, "rate_too_slow"),        # 2 chars in 60 s
+    ("both", "", 100, "no_transcript,audio_too_short"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(c, t, d) for c, t, d, _ in CASES],
+        "clip_id string, transcript string, dur_ms long")
+
+
+def test_planted_flags(spark):
+    got = {r["clip_id"]: r for r in
+           _df(spark).select("clip_id", *clip_consistency_cols()).collect()}
+    for cid, _t, _d, want in CASES:
+        assert got[cid]["flags"] == want, (cid, got[cid]["flags"])
+        assert got[cid]["keep"] == (want == "")
+
+
+def test_rates(spark):
+    got = {r["clip_id"]: r for r in
+           _df(spark).select("clip_id", *clip_consistency_cols()).collect()}
+    assert got["fast"]["chars_per_sec"] == 500.0
+    assert got["ok"]["n_words"] == 6
+    assert got["ok"]["words_per_min"] == 120.0
+    assert got["slow"]["chars_per_sec"] == pytest.approx(2 / 60, abs=1e-6)
+
+
+def test_plan_is_pure_codegen(spark):
+    plan = plan_of(_df(spark).select("clip_id", *clip_consistency_cols()))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_duckdb_twin_matches(spark, tmp_path):
+    p = str(tmp_path / "clips.parquet")
+    _df(spark).toPandas().to_parquet(p, index=False)
+    got = sorted(
+        tuple(r) for r in _df(spark)
+        .select("clip_id", "dur_ms", *clip_consistency_cols()).collect()
+    )
+    want = sorted(map(tuple,
+                      duckdb.sql(clip_consistency_sql(f"'{p}'")).fetchall()))
+    assert got == want
+
+
+def test_fixture_matches_generator(spark):
+    """expected/clips_meta.parquet (the committed oracle input) must stay
+    in lockstep with generate_clips(n=300, seed=42) — the same staleness
+    guard idea as test_expected_goldens."""
+    import os
+
+    import pandas as pd
+
+    from tiny_lingua_spark.data.clips import generate_clips
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "expected", "clips_meta.parquet")
+    clips_pd, _ = generate_clips(n=300, seed=42)
+    fresh = clips_pd[["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]]
+    committed = pd.read_parquet(path)
+    pd.testing.assert_frame_equal(
+        fresh.reset_index(drop=True), committed.reset_index(drop=True))

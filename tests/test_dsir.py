@@ -1,0 +1,101 @@
+"""DSIR importance resampling (operators/dsir.py, arXiv:2302.03169)."""
+
+import duckdb
+import pytest
+
+from tiny_lingua_spark.operators import dsir
+from tiny_lingua_spark.plans.audit import explain_str as plan_of
+
+SF = "/root/testdata/sf0.001/documents.parquet"
+B = 512  # small bucket space keeps the fit jobs tiny at test scale
+
+
+def _docs(spark):
+    return spark.read.parquet(SF)
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    docs = _docs(spark)
+    target = docs.where("lang = 'en'")
+    return docs, dsir.fit_log_ratio(target, docs, "text", B)
+
+
+def test_target_language_scores_higher(spark, fitted):
+    """The core DSIR property: raw docs from the target domain (en) get
+    higher importance weights than out-of-domain docs."""
+    docs, ratio = fitted
+    rows = dsir.dsir_weights(docs, ratio, "doc_id", "text") \
+               .join(docs.select("doc_id", "lang"), "doc_id").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["logw"])
+    mean = {k: sum(v) / len(v) for k, v in by_lang.items()}
+    assert mean["en"] > mean["de"]
+    assert mean["en"] > mean["fr"]
+    assert mean["en"] > mean["zh"]
+
+
+def test_select_enriches_target(spark, fitted):
+    """Gumbel top-k selection raises the target-language share vs the
+    raw corpus."""
+    docs, ratio = fitted
+    n = docs.count()
+    base_en = docs.where("lang = 'en'").count() / n
+    sel = dsir.dsir_select(docs, ratio, k=n // 4, id_col="doc_id")
+    picked = sel.join(docs.select("doc_id", "lang"), "doc_id")
+    sel_en = picked.where("lang = 'en'").count() / (n // 4)
+    assert sel_en > base_en + 0.15
+
+
+def test_weights_partitioning_independent(spark, fitted):
+    docs, ratio = fitted
+    a = {(r["doc_id"], r["logw"]) for r in
+         dsir.dsir_weights(docs, ratio).collect()}
+    b = {(r["doc_id"], r["logw"]) for r in
+         dsir.dsir_weights(docs.repartition(7), ratio).collect()}
+    assert a == b
+
+
+def test_scoring_plan_is_pure_codegen(spark, fitted):
+    """Per-doc scoring must be a zero-shuffle, zero-Python projection
+    (the ratio table rides in the plan as one literal)."""
+    docs, ratio = fitted
+    plan = plan_of(dsir.dsir_weights(docs, ratio))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    sel_plan = plan_of(dsir.dsir_select(docs, ratio, 10))
+    assert "TakeOrderedAndProject" in sel_plan, sel_plan
+
+
+def test_duckdb_twin_matches(spark, fitted):
+    docs, ratio = fitted
+    got = sorted(
+        (r["doc_id"], r["logw"])
+        for r in dsir.dsir_weights(docs, ratio).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}'")
+    want = sorted(map(tuple, con.execute(
+        dsir.dsir_weights_sql("documents", "doc_id", "text",
+                              "lang = 'en'", B)).fetchall()))
+    assert got == want
+
+
+def test_gumbel_is_deterministic_noise(spark, fitted):
+    """Selection with k = n degenerates to 'everything, ranked' — the
+    ranking must be stable run to run (hash Gumbel, no RNG)."""
+    docs, ratio = fitted
+    n = docs.count()
+    a = [r["doc_id"] for r in dsir.dsir_select(docs, ratio, n).collect()]
+    b = [r["doc_id"] for r in dsir.dsir_select(docs, ratio, n).collect()]
+    assert a == b
+
+
+def test_empty_gram_doc_scores_zero(spark, fitted):
+    """A doc with no [a-z0-9] runs (e.g. pure CJK) has zero gram
+    instances -> logw exactly 0."""
+    docs, ratio = fitted
+    row = spark.createDataFrame([(1, "漢字テキスト")], "doc_id long, text string")
+    got = dsir.dsir_weights(row, ratio).collect()
+    assert got[0]["logw"] == 0.0

@@ -159,3 +159,83 @@ def test_mixture_sample_sql_twin(spark):
     got = {r[0] for r in con.execute(
         f"SELECT doc_id FROM ({sql})").fetchall()}
     assert a == got
+
+
+# ----------------------------------------------------------- UniMax
+
+
+def test_unimax_waterfill_math(spark):
+    """Hand-checkable water-fill: tokens (a=100, b=1000, c=10000),
+    budget 6000, max_epochs 2 -> caps (200, 2000, 20000). Ascending:
+    a saturates (200*3=600 <= 6000), b saturates (2000*2=4000 <= 5800),
+    c gets the leftover 3800."""
+    rows = ([(i, "a", 10) for i in range(10)]
+            + [(100 + i, "b", 100) for i in range(10)]
+            + [(200 + i, "c", 1000) for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, t long")
+    out = {r["lang"]: r for r in sampling.unimax_allocation(
+        df, "lang", "t", token_budget=6000, max_epochs=2.0)}
+    assert out["a"]["alloc_tokens"] == 200.0   # capped at 2 epochs
+    assert out["a"]["epochs"] == 2.0
+    assert out["b"]["alloc_tokens"] == 2000.0  # capped at 2 epochs
+    assert out["c"]["alloc_tokens"] == 3800.0  # leftover budget
+    assert out["c"]["epochs"] == 0.38
+    # invariants: allocations spend exactly min(budget, sum caps)
+    assert sum(r["alloc_tokens"] for r in out.values()) == 6000.0
+
+
+def test_unimax_uniform_boundary_exact(spark):
+    """Uniform corpus with the budget exactly on the saturation
+    boundary — the all-integer arithmetic must not wobble: every
+    language saturates at max_epochs."""
+    rows = [(i, f"l{i % 4}", 100) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, t long")
+    out = sampling.unimax_allocation(df, "lang", "t",
+                                     token_budget=8000, max_epochs=2.0)
+    assert all(r["alloc_tokens"] == 2000.0 and r["epochs"] == 2.0
+               for r in out)
+
+
+def test_unimax_head_never_exceeds_uniform_share(spark):
+    """The UniMax property temperature sampling lacks: a dominant
+    language's allocation is bounded by the uniform share, not by its
+    corpus share."""
+    rows = ([(i, "head", 1000) for i in range(100)]     # 100k tokens
+            + [(1000 + i, "tail", 10) for i in range(10)])  # 100 tokens
+    df = spark.createDataFrame(rows, "doc_id long, lang string, t long")
+    out = {r["lang"]: r for r in sampling.unimax_allocation(
+        df, "lang", "t", token_budget=10_000, max_epochs=4.0)}
+    assert out["tail"]["alloc_tokens"] == 400.0          # 4 epochs cap
+    assert out["head"]["alloc_tokens"] == 9600.0         # leftover
+    # head got 96% of budget but only 9.6% of its own data
+    assert out["head"]["epochs"] == pytest.approx(0.096)
+
+
+def test_unimax_sample_twin_and_determinism(spark):
+    docs = _docs(spark)
+    a = {r["doc_id"] for r in sampling.unimax_sample(
+        docs, "doc_id", "lang", "n_chars", token_budget=20_000).collect()}
+    b = {r["doc_id"] for r in sampling.unimax_sample(
+        docs.repartition(5), "doc_id", "lang", "n_chars",
+        token_budget=20_000).collect()}
+    assert a == b
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}'")
+    sql = sampling.unimax_sample_sql("documents", "doc_id", "lang",
+                                     "n_chars", 20_000)
+    got = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM ({sql})").fetchall()}
+    assert a == got
+
+
+def test_unimax_alloc_twin(spark):
+    docs = _docs(spark)
+    rows = sampling.unimax_allocation(docs, "lang", "n_chars",
+                                      token_budget=20_000)
+    got = sorted((r["lang"], r["tokens"], r["alloc_tokens"], r["epochs"])
+                 for r in rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}'")
+    want = sorted(map(tuple, con.execute(sampling.unimax_allocation_sql(
+        "documents", "lang", "n_chars", 20_000)).fetchall()))
+    assert got == want

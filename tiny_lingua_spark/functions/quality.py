@@ -403,6 +403,107 @@ def calibrated_buckets(df: DataFrame, thresholds: list[float],
     )
 
 
+_CLIP_CONSISTENCY_TH = {
+    # plausible speaking rates: conversational speech lands ~8-20 chars/s
+    # (MLS/CommonVoice-style corpus cleaning drops transcripts that would
+    # require implausibly fast speech, or long audio with almost no text)
+    "max_chars_per_sec": 35.0,
+    "min_chars_per_sec": 0.5,
+    "slow_only_above_ms": 5000,   # the too-slow rule needs enough audio
+    "min_dur_ms": 200,
+}
+
+# fixed rule order — flags strings must be byte-identical across engines
+_CLIP_RULES = ("no_transcript", "audio_too_short", "rate_too_fast",
+               "rate_too_slow")
+
+
+def clip_consistency_cols(transcript_col: str = "transcript",
+                          dur_ms_col: str = "dur_ms",
+                          th: dict | None = None) -> list[Column]:
+    """Audio/transcript joint-consistency metrics + keep decision
+    (target-spec: a speech-corpus quality rule the text-only metrics
+    can't express — a transcript that implies a >35 chars/s speaking
+    rate, or 5 s of audio with half a word, is a misaligned pair, not a
+    bad sentence). Pure codegen projection over clip metadata columns:
+    zero shuffle, zero Python, and the thresholds are plan literals, so
+    the scan stage evaluates it for free at 10^12 rows."""
+    t = {**_CLIP_CONSISTENCY_TH, **(th or {})}
+    c = F.trim(F.col(transcript_col))
+    d = F.col(dur_ms_col).cast("double")
+    dur_s = F.greatest(d, F.lit(1.0)) / 1000.0
+    n_chars = F.length(c)
+    n_words = F.when(n_chars > 0, F.size(F.split(c, r"\s+"))) \
+               .otherwise(F.lit(0))
+    cps = F.round(n_chars.cast("double") / dur_s, 6)
+    wpm = F.round(n_words.cast("double") * 60.0 / dur_s, 6)
+    conds = {
+        "no_transcript": n_words == 0,
+        "audio_too_short": d < t["min_dur_ms"],
+        "rate_too_fast": (n_words > 0) & (cps > t["max_chars_per_sec"]),
+        "rate_too_slow": (n_words > 0) & (d > t["slow_only_above_ms"])
+                         & (cps < t["min_chars_per_sec"]),
+    }
+    flags = F.concat_ws(",", F.filter(
+        F.array(*[F.when(conds[r], F.lit(r)) for r in _CLIP_RULES]),
+        lambda x: x.isNotNull(),
+    ))
+    return [
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        cps.alias("chars_per_sec"),
+        wpm.alias("words_per_min"),
+        flags.alias("flags"),
+        (flags == "").alias("keep"),
+    ]
+
+
+def clip_consistency_sql(table: str, id_expr: str = "clip_id",
+                         transcript_expr: str = "transcript",
+                         dur_ms_expr: str = "dur_ms",
+                         th: dict | None = None) -> str:
+    """DuckDB twin of clip_consistency_cols (same names, same 6-dp
+    rounding; `table` is typically the committed clip-metadata
+    fixture parquet)."""
+    t = {**_CLIP_CONSISTENCY_TH, **(th or {})}
+    return f"""
+    WITH m AS (
+      SELECT {id_expr} AS clip_id, {dur_ms_expr}::BIGINT AS dur_ms,
+             length(trim({transcript_expr})) AS n_chars,
+             CASE WHEN length(trim({transcript_expr})) > 0
+                  THEN len(regexp_split_to_array(trim({transcript_expr}),
+                                                 '\\s+'))
+                  ELSE 0 END AS n_words,
+             greatest({dur_ms_expr}::DOUBLE, 1.0) / 1000.0 AS dur_s
+      FROM {table}
+    ),
+    r AS (
+      SELECT clip_id, dur_ms, n_chars, n_words,
+             round(n_chars::DOUBLE / dur_s, 6) AS chars_per_sec,
+             round(n_words::DOUBLE * 60.0 / dur_s, 6) AS words_per_min
+      FROM m
+    ),
+    f AS (
+      SELECT *,
+             COALESCE(array_to_string(list_filter([
+               CASE WHEN n_words = 0 THEN 'no_transcript' END,
+               CASE WHEN dur_ms < {t["min_dur_ms"]}
+                    THEN 'audio_too_short' END,
+               CASE WHEN n_words > 0
+                     AND chars_per_sec > {t["max_chars_per_sec"]}
+                    THEN 'rate_too_fast' END,
+               CASE WHEN n_words > 0 AND dur_ms > {t["slow_only_above_ms"]}
+                     AND chars_per_sec < {t["min_chars_per_sec"]}
+                    THEN 'rate_too_slow' END
+             ], x -> x IS NOT NULL), ','), '') AS flags
+      FROM r
+    )
+    SELECT clip_id, dur_ms, n_chars, n_words, chars_per_sec, words_per_min,
+           flags, (flags = '') AS keep
+    FROM f
+    """
+
+
 def calibrated_buckets_sql(metrics_cte: str, probs: tuple = (0.25, 0.5, 0.75),
                            col: str = "q_score") -> str:
     """DuckDB twin: quantile_cont thresholds (same interpolation formula

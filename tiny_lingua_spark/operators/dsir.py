@@ -1,0 +1,274 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+2023, arXiv:2302.03169), Spark-first.
+
+Selects raw-corpus documents whose hashed-n-gram distribution matches a
+target domain: fit two bag-of-hashed-ngrams unigram models over B hash
+buckets (target p from a small in-domain sample, raw q from the corpus),
+weight every raw document by
+
+    log w(doc) = sum over gram instances g of [ln p(b(g)) - ln q(b(g))]
+
+(Laplace-smoothed), then resample without replacement with the paper's
+Gumbel top-k trick.  No reference counterpart (tiny-lingua is a
+language-ID library) — this is a target-spec training-data-pipeline
+component, like operators/decontam.py.
+
+Scale shape (the 100 TB story):
+
+- the only full-corpus aggregations are the two bucket-count passes:
+  ``explode(grams) -> groupBy(bucket).count()`` has at most B distinct
+  keys, so map-side partial aggregation collapses the shuffle to <= B
+  rows per upstream partition; the fitted ratio table is B doubles
+  (32 KB at the default B=4096) inlined as ONE array literal — it ships
+  inside the serialized plan, no broadcast join, no Python stage.
+- per-document scoring is a pure codegen projection
+  (``transform`` + ``aggregate`` over the array literal): zero shuffle,
+  zero Python, streams over a 10^12-row corpus.
+- selection is ``ORDER BY score DESC LIMIT k`` →
+  TakeOrderedAndProject (per-partition top-k + driver merge; no global
+  sort materialization).
+
+Determinism: the paper draws Gumbel(0,1) noise from an RNG; here the
+uniform comes from the repo's 48-bit md5 sampling key
+(operators/sampling.py) — ``u = (h48(doc_id) + 0.5) / 2^48``,
+``g = -ln(-ln(u))`` — so selection is retry- and
+partitioning-independent and reproduces bit-for-bit in the DuckDB twin.
+
+Cross-engine float notes (same argument as
+sampling.temperature_sample_sql): ln() on both sides is the host libm
+(CPython math.log and DuckDB ln both call glibc log); per-bucket log
+ratios are rounded to 12 dp on both sides before the per-doc sum, and
+per-doc outputs to 6 dp, so association-order differences (~1e-13 over
+hundreds of O(1) terms) cannot flip a value.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .sampling import _HASH_SPACE, hash_bucket_col, hash_bucket_sql
+
+DEFAULT_BUCKETS = 4096
+FEATURE_SEED = 7          # gram -> bucket hash seed
+GUMBEL_SEED = 1009        # doc_id -> Gumbel uniform seed
+
+
+# ---------------------------------------------------------- features
+
+def _words_col(text_col: str) -> Column:
+    """Lowercased [a-z0-9]+ word runs (everything else is a separator;
+    identical semantics in Java regex and DuckDB's RE2)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def grams_col(text_col: str) -> Column:
+    """Unigrams + '_'-joined bigrams over the word list (the paper's
+    hashed n-gram feature space with n in {1, 2})."""
+    w = _words_col(text_col)
+    n = F.size(w)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(w, bigrams)
+
+
+def bucket_array_col(text_col: str, n_buckets: int = DEFAULT_BUCKETS,
+                     seed: int = FEATURE_SEED) -> Column:
+    """array<long> of hashed gram buckets for one document."""
+    return F.transform(
+        grams_col(text_col),
+        lambda g: hash_bucket_col(g, seed) % F.lit(n_buckets),
+    )
+
+
+def _grams_sql(text_expr: str) -> str:
+    return (
+        "list_concat(w, CASE WHEN len(w) >= 2 THEN "
+        "list_transform(generate_series(1, len(w) - 1), "
+        "i -> w[i] || '_' || w[i + 1]) "
+        "ELSE CAST([] AS VARCHAR[]) END)"
+    )
+
+
+def _words_sql(text_expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({text_expr}),"
+        " '[^a-z0-9]+'), x -> x <> '')"
+    )
+
+
+def _bucket_lambda_sql(n_buckets: int, seed: int) -> str:
+    # hash_bucket_sql over the lambda variable x
+    return f"({hash_bucket_sql('x', seed)}) % {n_buckets}"
+
+
+# --------------------------------------------------------------- fit
+
+def bucket_counts(df: DataFrame, text_col: str = "text",
+                  n_buckets: int = DEFAULT_BUCKETS,
+                  seed: int = FEATURE_SEED) -> dict[int, int]:
+    """Collect {bucket: count} — at most n_buckets rows come back."""
+    rows = (
+        df.select(
+            F.explode(bucket_array_col(text_col, n_buckets, seed)).alias("b")
+        )
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    return {int(r["b"]): int(r["count"]) for r in rows}
+
+
+def fit_log_ratio(target_df: DataFrame, raw_df: DataFrame,
+                  text_col: str = "text",
+                  n_buckets: int = DEFAULT_BUCKETS,
+                  seed: int = FEATURE_SEED) -> list[float]:
+    """Laplace-smoothed per-bucket log importance ratio
+    ln p_target(b) - ln q_raw(b), rounded to 12 dp (B doubles)."""
+    t = bucket_counts(target_df, text_col, n_buckets, seed)
+    r = bucket_counts(raw_df, text_col, n_buckets, seed)
+    tot_t = float(sum(t.values()))
+    tot_r = float(sum(r.values()))
+    return [
+        round(
+            math.log((t.get(b, 0) + 1.0) / (tot_t + n_buckets))
+            - math.log((r.get(b, 0) + 1.0) / (tot_r + n_buckets)),
+            12,
+        )
+        for b in range(n_buckets)
+    ]
+
+
+# ------------------------------------------------------------- score
+
+def _logw_col(text_col: str, log_ratio: list[float],
+              seed: int) -> Column:
+    lit_arr = F.lit(log_ratio)
+    buckets = bucket_array_col(text_col, len(log_ratio), seed)
+    return F.aggregate(
+        buckets,
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(lit_arr, (b + 1).cast("int")),
+    )
+
+
+def dsir_weights(raw_df: DataFrame, log_ratio: list[float],
+                 id_col: str = "doc_id", text_col: str = "text",
+                 seed: int = FEATURE_SEED) -> DataFrame:
+    """Per-document importance log-weight — a pure codegen projection
+    (zero shuffle; the ratio table rides in the plan as one literal)."""
+    return raw_df.select(
+        F.col(id_col),
+        F.round(_logw_col(text_col, log_ratio, seed), 6).alias("logw"),
+    )
+
+
+def _gumbel_col(id_col: str, gumbel_seed: int) -> Column:
+    u = (hash_bucket_col(F.col(id_col), gumbel_seed) + F.lit(0.5)) / F.lit(
+        float(_HASH_SPACE)
+    )
+    return -F.log(-F.log(u))
+
+
+def dsir_select(raw_df: DataFrame, log_ratio: list[float], k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                seed: int = FEATURE_SEED,
+                gumbel_seed: int = GUMBEL_SEED) -> DataFrame:
+    """Gumbel top-k resampling without replacement (paper §2.3):
+    keep the k docs maximizing logw + Gumbel(doc_id). Deterministic
+    (hash-derived uniforms), executes as TakeOrderedAndProject."""
+    score = F.round(
+        _logw_col(text_col, log_ratio, seed) + _gumbel_col(id_col, gumbel_seed),
+        6,
+    ).alias("dsir_score")
+    return (
+        raw_df.select(F.col(id_col), score)
+        .orderBy(F.col("dsir_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ----------------------------------------------------------- oracles
+
+def _fit_ctes(table: str, id_expr: str, text_expr: str, target_where: str,
+              n_buckets: int, seed: int) -> str:
+    """Shared CTE chain re-deriving tokenize -> hash -> fit in DuckDB
+    (self-contained twin: the oracle recomputes the model, it does not
+    trust the Python-side literals)."""
+    blam = _bucket_lambda_sql(n_buckets, seed)
+    return f"""
+    WITH toks AS (
+      SELECT {id_expr} AS doc_id, {_words_sql(text_expr)} AS w,
+             ({target_where}) AS is_target
+      FROM {table}
+    ),
+    grams AS (
+      SELECT doc_id, is_target, {_grams_sql(text_expr)} AS g FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, is_target,
+             unnest(list_transform(g, x -> {blam})) AS b
+      FROM grams
+    ),
+    tcnt AS (
+      SELECT b, count(*)::DOUBLE AS c FROM ex WHERE is_target GROUP BY 1
+    ),
+    rcnt AS (
+      SELECT b, count(*)::DOUBLE AS c FROM ex GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT COALESCE(sum(c), 0.0) FROM tcnt) AS tt,
+             (SELECT COALESCE(sum(c), 0.0) FROM rcnt) AS tr
+    ),
+    ratio AS (
+      SELECT r.b,
+             round(ln((COALESCE(t.c, 0.0) + 1.0) / (tot.tt + {n_buckets}))
+                 - ln((r.c + 1.0) / (tot.tr + {n_buckets})), 12) AS lr
+      FROM rcnt r LEFT JOIN tcnt t USING (b), tot
+    ),
+    persum AS (
+      SELECT e.doc_id, sum(ratio.lr) AS s
+      FROM ex e JOIN ratio USING (b)
+      GROUP BY 1
+    )"""
+
+
+def dsir_weights_sql(table: str, id_expr: str = "doc_id",
+                     text_expr: str = "text",
+                     target_where: str = "lang = 'en'",
+                     n_buckets: int = DEFAULT_BUCKETS,
+                     seed: int = FEATURE_SEED) -> str:
+    return f"""{_fit_ctes(table, id_expr, text_expr, target_where,
+                          n_buckets, seed)}
+    SELECT d.{id_expr} AS doc_id, round(COALESCE(p.s, 0.0), 6) AS logw
+    FROM {table} d LEFT JOIN persum p ON d.{id_expr} = p.doc_id
+    """
+
+
+def dsir_select_sql(table: str, k: int, id_expr: str = "doc_id",
+                    text_expr: str = "text",
+                    target_where: str = "lang = 'en'",
+                    n_buckets: int = DEFAULT_BUCKETS,
+                    seed: int = FEATURE_SEED,
+                    gumbel_seed: int = GUMBEL_SEED) -> str:
+    gh = hash_bucket_sql(f"d.{id_expr}", gumbel_seed)
+    return f"""{_fit_ctes(table, id_expr, text_expr, target_where,
+                          n_buckets, seed)}
+    SELECT d.{id_expr} AS doc_id,
+           round(COALESCE(p.s, 0.0)
+                 + (-ln(-ln(({gh} + 0.5) / {float(_HASH_SPACE)}))),
+                 6) AS dsir_score
+    FROM {table} d LEFT JOIN persum p ON d.{id_expr} = p.doc_id
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT {k}
+    """

@@ -284,3 +284,145 @@ def split_stats_sql(split_sql: str) -> str:
            count(DISTINCT comp)::BIGINT AS n_components
     FROM ({split_sql}) GROUP BY split ORDER BY split
     """
+
+
+# ------------------------------------------- UniMax language balancing
+#
+# UniMax (Chung et al. 2023, arXiv:2304.09151): instead of temperature
+# smoothing, give every language a UNIFORM share of the token budget,
+# capped at `max_epochs` passes over that language's data — the
+# water-filling allocation. Head languages never exceed their uniform
+# share; tail languages are capped at max_epochs so they aren't
+# over-repeated. Closed form after sorting ascending by cap
+# c_i = max_epochs * tokens_i: the saturated languages are exactly a
+# prefix; language i is saturated iff c_i * (n - i + 1) <= B - cum_{i-1}
+# (giving everyone from i on at least c_i is affordable); the rest split
+# the leftover budget evenly.
+#
+# Scale shape: one tiny aggregation on the language key (map-side
+# combined, <= #languages rows collected); the corpus-side sample is the
+# same pure-codegen hash filter as stratified_sample_by_hash. The SQL
+# twin re-derives the water-fill with window functions; Python mirrors
+# the twin's float operation order exactly (ascending (cap, lang) cumsum,
+# `cum - cap` for the prefix sum) so both sides agree bit-for-bit.
+# With integer token counts and a power-of-two max_epochs (default 4.0)
+# every cap/cumsum/comparison is exact integer arithmetic in doubles, so
+# the saturation test cannot diverge across engines even when the budget
+# lands exactly on a boundary (uniform synthetic corpora do this).
+
+
+def unimax_allocation(df: DataFrame, strata_col: str, tokens_col: str,
+                      token_budget: float,
+                      max_epochs: float = 4.0) -> list[dict]:
+    """Per-language water-fill: [{lang, tokens, alloc_tokens, epochs}]
+    sorted by language. alloc rounded to 6 dp, epochs to 9 dp."""
+    rows = (df.groupBy(strata_col)
+            .agg(F.sum(tokens_col).alias("t")).collect())
+    langs = sorted(
+        ((float(r["t"]) * max_epochs, str(r[strata_col]), float(r["t"]))
+         for r in rows),
+        key=lambda x: (x[0], x[1]),
+    )
+    n = len(langs)
+    b = float(token_budget)
+    # prefix scan mirroring the SQL twin: cum includes the current cap,
+    # the condition uses cum - cap (NOT a separately-accumulated prefix —
+    # (a+b)-b != a in floats and the twin computes it this way)
+    cum = 0.0
+    k, cumk = 0, 0.0
+    for i, (cap, _lang, _toks) in enumerate(langs, start=1):
+        cum += cap
+        if cap * (n - i + 1) <= b - (cum - cap):
+            k, cumk = i, cum
+    out = []
+    for i, (cap, lang, toks) in enumerate(langs, start=1):
+        alloc = cap if i <= k else (b - cumk) / max(n - k, 1)
+        out.append({
+            strata_col: lang,
+            "tokens": int(toks),
+            "alloc_tokens": round(alloc, 6),
+            "epochs": round(alloc / toks, 9) if toks else 0.0,
+        })
+    return sorted(out, key=lambda d: d[strata_col])
+
+
+def unimax_allocation_sql(table: str, strata_expr: str, tokens_expr: str,
+                          token_budget: float,
+                          max_epochs: float = 4.0) -> str:
+    """Self-contained DuckDB twin of the water-fill (window-function
+    closed form; same rounding as the Python side)."""
+    b = float(token_budget)
+    return f"""
+    WITH c AS (
+      SELECT {strata_expr} AS s, sum({tokens_expr})::DOUBLE AS toks
+      FROM {table} GROUP BY 1
+    ),
+    o AS (
+      SELECT s, toks, toks * {max_epochs} AS cap,
+             row_number() OVER (ORDER BY toks * {max_epochs}, s) AS rn,
+             count(*) OVER () AS n,
+             sum(toks * {max_epochs})
+               OVER (ORDER BY toks * {max_epochs}, s) AS cum
+      FROM c
+    ),
+    sat AS (
+      SELECT *,
+             CASE WHEN cap * (n - rn + 1) <= {b} - (cum - cap)
+                  THEN 1 ELSE 0 END AS is_sat
+      FROM o
+    ),
+    kk AS (
+      SELECT COALESCE(max(rn) FILTER (WHERE is_sat = 1), 0) AS k,
+             COALESCE(max(cum) FILTER (WHERE is_sat = 1), 0.0) AS cumk,
+             COALESCE(any_value(n), 0) AS n
+      FROM sat
+    )
+    SELECT s AS lang, toks::BIGINT AS tokens,
+           round(CASE WHEN rn <= kk.k THEN cap
+                      ELSE ({b} - kk.cumk) / greatest(kk.n - kk.k, 1)
+                 END, 6) AS alloc_tokens,
+           round((CASE WHEN rn <= kk.k THEN cap
+                       ELSE ({b} - kk.cumk) / greatest(kk.n - kk.k, 1)
+                  END) / toks, 9) AS epochs
+    FROM sat, kk ORDER BY lang
+    """
+
+
+def unimax_fractions(df: DataFrame, strata_col: str, tokens_col: str,
+                     token_budget: float, max_epochs: float = 4.0) -> dict:
+    """Keep fraction per language = min(1, epochs): epochs <= 1 means a
+    subset; epochs > 1 means the language repeats at training time (the
+    sampler keeps all of it — repetition is an epoch-schedule concern,
+    not a filtering one)."""
+    return {
+        r[strata_col]: min(1.0, r["epochs"])
+        for r in unimax_allocation(df, strata_col, tokens_col,
+                                   token_budget, max_epochs)
+    }
+
+
+def unimax_sample(df: DataFrame, id_col: str, strata_col: str,
+                  tokens_col: str, token_budget: float,
+                  max_epochs: float = 4.0, seed: int = 42) -> DataFrame:
+    """Deterministic UniMax-balanced downsampling — counts job, then the
+    codegen hash filter; the corpus itself never shuffles."""
+    fracs = unimax_fractions(df, strata_col, tokens_col, token_budget,
+                             max_epochs)
+    return stratified_sample_by_hash(df, id_col, strata_col, fracs,
+                                     default_fraction=0.0, seed=seed)
+
+
+def unimax_sample_sql(table: str, id_expr: str, strata_expr: str,
+                      tokens_expr: str, token_budget: float,
+                      max_epochs: float = 4.0, seed: int = 42) -> str:
+    """Self-contained twin: water-fill CTE -> least(1, epochs) keep
+    fraction -> the shared md5 hash threshold."""
+    alloc = unimax_allocation_sql(table, strata_expr, tokens_expr,
+                                  token_budget, max_epochs)
+    return f"""
+    WITH fr AS (
+      SELECT lang AS s, least(1.0, epochs) AS frac FROM ({alloc})
+    )
+    SELECT t.* FROM {table} t JOIN fr ON {strata_expr} = fr.s
+    WHERE {hash_bucket_sql(id_expr, seed)} < floor(frac * {_HASH_SPACE})
+    """

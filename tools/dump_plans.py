@@ -51,6 +51,11 @@ PLAN_QUERIES = (
     "mixture_sample",
     "substr_dedup",
     "semdedup_drop",
+    "dsir_weights",
+    "dsir_select",
+    "unimax_sample",
+    "clip_consistency",
+    "clip_speech_rate",
 )
 
 

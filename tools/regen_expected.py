@@ -26,6 +26,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def write_clips_meta(expected_dir: str) -> str:
+    """Committed INPUT fixture (not a query output): the metadata columns
+    of the deterministic synthetic clips table (generate_clips n=300
+    seed=42, the __spark_entry__._synth_clips shape, bytes dropped).
+    The clip_consistency oracle runs real SQL logic over this file, so
+    the twin checks the operator's logic, not a frozen answer."""
+    from tiny_lingua_spark.data.clips import generate_clips
+
+    clips_pd, _ = generate_clips(n=300, seed=42)
+    meta = clips_pd[["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]]
+    path = os.path.join(expected_dir, "clips_meta.parquet")
+    meta.to_parquet(path, index=False)
+    print(f"ok   clips_meta (input fixture): rows={len(meta)} -> {path}")
+    return path
+
+
 def main() -> int:
     import duckdb
 
@@ -36,6 +52,7 @@ def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     only = set(sys.argv[1:])
     os.makedirs(e.EXPECTED_DIR, exist_ok=True)
+    write_clips_meta(e.EXPECTED_DIR)
     spark = get_spark("regen-expected", shuffle_partitions=8)
     qs = e.queries()
     failed = []
