@@ -801,6 +801,71 @@ def _q_perplexity(spark, sf_dir):
     )
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality buckets (Wenzek et al. 2020):
+    per-language perplexity terciles via ntile(3) — the exact oracle
+    tier; the scale path is ccnet_thresholds (approx_percentile sketch
+    + codegen CASE). Twin buckets the committed perplexity golden with
+    the same SQL, so it checks the bucketing logic over pinned scores."""
+    from tiny_lingua_spark.functions.perplexity import ccnet_buckets
+
+    return ccnet_buckets(_q_perplexity(spark, sf_dir))
+
+
+_ASR_WIN_MS = 30_000
+_ASR_STRIDE_MS = 25_000
+
+
+def _q_asr_chunks(spark, sf_dir):
+    """Whisper-style fixed-window chunk plan over clip durations —
+    metadata only (bytes never enter the plan), pure integer codegen
+    sequence/explode; twin runs the same SQL over the committed clip
+    metadata fixture."""
+    from tiny_lingua_spark.operators.packing import asr_chunk_plan
+
+    return asr_chunk_plan(_synth_clips(spark), win_ms=_ASR_WIN_MS,
+                          stride_ms=_ASR_STRIDE_MS)
+
+
+def _q_asr_chunk_stats(spark, sf_dir):
+    from tiny_lingua_spark.operators.packing import asr_chunk_stats
+
+    return asr_chunk_stats(_synth_clips(spark), win_ms=_ASR_WIN_MS,
+                           stride_ms=_ASR_STRIDE_MS)
+
+
+def _q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: tokens per 100 chars and per
+    word under the learned BPE — the standard gauge of how well one
+    tokenizer serves a multilingual corpus (golden-parquet oracle; the
+    encode is the Arrow BPE stage)."""
+    from tiny_lingua_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    enc = bpe.bpe_encode(docs, "doc_id", "text",
+                         _bpe_merges_df(spark, sf_dir))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.when(F.length(F.trim(F.col("text"))) > 0,
+                     F.size(toks)).otherwise(F.lit(0))
+    per_doc = enc.join(
+        docs.select("doc_id", "lang", F.length("text").alias("n_chars"),
+                    n_words.alias("n_words")),
+        "doc_id")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.round(F.sum("n_tokens") * 100.0 / F.sum("n_chars"), 4)
+             .alias("tokens_per_100_chars"),
+            F.round(F.sum("n_tokens") / F.sum("n_words"), 4)
+             .alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_detect_trigram_declarative(spark, sf_dir):
     """The detector's statistical core as pure relational algebra
     (broadcast back-off joins) — cross-validates the UDF engine."""
@@ -1097,6 +1162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _shipped(_q_quality_classifier),
         "bpe_merges": _shipped(_q_bpe_merges),
         "bpe_tokens": _shipped(_q_bpe_tokens),
+        "bpe_fertility": _shipped(_q_bpe_fertility),
+        "ccnet_buckets": _shipped(_q_ccnet_buckets),
+        "asr_chunks": _shipped(_q_asr_chunks),
+        "asr_chunk_stats": _shipped(_q_asr_chunk_stats),
         "screen_lang_confusion": _shipped(_q_screen_confusion),
         "screen_lang_accuracy": _shipped(_q_screen_accuracy),
         "lang_doc_stats": _shipped(_q_lang_stats),
@@ -1168,6 +1237,7 @@ GOLDEN_ORACLE_QUERIES = (
     "clip_speech_rate",
     "bpe_merges",
     "bpe_tokens",
+    "bpe_fertility",
 )
 
 EXPECTED_DIR = os.path.join(_REPO, "expected")
@@ -1303,6 +1373,22 @@ def oracle_sql() -> dict[str, str]:
             "tiny_lingua_spark.functions.quality", fromlist=["quality"]
         ).clip_consistency_sql(
             f"'{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'"),
+        "ccnet_buckets": __import__(
+            "tiny_lingua_spark.functions.perplexity",
+            fromlist=["perplexity"]
+        ).ccnet_buckets_sql(
+            "SELECT * FROM "
+            f"'{os.path.join(EXPECTED_DIR, 'perplexity_scores.parquet')}'"),
+        "asr_chunks": __import__(
+            "tiny_lingua_spark.operators.packing", fromlist=["packing"]
+        ).asr_chunk_plan_sql(
+            f"'{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'",
+            win_ms=_ASR_WIN_MS, stride_ms=_ASR_STRIDE_MS),
+        "asr_chunk_stats": __import__(
+            "tiny_lingua_spark.operators.packing", fromlist=["packing"]
+        ).asr_chunk_stats_sql(
+            f"'{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'",
+            win_ms=_ASR_WIN_MS, stride_ms=_ASR_STRIDE_MS),
         "pack_sequences": __import__(
             "tiny_lingua_spark.operators.packing", fromlist=["packing"]
         ).pack_sequences_sql("documents", "doc_id", "text",

@@ -68,6 +68,9 @@ BENCH_QUERIES = (
     "dsir_select",            # DSIR hashed-ngram importance resampling
     "unimax_sample",          # UniMax water-fill language balancing
     "clip_consistency",       # audio/transcript speaking-rate filter
+    "ccnet_buckets",          # CCNet per-language perplexity terciles
+    "asr_chunks",             # Whisper-style fixed-window chunk plan
+    "bpe_fertility",          # per-language tokenizer fertility
 )
 
 

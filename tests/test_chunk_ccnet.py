@@ -1,0 +1,123 @@
+"""ASR chunk planning (operators/packing.py) + CCNet buckets
+(functions/perplexity.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.functions.perplexity import (ccnet_buckets,
+                                                    ccnet_buckets_sql,
+                                                    ccnet_thresholds)
+from tiny_lingua_spark.operators.packing import (asr_chunk_plan,
+                                                 asr_chunk_plan_sql,
+                                                 asr_chunk_stats)
+from tiny_lingua_spark.plans.audit import explain_str as plan_of
+
+WIN, STRIDE = 30_000, 25_000
+
+
+def _clips(spark):
+    rows = [("a", 100), ("b", 29_999), ("c", 30_000), ("d", 30_001),
+            ("e", 55_000), ("f", 55_001), ("g", 120_000), ("h", 1)]
+    return spark.createDataFrame(rows, "clip_id string, dur_ms long")
+
+
+def test_chunk_coverage_invariants(spark):
+    """Every ms of every clip is covered; consecutive chunks overlap by
+    exactly win - stride (except the clamped tail); short clips get one
+    full-window chunk."""
+    plan = asr_chunk_plan(_clips(spark), win_ms=WIN, stride_ms=STRIDE)
+    by_clip = {}
+    for r in plan.collect():
+        by_clip.setdefault(r["clip_id"], []).append(r)
+    durs = dict(_clips(spark).collect())
+    for cid, chunks in by_clip.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        dur = durs[cid]
+        assert chunks[0]["start_ms"] == 0
+        assert chunks[-1]["end_ms"] == min(dur, chunks[-1]["start_ms"] + WIN)
+        # full coverage: next chunk starts before the previous ends
+        for prev, nxt in zip(chunks, chunks[1:]):
+            assert nxt["start_ms"] < prev["end_ms"]
+            assert nxt["start_ms"] == prev["start_ms"] + STRIDE
+        # the tail is exposed: last chunk reaches dur (or window covers it)
+        assert chunks[-1]["end_ms"] == dur or len(chunks) == 1
+    assert len(by_clip["a"]) == 1 and len(by_clip["h"]) == 1
+    assert len(by_clip["c"]) == 1          # dur == win: one chunk
+    assert len(by_clip["d"]) == 2          # one sample past the window
+    assert len(by_clip["e"]) == 2          # 25k..55k fits chunk 1
+    assert len(by_clip["f"]) == 3
+
+
+def test_chunk_plan_twin_and_codegen(spark, tmp_path):
+    p = str(tmp_path / "clips.parquet")
+    _clips(spark).toPandas().to_parquet(p, index=False)
+    got = sorted(map(tuple, asr_chunk_plan(
+        _clips(spark), win_ms=WIN, stride_ms=STRIDE).collect()))
+    want = sorted(map(tuple, duckdb.sql(
+        asr_chunk_plan_sql(f"'{p}'", win_ms=WIN,
+                           stride_ms=STRIDE)).fetchall()))
+    assert got == want
+    plan = plan_of(asr_chunk_plan(_clips(spark)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure per-row explode, no shuffle
+
+
+def test_chunk_stats(spark):
+    row = asr_chunk_stats(_clips(spark), win_ms=WIN,
+                          stride_ms=STRIDE).collect()[0]
+    assert row["n_clips"] == 8
+    # pad only on clamped tails; scheduled >= total audio (overlap)
+    total = sum(d for _, d in _clips(spark).collect())
+    assert row["audio_ms_scheduled"] >= total
+    assert row["pad_ms"] >= 0
+
+
+def test_chunk_param_validation(spark):
+    with pytest.raises(ValueError):
+        asr_chunk_plan(_clips(spark), win_ms=10, stride_ms=20)
+
+
+# ------------------------------------------------------------- CCNet
+
+
+def _scored(spark):
+    rows = [(i, "en", float(100 + i)) for i in range(9)] \
+         + [(i, "de", float(50 + 7 * i)) for i in range(7)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+
+
+def test_ccnet_terciles_per_language(spark):
+    out = ccnet_buckets(_scored(spark)).collect()
+    en = sorted((r for r in out if r["lang"] == "en"),
+                key=lambda r: r["ppl"])
+    # 9 docs -> exact thirds, ordered head <= middle <= tail by ppl
+    assert [r["bucket"] for r in en] == ["head"] * 3 + ["middle"] * 3 \
+                                        + ["tail"] * 3
+    de = [r["bucket"] for r in sorted(
+        (r for r in out if r["lang"] == "de"), key=lambda r: r["ppl"])]
+    # 7 docs: ntile puts the remainder in the FIRST group (SQL standard)
+    assert de == ["head"] * 3 + ["middle"] * 2 + ["tail"] * 2
+
+
+def test_ccnet_twin(spark, tmp_path):
+    p = str(tmp_path / "scored.parquet")
+    _scored(spark).toPandas().to_parquet(p, index=False)
+    got = sorted(map(tuple, ccnet_buckets(_scored(spark)).collect()))
+    want = sorted(map(tuple, duckdb.sql(
+        ccnet_buckets_sql(f"SELECT * FROM '{p}'")).fetchall()))
+    assert got == want
+
+
+def test_ccnet_thresholds_agree_with_ntile(spark):
+    """The approx_percentile scale path reproduces the exact tier on a
+    small distinct-valued input (sketch is exact there)."""
+    th = ccnet_thresholds(_scored(spark))
+    p33, p67 = th["en"]
+    labels = {r["doc_id"]: r["bucket"]
+              for r in ccnet_buckets(_scored(spark)).collect()
+              if r["lang"] == "en"}
+    for i in range(9):
+        ppl = 100.0 + i
+        want = "head" if ppl <= p33 else ("middle" if ppl <= p67 else "tail")
+        assert labels[i] == want

@@ -168,3 +168,63 @@ def make_perplexity_udf(bc_low, bc_high):
         return scorer.batch(cleaned, langs)
 
     return ppl
+
+
+# ---------------------------------------------- CCNet quality buckets
+#
+# CCNet (Wenzek et al. 2020, arXiv:1911.00359) splits each language's
+# documents into head / middle / tail thirds by LM perplexity — lower
+# perplexity = closer to the clean LM training distribution. The exact
+# tier below uses ntile(3) per language (identical semantics in Spark
+# and DuckDB: first groups take the remainder rows; ties broken by
+# doc id), which is the oracle-checkable definition. At 100 TB the
+# scale path is threshold-based: compute per-language cutoffs with
+# approx_percentile (one sketch aggregation, <= #languages rows) and
+# bucket with a codegen CASE — ccnet_thresholds below — avoiding the
+# per-language global sort ntile needs.
+
+
+def ccnet_buckets(scored: "DataFrame", id_col: str = "doc_id",
+                  lang_col: str = "lang", ppl_col: str = "ppl"):
+    """(id, lang, ppl, bucket) with bucket in head|middle|tail — exact
+    per-language terciles via ntile(3) ordered by (ppl, id)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(lang_col).orderBy(ppl_col, id_col)
+    nt = F.ntile(3).over(w)
+    bucket = (F.when(nt == 1, F.lit("head"))
+               .when(nt == 2, F.lit("middle"))
+               .otherwise(F.lit("tail")))
+    return scored.select(id_col, lang_col, ppl_col,
+                         bucket.alias("bucket"))
+
+
+def ccnet_buckets_sql(scored_sql: str, id_expr: str = "doc_id",
+                      lang_expr: str = "lang",
+                      ppl_expr: str = "ppl") -> str:
+    """DuckDB twin; `scored_sql` is any relation with (id, lang, ppl) —
+    e.g. a scan of the committed perplexity golden parquet, so the twin
+    checks the bucketing logic over pinned scores."""
+    return f"""
+    SELECT {id_expr}, {lang_expr}, {ppl_expr},
+           CASE ntile(3) OVER (PARTITION BY {lang_expr}
+                               ORDER BY {ppl_expr}, {id_expr})
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ({scored_sql})
+    """
+
+
+def ccnet_thresholds(scored: "DataFrame", lang_col: str = "lang",
+                     ppl_col: str = "ppl",
+                     accuracy: int = 10_000) -> dict[str, tuple]:
+    """Scale-path cutoffs: per-language (p33, p67) from one
+    approx_percentile sketch aggregation (the CCNet paper itself
+    computes cutoffs on a sample). Feed to a codegen CASE filter;
+    sketch error is the documented trade vs the ntile oracle tier."""
+    from pyspark.sql import functions as F
+
+    rows = (scored.groupBy(lang_col)
+            .agg(F.percentile_approx(ppl_col, [1 / 3, 2 / 3],
+                                     accuracy).alias("q")).collect())
+    return {r[lang_col]: (r["q"][0], r["q"][1]) for r in rows}

@@ -153,3 +153,94 @@ def pack_stats_sql(table: str, id_expr: str, text_expr: str,
            (SUM(n_tokens) % {seq_len})::BIGINT AS tail_tokens
     FROM toks GROUP BY shard
     """
+
+
+# ------------------------------------------------- ASR chunk planning
+#
+# The audio-side analog of pack_sequences: ASR encoders (Whisper-style)
+# consume fixed-length windows, so long clips are cut into win_ms
+# chunks advanced by stride_ms (overlap = win - stride lets the decoder
+# stitch across boundaries). As with packing, the pipeline emits the
+# *placement plan* only — (clip_id, chunk_idx, start_ms, end_ms) — and
+# the batch decoder slices PCM lazily at read time; bytes never enter
+# this plan. Pure integer Catalyst arithmetic (sequence + explode →
+# one codegen projection, zero Python, no shuffle), so a 10^12-clip
+# chunk plan is a single streaming scan.
+
+
+def asr_chunk_plan(clips: DataFrame, id_col: str = "clip_id",
+                   dur_ms_col: str = "dur_ms", win_ms: int = 30_000,
+                   stride_ms: int = 25_000) -> DataFrame:
+    """One row per (clip, chunk): start/end in ms. A clip shorter than
+    the window yields exactly one chunk [0, dur). The last chunk starts
+    at the final stride position that still exposes new audio."""
+    if not 0 < stride_ms <= win_ms:
+        raise ValueError("need 0 < stride_ms <= win_ms")
+    d = F.col(dur_ms_col).cast("long")
+    n_last = F.floor((F.greatest(d - win_ms, F.lit(0))
+                      + (stride_ms - 1)) / stride_ms).cast("int")
+    return (
+        clips.select(
+            F.col(id_col).alias("clip_id"), d.alias("dur_ms"),
+            F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+        )
+        .select(
+            "clip_id", "chunk_idx",
+            (F.col("chunk_idx").cast("long") * stride_ms).alias("start_ms"),
+            F.least(F.col("chunk_idx").cast("long") * stride_ms + win_ms,
+                    F.col("dur_ms")).alias("end_ms"),
+        )
+    )
+
+
+def asr_chunk_plan_sql(table: str, id_expr: str = "clip_id",
+                       dur_ms_expr: str = "dur_ms", win_ms: int = 30_000,
+                       stride_ms: int = 25_000) -> str:
+    """DuckDB twin (generate_series is inclusive like F.sequence)."""
+    return f"""
+    WITH base AS (
+      SELECT {id_expr} AS clip_id, {dur_ms_expr}::BIGINT AS dur_ms,
+             ((greatest({dur_ms_expr}::BIGINT - {win_ms}, 0)
+               + {stride_ms - 1}) // {stride_ms})::INT AS n_last
+      FROM {table}
+    ),
+    ex AS (
+      SELECT clip_id, dur_ms,
+             unnest(generate_series(0, n_last))::INT AS chunk_idx
+      FROM base
+    )
+    SELECT clip_id, chunk_idx,
+           (chunk_idx::BIGINT * {stride_ms}) AS start_ms,
+           least(chunk_idx::BIGINT * {stride_ms} + {win_ms}, dur_ms) AS end_ms
+    FROM ex
+    """
+
+
+def asr_chunk_stats(clips: DataFrame, id_col: str = "clip_id",
+                    dur_ms_col: str = "dur_ms", win_ms: int = 30_000,
+                    stride_ms: int = 25_000) -> DataFrame:
+    """Per-corpus chunking yield: clips, chunks, padded/overlap audio
+    ms — the sizing numbers a batch scheduler needs (one aggregate
+    over the plan)."""
+    plan = asr_chunk_plan(clips, id_col, dur_ms_col, win_ms, stride_ms)
+    chunk_ms = F.col("end_ms") - F.col("start_ms")
+    return plan.agg(
+        F.countDistinct("clip_id").cast("long").alias("n_clips"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(chunk_ms).cast("long").alias("audio_ms_scheduled"),
+        F.sum(F.lit(win_ms) - chunk_ms).cast("long").alias("pad_ms"),
+    )
+
+
+def asr_chunk_stats_sql(table: str, id_expr: str = "clip_id",
+                        dur_ms_expr: str = "dur_ms", win_ms: int = 30_000,
+                        stride_ms: int = 25_000) -> str:
+    plan = asr_chunk_plan_sql(table, id_expr, dur_ms_expr, win_ms,
+                              stride_ms)
+    return f"""
+    SELECT count(DISTINCT clip_id)::BIGINT AS n_clips,
+           count(*)::BIGINT AS n_chunks,
+           sum(end_ms - start_ms)::BIGINT AS audio_ms_scheduled,
+           sum({win_ms} - (end_ms - start_ms))::BIGINT AS pad_ms
+    FROM ({plan})
+    """

@@ -56,6 +56,9 @@ PLAN_QUERIES = (
     "unimax_sample",
     "clip_consistency",
     "clip_speech_rate",
+    "ccnet_buckets",
+    "asr_chunks",
+    "bpe_fertility",
 )
 
 
