@@ -801,6 +801,33 @@ def _q_perplexity(spark, sf_dir):
     )
 
 
+_CC_VALID = " card 4111-1111-1111-1111 thanks"      # Luhn-valid test PAN
+_CC_INVALID = " card 4111-1111-1111-1112 thanks"    # one digit off
+
+
+def _q_scrub_cc(spark, sf_dir):
+    """Luhn-validated credit-card scrubbing: candidates from one
+    regexp_extract_all, ISO/IEC 7812 checksum as a higher-order Catalyst
+    aggregate, redaction folds replace() over VALID candidates only —
+    the near-miss plant (checksum off by one) must survive unscrubbed.
+    Pure codegen, byte-for-byte DuckDB twin."""
+    from tiny_lingua_spark.functions.scrub import (cc_scrubbed_col,
+                                                   has_cc_col)
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "txt",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_CC_VALID))
+             .when(F.col("doc_id") % 11 == 0, F.lit(_CC_INVALID))
+             .otherwise(F.lit(""))))
+    return docs.select(
+        "doc_id",
+        cc_scrubbed_col("txt").alias("scrubbed"),
+        has_cc_col("txt").alias("had_cc"),
+    )
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail quality buckets (Wenzek et al. 2020):
     per-language perplexity terciles via ntile(3) — the exact oracle
@@ -1163,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _shipped(_q_bpe_merges),
         "bpe_tokens": _shipped(_q_bpe_tokens),
         "bpe_fertility": _shipped(_q_bpe_fertility),
+        "scrub_cc": _shipped(_q_scrub_cc),
         "ccnet_buckets": _shipped(_q_ccnet_buckets),
         "asr_chunks": _shipped(_q_asr_chunks),
         "asr_chunk_stats": _shipped(_q_asr_chunk_stats),
@@ -1373,6 +1401,21 @@ def oracle_sql() -> dict[str, str]:
             "tiny_lingua_spark.functions.quality", fromlist=["quality"]
         ).clip_consistency_sql(
             f"'{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'"),
+        "scrub_cc": (
+            lambda scrub: f"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 7 = 0 THEN '{_CC_VALID}'
+                                  WHEN doc_id % 11 = 0 THEN '{_CC_INVALID}'
+                                  ELSE '' END AS txt
+              FROM documents
+            )
+            SELECT doc_id, {scrub.cc_scrubbed_sql('txt')} AS scrubbed,
+                   {scrub.has_cc_sql('txt')} AS had_cc
+            FROM p
+            """
+        )(__import__("tiny_lingua_spark.functions.scrub",
+                     fromlist=["scrub"])),
         "ccnet_buckets": __import__(
             "tiny_lingua_spark.functions.perplexity",
             fromlist=["perplexity"]

@@ -71,6 +71,7 @@ BENCH_QUERIES = (
     "ccnet_buckets",          # CCNet per-language perplexity terciles
     "asr_chunks",             # Whisper-style fixed-window chunk plan
     "bpe_fertility",          # per-language tokenizer fertility
+    "scrub_cc",               # Luhn-validated credit-card scrub
 )
 
 

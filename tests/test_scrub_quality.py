@@ -114,3 +114,60 @@ def test_score_quantiles_sketch_close_to_exact(spark):
     plan = calibrated_buckets(scored, exact) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # thresholds are literals, not a join
+
+
+# ------------------------------- Luhn-validated credit-card scrubbing
+
+
+CC_CASES = [
+    # (text, expected)
+    ("pay with 4111-1111-1111-1111 now", "pay with <CC> now"),
+    ("pay with 4111 1111 1111 1112 now",          # checksum off by one
+     "pay with 4111 1111 1111 1112 now"),
+    ("amex 378282246310005 ok", "amex <CC> ok"),
+    ("mc 5500 0055 5555 5559 thanks", "mc <CC> thanks"),
+    ("id 1234567890123 order", "id 1234567890123 order"),
+    ("phone 555-123-4567", "phone 555-123-4567"),  # too few digits
+    ("two 4111111111111111 and 4111111111111111", "two <CC> and <CC>"),
+    ("", ""),
+]
+
+
+def test_cc_scrub_planted(spark):
+    from tiny_lingua_spark.functions.scrub import cc_scrubbed_col, has_cc_col
+
+    df = spark.createDataFrame([(t,) for t, _ in CC_CASES], "t string")
+    got = df.select("t", cc_scrubbed_col("t").alias("s"),
+                    has_cc_col("t").alias("h")).collect()
+    want = dict(CC_CASES)
+    for r in got:
+        assert r["s"] == want[r["t"]], r["t"]
+        assert r["h"] == ("<CC>" in want[r["t"]])
+
+
+def test_cc_scrub_duckdb_twin(spark):
+    import duckdb as _dd
+
+    from tiny_lingua_spark.functions.scrub import (cc_scrubbed_col,
+                                                   cc_scrubbed_sql)
+
+    df = spark.createDataFrame([(t,) for t, _ in CC_CASES], "t string")
+    got = sorted(r["s"] for r in
+                 df.select(cc_scrubbed_col("t").alias("s")).collect())
+    con = _dd.connect()
+    want = sorted(
+        con.execute(f"SELECT {cc_scrubbed_sql('t')} FROM t_tbl").df()
+        .iloc[:, 0]
+        for t_tbl in [con.register("t_tbl", df.toPandas()) or "t_tbl"]
+    )[0].tolist()
+    assert got == sorted(want)
+
+
+def test_cc_scrub_plan_pure_codegen(spark):
+    from tiny_lingua_spark.functions.scrub import cc_scrubbed_col
+    from tiny_lingua_spark.plans.audit import explain_str
+
+    df = spark.createDataFrame([("x",)], "t string")
+    plan = explain_str(df.select(cc_scrubbed_col("t")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan

@@ -53,3 +53,79 @@ def has_pii_col(col: Column) -> Column:
         | col.rlike(SSN_RE)
         | col.rlike(PHONE_RE)
     )
+
+
+# ------------------------------- Luhn-validated credit-card scrubbing
+#
+# A bare 13-19-digit regex over web-scale text scrubs order numbers,
+# EANs, and timestamps wholesale; PCI-style scrubbers therefore check
+# the Luhn checksum (Luhn 1954, ISO/IEC 7812) before redacting. The
+# candidate set comes from one regexp_extract_all; the checksum is a
+# higher-order aggregate over the digit string; redaction folds
+# `replace` over the VALIDATED candidates only. Everything is Catalyst
+# codegen (no UDF), and the DuckDB twin reproduces it with
+# list_transform/list_reduce, so scrubbed output is oracle-checkable
+# byte-for-byte. Zero shuffle at any scale.
+
+CC_RE = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def _luhn_sum_spark(d: str) -> str:
+    dd = f"CAST(substring(reverse({d}), i, 1) AS INT)"
+    return (f"aggregate(sequence(1, length({d})), 0, (acc, i) -> acc + "
+            f"(CASE WHEN i % 2 = 0 THEN "
+            f"IF({dd} * 2 > 9, {dd} * 2 - 9, {dd} * 2) "
+            f"ELSE {dd} END))")
+
+
+def _luhn_sum_duck(d: str) -> str:
+    dd = f"CAST(substr(reverse({d}), i, 1) AS INT)"
+    return (f"list_sum(list_transform(generate_series(1, length({d})), "
+            f"i -> (CASE WHEN i % 2 = 0 THEN "
+            f"CASE WHEN {dd} * 2 > 9 THEN {dd} * 2 - 9 ELSE {dd} * 2 END "
+            f"ELSE {dd} END)))")
+
+
+def _cc_valid_spark(text_expr: str) -> str:
+    # Spark SQL string literals process backslash escapes (DuckDB's
+    # single quotes do not) — double them so \b reaches the regex engine
+    cc_re = CC_RE.replace("\\", "\\\\")
+    d = "regexp_replace(c, '[ -]', '')"
+    return (f"filter(regexp_extract_all({text_expr}, '{cc_re}', 0), "
+            f"c -> length({d}) BETWEEN 13 AND 19 "
+            f"AND {_luhn_sum_spark(d)} % 10 = 0)")
+
+
+def cc_scrubbed_col(text_expr: str) -> Column:
+    """Replace Luhn-VALID card-number candidates with <CC>; invalid
+    candidates (a transposed digit, an order id) are left alone.
+    `text_expr` is a column name / SQL expression (the validation is a
+    higher-order Catalyst expression, so it binds by name)."""
+    return F.expr(
+        f"aggregate({_cc_valid_spark(text_expr)}, {text_expr}, "
+        f"(acc, c) -> replace(acc, c, '<CC>'))")
+
+
+def has_cc_col(text_expr: str) -> Column:
+    """True iff the text contains at least one Luhn-valid candidate."""
+    return F.expr(f"size({_cc_valid_spark(text_expr)}) > 0")
+
+
+def cc_scrubbed_sql(text_expr: str) -> str:
+    """DuckDB twin: same candidates, same checksum, same fold order
+    (list_reduce seeds from a prepended init element — DuckDB's reduce
+    has no initial-value arg)."""
+    return (f"list_reduce(list_prepend(CAST({text_expr} AS VARCHAR), "
+            f"{_cc_valid_duck(text_expr)}), "
+            f"(acc, c) -> replace(acc, c, '<CC>'))")
+
+
+def _cc_valid_duck(text_expr: str) -> str:
+    d = "regexp_replace(c, '[ -]', '', 'g')"
+    return (f"list_filter(regexp_extract_all({text_expr}, '{CC_RE}', 0), "
+            f"c -> length({d}) BETWEEN 13 AND 19 "
+            f"AND {_luhn_sum_duck(d)} % 10 = 0)")
+
+
+def has_cc_sql(text_expr: str) -> str:
+    return f"len({_cc_valid_duck(text_expr)}) > 0"

@@ -59,6 +59,7 @@ PLAN_QUERIES = (
     "ccnet_buckets",
     "asr_chunks",
     "bpe_fertility",
+    "scrub_cc",
 )
 
 
