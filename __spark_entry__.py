@@ -893,6 +893,38 @@ def _q_bpe_fertility(spark, sf_dir):
     )
 
 
+def _q_ngram_diversity(spark, sf_dir):
+    """distinct-n lexical diversity per language (Li et al. 2016):
+    unique/total word n-grams for n in 1..3 — the collapse/templating
+    gauge. Explode + two-level aggregation; self-contained DuckDB twin."""
+    from tiny_lingua_spark.functions.text import ngram_diversity
+
+    return ngram_diversity(_docs(spark, sf_dir), "lang", "text", max_n=3)
+
+
+def _q_codec_stats(spark, sf_dir):
+    """Per-codec corpus health: decode failure rate, mean level/SNR/
+    silence — the audio-side analog of source_stats. Twin aggregates the
+    committed decode-features golden with the same SQL, checking the
+    aggregation logic over pinned UDF outputs."""
+    feats = _q_audio_features(spark, sf_dir)
+    return (
+        feats.groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.round(F.avg(F.col("decode_ok").cast("double")), 6)
+             .alias("decode_ok_rate"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            F.round(F.avg("dbfs"), 6).alias("avg_dbfs"),
+            F.round(F.avg("silence_ratio"), 6).alias("avg_silence_ratio"),
+            F.round(F.avg("snr_est_db"), 6).alias("avg_snr_db"),
+            F.round(F.avg(F.col("clipped_ratio")), 6)
+             .alias("avg_clipped_ratio"),
+        )
+        .orderBy("codec")
+    )
+
+
 def _q_detect_trigram_declarative(spark, sf_dir):
     """The detector's statistical core as pure relational algebra
     (broadcast back-off joins) — cross-validates the UDF engine."""
@@ -1191,6 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _shipped(_q_bpe_tokens),
         "bpe_fertility": _shipped(_q_bpe_fertility),
         "scrub_cc": _shipped(_q_scrub_cc),
+        "ngram_diversity": _shipped(_q_ngram_diversity),
+        "codec_stats": _shipped(_q_codec_stats),
         "ccnet_buckets": _shipped(_q_ccnet_buckets),
         "asr_chunks": _shipped(_q_asr_chunks),
         "asr_chunk_stats": _shipped(_q_asr_chunk_stats),
@@ -1416,6 +1450,22 @@ def oracle_sql() -> dict[str, str]:
             """
         )(__import__("tiny_lingua_spark.functions.scrub",
                      fromlist=["scrub"])),
+        "ngram_diversity": __import__(
+            "tiny_lingua_spark.functions.text", fromlist=["text"]
+        ).ngram_diversity_sql("documents", "lang", "text", max_n=3),
+        "codec_stats": f"""
+            SELECT codec, count(*)::BIGINT AS n_clips,
+                   round(avg(CASE WHEN decode_ok THEN 1.0 ELSE 0.0 END), 6)
+                     AS decode_ok_rate,
+                   round(avg(rms), 6) AS avg_rms,
+                   round(avg(dbfs), 6) AS avg_dbfs,
+                   round(avg(silence_ratio), 6) AS avg_silence_ratio,
+                   round(avg(snr_est_db), 6) AS avg_snr_db,
+                   round(avg(clipped_ratio), 6) AS avg_clipped_ratio
+            FROM '{os.path.join(EXPECTED_DIR,
+                                'audio_decode_features.parquet')}'
+            GROUP BY codec ORDER BY codec
+        """,
         "ccnet_buckets": __import__(
             "tiny_lingua_spark.functions.perplexity",
             fromlist=["perplexity"]

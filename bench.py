@@ -72,6 +72,8 @@ BENCH_QUERIES = (
     "asr_chunks",             # Whisper-style fixed-window chunk plan
     "bpe_fertility",          # per-language tokenizer fertility
     "scrub_cc",               # Luhn-validated credit-card scrub
+    "ngram_diversity",        # distinct-n lexical diversity per language
+    "codec_stats",            # per-codec decode-health aggregate
 )
 
 

@@ -1,0 +1,36 @@
+"""distinct-n lexical diversity (functions/text.py)."""
+
+import duckdb
+
+from tiny_lingua_spark.functions.text import (ngram_diversity,
+                                              ngram_diversity_sql)
+
+
+def _df(spark):
+    rows = [(1, "en", "a b a b"),          # uni 4/2, bi 3/2, tri 2/2
+            (2, "en", "a b c"),            # adds c; bi b_c; tri a_b_c
+            (3, "de", "x x x x x"),        # fully collapsed
+            (4, "de", ""),                 # no grams
+            (5, "zh", "漢字")]              # no [a-z0-9] runs -> no grams
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_known_counts(spark):
+    out = {(r["lang"], r["n"]): r
+           for r in ngram_diversity(_df(spark), "lang", "text").collect()}
+    assert out[("en", 1)]["total"] == 7 and out[("en", 1)]["distinct"] == 3
+    assert out[("en", 2)]["total"] == 5 and out[("en", 2)]["distinct"] == 3
+    assert out[("en", 3)]["total"] == 3 and out[("en", 3)]["distinct"] == 3
+    assert out[("de", 1)]["total"] == 5 and out[("de", 1)]["distinct"] == 1
+    assert out[("de", 2)]["ratio"] == 0.25           # x_x four times
+    assert ("zh", 1) not in out                      # no grams at all
+
+
+def test_twin(spark, tmp_path):
+    p = str(tmp_path / "d.parquet")
+    _df(spark).toPandas().to_parquet(p, index=False)
+    got = sorted(map(tuple, ngram_diversity(_df(spark), "lang",
+                                            "text").collect()))
+    want = sorted(map(tuple, duckdb.sql(
+        ngram_diversity_sql(f"'{p}'", "lang", "text")).fetchall()))
+    assert got == want

@@ -135,3 +135,83 @@ def vocab_topk_sql(table: str, text_col: str, k: int = 200) -> str:
     ORDER BY n_occurrences DESC, token ASC
     LIMIT {k}
     """
+
+
+# -------------------------------------------- n-gram diversity (distinct-n)
+#
+# distinct-n (Li et al. 2016, arXiv:1510.03055): unique n-grams / total
+# n-grams — the standard lexical-diversity gauge; a collapsing or
+# template-heavy corpus slice shows up as a low ratio long before eyes
+# find it. Long output format (stratum, n, total, distinct, ratio).
+#
+# Scale shape: explode(word n-grams) → ONE aggregation keyed by
+# (stratum, n, gram) for the distinct count, then a tiny re-aggregate to
+# (stratum, n). The first agg's keys are high-cardinality but uniform
+# (word n-grams), so partial aggregation absorbs repeats map-side and
+# the shuffle carries distinct grams once each — the same shape as
+# trigram_counts, which holds at model-ETL scale.
+
+
+def _diversity_words(text_expr: str) -> str:
+    # same tokenization family as operators/dsir.py (shared oracle rules)
+    return (f"filter(split(lower({text_expr}), '[^a-z0-9]+'), "
+            "x -> x != '')")
+
+
+def ngram_diversity(df, strata_col: str, text_col: str,
+                    max_n: int = 3):
+    """Per-stratum distinct-n for n in 1..max_n."""
+    from pyspark.sql import functions as F
+
+    w = f"({_diversity_words(text_col)})"
+    per_n = []
+    for n in range(1, max_n + 1):
+        if n == 1:
+            gexpr = w
+        else:
+            # join n consecutive words per start position — codegen only
+            gexpr = (f"CASE WHEN size({w}) >= {n} THEN "
+                     f"transform(sequence(1, size({w}) - {n - 1}), "
+                     f"i -> array_join(slice({w}, i, {n}), '_')) "
+                     f"ELSE CAST(array() AS array<string>) END")
+        ex = df.select(F.col(strata_col).alias("s"),
+                       F.explode(F.expr(gexpr)).alias("g"))
+        per_n.append(
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).cast("long").alias("total"),
+                 F.countDistinct("g").cast("long").alias("distinct"))
+            .select("s", F.lit(n).alias("n"), "total", "distinct",
+                    F.round(F.col("distinct") / F.col("total"), 6)
+                     .alias("ratio")))
+    out = per_n[0]
+    for other in per_n[1:]:
+        out = out.unionByName(other)
+    return out.select(F.col("s").alias(strata_col), "n", "total",
+                      "distinct", "ratio").orderBy(strata_col, "n")
+
+
+def ngram_diversity_sql(table: str, strata_expr: str, text_expr: str,
+                        max_n: int = 3) -> str:
+    """DuckDB twin (same tokenization; general-n via list_transform)."""
+    w = (f"list_filter(regexp_split_to_array(lower({text_expr}),"
+         " '[^a-z0-9]+'), x -> x <> '')")
+    parts = []
+    for n in range(1, max_n + 1):
+        if n == 1:
+            grams = w
+        else:
+            grams = (f"CASE WHEN len({w}) >= {n} THEN "
+                     f"list_transform(generate_series(1, len({w}) - {n - 1}),"
+                     f" i -> array_to_string(list_slice({w}, i, "
+                     f"i + {n - 1}), '_')) "
+                     f"ELSE CAST([] AS VARCHAR[]) END")
+        parts.append(f"""
+        SELECT {strata_expr} AS s, {n} AS n, unnest({grams}) AS g
+        FROM {table}""")
+    un = " UNION ALL ".join(parts)
+    return f"""
+    SELECT s AS {strata_expr}, n, count(*)::BIGINT AS total,
+           count(DISTINCT g)::BIGINT AS "distinct",
+           round(count(DISTINCT g) / count(*), 6) AS ratio
+    FROM ({un}) GROUP BY s, n ORDER BY s, n
+    """

@@ -60,6 +60,7 @@ PLAN_QUERIES = (
     "asr_chunks",
     "bpe_fertility",
     "scrub_cc",
+    "ngram_diversity",
 )
 
 
