@@ -532,6 +532,65 @@ def _q_quality_classifier(spark, sf_dir):
     return quality_clf.classify_quality(docs, w, p)
 
 
+def _classifier_auc_oracle_sql() -> str:
+    """Self-contained twin of _q_classifier_auc: the same 70/30 md5
+    split, train-on-A margin-score-on-B CTE chain, weak labels on the
+    eval split, and tie-averaged rank AUC — all re-derived in DuckDB."""
+    from tiny_lingua_spark.eval.report import ranking_auc_sql
+    from tiny_lingua_spark.functions.quality import (quality_metrics_sql,
+                                                     quality_score_sql)
+    from tiny_lingua_spark.models import quality_clf
+    from tiny_lingua_spark.operators import sampling
+
+    hb = sampling.hash_bucket_sql("doc_id", _CLF_SPLIT_SEED)
+    thr = sampling._threshold(_CLF_TRAIN_FRAC)
+    train_tbl = f"(SELECT * FROM documents WHERE {hb} < {thr})"
+    ev_tbl = f"(SELECT * FROM documents WHERE NOT ({hb} < {thr}))"
+    qm = quality_metrics_sql("text")
+    metric_cols = ", ".join(
+        f"{qm[k]} AS {k}" for k in ("alpha_ratio", "digit_ratio",
+                                    "mean_token_len", "n_chars"))
+    scored = f"""
+    SELECT m.margin, l.label
+    FROM ({quality_clf.quality_margin_sql(train_tbl, ev_tbl)}) m
+    JOIN (SELECT doc_id,
+                 CASE WHEN {quality_score_sql()} >= {quality_clf.HQ_THRESHOLD}
+                      THEN 'hq' ELSE 'lq' END AS label
+          FROM (SELECT doc_id, {metric_cols} FROM {ev_tbl} AS e)) l
+      USING (doc_id)"""
+    return ranking_auc_sql(scored, "margin", "label", "hq")
+
+
+_CLF_SPLIT_SEED = 5
+_CLF_TRAIN_FRAC = 0.7
+
+
+def _q_classifier_auc(spark, sf_dir):
+    """Held-out evaluation of the learned quality filter: train on the
+    70% hash split, margin-score the 30% complement, rank-AUC against
+    the weak heuristic labels (exact Mann-Whitney with tie-averaged
+    ranks). The whole train→score→rank chain re-derives in one DuckDB
+    twin."""
+    from tiny_lingua_spark.eval.report import ranking_auc
+    from tiny_lingua_spark.functions.quality import (quality_metrics_cols,
+                                                     quality_score_col)
+    from tiny_lingua_spark.models import quality_clf
+    from tiny_lingua_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    cond = (sampling.hash_bucket_col(F.col("doc_id"), _CLF_SPLIT_SEED)
+            < F.lit(sampling._threshold(_CLF_TRAIN_FRAC)))
+    train, ev = docs.where(cond), docs.where(~cond)
+    w, p = quality_clf.train_quality_classifier(train)
+    margins = quality_clf.quality_margin(ev, w, p)
+    labels = ev.select("doc_id", *quality_metrics_cols("text")).select(
+        "doc_id",
+        F.when(quality_score_col() >= quality_clf.HQ_THRESHOLD,
+               F.lit("hq")).otherwise(F.lit("lq")).alias("label"))
+    return ranking_auc(margins.join(labels, "doc_id"),
+                       "margin", "label", "hq")
+
+
 _BPE_MERGES = 50
 _BPE_TOP_WORDS = 1000
 
@@ -893,6 +952,19 @@ def _q_bpe_fertility(spark, sf_dir):
     )
 
 
+def _q_rule_attribution(spark, sf_dir):
+    """Filtering-ablation table: per quality rule, total fails and
+    UNIQUE fails (docs no other rule would drop) — the numbers that
+    justify each threshold. Fixed-width rule explode + 6-key aggregate;
+    covers the SQL-expressible rules (UDF-tier rules are pinned by the
+    pipeline_keep_stats golden)."""
+    from tiny_lingua_spark.functions.quality import (quality_metrics_cols,
+                                                     rule_attribution)
+
+    docs = _docs(spark, sf_dir).select("lang", *quality_metrics_cols("text"))
+    return rule_attribution(docs)
+
+
 def _q_ngram_diversity(spark, sf_dir):
     """distinct-n lexical diversity per language (Li et al. 2016):
     unique/total word n-grams for n in 1..3 — the collapse/templating
@@ -1219,11 +1291,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _shipped(_q_c4_clean),
         "mixture_sample": _shipped(_q_mixture_sample),
         "quality_classifier": _shipped(_q_quality_classifier),
+        "classifier_auc": _shipped(_q_classifier_auc),
         "bpe_merges": _shipped(_q_bpe_merges),
         "bpe_tokens": _shipped(_q_bpe_tokens),
         "bpe_fertility": _shipped(_q_bpe_fertility),
         "scrub_cc": _shipped(_q_scrub_cc),
         "ngram_diversity": _shipped(_q_ngram_diversity),
+        "rule_attribution": _shipped(_q_rule_attribution),
         "codec_stats": _shipped(_q_codec_stats),
         "ccnet_buckets": _shipped(_q_ccnet_buckets),
         "asr_chunks": _shipped(_q_asr_chunks),
@@ -1453,6 +1527,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_diversity": __import__(
             "tiny_lingua_spark.functions.text", fromlist=["text"]
         ).ngram_diversity_sql("documents", "lang", "text", max_n=3),
+        "rule_attribution": __import__(
+            "tiny_lingua_spark.functions.quality", fromlist=["quality"]
+        ).rule_attribution_sql(
+            "SELECT lang, " + ", ".join(
+                f"({qm[k]}) AS {k}"
+                for k in ("n_chars", "n_tokens", "alpha_ratio",
+                          "digit_ratio")) + " FROM documents"),
         "codec_stats": f"""
             SELECT codec, count(*)::BIGINT AS n_clips,
                    round(avg(CASE WHEN decode_ok THEN 1.0 ELSE 0.0 END), 6)
@@ -1493,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": __import__(
             "tiny_lingua_spark.models.quality_clf", fromlist=["quality_clf"]
         ).quality_classifier_sql("documents"),
+        "classifier_auc": _classifier_auc_oracle_sql(),
         "mixture_sample": (
             "SELECT doc_id, source, lang, toks::BIGINT AS toks FROM ("
             + __import__("tiny_lingua_spark.operators.sampling",

@@ -74,6 +74,8 @@ BENCH_QUERIES = (
     "scrub_cc",               # Luhn-validated credit-card scrub
     "ngram_diversity",        # distinct-n lexical diversity per language
     "codec_stats",            # per-codec decode-health aggregate
+    "rule_attribution",       # per-rule unique-drop ablation table
+    "classifier_auc",         # held-out rank-AUC of the learned filter
 )
 
 

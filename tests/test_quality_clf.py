@@ -70,3 +70,72 @@ def test_duckdb_twin(spark, corpus):
     twin = (con.sql(qc.quality_classifier_sql("t", thresh=0.7))
             .df().sort_values("doc_id").reset_index(drop=True))
     assert out.equals(twin[out.columns])
+
+
+# ------------------------------------------- margin + held-out AUC
+
+
+def test_ranking_auc_known_values(spark):
+    from tiny_lingua_spark.eval.report import ranking_auc
+
+    # perfect separation
+    rows = [(1.0, "hq"), (0.9, "hq"), (0.1, "lq"), (0.2, "lq")]
+    df = spark.createDataFrame(rows, "s double, label string")
+    r = ranking_auc(df, "s", "label", "hq").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 2, 1.0)
+    # fully tied scores -> 0.5 via tie-averaged ranks
+    rows = [(0.5, "hq"), (0.5, "hq"), (0.5, "lq"), (0.5, "lq")]
+    df = spark.createDataFrame(rows, "s double, label string")
+    assert ranking_auc(df, "s", "label", "hq").collect()[0]["auc"] == 0.5
+    # perfectly inverted -> 0.0
+    rows = [(0.1, "hq"), (0.9, "lq")]
+    df = spark.createDataFrame(rows, "s double, label string")
+    assert ranking_auc(df, "s", "label", "hq").collect()[0]["auc"] == 0.0
+    # one tie straddling the classes: pos ranks {1, avg(2,3)=2.5} ->
+    # auc = (3.5 - 3) / (2*1) = 0.25... cross-check by hand: scores
+    # pos 0.1, pos 0.5, neg 0.5 -> rsum = 1 + 2.5 = 3.5, auc 0.25
+    rows = [(0.1, "hq"), (0.5, "hq"), (0.5, "lq")]
+    df = spark.createDataFrame(rows, "s double, label string")
+    assert ranking_auc(df, "s", "label", "hq").collect()[0]["auc"] == 0.25
+
+
+def test_ranking_auc_twin(spark):
+    import duckdb as _dd
+
+    from tiny_lingua_spark.eval.report import ranking_auc, ranking_auc_sql
+
+    rows = [(float(i % 7) / 7.0, "hq" if i % 3 == 0 else "lq")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "s double, label string")
+    got = tuple(ranking_auc(df, "s", "label", "hq").collect()[0])
+    con = _dd.connect()
+    con.register("scored", df.toPandas())
+    want = con.execute(ranking_auc_sql("SELECT * FROM scored", "s",
+                                       "label", "hq")).fetchone()
+    assert got == want
+
+
+def test_margin_ranks_like_argmax(corpus, model):
+    """margin > 0 iff the argmax class is hq (consistency between the
+    two scoring surfaces; ties broken toward 'hq' in both)."""
+    w, p = model
+    m = {r["doc_id"]: r["margin"]
+         for r in qc.quality_margin(corpus, w, p).collect()}
+    pred = {r["doc_id"]: r["quality_pred"]
+            for r in qc.classify_quality(corpus, w, p).collect()}
+    for did, pr in pred.items():
+        if m[did] > 0:
+            assert pr == "hq", did
+        elif m[did] < 0:
+            assert pr == "lq", did
+
+
+def test_held_out_auc_beats_chance(spark):
+    """The learned filter must generalize: AUC on the held-out split
+    well above 0.5 (it is distilling a deterministic heuristic, so high
+    AUC is expected, but NOT trained on these rows)."""
+    import __spark_entry__ as e
+
+    r = e.queries()["classifier_auc"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert r["auc"] > 0.8, r

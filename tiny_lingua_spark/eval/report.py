@@ -112,3 +112,68 @@ def write_report_csv(report: DataFrame, path: str) -> None:
     report.orderBy("lang").coalesce(1).write.mode("overwrite").option(
         "header", True
     ).csv(path)
+
+
+# ------------------------------------------------------- ranking AUC
+#
+# Mann-Whitney / rank AUC with tie correction: AUC =
+# (sum of average ranks of positives − n_pos(n_pos+1)/2) / (n_pos·n_neg)
+# where a tie group's rows all take the group's average rank. Scores
+# must arrive PRE-ROUNDED (e.g. 6 dp) so the tie groups are identical
+# in Spark and the DuckDB twin — rank arithmetic is then exact
+# half-integer math, so the AUC matches bit-for-bit.
+#
+# Scale note: the exact statistic needs one global order over the
+# scored rows (single-partition window here). At 10^12 rows the scale
+# path is a fixed-grid score histogram (two aggregates) whose trapezoid
+# AUC converges to this; the exact tier is the oracle.
+
+
+def ranking_auc(scored, score_col: str, label_col: str,
+                positive: str):
+    """One row: (n_pos, n_neg, auc)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w_rank = Window.orderBy(score_col)
+    w_tie = Window.partitionBy(score_col)
+    r = scored.select(
+        (F.col(label_col) == positive).alias("pos"),
+        (F.rank().over(w_rank)
+         + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / 2.0).alias("ar"),
+    )
+    agg = r.agg(
+        F.sum(F.col("pos").cast("long")).alias("n_pos"),
+        F.sum((~F.col("pos")).cast("long")).alias("n_neg"),
+        F.sum(F.when(F.col("pos"), F.col("ar"))).alias("rsum"),
+    )
+    return agg.select(
+        "n_pos", "n_neg",
+        F.round(
+            (F.col("rsum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / F.nullif(F.col("n_pos") * F.col("n_neg"), F.lit(0)), 6)
+        .alias("auc"),
+    )
+
+
+def ranking_auc_sql(scored_sql: str, score_expr: str, label_expr: str,
+                    positive: str) -> str:
+    """DuckDB twin (same average-rank formula)."""
+    return f"""
+    WITH j AS (
+      SELECT ({label_expr} = '{positive}') AS pos,
+             rank() OVER (ORDER BY {score_expr}) AS rmin,
+             count(*) OVER (PARTITION BY {score_expr}) AS ties
+      FROM ({scored_sql})
+    ),
+    a AS (
+      SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+             sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+             sum(CASE WHEN pos THEN rmin + (ties - 1) / 2.0 END) AS rsum
+      FROM j
+    )
+    SELECT n_pos, n_neg,
+           round((rsum - n_pos * (n_pos + 1) / 2.0)
+                 / nullif(n_pos * n_neg, 0), 6) AS auc
+    FROM a
+    """

@@ -522,3 +522,95 @@ def calibrated_buckets_sql(metrics_cte: str, probs: tuple = (0.25, 0.5, 0.75),
     FROM scored, th_t
     GROUP BY 1
     """
+
+
+# ---------------------------------------------- per-rule attribution
+#
+# Threshold tuning needs to know which rule actually does the work: a
+# rule's raw fail count overstates its value when other rules already
+# drop the same docs. `rule_attribution` reports, per rule, how many
+# docs fail it at all and how many it UNIQUELY drops (fails that rule
+# and no other) — the standard drop-attribution table from C4/Gopher
+# style filtering ablations. Covers the SQL-expressible rules
+# (min/max_chars, min_tokens, alpha/digit ratio, unknown lang); the two
+# UDF-tier rules (max_char_run, char_entropy) are pinned separately by
+# the pipeline_keep_stats golden.
+#
+# Scale shape: one projection computes all rule booleans, explode is
+# over a FIXED-width rule array (6 rows/doc), and the aggregate keys on
+# 6 rule names — map-side combine collapses it before the shuffle.
+
+_ATTRIB_RULES = ("min_chars", "max_chars", "min_tokens",
+                 "min_alpha_ratio", "max_digit_ratio", "unknown_lang")
+
+
+def _rule_fail_cols(t: dict) -> dict[str, Column]:
+    min_chars = F.when(
+        F.col("lang").isin("zh", "ja", "ko"), F.lit(t["min_chars_cjk"])
+    ).otherwise(F.lit(t["min_chars"]))
+    return {
+        "min_chars": F.col("n_chars") < min_chars,
+        "max_chars": F.col("n_chars") > t["max_chars"],
+        "min_tokens": F.col("n_tokens") < t["min_tokens"],
+        "min_alpha_ratio": F.col("alpha_ratio") < t["min_alpha_ratio"],
+        "max_digit_ratio": F.col("digit_ratio") > t["max_digit_ratio"],
+        "unknown_lang": F.col("lang") == "unknown",
+    }
+
+
+def rule_attribution(metrics_df: DataFrame,
+                     th: dict | None = None) -> DataFrame:
+    """(rule, n_fail, n_unique_fail, fail_rate) over a frame that
+    already carries the metric columns (with_quality_metrics or the
+    codegen projection) plus lang."""
+    t = {**DEFAULT_THRESHOLDS, **(th or {})}
+    fails = _rule_fail_cols(t)
+    n_failed = sum(f.cast("int") for f in fails.values())
+    pairs = F.array(*[
+        F.struct(F.lit(r).alias("rule"),
+                 fails[r].alias("fail"),
+                 (fails[r] & (n_failed == 1)).alias("uniq"))
+        for r in _ATTRIB_RULES
+    ])
+    total = metrics_df.count()
+    ex = metrics_df.select(F.explode(pairs).alias("p"))
+    return (
+        ex.groupBy(F.col("p.rule").alias("rule"))
+        .agg(F.sum(F.col("p.fail").cast("long")).alias("n_fail"),
+             F.sum(F.col("p.uniq").cast("long")).alias("n_unique_fail"))
+        .select("rule", "n_fail", "n_unique_fail",
+                F.round(F.col("n_fail") / F.lit(float(total)), 6)
+                 .alias("fail_rate"))
+        .orderBy("rule")
+    )
+
+
+def rule_attribution_sql(metrics_sql: str, th: dict | None = None) -> str:
+    """DuckDB twin; `metrics_sql` yields (lang, n_chars, n_tokens,
+    alpha_ratio, digit_ratio)."""
+    t = {**DEFAULT_THRESHOLDS, **(th or {})}
+    mc = (f"CASE WHEN lang IN ('zh','ja','ko') THEN {t['min_chars_cjk']}"
+          f" ELSE {t['min_chars']} END")
+    conds = {
+        "min_chars": f"n_chars < {mc}",
+        "max_chars": f"n_chars > {t['max_chars']}",
+        "min_tokens": f"n_tokens < {t['min_tokens']}",
+        "min_alpha_ratio": f"alpha_ratio < {t['min_alpha_ratio']}",
+        "max_digit_ratio": f"digit_ratio > {t['max_digit_ratio']}",
+        "unknown_lang": "lang = 'unknown'",
+    }
+    nf = " + ".join(f"(CASE WHEN {c} THEN 1 ELSE 0 END)"
+                    for c in conds.values())
+    arms = ", ".join(
+        f"struct_pack(rule := '{r}', fail := ({conds[r]}), "
+        f"uniq := (({conds[r]}) AND __nf = 1))"
+        for r in _ATTRIB_RULES)
+    return f"""
+    WITH m AS (SELECT *, ({nf}) AS __nf FROM ({metrics_sql})),
+    ex AS (SELECT unnest([{arms}], recursive := true) FROM m)
+    SELECT rule, sum(CASE WHEN fail THEN 1 ELSE 0 END)::BIGINT AS n_fail,
+           sum(CASE WHEN uniq THEN 1 ELSE 0 END)::BIGINT AS n_unique_fail,
+           round(sum(CASE WHEN fail THEN 1 ELSE 0 END)
+                 / (SELECT count(*)::DOUBLE FROM m), 6) AS fail_rate
+    FROM ex GROUP BY rule ORDER BY rule
+    """

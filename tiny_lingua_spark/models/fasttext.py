@@ -150,7 +150,7 @@ def train_fasttext(
     return weights, priors
 
 
-def score_fasttext(
+def score_fasttext_all(
     docs: DataFrame,
     weights: DataFrame,
     priors: DataFrame,
@@ -158,13 +158,15 @@ def score_fasttext(
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
 ) -> DataFrame:
-    """(id, ft_lang, ft_score): argmax lang of the linear model.
+    """(id, lang, score) for EVERY language — the pre-argmax frame
+    (score_fasttext takes the argmax; quality_clf.quality_margin pivots
+    the 2-class scores into a ranking margin).
 
     score(d, l) = b_l + n_feats(d)·default_l + Σ_buckets w(bucket, l)
     where `w` already holds ln(cond) − ln(default) (train_fasttext), so
     unobserved buckets contribute exactly default_l. Plan: explode →
     broadcast-join weights (vocabulary-bounded) → per-(doc,lang) sum →
-    cross-join tiny priors → argmax window on doc. One shuffle on id.
+    cross-join tiny priors. One shuffle on id.
     """
     feats = docs.select(
         F.col(id_col).alias("id"),
@@ -193,6 +195,21 @@ def score_fasttext(
             ).alias("score"),
         )
     )
+    return scored
+
+
+def score_fasttext(
+    docs: DataFrame,
+    weights: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(id, ft_lang, ft_score): argmax lang over score_fasttext_all
+    (window on id — the same one shuffle)."""
+    scored = score_fasttext_all(docs, weights, priors, id_col, text_col,
+                                n_buckets)
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("lang"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.quality import (quality_metrics_cols, quality_metrics_sql,
                                  quality_score_col, quality_score_sql)
 from .fasttext import (N_BUCKETS, SMOOTH_ALPHA, _features_sql, bucket_sql,
-                       score_fasttext, train_fasttext)
+                       score_fasttext, score_fasttext_all, train_fasttext)
 
 HQ_THRESHOLD = 0.85
 _LABELS = ("hq", "lq")
@@ -76,6 +76,38 @@ def quality_classifier_sql(table: str, id_col: str = "doc_id",
     re-derived from the raw corpus in one query (same md5 feature hash,
     same closed-form weights, same tie-break; ln/round run in the same
     libm on one host — the established twin convention)."""
+    ctes = _clf_ctes(table, table, id_col, text_col, thresh, n_buckets,
+                     alpha)
+    return f"""{ctes}
+    SELECT id AS {id_col}, lang AS quality_pred,
+           round(score, 6) AS quality_lm_score
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY id ORDER BY score DESC, lang) = 1
+    """
+
+
+def quality_margin(docs: DataFrame, weights: DataFrame,
+                   priors: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, margin): score_hq − score_lq, rounded to 6 dp — the
+    principled ranking statistic for threshold sweeps / AUC (the argmax
+    score alone isn't monotone in P(hq) across the two classes)."""
+    s = score_fasttext_all(docs, weights, priors, id_col, text_col)
+    return (
+        s.groupBy("id")
+        .agg(F.round(
+            F.max(F.when(F.col("lang") == "hq", F.col("score")))
+            - F.max(F.when(F.col("lang") == "lq", F.col("score"))), 6)
+            .alias("margin"))
+        .select(F.col("id").alias(id_col), "margin")
+    )
+
+
+def _clf_ctes(train_table: str, score_table: str, id_col: str,
+              text_col: str, thresh: float, n_buckets: int,
+              alpha: float) -> str:
+    """Shared twin CTE chain: weak labels + training over train_table,
+    per-(doc, lang) scores over score_table (ends at `scored`)."""
     qm = quality_metrics_sql(text_col)
     metric_cols = ", ".join(f"{qm[k]} AS {k}" for k in
                             ("alpha_ratio", "digit_ratio",
@@ -84,7 +116,7 @@ def quality_classifier_sql(table: str, id_col: str = "doc_id",
     WITH labeled AS (
         SELECT CASE WHEN {quality_score_sql()} >= {thresh}
                     THEN 'hq' ELSE 'lq' END AS lang, text
-        FROM (SELECT {text_col} AS text, {metric_cols} FROM {table})
+        FROM (SELECT {text_col} AS text, {metric_cols} FROM {train_table})
     ), feats_tr AS (
         SELECT lang, {bucket_sql('f.feature', n_buckets)} AS bucket
         FROM labeled, LATERAL unnest({_features_sql('text')}) AS f(feature)
@@ -105,10 +137,11 @@ def quality_classifier_sql(table: str, id_col: str = "doc_id",
         FROM labeled l JOIN totals t USING (lang) GROUP BY l.lang
     ), feats AS (
         SELECT {id_col} AS id, {bucket_sql('f.feature', n_buckets)} AS bucket
-        FROM {table}, LATERAL unnest({_features_sql(text_col)}) AS f(feature)
+        FROM {score_table}, LATERAL unnest({_features_sql(text_col)})
+          AS f(feature)
     ), nf AS (
         SELECT {id_col} AS id, len({_features_sql(text_col)})::BIGINT AS n_feats
-        FROM {table}
+        FROM {score_table}
     ), contrib AS (
         SELECT f.id, w.lang, sum(w.w) AS sum_w
         FROM feats f JOIN weights w ON f.bucket = w.bucket
@@ -119,9 +152,20 @@ def quality_classifier_sql(table: str, id_col: str = "doc_id",
                  AS score
         FROM nf CROSS JOIN priors p
         LEFT JOIN contrib c ON c.id = nf.id AND c.lang = p.lang
-    )
-    SELECT id AS {id_col}, lang AS quality_pred,
-           round(score, 6) AS quality_lm_score
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY id ORDER BY score DESC, lang) = 1
+    )"""
+
+
+def quality_margin_sql(train_table: str, score_table: str,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       thresh: float = HQ_THRESHOLD,
+                       n_buckets: int = N_BUCKETS,
+                       alpha: float = SMOOTH_ALPHA) -> str:
+    """Self-contained twin of train-on-A, margin-score-on-B."""
+    ctes = _clf_ctes(train_table, score_table, id_col, text_col,
+                     thresh, n_buckets, alpha)
+    return f"""{ctes}
+    SELECT id AS {id_col},
+           round(max(CASE WHEN lang = 'hq' THEN score END)
+                 - max(CASE WHEN lang = 'lq' THEN score END), 6) AS margin
+    FROM scored GROUP BY id
     """

@@ -61,6 +61,8 @@ PLAN_QUERIES = (
     "bpe_fertility",
     "scrub_cc",
     "ngram_diversity",
+    "rule_attribution",
+    "classifier_auc",
 )
 
 
