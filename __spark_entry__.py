@@ -563,6 +563,7 @@ def _classifier_auc_oracle_sql() -> str:
 
 _CLF_SPLIT_SEED = 5
 _CLF_TRAIN_FRAC = 0.7
+_CLF_CAL_TEMP = 200.0
 
 
 def _q_classifier_auc(spark, sf_dir):
@@ -589,6 +590,60 @@ def _q_classifier_auc(spark, sf_dir):
                F.lit("hq")).otherwise(F.lit("lq")).alias("label"))
     return ranking_auc(margins.join(labels, "doc_id"),
                        "margin", "label", "hq")
+
+
+def _q_classifier_calibration(spark, sf_dir):
+    """Reliability table for the learned quality filter on the held-out
+    split: P(hq) = sigmoid(margin) is the model's exact posterior, so
+    per-decile |mean confidence − observed hq fraction| is the honest
+    calibration gap (ECE summand). Same split/train/score chain as
+    classifier_auc; one codegen projection + a <=10-key aggregate."""
+    from tiny_lingua_spark.eval.report import calibration_bins
+    from tiny_lingua_spark.functions.quality import (quality_metrics_cols,
+                                                     quality_score_col)
+    from tiny_lingua_spark.models import quality_clf
+    from tiny_lingua_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    cond = (sampling.hash_bucket_col(F.col("doc_id"), _CLF_SPLIT_SEED)
+            < F.lit(sampling._threshold(_CLF_TRAIN_FRAC)))
+    train, ev = docs.where(cond), docs.where(~cond)
+    w, p = quality_clf.train_quality_classifier(train)
+    margins = quality_clf.quality_margin(ev, w, p)
+    labels = ev.select("doc_id", *quality_metrics_cols("text")).select(
+        "doc_id",
+        F.when(quality_score_col() >= quality_clf.HQ_THRESHOLD,
+               F.lit("hq")).otherwise(F.lit("lq")).alias("label"))
+    return calibration_bins(margins.join(labels, "doc_id"),
+                            "margin", "label", "hq",
+                            temperature=_CLF_CAL_TEMP)
+
+
+def _classifier_calibration_oracle_sql() -> str:
+    from tiny_lingua_spark.eval.report import calibration_bins_sql
+    from tiny_lingua_spark.functions.quality import (quality_metrics_sql,
+                                                     quality_score_sql)
+    from tiny_lingua_spark.models import quality_clf
+    from tiny_lingua_spark.operators import sampling
+
+    hb = sampling.hash_bucket_sql("doc_id", _CLF_SPLIT_SEED)
+    thr = sampling._threshold(_CLF_TRAIN_FRAC)
+    train_tbl = f"(SELECT * FROM documents WHERE {hb} < {thr})"
+    ev_tbl = f"(SELECT * FROM documents WHERE NOT ({hb} < {thr}))"
+    qm = quality_metrics_sql("text")
+    metric_cols = ", ".join(
+        f"{qm[k]} AS {k}" for k in ("alpha_ratio", "digit_ratio",
+                                    "mean_token_len", "n_chars"))
+    scored = f"""
+    SELECT m.margin, l.label
+    FROM ({quality_clf.quality_margin_sql(train_tbl, ev_tbl)}) m
+    JOIN (SELECT doc_id,
+                 CASE WHEN {quality_score_sql()} >= {quality_clf.HQ_THRESHOLD}
+                      THEN 'hq' ELSE 'lq' END AS label
+          FROM (SELECT doc_id, {metric_cols} FROM {ev_tbl} AS e)) l
+      USING (doc_id)"""
+    return calibration_bins_sql(scored, "margin", "label", "hq",
+                                temperature=_CLF_CAL_TEMP)
 
 
 _BPE_MERGES = 50
@@ -1292,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _shipped(_q_mixture_sample),
         "quality_classifier": _shipped(_q_quality_classifier),
         "classifier_auc": _shipped(_q_classifier_auc),
+        "classifier_calibration": _shipped(_q_classifier_calibration),
         "bpe_merges": _shipped(_q_bpe_merges),
         "bpe_tokens": _shipped(_q_bpe_tokens),
         "bpe_fertility": _shipped(_q_bpe_fertility),
@@ -1575,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
             "tiny_lingua_spark.models.quality_clf", fromlist=["quality_clf"]
         ).quality_classifier_sql("documents"),
         "classifier_auc": _classifier_auc_oracle_sql(),
+        "classifier_calibration": _classifier_calibration_oracle_sql(),
         "mixture_sample": (
             "SELECT doc_id, source, lang, toks::BIGINT AS toks FROM ("
             + __import__("tiny_lingua_spark.operators.sampling",

@@ -76,6 +76,7 @@ BENCH_QUERIES = (
     "codec_stats",            # per-codec decode-health aggregate
     "rule_attribution",       # per-rule unique-drop ablation table
     "classifier_auc",         # held-out rank-AUC of the learned filter
+    "classifier_calibration", # reliability table (temperature-scaled)
 )
 
 

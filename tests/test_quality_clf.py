@@ -139,3 +139,58 @@ def test_held_out_auc_beats_chance(spark):
     r = e.queries()["classifier_auc"](spark, "/root/testdata/sf0.01").collect()[0]
     assert r["n_pos"] > 0 and r["n_neg"] > 0
     assert r["auc"] > 0.8, r
+
+
+def test_hist_auc_converges_to_exact(spark):
+    from tiny_lingua_spark.eval.report import ranking_auc, ranking_auc_hist
+
+    rows = [(round(0.01 * ((i * 37) % 100), 6),
+             "hq" if (i * 37) % 100 > 45 + (i % 11) else "lq")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "s double, label string")
+    exact = ranking_auc(df, "s", "label", "hq").collect()[0]["auc"]
+    coarse = ranking_auc_hist(df, "s", "label", "hq",
+                              lo=0.0, hi=1.0, bins=16).collect()[0]["auc"]
+    fine = ranking_auc_hist(df, "s", "label", "hq",
+                            lo=0.0, hi=1.0, bins=4096).collect()[0]["auc"]
+    assert abs(coarse - exact) < 0.05
+    # scores are multiples of 0.01: 4096 bins separate them completely,
+    # EXCEPT exact duplicates — which the tie-averaged trapezoid handles
+    # identically to the rank formula, so the fine histogram is exact
+    assert fine == exact
+
+
+def test_calibration_bins_known(spark):
+    from tiny_lingua_spark.eval.report import calibration_bins
+
+    # margins chosen so sigmoid lands in bins 0, 5, 9
+    rows = [(-6.0, "lq"), (-6.0, "hq"),        # p≈0.0025 -> bin 0
+            (0.2, "hq"), (0.2, "lq"),          # p≈0.55   -> bin 5
+            (6.0, "hq"), (6.0, "hq")]          # p≈0.9975 -> bin 9
+    df = spark.createDataFrame(rows, "m double, label string")
+    out = {r["bin"]: r for r in
+           calibration_bins(df, "m", "label", "hq").collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0]["frac_pos"] == 0.5 and out[0]["n"] == 2
+    assert out[9]["frac_pos"] == 1.0
+    assert out[9]["gap"] < 0.01                # confident and correct
+    assert out[0]["gap"] > 0.49                # confident and wrong
+
+
+def test_calibration_twin(spark):
+    import duckdb as _dd
+
+    from tiny_lingua_spark.eval.report import (calibration_bins,
+                                               calibration_bins_sql)
+
+    rows = [((i % 13) - 6.0 + 0.1 * i, "hq" if i % 3 else "lq")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "m double, label string")
+    got = sorted(map(tuple, calibration_bins(
+        df, "m", "label", "hq", temperature=2.0).collect()))
+    con = _dd.connect()
+    con.register("scored", df.toPandas())
+    want = sorted(map(tuple, con.execute(calibration_bins_sql(
+        "SELECT * FROM scored", "m", "label", "hq",
+        temperature=2.0)).fetchall()))
+    assert got == want

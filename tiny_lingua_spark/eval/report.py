@@ -177,3 +177,111 @@ def ranking_auc_sql(scored_sql: str, score_expr: str, label_expr: str,
                  / nullif(n_pos * n_neg, 0), 6) AS auc
     FROM a
     """
+
+
+def ranking_auc_hist(scored, score_col: str, label_col: str,
+                     positive: str, lo: float, hi: float,
+                     bins: int = 1024):
+    """Scale-path AUC: fixed-grid histogram (one aggregate over <= bins
+    keys, map-side combined — no global sort), then the tie-averaged
+    trapezoid over bins; equals ranking_auc when no two opposite-label
+    scores share a bin, and converges at 1/bins otherwise. `lo`/`hi`
+    come from a prior tiny agg or domain knowledge; out-of-range scores
+    clamp into the edge bins."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b = F.least(
+        F.greatest(F.floor((F.col(score_col) - lo) / (hi - lo) * bins),
+                   F.lit(0)),
+        F.lit(bins - 1)).alias("bin")
+    pos = (F.col(label_col) == positive).cast("long")
+    h = (scored.select(b, pos.alias("p"))
+         .groupBy("bin")
+         .agg(F.sum("p").alias("pos"),
+              F.sum(1 - F.col("p")).alias("neg")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    agg = (h.select(
+        "pos", "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("neg_below"))
+        .agg(F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"),
+             F.sum(F.col("pos") * (F.col("neg_below")
+                                   + F.col("neg") / 2.0)).alias("u")))
+    return agg.select(
+        "n_pos", "n_neg",
+        F.round(F.col("u")
+                / F.nullif(F.col("n_pos") * F.col("n_neg"), F.lit(0)), 6)
+        .alias("auc"))
+
+
+# ------------------------------------------- calibration (reliability)
+#
+# The 2-class margin is the exact log-odds of the NB-style linear
+# model, so P(hq) = sigmoid(margin). The reliability table bins that
+# probability and compares mean confidence to observed hq fraction per
+# bin; ECE (Naeini et al. 2015) is the doc-weighted |acc − conf| sum.
+# One codegen projection + one <=n_bins-key aggregate.
+
+
+def calibration_bins(scored, margin_col: str, label_col: str,
+                     positive: str, n_bins: int = 10,
+                     temperature: float = 1.0):
+    """(bin, n, mean_conf, frac_pos, gap) per probability decile.
+    `temperature` divides the margin before the sigmoid (Guo et al.
+    2017, arXiv:1706.04599): NB-family log-odds are famously
+    overconfident (hundreds of nats), saturating every row into the
+    edge bins; T>1 spreads the posterior so the table is readable.
+    Fitting T is itself a held-out optimization — here it is a fixed
+    report parameter, not a learned one."""
+    from pyspark.sql import functions as F
+
+    p = F.round(1.0 / (1.0 + F.exp(-(F.col(margin_col)
+                                     / F.lit(float(temperature))))), 6)
+    b = F.least(F.floor(p * n_bins).cast("long"), F.lit(n_bins - 1))
+    pos = (F.col(label_col) == positive).cast("long")
+    # mean_conf sums exact integer MICRO-units (p is 6-dp, so p*1e6 is
+    # integral): float sums of rounded probabilities associate
+    # differently in Spark vs DuckDB and can flip the 6th dp exactly at
+    # half-boundaries; integer sums + one division are bit-deterministic
+    p6 = F.round(p * 1_000_000).cast("long")
+    return (
+        scored.select(b.alias("bin"), p6.alias("p6"), pos.alias("y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("p6").alias("s6"), F.sum("y").alias("sy"))
+        .select(
+            "bin", "n",
+            F.round((F.col("s6").cast("double") / F.col("n"))
+                    / 1_000_000.0, 6).alias("mean_conf"),
+            F.round(F.col("sy").cast("double") / F.col("n"), 6)
+             .alias("frac_pos"))
+        .select("bin", "n", "mean_conf", "frac_pos",
+                F.round(F.abs(F.col("mean_conf") - F.col("frac_pos")), 6)
+                 .alias("gap"))
+        .orderBy("bin")
+    )
+
+
+def calibration_bins_sql(scored_sql: str, margin_expr: str,
+                         label_expr: str, positive: str,
+                         n_bins: int = 10,
+                         temperature: float = 1.0) -> str:
+    t = float(temperature)
+    return f"""
+    WITH j AS (
+      SELECT least(floor(round(1.0 / (1.0 + exp(-(({margin_expr}) / {t}))), 6)
+                         * {n_bins})::BIGINT, {n_bins - 1}) AS bin,
+             round(1.0 / (1.0 + exp(-(({margin_expr}) / {t}))), 6) AS p,
+             CASE WHEN {label_expr} = '{positive}' THEN 1 ELSE 0 END AS y
+      FROM ({scored_sql})
+    )
+    SELECT bin, n, mean_conf, frac_pos,
+           round(abs(mean_conf - frac_pos), 6) AS gap
+    FROM (
+      SELECT bin, count(*)::BIGINT AS n,
+             round((sum(round(p * 1000000)::BIGINT)::DOUBLE / count(*))
+                   / 1000000.0, 6) AS mean_conf,
+             round(sum(y)::DOUBLE / count(*), 6) AS frac_pos
+      FROM j GROUP BY bin
+    ) ORDER BY bin
+    """
