@@ -116,3 +116,125 @@ def test_codec_health_stateful(spark, registry, clip_stream_dir, tmp_path):
     assert (last.total == per_codec_rows).all()
     assert last.total.sum() == 80
     assert (last.ema_rms > 0).any()
+
+
+# -------------------------------------- streaming incremental near-dup
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(spark, tmp_path_factory):
+    """Two files; file 2 contains a near-duplicate of a file-1 doc (the
+    cross-micro-batch case) and an exact in-file duplicate pair."""
+    from pyspark.sql import Row
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(30).collect()
+    half = len(docs) // 2
+    f1 = [Row(doc_id=r["doc_id"], text=r["text"]) for r in docs[:half]]
+    f2 = [Row(doc_id=r["doc_id"], text=r["text"]) for r in docs[half:]]
+    # cross-batch near-dup: doc 9001 in file 2 copies f1[0]'s text
+    f2.append(Row(doc_id=9001, text=f1[0]["text"] + " tail"))
+    # in-batch exact dup pair inside file 2
+    f2.append(Row(doc_id=9002, text="an exact duplicate sentence here"))
+    f2.append(Row(doc_id=9003, text="an exact duplicate sentence here"))
+    d = str(tmp_path_factory.mktemp("docstream"))
+    spark.createDataFrame(f1, "doc_id long, text string").coalesce(
+        1).write.parquet(d + "/w1")
+    spark.createDataFrame(f2, "doc_id long, text string").coalesce(
+        1).write.parquet(d + "/w2")
+    flat = str(tmp_path_factory.mktemp("docflat"))
+    i = 0
+    for sub in ("w1", "w2"):
+        for f in sorted(os.listdir(os.path.join(d, sub))):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(d, sub, f),
+                          os.path.join(flat, f"part-{i}.parquet"))
+                i += 1
+    return flat
+
+
+def test_stream_neardup_matches_batch(spark, doc_stream_dir, tmp_path):
+    """Stream-accumulated LSH candidates over 2 micro-batches == the
+    batch band self-join over the same corpus; the planted cross-batch
+    near-dup must surface in the stream."""
+    from tiny_lingua_spark.operators import dedup
+    from tiny_lingua_spark.streaming import neardup as nd
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1).parquet(doc_stream_dir)
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    q = (nd.stream_neardup_candidates(stream)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["doc_a"], r["doc_b"])
+           for r in spark.read.parquet(out).collect()}
+
+    batch_docs = spark.read.parquet(doc_stream_dir)
+    bands = dedup.minhash_bands(batch_docs, "doc_id", "text")
+    a, b = bands.alias("a"), bands.alias("b")
+    want = {(r["da"], r["db"]) for r in a.join(
+        b, (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("da"), F.col("b.id").alias("db"))
+        .collect()}
+    assert got == want
+    assert (9002, 9003) in got          # in-batch exact dup
+    cross = [p for p in got if p[1] == 9001]
+    assert cross, "cross-micro-batch near-dup must be found"
+
+
+def test_stream_neardup_resume_no_duplicate_pairs(spark, doc_stream_dir,
+                                                  tmp_path):
+    """Restarting from the checkpoint with no new input emits nothing
+    new (bucket state is in the state store, not recomputed)."""
+    from tiny_lingua_spark.streaming import neardup as nd
+
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1).parquet(doc_stream_dir)
+        q = (nd.stream_neardup_candidates(stream)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run()
+    n1 = spark.read.parquet(out).count()
+    run()
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_neardup_hot_cap_bounds_state(spark, tmp_path):
+    """A degenerate bucket (many identical texts) stops emitting and
+    stops growing at hot_cap: pairs <= C(cap,2) + cap*(arrivals-cap)...
+    here simply: far fewer than C(n,2)."""
+    from pyspark.sql import Row
+
+    from tiny_lingua_spark.streaming import neardup as nd
+
+    n = 40
+    rows = [Row(doc_id=i, text="same boilerplate text for everyone")
+            for i in range(n)]
+    d = str(tmp_path / "hot")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(d)
+    out = str(tmp_path / "pairs")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    q = (nd.stream_neardup_candidates(stream, hot_cap=8)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    per_band = spark.read.parquet(out).groupBy("band_idx").count().collect()
+    # each band bucket: first 8 ids emit C(8,2)=28 pairs then overflow
+    assert per_band and all(r["count"] == 28 for r in per_band)

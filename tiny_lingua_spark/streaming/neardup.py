@@ -1,0 +1,150 @@
+"""Streaming incremental near-duplicate detection.
+
+Batch MinHash-LSH (operators/dedup.py) answers "which pairs exist in
+this corpus"; ingestion pipelines need the ONLINE version — "does the
+clip/doc arriving right now near-duplicate anything we already
+accepted" — without re-scanning history per micro-batch. This module
+keeps the LSH band buckets as STREAMING STATE: one state row per
+(band_idx, band_hash) bucket holding the doc ids seen there, and each
+arriving doc emits candidate pairs against its bucket-mates
+(applyInPandasWithState — the custom-stateful-operator path, same as
+monitor.codec_health_stateful).
+
+Candidate semantics MATCH the batch operator: the per-row signature
+below reproduces dedup.minhash_bands bit-for-bit (same shingles, same
+one-md5 Carter-Wegman slot family, same band hash), so
+stream-accumulated candidates over N micro-batches equal the batch
+candidate set over the same N files — pinned by test. Downstream
+verification (exact Jaccard on the candidate pairs) composes the same
+way as the batch chain.
+
+Scale shape:
+- the signature/banding is a per-row codegen projection (array_min
+  over transform — no explode, no shuffle, no Python), so the only
+  stateful operator is the bucket store itself, shuffled by the
+  uniform band hash;
+- state per bucket is a bounded id list: buckets past `hot_cap` stop
+  emitting and stop growing (boilerplate buckets — the batch path's
+  hot-cap trade, dedup.py winnow/postings precedent), so state size is
+  O(buckets × hot_cap) regardless of stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.dedup import BAND_SIZE, MERSENNE31, N_HASHES, shingles_expr
+
+HOT_CAP = 64
+
+PAIR_SCHEMA = "doc_a bigint, doc_b bigint, band_idx int"
+STATE_SCHEMA = "ids array<bigint>, overflowed boolean"
+
+
+def band_struct_col(text_col: str, n_hashes: int = N_HASHES,
+                    band_size: int = BAND_SIZE,
+                    k_shingle: int = 3) -> Column:
+    """array<struct<band_idx int, band_hash string>> per row — the
+    whole MinHash signature + banding as ONE codegen expression
+    (array_min replaces the batch groupBy(id).min shuffle; min over
+    distinct shingles == min over all shingles, so array_distinct is
+    only a work-saver). Bit-identical to dedup.minhash_bands' md5/CW
+    path by construction."""
+    p, p1 = MERSENNE31, MERSENNE31 - 1
+    sh = f"array_distinct({shingles_expr(text_col, k_shingle)})"
+    md5 = "md5(cast(s as string))"
+    hs = (f"transform({sh}, s -> named_struct("
+          f"'h1', cast(conv(substr({md5}, 1, 8), 16, 10) AS bigint) % {p}, "
+          f"'h2', cast(conv(substr({md5}, 9, 8), 16, 10) AS bigint) % {p1}"
+          f" + 1))")
+    mh = {
+        i: f"array_min(transform(__hs, x -> (x.h1 + {i} * x.h2) % {p}))"
+        for i in range(n_hashes)
+    }
+    bands = ", ".join(
+        "named_struct('band_idx', {b}, 'band_hash', "
+        "md5(concat_ws('|', {cols})))".format(
+            b=b,
+            cols=", ".join(f"cast(__mh{b * band_size + j} as string)"
+                           for j in range(band_size)),
+        )
+        for b in range(n_hashes // band_size)
+    )
+    # one named lambda-free chain: hs and the mh slots are bound via
+    # nested transforms on a single-element array to avoid recomputing
+    # the md5 per slot (aggregate/transform have no let-binding in
+    # Spark SQL — the standard workaround)
+    mh_struct = ", ".join(f"'__mh{i}', {e.replace('__hs', 'h')}"
+                          for i, e in mh.items())
+    expr = (f"transform(array({hs}), h -> named_struct({mh_struct}))[0]")
+    bands_bound = bands
+    for i in range(n_hashes):
+        bands_bound = bands_bound.replace(f"__mh{i}", f"m.__mh{i}")
+    return F.expr(
+        f"transform(array(({expr})), m -> array({bands_bound}))[0]"
+    )
+
+
+def _make_state_fn(hot_cap: int):
+    def bucket_pairs(key: tuple, batches: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+        band_idx = int(key[0])
+        if state.exists:
+            ids, overflowed = state.get
+            ids = list(ids)
+        else:
+            ids, overflowed = [], False
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in batches:
+            for did in pdf["id"].tolist():
+                did = int(did)
+                if did in ids:
+                    continue  # exactly-once replays of the same doc
+                if len(ids) >= hot_cap:
+                    overflowed = True
+                if overflowed:
+                    continue
+                for prev in ids:
+                    lo, hi = (prev, did) if prev < did else (did, prev)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                ids.append(did)
+        state.update((ids, overflowed))
+        yield pd.DataFrame({
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "band_idx": pd.Series([band_idx] * len(out_a), dtype="int32"),
+        })
+
+    return bucket_pairs
+
+
+def stream_neardup_candidates(docs_stream: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              n_hashes: int = N_HASHES,
+                              band_size: int = BAND_SIZE,
+                              k_shingle: int = 3,
+                              hot_cap: int = HOT_CAP) -> DataFrame:
+    """(doc_a, doc_b, band_idx) candidate pairs, emitted the micro-batch
+    the SECOND member arrives — cross-batch pairs included. Consumers
+    dedupe across bands / verify with exact Jaccard exactly as in the
+    batch chain (dedup.neardup_pairs)."""
+    bands = docs_stream.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(band_struct_col(text_col, n_hashes, band_size,
+                                  k_shingle)).alias("b"),
+    ).select("id", F.col("b.band_idx").alias("band_idx"),
+             F.col("b.band_hash").alias("band_hash"))
+    return bands.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _make_state_fn(hot_cap),
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
