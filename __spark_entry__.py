@@ -1149,6 +1149,16 @@ def _q_audio_segments(spark, sf_dir):
     return audio_fp.segment_clips(_synth_clips(spark))
 
 
+def _q_audio_trim(spark, sf_dir):
+    """Silence-trim plan from the VAD segments: per clip the keep
+    window (first rise .. last fall), total speech ms and density —
+    metadata only, the decoder slices at write time. Twin aggregates
+    the committed segments golden with the same SQL."""
+    from tiny_lingua_spark import audio_fp
+
+    return audio_fp.trim_plan(audio_fp.segment_clips(_synth_clips(spark)))
+
+
 def _q_audio_embed_knn(spark, sf_dir):
     """Audio embeddings feeding the generic KNN operator (clip ids
     mapped to dense ints via their numeric suffix)."""
@@ -1398,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_normalize": _shipped(_q_audio_normalize),
         "audio_neardup": _shipped(_q_audio_neardup),
         "audio_segments": _shipped(_q_audio_segments),
+        "audio_trim": _shipped(_q_audio_trim),
         "audio_embed_knn": _shipped(_q_audio_embed_knn),
     }
 
@@ -1603,6 +1614,11 @@ def oracle_sql() -> dict[str, str]:
                                 'audio_decode_features.parquet')}'
             GROUP BY codec ORDER BY codec
         """,
+        "audio_trim": __import__(
+            "tiny_lingua_spark.audio_fp", fromlist=["audio_fp"]
+        ).trim_plan_sql(
+            "SELECT * FROM "
+            f"'{os.path.join(EXPECTED_DIR, 'audio_segments.parquet')}'"),
         "ccnet_buckets": __import__(
             "tiny_lingua_spark.functions.perplexity",
             fromlist=["perplexity"]

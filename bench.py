@@ -77,6 +77,7 @@ BENCH_QUERIES = (
     "rule_attribution",       # per-rule unique-drop ablation table
     "classifier_auc",         # held-out rank-AUC of the learned filter
     "classifier_calibration", # reliability table (temperature-scaled)
+    "audio_trim",             # VAD-derived silence trim plan
 )
 
 

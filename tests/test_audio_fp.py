@@ -176,3 +176,34 @@ def test_embeddings_feed_knn_graph(clips):
            zip(g[g["rank"] == 1].src_id, g[g["rank"] == 1].nbr_id)}
     assert top["orig-0"] in ("dup-mu-0", "dup-44k-0")
     assert top["dup-mu-1"] == "orig-1"
+
+
+def test_trim_plan_invariants(spark):
+    """Trim window contains every segment; density in (0, 1]; planted
+    all-silence clip produces no row."""
+    import pandas as pd
+
+    from tiny_lingua_spark import audio, audio_fp
+    from tiny_lingua_spark.data.clips import generate_clips
+    import numpy as np
+
+    clips_pd, _ = generate_clips(n=40, seed=7, max_synth_ms=400)
+    silent = {
+        "clip_id": "silent-000", "codec": "pcm_s16le", "sr_hz": 16000,
+        "dur_ms": 400, "transcript": "",
+        "bytes": audio.encode(np.zeros(6400, dtype=np.float32), "pcm_s16le"),
+    }
+    clips = spark.createDataFrame(
+        pd.concat([clips_pd, pd.DataFrame([silent])], ignore_index=True))
+    segs = audio_fp.segment_clips(clips)
+    plan = {r["clip_id"]: r for r in audio_fp.trim_plan(segs).collect()}
+    assert "silent-000" not in plan
+    seg_rows = segs.collect()
+    assert plan  # real clips have speech
+    for r in seg_rows:
+        p = plan[r["clip_id"]]
+        assert p["trim_start_ms"] <= r["start_ms"] <= r["end_ms"] \
+               <= p["trim_end_ms"]
+    for p in plan.values():
+        assert 0 < p["speech_density"] <= 1.0
+        assert p["speech_ms"] <= p["trim_end_ms"] - p["trim_start_ms"]

@@ -460,3 +460,45 @@ def audio_embeddings(clips: DataFrame, id_col: str = "clip_id",
         emb(F.col(bytes_col), F.col(codec_col),
             F.col(sr_col)).alias("embedding"),
     )
+
+
+def trim_plan(segments: DataFrame) -> DataFrame:
+    """Leading/trailing-silence trim plan from the VAD segment rows
+    (segment_clips output): per clip, the keep window spanning first
+    speech rise to last speech fall, plus speech accounting. Metadata
+    only — the write-side decoder slices PCM at the offsets; bytes
+    never enter this plan (same contract as packing.asr_chunk_plan).
+    Clips with no speech segments simply have no row (drop-all)."""
+    return (
+        segments.groupBy("clip_id")
+        .agg(
+            F.min("start_ms").cast("long").alias("trim_start_ms"),
+            F.max("end_ms").cast("long").alias("trim_end_ms"),
+            F.sum(F.col("end_ms") - F.col("start_ms")).cast("long")
+             .alias("speech_ms"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+        )
+        .select(
+            "clip_id", "trim_start_ms", "trim_end_ms", "speech_ms",
+            "n_segments",
+            F.round(F.col("speech_ms")
+                    / (F.col("trim_end_ms") - F.col("trim_start_ms")), 6)
+             .alias("speech_density"),
+        )
+        .orderBy("clip_id")
+    )
+
+
+def trim_plan_sql(segments_sql: str) -> str:
+    """DuckDB twin over any (clip_id, start_ms, end_ms) relation — e.g.
+    the committed audio_segments golden, so the twin checks the trim
+    logic over pinned VAD outputs."""
+    return f"""
+    SELECT clip_id, min(start_ms)::BIGINT AS trim_start_ms,
+           max(end_ms)::BIGINT AS trim_end_ms,
+           sum(end_ms - start_ms)::BIGINT AS speech_ms,
+           count(*)::BIGINT AS n_segments,
+           round(sum(end_ms - start_ms)::DOUBLE
+                 / (max(end_ms) - min(start_ms)), 6) AS speech_density
+    FROM ({segments_sql}) GROUP BY clip_id ORDER BY clip_id
+    """
