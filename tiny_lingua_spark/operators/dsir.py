@@ -91,7 +91,8 @@ def bucket_array_col(text_col: str, n_buckets: int = DEFAULT_BUCKETS,
     )
 
 
-def _grams_sql(text_expr: str) -> str:
+def _grams_sql() -> str:
+    # operates on the `w` word-list column produced by _words_sql
     return (
         "list_concat(w, CASE WHEN len(w) >= 2 THEN "
         "list_transform(generate_series(1, len(w) - 1), "
@@ -213,7 +214,7 @@ def _fit_ctes(table: str, id_expr: str, text_expr: str, target_where: str,
       FROM {table}
     ),
     grams AS (
-      SELECT doc_id, is_target, {_grams_sql(text_expr)} AS g FROM toks
+      SELECT doc_id, is_target, {_grams_sql()} AS g FROM toks
     ),
     ex AS (
       SELECT doc_id, is_target,
