@@ -1242,6 +1242,30 @@ def _q_audio_mfcc(spark, sf_dir):
     )
 
 
+def _q_audio_pitch(spark, sf_dir):
+    """Per-clip pitch/voicing summary (frame-level autocorrelation f0,
+    Rabiner 1977): voiced fraction, mean/std f0 over voiced frames,
+    whole-clip zero-crossing fraction. Feeds the quality filter's
+    speech-plausibility checks (speech f0 lives in 50-400 Hz; tones,
+    hum and noise fall outside or come back unvoiced). Golden-parquet
+    oracle (FFT autocorrelation is not SQL-expressible)."""
+    from tiny_lingua_spark.audio import pitch_udf
+
+    clips = _synth_clips(spark)
+    pu = pitch_udf()
+    return clips.select(
+        "clip_id", "codec", "sr_hz",
+        pu(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("p"),
+    ).select(
+        "clip_id", "codec", "sr_hz",
+        F.col("p.n_frames").cast("int").alias("n_frames"),
+        F.round(F.col("p.voiced_ratio"), 6).alias("voiced_ratio"),
+        F.round(F.col("p.f0_mean_hz"), 4).alias("f0_mean_hz"),
+        F.round(F.col("p.f0_std_hz"), 4).alias("f0_std_hz"),
+        F.round(F.col("p.zcr"), 6).alias("zcr"),
+    )
+
+
 def _q_audio_normalize(spark, sf_dir):
     """Write-side loudness normalization: the analysis gain
     (loudness_udf) feeds the apply half (transcode_udf) — scale to
@@ -1403,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_features": _shipped(_q_audio_features),
         "audio_spectral": _shipped(_q_audio_spectral),
         "audio_mfcc": _shipped(_q_audio_mfcc),
+        "audio_pitch": _shipped(_q_audio_pitch),
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
         "audio_normalize": _shipped(_q_audio_normalize),
@@ -1431,6 +1456,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_decode_features",
     "audio_spectral",
     "audio_mfcc",
+    "audio_pitch",
     "audio_resample",
     "audio_loudness",
     "audio_neardup",

@@ -1,0 +1,144 @@
+"""Pitch/voicing kernel: closed-form sine f0 recovery, voicing gates,
+zero-crossing semantics, batched-vs-rowloop equivalence, chunking
+invariance, Spark end-to-end."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio as A
+
+
+def _sine(f0, sr, secs=1.0, amp=0.5, dtype=np.float32):
+    t = np.arange(int(sr * secs)) / sr
+    return (amp * np.sin(2 * np.pi * f0 * t)).astype(dtype)
+
+
+def _mixed_batch(n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        sr = [8000, 16000, 22050, 44100][i % 4]
+        codec = ["pcm_s16le", "pcm_f32le", "mulaw", "alaw"][i % 4]
+        m = int(rng.integers(0, 4000))
+        t = np.arange(m) / sr
+        f0 = 80 + (i * 23) % 300
+        pcm = (0.5 * np.sin(2 * np.pi * f0 * t)
+               + 0.05 * rng.standard_normal(m)).astype(np.float32)
+        rows.append((A.encode(pcm, codec), codec, sr))
+    rows.append((None, "pcm_s16le", 16000))            # null payload
+    rows.append((b"\x01\x02\x03", "pcm_s16le", 16000))  # bad byte length
+    rows.append((b"\x01\x02", "weird", 16000))          # unknown codec
+    return (pd.Series([r[0] for r in rows]),
+            pd.Series([r[1] for r in rows]),
+            pd.Series([r[2] for r in rows]))
+
+
+def test_sine_f0_recovered_exactly():
+    # integer-period tones: 16000/80 = 200 Hz, 8000/80 = 100 Hz — the ACF
+    # peak lands on the exact lag, so f0 is recovered with zero error
+    b = pd.Series([A.encode(_sine(200, 16000), "pcm_f32le"),
+                   A.encode(_sine(100, 8000), "pcm_f32le")])
+    c = pd.Series(["pcm_f32le", "pcm_f32le"])
+    s = pd.Series([16000, 8000])
+    out = A._pitch_batch(b, c, s)
+    assert (out.voiced_ratio == 1.0).all()
+    assert abs(out.f0_mean_hz[0] - 200.0) < 1.5
+    assert abs(out.f0_mean_hz[1] - 100.0) < 1.5
+    # zcr: 2 crossings per period
+    assert abs(out.zcr[0] - 2 * 200 / 16000) < 0.002
+    assert abs(out.zcr[1] - 2 * 100 / 8000) < 0.002
+
+
+def test_noise_and_silence_unvoiced():
+    rng = np.random.default_rng(3)
+    noise = (0.3 * rng.standard_normal(16000)).astype(np.float32)
+    b = pd.Series([A.encode(noise, "pcm_s16le"),
+                   A.encode(np.zeros(16000, np.float32), "pcm_s16le")])
+    c = pd.Series(["pcm_s16le"] * 2)
+    s = pd.Series([16000, 16000])
+    out = A._pitch_batch(b, c, s)
+    assert (out.voiced_ratio == 0.0).all()
+    assert (out.f0_mean_hz == 0.0).all()
+    assert out.zcr[0] > 0.3      # noise flips sign constantly
+    assert out.zcr[1] == 0.0     # silence never crosses
+
+
+def test_quiet_tone_gated_by_silence_floor():
+    # periodic but below SILENCE_RMS: the VAD gate marks it unvoiced
+    b = pd.Series([A.encode(_sine(200, 16000, amp=0.005), "pcm_f32le")])
+    out = A._pitch_batch(b, pd.Series(["pcm_f32le"]), pd.Series([16000]))
+    assert out.voiced_ratio[0] == 0.0
+    assert out.f0_mean_hz[0] == 0.0
+
+
+def test_high_tone_octave_down_documented():
+    # 800 Hz > F0_MAX: ACF captures the first subharmonic inside the
+    # band (documented behavior) — voiced, f0 at an integer divisor
+    b = pd.Series([A.encode(_sine(800, 16000), "pcm_f32le")])
+    out = A._pitch_batch(b, pd.Series(["pcm_f32le"]), pd.Series([16000]))
+    assert out.voiced_ratio[0] == 1.0
+    assert out.f0_mean_hz[0] in (400.0, 800.0 / 3, 200.0)
+
+
+def test_pitch_batch_matches_rowloop():
+    b, c, s = _mixed_batch()
+    fast = A._pitch_batch(b, c, s)
+    slow = A._pitch_rowloop(b, c, s)
+    for col in fast.columns:
+        assert np.allclose(fast[col].astype(float), slow[col].astype(float),
+                           atol=1e-9), col
+
+
+def test_pitch_chunking_invariant(monkeypatch):
+    b, c, s = _mixed_batch(seed=1)
+    whole = A._chunked_frame_apply(A._pitch_batch, b, c, s)
+    monkeypatch.setattr(A, "_CHUNK_SAMPLE_BUDGET", 4096)
+    chunked = A._chunked_frame_apply(A._pitch_batch, b, c, s)
+    for col in whole.columns:
+        assert np.allclose(whole[col].astype(float),
+                           chunked[col].astype(float), atol=1e-12), col
+
+
+def test_short_and_broken_rows_zeroed():
+    b = pd.Series([A.encode(np.zeros(100, np.float32), "pcm_s16le"),  # <512
+                   None])
+    c = pd.Series(["pcm_s16le", "pcm_s16le"])
+    s = pd.Series([16000, 16000])
+    out = A._pitch_batch(b, c, s)
+    assert (out.n_frames == 0).all()
+    assert (out.voiced_ratio == 0.0).all()
+    assert (out.zcr == 0.0).all()
+
+
+def test_zcr_boundary_isolation():
+    # a positive-only row followed by a negative-only row: the boundary
+    # between them must not register as a crossing in either row
+    pos = np.full(600, 0.4, np.float32)
+    neg = np.full(600, -0.4, np.float32)
+    b = pd.Series([A.encode(pos, "pcm_f32le"), A.encode(neg, "pcm_f32le")])
+    c = pd.Series(["pcm_f32le"] * 2)
+    s = pd.Series([16000, 16000])
+    out = A._pitch_batch(b, c, s)
+    assert (out.zcr == 0.0).all()
+
+
+def test_pitch_udf_spark(spark):
+    from tiny_lingua_spark.data.clips import generate_clips
+
+    clips_pd, _ = generate_clips(n=24, seed=7)
+    df = spark.createDataFrame(clips_pd)
+    pu = A.pitch_udf()
+    got = (df.select("clip_id", "bytes", "codec", "sr_hz",
+                     pu(F.col("bytes"), F.col("codec"),
+                        F.col("sr_hz")).alias("p"))
+             .select("clip_id", "p.n_frames", "p.voiced_ratio",
+                     "p.f0_mean_hz", "p.f0_std_hz", "p.zcr")
+             .orderBy("clip_id").toPandas())
+    ref = A._pitch_batch(clips_pd["bytes"], clips_pd["codec"],
+                         clips_pd["sr_hz"])
+    order = np.argsort(clips_pd["clip_id"].to_numpy())
+    assert (got.n_frames.to_numpy() == ref.n_frames.to_numpy()[order]).all()
+    for col in ("voiced_ratio", "f0_mean_hz", "f0_std_hz", "zcr"):
+        assert np.allclose(got[col].to_numpy(),
+                           ref[col].to_numpy()[order], atol=1e-9), col

@@ -338,15 +338,15 @@ def _frame_sums(values: np.ndarray, frame_starts: np.ndarray) -> np.ndarray:
     return np.add.reduceat(values, idx, dtype=np.float64)[0::2]
 
 
-def _frame_geometry(offsets: np.ndarray):
+def _frame_geometry(offsets: np.ndarray, frame: int = FRAME_SAMPLES):
     """Full-frame layout over concatenated rows.
 
     Returns (frame_starts, row_of_frame, n_frames_per_row); rows shorter
-    than FRAME_SAMPLES get zero frames (callers fall back to whole-row
-    stats for those).
+    than ``frame`` samples get zero frames (callers fall back to
+    whole-row stats for those).
     """
     lens = np.diff(offsets)
-    n_frames = lens // FRAME_SAMPLES
+    n_frames = lens // frame
     fs_total = int(n_frames.sum())
     if fs_total == 0:
         z = np.zeros(0, dtype=np.int64)
@@ -355,7 +355,7 @@ def _frame_geometry(offsets: np.ndarray):
     cum = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(n_frames, out=cum[1:])
     k = np.arange(fs_total, dtype=np.int64) - np.repeat(cum[:-1], n_frames)
-    frame_starts = offsets[:-1][row_of_frame] + k * FRAME_SAMPLES
+    frame_starts = offsets[:-1][row_of_frame] + k * frame
     return frame_starts, row_of_frame, n_frames
 
 
@@ -1358,3 +1358,190 @@ def mfcc_udf():
         return _chunked_frame_apply(_mfcc_batch, b, codec, sr)
 
     return audio_mfcc
+
+
+# ---------------------------------------------------------------------------
+# Pitch / voicing (autocorrelation f0 + zero-crossing rate)
+#
+# Classic frame-level ACF pitch tracking (Rabiner 1977, "On the use of
+# autocorrelation analysis for pitch detection"): per 512-sample frame the
+# biased autocorrelation is computed via rfft/irfft (Wiener-Khinchin), the
+# peak lag inside the [F0_MIN, F0_MAX] band picks f0 = sr/lag, and a frame
+# is voiced when the energy-normalized peak clears VOICED_ACF_MIN and the
+# frame itself clears the VAD silence floor. Per-clip output is the
+# summary only (voiced fraction, mean/std f0 over voiced frames, whole-
+# clip zero-crossing fraction) — at 10^12-clip scale no per-frame data
+# ever enters the Spark plan, matching the decode_features_udf shape.
+# Target-spec audio-quality component; no reference counterpart
+# (SURVEY.md §2.6 — the reference is text-only).
+#
+# Known ACF behavior, kept deliberately (documented, deterministic):
+# tones above F0_MAX are captured at the first subharmonic lag inside the
+# band (octave-down), and the 512-sample frame caps the longest usable
+# lag, so the effective floor is max(F0_MIN, sr/(PITCH_FRAME-1)) —
+# 86.5 Hz at 44.1 kHz.
+
+PITCH_FRAME = 512
+F0_MIN_HZ = 50.0
+F0_MAX_HZ = 400.0
+VOICED_ACF_MIN = 0.5
+
+PITCH_SCHEMA = ("n_frames int, voiced_ratio double, f0_mean_hz double,"
+                " f0_std_hz double, zcr double")
+
+
+def _zcr_rows(samples: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row zero-crossing fraction: sign flips ((x<0) != (x'<0),
+    zeros counted as positive so crossings that land exactly on a zero
+    sample still register once) between in-row neighbors, divided by
+    (n_samples - 1). Cross-row boundary positions are masked before the
+    segment sum."""
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    out = np.zeros(n, dtype=np.float64)
+    if samples.size < 2:
+        return out
+    neg = samples < 0.0
+    flips = np.empty(len(samples), dtype=np.float64)
+    flips[:-1] = neg[:-1] != neg[1:]
+    flips[-1] = 0.0
+    ends = offsets[1:] - 1  # last sample of each row: no neighbor in-row
+    flips[ends[lens > 0]] = 0.0
+    counts = _segment_sums(flips, offsets)
+    multi = lens > 1
+    out[multi] = counts[multi] / (lens[multi] - 1.0)
+    return out
+
+
+def _pitch_from_decoded(samples, offsets, ok, sr_row) -> pd.DataFrame:
+    n = len(ok)
+    lens = np.diff(offsets)
+    zcr = _zcr_rows(samples, offsets)
+    frame_starts, row_of_frame, n_frames = _frame_geometry(offsets,
+                                                           PITCH_FRAME)
+    voiced_ratio = np.zeros(n, dtype=np.float64)
+    f0_mean = np.zeros(n, dtype=np.float64)
+    f0_std = np.zeros(n, dtype=np.float64)
+    if frame_starts.size:
+        idx = frame_starts[:, None] + np.arange(PITCH_FRAME)[None, :]
+        frames = samples[idx].astype(np.float64)
+        frames -= frames.mean(axis=1, keepdims=True)  # DC removal per frame
+        spec = np.fft.rfft(frames, n=2 * PITCH_FRAME, axis=1)
+        acf = np.fft.irfft(spec.real ** 2 + spec.imag ** 2,
+                           axis=1)[:, :PITCH_FRAME]
+        e0 = acf[:, 0]
+        frame_rms = np.sqrt(np.maximum(e0, 0.0) / PITCH_FRAME)
+        sr_f = sr_row[row_of_frame]
+        nf_total = len(frame_starts)
+        best_lag = np.zeros(nf_total, dtype=np.int64)
+        best_val = np.full(nf_total, -np.inf)
+        for rate in np.unique(sr_f):
+            lag_lo = max(2, int(np.ceil(rate / F0_MAX_HZ)))
+            lag_hi = min(PITCH_FRAME - 1, int(np.floor(rate / F0_MIN_HZ)))
+            if lag_hi <= lag_lo:
+                continue
+            sel = sr_f == rate
+            seg = acf[sel, lag_lo:lag_hi + 1]
+            am = np.argmax(seg, axis=1)
+            best_lag[sel] = am + lag_lo
+            best_val[sel] = seg[np.arange(seg.shape[0]), am]
+        acf_norm = best_val / np.maximum(e0, 1e-20)
+        voiced = ((acf_norm >= VOICED_ACF_MIN)
+                  & (frame_rms >= SILENCE_RMS) & (best_lag > 0))
+        f0 = np.where(voiced, sr_f / np.maximum(best_lag, 1), 0.0)
+        vc = np.bincount(row_of_frame, weights=voiced.astype(np.float64),
+                         minlength=n)
+        fs = np.bincount(row_of_frame, weights=f0, minlength=n)
+        nf = np.maximum(n_frames.astype(np.float64), 1.0)
+        voiced_ratio = vc / nf
+        safe_vc = np.maximum(vc, 1.0)
+        fm = fs / safe_vc
+        # centered second pass: f0 is O(100) with near-zero variance on
+        # steady tones, so E[x^2]-E[x]^2 would cancel catastrophically
+        dev = np.where(voiced, f0 - fm[row_of_frame], 0.0)
+        fsq = np.bincount(row_of_frame, weights=dev * dev, minlength=n)
+        f0_mean = np.where(vc > 0, fm, 0.0)
+        f0_std = np.where(vc > 0, np.sqrt(fsq / safe_vc), 0.0)
+    bad = ~ok
+    if bad.any():
+        for arr in (voiced_ratio, f0_mean, f0_std, zcr):
+            arr[bad] = 0.0
+        n_frames = n_frames.copy()
+        n_frames[bad] = 0
+    return pd.DataFrame({
+        "n_frames": pd.Series(n_frames.astype(np.int32)),
+        "voiced_ratio": voiced_ratio,
+        "f0_mean_hz": f0_mean,
+        "f0_std_hz": f0_std,
+        "zcr": zcr,
+    })
+
+
+def _pitch_batch(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    sr_row = np.asarray(sr_s, dtype=np.int64)
+    return _pitch_from_decoded(samples, offsets, ok, sr_row)
+
+
+def _pitch_rowloop(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    """Per-row/per-frame reference implementation (equivalence oracle for
+    the batched kernel; never runs inside a Spark plan)."""
+    rows = []
+    for b, c, sr in zip(bytes_s, codec_s, sr_s):
+        try:
+            pcm = decode(b, c) if b is not None else np.zeros(0, np.float32)
+            ok = True
+        except Exception:
+            pcm, ok = np.zeros(0, dtype=np.float32), False
+        if len(pcm) > 1:
+            neg = pcm < 0.0
+            zcr = float((neg[:-1] != neg[1:]).sum()) / (len(pcm) - 1.0)
+        else:
+            zcr = 0.0
+        k = len(pcm) // PITCH_FRAME
+        f0s = []
+        for f in range(k):
+            fr = pcm[f * PITCH_FRAME:(f + 1) * PITCH_FRAME].astype(np.float64)
+            fr = fr - fr.mean()
+            spec = np.fft.rfft(fr, n=2 * PITCH_FRAME)
+            acf = np.fft.irfft(spec.real ** 2 + spec.imag ** 2)[:PITCH_FRAME]
+            e0 = acf[0]
+            lag_lo = max(2, int(np.ceil(sr / F0_MAX_HZ)))
+            lag_hi = min(PITCH_FRAME - 1, int(np.floor(sr / F0_MIN_HZ)))
+            if lag_hi <= lag_lo:
+                continue
+            lag = int(np.argmax(acf[lag_lo:lag_hi + 1])) + lag_lo
+            if (acf[lag] / max(e0, 1e-20) >= VOICED_ACF_MIN
+                    and np.sqrt(max(e0, 0.0) / PITCH_FRAME) >= SILENCE_RMS):
+                f0s.append(sr / lag)
+        if not ok:
+            rows.append((0, 0.0, 0.0, 0.0, 0.0))
+        elif k == 0:
+            rows.append((0, 0.0, 0.0, 0.0, zcr))
+        elif not f0s:
+            rows.append((k, 0.0, 0.0, 0.0, zcr))
+        else:
+            a = np.asarray(f0s)
+            rows.append((k, len(f0s) / k, a.mean(), a.std(), zcr))
+    return pd.DataFrame({
+        "n_frames": pd.Series([r[0] for r in rows], dtype=np.int32),
+        "voiced_ratio": [r[1] for r in rows],
+        "f0_mean_hz": [r[2] for r in rows],
+        "f0_std_hz": [r[3] for r in rows],
+        "zcr": [r[4] for r in rows],
+    })
+
+
+def pitch_udf():
+    """Arrow-batched (bytes, codec, sr_hz) → per-clip pitch/voicing
+    summary. Narrow projection, no shuffle; PCM, frame and ACF matrices
+    stay inside the executor batch (same scale shape as
+    decode_features_udf)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(PITCH_SCHEMA)
+    def audio_pitch(b: pd.Series, codec: pd.Series,
+                    sr: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(_pitch_batch, b, codec, sr)
+
+    return audio_pitch

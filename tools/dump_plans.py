@@ -34,6 +34,7 @@ PLAN_QUERIES = (
     "audio_decode_features",
     "audio_spectral",
     "audio_mfcc",
+    "audio_pitch",
     "audio_resample",
     "audio_loudness",
     "span_dedup",
