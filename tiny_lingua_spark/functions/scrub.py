@@ -129,3 +129,73 @@ def _cc_valid_duck(text_expr: str) -> str:
 
 def has_cc_sql(text_expr: str) -> str:
     return f"len({_cc_valid_duck(text_expr)}) > 0"
+
+
+# ------------------------------- secret / credential scrubbing
+#
+# Training corpora scraped from the web and code hosts leak live
+# credentials; scrubbing them is standard corpus hygiene (the BigCode /
+# StarCoder pipelines run a dedicated secret-detection pass, and AWS
+# publishes its own key-id grammar). Patterns are structural token
+# grammars — prefix + fixed alphabet/length — NOT entropy guesses, so
+# false positives on prose are rare. Written in the Java-regex ∩ RE2
+# subset (no lookaround, no backreferences) so the Spark chain and the
+# DuckDB twin are byte-equal. Fixed application order; replacements use
+# whole-match substitution only (group syntax differs between engines).
+# Everything is Catalyst codegen — zero shuffle, zero Python — so the
+# scrub is a free rider on any scan at 10^12-row scale.
+
+AWS_KEY_RE = r"\b(AKIA|ASIA|AGPA|AROA|ANPA)[0-9A-Z]{16}\b"
+GITHUB_TOKEN_RE = r"\bgh[pousr]_[A-Za-z0-9]{36}\b"
+SLACK_TOKEN_RE = r"\bxox[baprs]-[A-Za-z0-9-]{10,48}\b"
+JWT_RE = (r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}"
+          r"\.[A-Za-z0-9_-]{8,}\b")
+PRIVATE_KEY_RE = r"-----BEGIN [A-Z ]{0,24}PRIVATE KEY-----"
+KV_SECRET_RE = (r"(?i)\b(api[_-]?key|secret[_-]?key|auth[_-]?token|"
+                r"access[_-]?token|password|passwd)\b\s*[:=]\s*"
+                r"[\"']?[A-Za-z0-9/+=_-]{12,}[\"']?")
+
+# (pattern, replacement) in application order — specific grammars first
+# so the generic key=value rule never sees an already-redacted token
+SECRET_RULES: tuple[tuple[str, str], ...] = (
+    (AWS_KEY_RE, "<SECRET>"),
+    (GITHUB_TOKEN_RE, "<SECRET>"),
+    (SLACK_TOKEN_RE, "<SECRET>"),
+    (JWT_RE, "<SECRET>"),
+    (PRIVATE_KEY_RE, "<SECRET>"),
+    (KV_SECRET_RE, "<SECRET>"),
+)
+
+
+def secrets_scrubbed_col(col: Column | str) -> Column:
+    if isinstance(col, str):
+        col = F.col(col)
+    for pat, repl in SECRET_RULES:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def secrets_scrubbed_sql(expr: str) -> str:
+    """Identical transform as DuckDB SQL (RE2, global flag)."""
+    out = expr
+    for pat, repl in SECRET_RULES:
+        pat_sql = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat_sql}', '{repl}', 'g')"
+    return out
+
+
+def has_secret_col(col: Column | str) -> Column:
+    if isinstance(col, str):
+        col = F.col(col)
+    out = F.lit(False)
+    for pat, _ in SECRET_RULES:
+        out = out | col.rlike(pat)
+    return out
+
+
+def has_secret_sql(expr: str) -> str:
+    parts = []
+    for pat, _ in SECRET_RULES:
+        pat_sql = pat.replace("'", "''")
+        parts.append(f"regexp_matches({expr}, '{pat_sql}')")
+    return "(" + " OR ".join(parts) + ")"

@@ -61,6 +61,7 @@ PLAN_QUERIES = (
     "asr_chunks",
     "bpe_fertility",
     "scrub_cc",
+    "scrub_secrets",
     "ngram_diversity",
     "rule_attribution",
     "classifier_auc",
