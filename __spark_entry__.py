@@ -833,6 +833,21 @@ def _q_ivf_cells(spark, sf_dir):
     return similarity.ivf_cells(_emb(spark, sf_dir))
 
 
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization index build (Jégou et al. 2011): 64-dim
+    float vectors compress to 8 subspace codes in one zero-shuffle
+    codegen projection against the seeded literal codebooks — the
+    32×-smaller table an ADC search scans instead of raw vectors."""
+    return similarity.pq_encode(_emb(spark, sf_dir))
+
+
+def _q_pq_topk(spark, sf_dir):
+    """Asymmetric-distance (ADC) top-k over the PQ codes: exact query,
+    per-subspace literal-codebook lookups, TakeOrderedAndProject —
+    raw corpus vectors never shuffle."""
+    return similarity.pq_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
 def _q_semdedup_drop(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540): within-k-means-cell cosine pruning.
     tau=0.4 because the synthetic embeddings are near-orthogonal (max
@@ -1442,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": _shipped(_q_embedding_neardup_exact),
         "ivf_topk": _shipped(_q_ivf_topk),
         "ivf_cells": _shipped(_q_ivf_cells),
+        "pq_codes": _shipped(_q_pq_codes),
+        "pq_topk": _shipped(_q_pq_topk),
         "semdedup_drop": _shipped(_q_semdedup_drop),
         "semdedup_stats": _shipped(_q_semdedup_stats),
         "events_sessions": _shipped(_q_events_sessions),
@@ -1847,6 +1864,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": similarity.ann_lsh_sql("embeddings", 0, 10, 16, EMB_DIM),
         "ivf_topk": similarity.ivf_topk_sql("embeddings", 0, 10, 4, EMB_DIM),
         "ivf_cells": similarity.ivf_cells_sql("embeddings", EMB_DIM),
+        "pq_codes": similarity.pq_encode_sql("embeddings", EMB_DIM),
+        "pq_topk": similarity.pq_topk_sql("embeddings", 0, 10, EMB_DIM),
         "semdedup_drop": similarity.semdedup_drop_sql("embeddings", 0.4, EMB_DIM),
         "semdedup_stats": similarity.semdedup_stats_sql("embeddings", 0.4, EMB_DIM),
         **_golden_oracles(),

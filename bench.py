@@ -65,6 +65,7 @@ BENCH_QUERIES = (
     "mixture_sample",         # token-budget source mixing (counts + hash filter)
     "substr_dedup",           # ExactSubstr k-gram span removal (Lee et al.)
     "semdedup_drop",          # SemDeDup within-cell cosine pruning
+    "pq_topk",                # product-quantization ADC search (Jegou 2011)
     "component_split",        # leakage-safe split on near-dup components
     "dsir_select",            # DSIR hashed-ngram importance resampling
     "unimax_sample",          # UniMax water-fill language balancing

@@ -1,0 +1,110 @@
+"""Product quantization: codebook construction, encode/ADC correctness
+vs numpy, planted-duplicate recall, Lloyd's refinement, plan shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((80, 64)).astype(np.float32)
+    # plant: vec 70..79 are tiny perturbations of vec 0..9
+    base[70:80] = base[0:10] + 0.01 * rng.standard_normal((10, 64)).astype(
+        np.float32)
+    rows = [(int(i), [float(v) for v in base[i]], 0) for i in range(80)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    return df, base
+
+
+def _np_codes(base, cb):
+    cb = np.asarray(cb)  # (m, k, dsub)
+    m, k, dsub = cb.shape
+    out = np.empty((len(base), m), dtype=np.int64)
+    for s in range(m):
+        sub = base[:, s * dsub:(s + 1) * dsub].astype(np.float64)
+        d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        out[:, s] = np.argmin(d, axis=1)
+    return out
+
+
+def test_seed_codebooks_shape_and_determinism():
+    cb = S.pq_seed_codebooks()
+    assert len(cb) == S.PQ_M and len(cb[0]) == S.PQ_K
+    assert len(cb[0][0]) == 64 // S.PQ_M
+    assert cb == S.pq_seed_codebooks()
+    inv = 1.0 / np.sqrt(64 // S.PQ_M)
+    assert all(abs(abs(v) - inv) < 1e-12
+               for sub in cb for row in sub for v in row)
+
+
+def test_encode_matches_numpy_argmin(emb):
+    df, base = emb
+    cb = S.pq_seed_codebooks()
+    got = {r.vec_id: r.code_str
+           for r in S.pq_encode(df, cb).collect()}
+    want = _np_codes(base, cb)
+    for i in range(len(base)):
+        assert got[i] == ",".join(str(c) for c in want[i]), i
+
+
+def test_adc_recovers_planted_duplicate(emb):
+    df, _ = emb
+    # vec 70 is a perturbed copy of vec 0: ADC from query 0 must rank it 1
+    top = S.pq_topk(df, query_id=0, k=3).collect()
+    assert top[0].vec_id == 70
+    assert top[0].adc_dist < top[1].adc_dist
+
+
+def test_adc_matches_numpy(emb):
+    df, base = emb
+    cb = np.asarray(S.pq_seed_codebooks())
+    m, k, dsub = cb.shape
+    codes = _np_codes(base, cb)
+    q = base[0].astype(np.float64)
+    dist = np.zeros(len(base))
+    for s in range(m):
+        qs = q[s * dsub:(s + 1) * dsub]
+        dist += ((qs[None, :] - cb[s][codes[:, s]]) ** 2).sum(axis=1)
+    order = [i for i in np.argsort(dist, kind="stable") if i != 0][:10]
+    got = [r.vec_id for r in S.pq_topk(df, query_id=0, k=10).collect()]
+    # rounding to 6dp can swap near-ties; compare the distance values
+    want = sorted(round(dist[i], 6) for i in order)
+    have = sorted(r.adc_dist for r in S.pq_topk(df, 0, 10).collect())
+    assert np.allclose(have, want, atol=2e-6)
+    assert got[0] == order[0]
+
+
+def test_train_reduces_quantization_mse(emb):
+    df, _ = emb
+    seed = S.pq_seed_codebooks()
+    before = S.pq_quantization_mse(df, seed)
+    trained = S.pq_train(df, n_iter=2)
+    after = S.pq_quantization_mse(df, trained)
+    assert after < before
+    # trained codebooks still encode/search without error
+    assert S.pq_topk(df, query_id=0, k=3, codebooks=trained).count() == 3
+
+
+def test_encode_plan_zero_shuffle(spark, emb):
+    df, _ = emb
+    from tiny_lingua_spark.plans.audit import audit
+
+    a = audit(S.pq_encode(df))
+    assert a["python_eval_nodes"] == 0
+    assert a["exchanges"] == 0
+    assert a["row_at_a_time_python"] == 0
+
+
+def test_topk_plan_no_cartesian_blowup(spark, emb):
+    df, _ = emb
+    from tiny_lingua_spark.plans.audit import explain_str
+
+    plan = explain_str(S.pq_topk(df, query_id=0, k=5))
+    # broadcast 1-row query is the only join; TakeOrdered does the top-k
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan

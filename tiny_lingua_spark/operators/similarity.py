@@ -711,3 +711,262 @@ def semdedup_stats_sql(table: str, tau: float = 0.4, dim: int = 64,
     FROM assigned a LEFT JOIN drops dr ON a.vec_id = dr.vec_id
     GROUP BY a.cell ORDER BY a.cell
     """
+
+
+# ------------------------------------------------ Product quantization
+#
+# PQ compression + asymmetric-distance search (Jégou, Douze, Schmid
+# 2011, "Product quantization for nearest neighbor search", IEEE TPAMI
+# 33(1)): the vector is split into M subvectors, each quantized to one
+# of K per-subspace codes, so a D-dim float32 embedding compresses to M
+# small ints (64 → 8 bytes here, 32× smaller). Search is asymmetric
+# (ADC): the query stays exact and the distance to a database vector is
+# the sum over subspaces of ||q_s - codebook[s][code_s]||².
+#
+# Scale shape mirrors ivf_*: codebooks are literals (or a broadcast),
+# so encoding is ONE zero-shuffle codegen projection over the corpus —
+# the compressed table is what a 10^12-row index stores — and ADC
+# search is a pruned scan of the code table + TakeOrderedAndProject;
+# the full-precision embedding column is never read at query time. The
+# seeded codebooks are deterministic literals (DuckDB-twin-checkable);
+# pq_train refines them with per-subspace Lloyd's, collecting only
+# M × K × D/M floats to the driver.
+
+PQ_M = 8    # subspaces
+PQ_K = 16   # codes per subspace
+
+
+def pq_seed_codebooks(dim: int = 64, m: int = PQ_M, k: int = PQ_K,
+                      salt: str = "tls-pq-v1") -> list[list[list[float]]]:
+    """Deterministic ±1/sqrt(dsub) corner codes from md5 parity — unit
+    norm per entry, data-independent, reproducible as plain literals in
+    any engine (same construction as ivf_seed_centroids)."""
+    import hashlib
+
+    dsub = dim // m
+    inv = 1.0 / float(np.sqrt(dsub))
+    return [
+        [
+            [
+                inv if hashlib.md5(
+                    f"{salt}:{s}:{c}:{j}".encode()).digest()[0] % 2 == 0
+                else -inv
+                for j in range(dsub)
+            ]
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def _pq_sub_expr(emb_col: str, s: int, dsub: int) -> str:
+    return f"slice({_vecd(emb_col)}, {s * dsub + 1}, {dsub})"
+
+
+def _pq_dists_expr(emb_col: str, cb_s: list[list[float]], s: int,
+                   dsub: int) -> str:
+    """Spark SQL: array of squared L2 distances from subvector s to each
+    of the K codes (literal doubles; repr round-trips float64 exactly)."""
+    sub = _pq_sub_expr(emb_col, s, dsub)
+    ds = []
+    for row in cb_s:
+        arr = ", ".join(f"cast({v!r} as double)" for v in row)
+        ds.append(
+            f"aggregate(zip_with({sub}, array({arr}),"
+            f" (x, y) -> (x - y) * (x - y)),"
+            f" cast(0.0 AS double), (acc, v) -> acc + v)"
+        )
+    return "array(" + ", ".join(ds) + ")"
+
+
+def _pq_dists_sql(emb_col: str, cb_s: list[list[float]], s: int,
+                  dsub: int) -> str:
+    ds = []
+    for row in cb_s:
+        arr = "[" + ", ".join(repr(v) for v in row) + "]"
+        ds.append(
+            f"list_sum(list_transform(range(1, {dsub + 1}), i ->"
+            f" (({emb_col})[{s * dsub} + i]::DOUBLE - ({arr}::DOUBLE[])[i])"
+            f" * (({emb_col})[{s * dsub} + i]::DOUBLE - ({arr}::DOUBLE[])[i])"
+            f"))"
+        )
+    return "[" + ", ".join(ds) + "]"
+
+
+def pq_codes_col(emb_col: str,
+                 codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of M code ids (argmin squared L2 per subspace, first
+    min wins) — pure Catalyst; at scale this is the index-build
+    projection whose output replaces the raw vectors."""
+    dsub = len(codebooks[0][0])
+    parts = []
+    for s, cb_s in enumerate(codebooks):
+        d = _pq_dists_expr(emb_col, cb_s, s, dsub)
+        parts.append(f"cast(array_position({d}, array_min({d})) - 1 AS int)")
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def pq_codes_sql_expr(emb_col: str,
+                      codebooks: list[list[list[float]]]) -> str:
+    dsub = len(codebooks[0][0])
+    parts = []
+    for s, cb_s in enumerate(codebooks):
+        d = _pq_dists_sql(emb_col, cb_s, s, dsub)
+        parts.append(f"(list_position({d}, list_min({d})) - 1)::INT")
+    return "[" + ", ".join(parts) + "]"
+
+
+def pq_encode(emb: DataFrame,
+              codebooks: list[list[list[float]]] | None = None) -> DataFrame:
+    """(vec_id, codes array<int>, code_str) — the compressed index table.
+    code_str is the comma-joined form (stable for hashing/grouping)."""
+    if codebooks is None:
+        codebooks = pq_seed_codebooks()
+    codes = pq_codes_col("embedding", codebooks)
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        codes.alias("codes"),
+    ).select(
+        "vec_id",
+        F.concat_ws(",", F.expr("transform(codes, c -> cast(c as string))"))
+        .alias("code_str"),
+    )
+
+
+def pq_encode_sql(table: str, dim: int = 64,
+                  codebooks: list[list[list[float]]] | None = None) -> str:
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(dim)
+    codes = pq_codes_sql_expr("embedding", codebooks)
+    return f"""
+    SELECT vec_id::BIGINT AS vec_id,
+           array_to_string({codes}, ',') AS code_str
+    FROM {table}
+    """
+
+
+def pq_topk(emb: DataFrame, query_id: int, k: int = 10,
+            codebooks: list[list[list[float]]] | None = None) -> DataFrame:
+    """ADC top-k: encode the corpus (at scale: scan the stored code
+    table), keep the query exact, score sum-of-subspace distances
+    against the code-indexed literal codebooks, distributed top-k
+    ascending. Plan: codegen projection → broadcast 1-row query →
+    TakeOrderedAndProject; raw corpus vectors never shuffle."""
+    if codebooks is None:
+        codebooks = pq_seed_codebooks()
+    dsub = len(codebooks[0][0])
+    codes = emb.where(F.col("vec_id") != query_id).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        pq_codes_col("embedding", codebooks).alias("codes"),
+    )
+    q = emb.where(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    terms = []
+    for s, cb_s in enumerate(codebooks):
+        cb_lit = "array(" + ", ".join(
+            "array(" + ", ".join(f"cast({v!r} as double)" for v in row) + ")"
+            for row in cb_s
+        ) + ")"
+        sub = _pq_sub_expr("q_emb", s, dsub)
+        cand = f"element_at({cb_lit}, codes[{s}] + 1)"
+        terms.append(
+            f"aggregate(zip_with({sub}, {cand}, (x, y) -> (x - y) * (x - y)),"
+            f" cast(0.0 AS double), (acc, v) -> acc + v)"
+        )
+    dist = F.round(F.expr(" + ".join(terms)), 6)
+    scored = codes.crossJoin(F.broadcast(q)).select(
+        "vec_id", dist.alias("adc_dist")
+    )
+    w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def pq_topk_sql(table: str, query_id: int, k: int = 10, dim: int = 64,
+                codebooks: list[list[list[float]]] | None = None) -> str:
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(dim)
+    dsub = len(codebooks[0][0])
+    codes_expr = pq_codes_sql_expr("embedding", codebooks)
+    terms = []
+    for s, cb_s in enumerate(codebooks):
+        cb_lit = "[" + ", ".join(
+            "[" + ", ".join(repr(v) for v in row) + "]" for row in cb_s
+        ) + "]"
+        cand = f"({cb_lit}::DOUBLE[][])[codes[{s + 1}] + 1]"
+        terms.append(
+            f"list_sum(list_transform(range(1, {dsub + 1}), i ->"
+            f" (q.embedding[{s * dsub} + i]::DOUBLE - ({cand})[i])"
+            f" * (q.embedding[{s * dsub} + i]::DOUBLE - ({cand})[i])))"
+        )
+    dist = " + ".join(terms)
+    return f"""
+    WITH q AS (SELECT embedding FROM {table} WHERE vec_id = {query_id}),
+    codes AS (
+        SELECT vec_id::BIGINT AS vec_id, {codes_expr} AS codes
+        FROM {table} WHERE vec_id != {query_id}
+    ),
+    scored AS (
+        SELECT c.vec_id, round({dist}, 6) AS adc_dist
+        FROM codes c, q
+    )
+    SELECT vec_id, adc_dist,
+           row_number() OVER (ORDER BY adc_dist, vec_id)::BIGINT AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+def pq_quantization_mse(emb: DataFrame,
+                        codebooks: list[list[list[float]]]) -> float:
+    """Mean squared reconstruction error of the codebooks over the
+    corpus — the quantity pq_train minimizes (diagnostic; one scan)."""
+    dsub = len(codebooks[0][0])
+    terms = []
+    for s, cb_s in enumerate(codebooks):
+        d = _pq_dists_expr("embedding", cb_s, s, dsub)
+        terms.append(f"array_min({d})")
+    total = " + ".join(terms)
+    row = emb.select(F.avg(F.expr(total)).alias("mse")).collect()[0]
+    return float(row.mse)
+
+
+def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+             n_iter: int = 5, dim: int = 64,
+             codebooks: list[list[list[float]]] | None = None
+             ) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's refinement of the seed codebooks. Each
+    iteration is ONE distributed pass: code assignment is the same
+    codegen projection pq_encode uses (current codebooks as literals),
+    then per-(subspace, code, coord) means via posexplode → hash
+    aggregate. Driver traffic is m × k × dsub floats per iteration;
+    empty codes keep their previous centroid (standard Lloyd's fixup)."""
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(dim, m, k)
+    dsub = dim // m
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    for _ in range(n_iter):
+        lits = [[list(map(float, row)) for row in sub] for sub in cb]
+        rows = (
+            emb.select(
+                pq_codes_col("embedding", lits).alias("codes"),
+                F.posexplode(F.expr(_vecd("embedding"))).alias("pos", "v"),
+            )
+            .select(
+                (F.col("pos") / dsub).cast("int").alias("s"),
+                F.expr("codes[cast(pos / {d} as int)]".format(d=dsub))
+                .alias("code"),
+                (F.col("pos") % dsub).alias("j"),
+                "v",
+            )
+            .groupBy("s", "code", "j").agg(F.avg("v").alias("mean"))
+            .collect()
+        )
+        new = cb.copy()
+        for r in rows:
+            new[r.s, r.code, r.j] = r.mean
+        cb = new
+    return [[list(map(float, row)) for row in sub] for sub in cb]

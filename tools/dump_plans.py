@@ -62,6 +62,8 @@ PLAN_QUERIES = (
     "bpe_fertility",
     "scrub_cc",
     "scrub_secrets",
+    "pq_codes",
+    "pq_topk",
     "ngram_diversity",
     "rule_attribution",
     "classifier_auc",
