@@ -1313,6 +1313,27 @@ def _q_audio_pitch(spark, sf_dir):
     )
 
 
+def _q_audio_artifacts(spark, sf_dir):
+    """Recording-artifact screen: mains-hum variance ratio at 50/60 Hz
+    (single-bin DFT per clip) + digital-dropout flat-run metrics.
+    Golden-parquet oracle (whole-clip DFT/run detection over decoded
+    PCM is not SQL-expressible)."""
+    from tiny_lingua_spark.audio import artifacts_udf
+
+    clips = _synth_clips(spark)
+    au = artifacts_udf()
+    return clips.select(
+        "clip_id", "codec", "sr_hz",
+        au(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("a"),
+    ).select(
+        "clip_id", "codec", "sr_hz",
+        F.round(F.col("a.hum50_ratio"), 6).alias("hum50_ratio"),
+        F.round(F.col("a.hum60_ratio"), 6).alias("hum60_ratio"),
+        F.round(F.col("a.max_flat_run_ms"), 4).alias("max_flat_run_ms"),
+        F.round(F.col("a.flat_ratio"), 6).alias("flat_ratio"),
+    )
+
+
 def _q_audio_normalize(spark, sf_dir):
     """Write-side loudness normalization: the analysis gain
     (loudness_udf) feeds the apply half (transcode_udf) — scale to
@@ -1478,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral": _shipped(_q_audio_spectral),
         "audio_mfcc": _shipped(_q_audio_mfcc),
         "audio_pitch": _shipped(_q_audio_pitch),
+        "audio_artifacts": _shipped(_q_audio_artifacts),
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
         "audio_normalize": _shipped(_q_audio_normalize),
@@ -1507,6 +1529,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_spectral",
     "audio_mfcc",
     "audio_pitch",
+    "audio_artifacts",
     "audio_resample",
     "audio_loudness",
     "audio_neardup",

@@ -61,6 +61,7 @@ BENCH_QUERIES = (
     "audio_normalize",        # gain-apply + transcode (write-side R128)
     "audio_mfcc",             # batched MFCC front-end (mel filterbank + DCT)
     "audio_pitch",            # ACF f0/voicing summary + zero-crossing rate
+    "audio_artifacts",        # mains-hum + dropout artifact screen
     "quality_classifier",     # weak-label fastText quality model (train+score)
     "mixture_sample",         # token-budget source mixing (counts + hash filter)
     "substr_dedup",           # ExactSubstr k-gram span removal (Lee et al.)

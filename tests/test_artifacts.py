@@ -1,0 +1,121 @@
+"""Artifact-detection kernel: planted hum/dropout recovery, run
+semantics at row boundaries, batch-vs-rowloop equivalence, chunking
+invariance, Spark end-to-end."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio as A
+
+
+def _enc(x, codec="pcm_f32le"):
+    return A.encode(np.asarray(x, np.float32), codec)
+
+
+def _batch(rows):
+    return (pd.Series([r[0] for r in rows]),
+            pd.Series([r[1] for r in rows]),
+            pd.Series([r[2] for r in rows]))
+
+
+def test_pure_hum_ratio_is_one():
+    t = np.arange(16000) / 16000
+    for f, col in ((50.0, "hum50_ratio"), (60.0, "hum60_ratio")):
+        x = 0.4 * np.sin(2 * np.pi * f * t)
+        out = A._artifacts_batch(*_batch([(_enc(x), "pcm_f32le", 16000)]))
+        assert abs(out[col][0] - 1.0) < 1e-6
+        other = "hum60_ratio" if col == "hum50_ratio" else "hum50_ratio"
+        assert out[other][0] < 0.01
+
+
+def test_hum_under_noise_detected():
+    rng = np.random.default_rng(5)
+    t = np.arange(16000) / 16000
+    x = 0.3 * np.sin(2 * np.pi * 50 * t) + 0.05 * rng.standard_normal(16000)
+    out = A._artifacts_batch(*_batch([(_enc(x), "pcm_f32le", 16000)]))
+    assert out.hum50_ratio[0] > 0.8
+    assert out.hum60_ratio[0] < 0.01
+
+
+def test_noise_has_no_hum():
+    rng = np.random.default_rng(6)
+    x = 0.3 * rng.standard_normal(16000)
+    out = A._artifacts_batch(*_batch([(_enc(x), "pcm_f32le", 16000)]))
+    assert out.hum50_ratio[0] < 0.01 and out.hum60_ratio[0] < 0.01
+
+
+def test_dropout_run_length_and_ratio():
+    rng = np.random.default_rng(7)
+    x = 0.3 * rng.standard_normal(16000)
+    x[5000:6600] = 0.0  # 1600 samples = 100 ms at 16 kHz
+    out = A._artifacts_batch(*_batch([(_enc(x), "pcm_f32le", 16000)]))
+    assert abs(out.max_flat_run_ms[0] - 100.0) < 0.5
+    assert abs(out.flat_ratio[0] - 1600 / 16000) < 1e-6
+
+
+def test_stuck_nonzero_value_counts_as_flat():
+    rng = np.random.default_rng(8)
+    x = 0.3 * rng.standard_normal(8000)
+    x[1000:1500] = 0.25  # stuck DAC value, not silence
+    out = A._artifacts_batch(*_batch([(_enc(x), "pcm_f32le", 8000)]))
+    assert out.max_flat_run_ms[0] >= 500 / 8000 * 1000 - 0.5
+    assert out.flat_ratio[0] >= 500 / 8000 - 1e-6
+
+
+def test_runs_do_not_span_rows():
+    # two adjacent all-zero rows: each reports its OWN run, not the sum
+    z = np.zeros(800, np.float32)
+    out = A._artifacts_batch(*_batch([(_enc(z), "pcm_f32le", 8000),
+                                      (_enc(z), "pcm_f32le", 8000)]))
+    assert np.allclose(out.max_flat_run_ms, 100.0)  # 800/8000 s each
+
+
+def test_batch_matches_rowloop_mixed():
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(25):
+        sr = [8000, 16000, 44100][i % 3]
+        codec = ["pcm_s16le", "pcm_f32le", "mulaw", "alaw"][i % 4]
+        m = int(rng.integers(0, 3000))
+        x = 0.3 * rng.standard_normal(m)
+        if i % 5 == 0 and m > 100:
+            x[m // 4:m // 2] = 0.0
+        rows.append((_enc(x, codec), codec, sr))
+    rows.append((None, "pcm_s16le", 16000))
+    rows.append((b"\x01\x02\x03", "pcm_s16le", 16000))
+    b, c, s = _batch(rows)
+    fast = A._artifacts_batch(b, c, s)
+    slow = A._artifacts_rowloop(b, c, s)
+    for col in fast.columns:
+        assert np.allclose(fast[col], slow[col], atol=1e-9), col
+
+
+def test_artifacts_chunking_invariant(monkeypatch):
+    rng = np.random.default_rng(10)
+    rows = [(_enc(0.3 * rng.standard_normal(int(rng.integers(0, 2000)))),
+             "pcm_f32le", 16000) for _ in range(20)]
+    b, c, s = _batch(rows)
+    whole = A._chunked_frame_apply(A._artifacts_batch, b, c, s)
+    monkeypatch.setattr(A, "_CHUNK_SAMPLE_BUDGET", 2048)
+    chunked = A._chunked_frame_apply(A._artifacts_batch, b, c, s)
+    for col in whole.columns:
+        assert np.allclose(whole[col], chunked[col], atol=1e-12), col
+
+
+def test_artifacts_udf_spark(spark):
+    from tiny_lingua_spark.data.clips import generate_clips
+
+    clips_pd, _ = generate_clips(n=24, seed=7)
+    df = spark.createDataFrame(clips_pd)
+    au = A.artifacts_udf()
+    got = (df.select("clip_id", au(F.col("bytes"), F.col("codec"),
+                                   F.col("sr_hz")).alias("a"))
+             .select("clip_id", "a.*").orderBy("clip_id").toPandas())
+    ref = A._artifacts_batch(clips_pd["bytes"], clips_pd["codec"],
+                             clips_pd["sr_hz"])
+    order = np.argsort(clips_pd["clip_id"].to_numpy())
+    for col in ("hum50_ratio", "hum60_ratio", "max_flat_run_ms",
+                "flat_ratio"):
+        assert np.allclose(got[col].to_numpy(),
+                           ref[col].to_numpy()[order], atol=1e-9), col

@@ -1545,3 +1545,163 @@ def pitch_udf():
         return _chunked_frame_apply(_pitch_batch, b, codec, sr)
 
     return audio_pitch
+
+
+# ---------------------------------------------------------------------------
+# Recording-artifact detection (mains hum + digital dropouts)
+#
+# Two failure modes a speech-corpus quality filter screens for that the
+# generic feature kernel doesn't cover:
+#
+# - Mains hum: a 50 Hz (EU) / 60 Hz (US) sinusoid leaked from the power
+#   line. Measured with an exact single-bin DFT over the whole clip
+#   (the N=1 case of the Goertzel algorithm, Goertzel 1958): the ratio
+#   of variance explained by that one frequency — 1.0 for a pure tone
+#   at f, ~0 for broadband speech/noise.
+# - Digital dropouts / stuck samples: runs of consecutive identical
+#   sample values (buffer underruns repeat or zero-fill). Reported as
+#   the longest flat run in ms and the fraction of samples inside flat
+#   runs >= FLAT_RUN_MIN samples.
+#
+# Whole-batch math over the concatenated arena (per-row phase ramps +
+# segment reductions; run detection via change-point reduceat) — same
+# zero-shuffle scale shape as decode_features_udf.
+
+HUM_FREQS_HZ = (50.0, 60.0)
+FLAT_RUN_MIN = 16
+
+ARTIFACTS_SCHEMA = ("hum50_ratio double, hum60_ratio double,"
+                    " max_flat_run_ms double, flat_ratio double")
+
+
+def _hum_ratios(samples: np.ndarray, offsets: np.ndarray,
+                sr_row: np.ndarray) -> list[np.ndarray]:
+    """Per-row variance fraction at each hum frequency: one single-bin
+    DFT per frequency via per-row phase ramps (n-in-row index times
+    2*pi*f/sr) and two segment sums (cos / sin projections)."""
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    total = len(samples)
+    out = []
+    if total == 0:
+        return [np.zeros(n) for _ in HUM_FREQS_HZ]
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    n_in_row = np.arange(total, dtype=np.float64) - offsets[:-1][row_of]
+    inv_sr = 1.0 / sr_row.astype(np.float64)
+    sq_sum = _segment_sums(samples.astype(np.float64) ** 2, offsets)
+    safe_len = np.maximum(lens, 1).astype(np.float64)
+    mean_pow = sq_sum / safe_len
+    x64 = samples.astype(np.float64)
+    for f in HUM_FREQS_HZ:
+        theta = (2.0 * np.pi * f) * n_in_row * inv_sr[row_of]
+        c = _segment_sums(x64 * np.cos(theta), offsets)
+        s = _segment_sums(x64 * np.sin(theta), offsets)
+        # variance explained by the best-fit sinusoid at f:
+        # (2/N^2)|DFT|^2 over mean power
+        amp = 2.0 * (c * c + s * s) / (safe_len * safe_len)
+        out.append(np.where(
+            (lens > 0) & (mean_pow > 1e-20), amp / np.maximum(mean_pow, 1e-20),
+            0.0))
+    return out
+
+
+def _flat_runs(samples: np.ndarray, offsets: np.ndarray,
+               sr_row: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(max_flat_run_ms, flat_ratio) per row. Run boundaries are change
+    points of the sample value, with forced breaks at row starts so a
+    run never spans rows; per-row maxima via maximum.reduceat over the
+    contiguous run spans of each row."""
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    max_ms = np.zeros(n, dtype=np.float64)
+    flat_ratio = np.zeros(n, dtype=np.float64)
+    total = len(samples)
+    if total == 0:
+        return max_ms, flat_ratio
+    change = np.empty(total, dtype=bool)
+    change[0] = True
+    np.not_equal(samples[1:], samples[:-1], out=change[1:])
+    change[offsets[:-1][lens > 0]] = True  # break runs at row starts
+    run_starts = np.flatnonzero(change)
+    run_lens = np.diff(np.append(run_starts, total))
+    run_row = np.searchsorted(offsets, run_starts, side="right") - 1
+    # rows are contiguous in run order; first run index of each row
+    nz_rows, first_idx = np.unique(run_row, return_index=True)
+    row_max = np.maximum.reduceat(run_lens, first_idx)
+    max_ms[nz_rows] = (row_max / sr_row[nz_rows].astype(np.float64)) * 1000.0
+    flat = run_lens >= FLAT_RUN_MIN
+    flat_samples = np.bincount(run_row, weights=run_lens * flat, minlength=n)
+    nz = lens > 0
+    flat_ratio[nz] = flat_samples[nz] / lens[nz]
+    return max_ms, flat_ratio
+
+
+def _artifacts_batch(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    sr_row = np.asarray(sr_s, dtype=np.int64)
+    hums = _hum_ratios(samples, offsets, sr_row)
+    max_ms, flat_ratio = _flat_runs(samples, offsets, sr_row)
+    bad = ~ok
+    if bad.any():
+        for arr in (*hums, max_ms, flat_ratio):
+            arr[bad] = 0.0
+    return pd.DataFrame({
+        "hum50_ratio": hums[0],
+        "hum60_ratio": hums[1],
+        "max_flat_run_ms": max_ms,
+        "flat_ratio": flat_ratio,
+    })
+
+
+def _artifacts_rowloop(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    """Per-row reference implementation (equivalence oracle)."""
+    rows = []
+    for b, c, sr in zip(bytes_s, codec_s, sr_s):
+        try:
+            pcm = decode(b, c) if b is not None else np.zeros(0, np.float32)
+        except Exception:
+            pcm = np.zeros(0, dtype=np.float32)
+        m = len(pcm)
+        if m == 0:
+            rows.append((0.0, 0.0, 0.0, 0.0))
+            continue
+        x = pcm.astype(np.float64)
+        mean_pow = float((x * x).mean())
+        hums = []
+        for f in HUM_FREQS_HZ:
+            th = 2.0 * np.pi * f * np.arange(m) / sr
+            c_, s_ = float((x * np.cos(th)).sum()), float((x * np.sin(th)).sum())
+            amp = 2.0 * (c_ * c_ + s_ * s_) / (m * m)
+            hums.append(amp / max(mean_pow, 1e-20) if mean_pow > 1e-20 else 0.0)
+        # flat runs
+        runs, cur = [], 1
+        for i in range(1, m):
+            if pcm[i] == pcm[i - 1]:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        max_ms = max(runs) / sr * 1000.0
+        flat = sum(r for r in runs if r >= FLAT_RUN_MIN)
+        rows.append((hums[0], hums[1], max_ms, flat / m))
+    return pd.DataFrame({
+        "hum50_ratio": [r[0] for r in rows],
+        "hum60_ratio": [r[1] for r in rows],
+        "max_flat_run_ms": [r[2] for r in rows],
+        "flat_ratio": [r[3] for r in rows],
+    })
+
+
+def artifacts_udf():
+    """Arrow-batched (bytes, codec, sr_hz) → per-clip artifact metrics.
+    Narrow projection, no shuffle; the arena never leaves the executor
+    batch (same scale shape as decode_features_udf)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ARTIFACTS_SCHEMA)
+    def audio_artifacts(b: pd.Series, codec: pd.Series,
+                        sr: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(_artifacts_batch, b, codec, sr)
+
+    return audio_artifacts

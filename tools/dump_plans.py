@@ -35,6 +35,7 @@ PLAN_QUERIES = (
     "audio_spectral",
     "audio_mfcc",
     "audio_pitch",
+    "audio_artifacts",
     "audio_resample",
     "audio_loudness",
     "span_dedup",
