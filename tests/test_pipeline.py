@@ -181,3 +181,49 @@ def test_quality_model_diagnostics(spark, registry):
                       "quality_lm_score").collect()
     assert {r["clip_id"]: r["keep"] for r in rows} == base
     assert all(r["quality_pred"] in ("hq", "lq") for r in rows)
+
+
+def test_audio_artifact_diagnostics_opt_in(spark, registry):
+    """audio_artifacts=True adds the hum/dropout/pitch columns and an
+    artifact_ok flag; at the non-binding defaults keep is unchanged,
+    and tightening max_flat_ratio drops a planted dropout clip only."""
+    import numpy as np
+
+    from tiny_lingua_spark import audio as A
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    clips_pd, _ = generate_clips(n=16, seed=13)
+    # plant a dropout into one otherwise-kept clip: zero out 40% of it
+    rng = np.random.default_rng(0)
+    good = (0.3 * rng.standard_normal(16000)).astype(np.float32)
+    good[4000:10400] = 0.0
+    i = 0
+    clips_pd.loc[i, "bytes"] = A.encode(good, "pcm_s16le")
+    clips_pd.loc[i, "codec"] = "pcm_s16le"
+    clips_pd.loc[i, "sr_hz"] = 16000
+    planted = clips_pd.loc[i, "clip_id"]
+    clips = spark.createDataFrame(clips_pd)
+
+    base = quality_filter(clips, registry, n_partitions=4).select(
+        "clip_id", "keep").toPandas().set_index("clip_id")["keep"]
+    diag = quality_filter(
+        clips, registry, n_partitions=4, audio_artifacts=True
+    ).toPandas().set_index("clip_id")
+    for col in ("hum50_ratio", "hum60_ratio", "max_flat_run_ms",
+                "flat_ratio", "voiced_ratio", "f0_mean_hz", "zcr",
+                "artifact_ok"):
+        assert col in diag.columns, col
+    # non-binding defaults: artifact_ok all true, keep identical
+    assert diag["artifact_ok"].all()
+    assert (diag["keep"] == base).all()
+    assert diag.loc[planted, "flat_ratio"] > 0.3
+
+    strict = quality_filter(
+        clips, registry, n_partitions=4, audio_artifacts=True,
+        thresholds={"max_flat_ratio": 0.2},
+    ).toPandas().set_index("clip_id")
+    assert not strict.loc[planted, "artifact_ok"]
+    assert not strict.loc[planted, "keep"]
+    others = strict.index != planted
+    assert (strict.loc[others, "keep"] == base[others]).all()

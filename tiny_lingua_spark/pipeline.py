@@ -60,6 +60,11 @@ AUDIO_THRESHOLDS = {
     "min_integrated_lufs": float("-inf"),
     # VAD-frame SNR-estimate floor; -inf = non-binding default
     "min_snr_est_db": float("-inf"),
+    # artifact screen (only computed with audio_artifacts=True);
+    # 1.0/inf = non-binding defaults — callers tighten to enforce
+    "max_hum_ratio": 1.0,
+    "max_flat_ratio": 1.0,
+    "max_flat_run_ms": float("inf"),
 }
 
 
@@ -138,6 +143,7 @@ def quality_filter(
     n_partitions: int | None = None,
     ft_model: tuple[DataFrame, DataFrame] | None = None,
     quality_model: tuple[DataFrame, DataFrame] | None = None,
+    audio_artifacts: bool = False,
 ) -> DataFrame:
     """Full pipeline → one row per clip with decision + diagnostics.
 
@@ -150,6 +156,15 @@ def quality_filter(
     the supervised quality opinion (`quality_pred`, `quality_lm_score`)
     as diagnostics — the binding keep decision stays the
     reference-parity heuristic rules.
+
+    ``audio_artifacts=True`` adds the artifact screen (mains-hum ratio,
+    dropout flat-run metrics, pitch/voicing summary) as a second Arrow
+    stage sharing the same salted partitioning, plus an `artifact_ok`
+    flag AND-ed into `keep` — non-binding at the default thresholds
+    (max_hum_ratio/max_flat_ratio 1.0, max_flat_run_ms inf); tighten
+    them to enforce. Costs one extra decode pass per clip; a deployment
+    that always wants these would fold them into the fused enrich
+    kernel instead.
     """
     th = {**DEFAULT_THRESHOLDS, **AUDIO_THRESHOLDS, **(thresholds or {})}
     enrich = make_enrich_udf(registry, params)
@@ -168,6 +183,26 @@ def quality_filter(
         if c not in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec",
                      "transcript")
     ]
+    artifact_cols = []
+    if audio_artifacts:
+        from .audio import artifacts_udf, pitch_udf
+
+        au, pu = artifacts_udf(), pitch_udf()
+        df = (
+            df.withColumn("art", au(F.col("bytes"), F.col("codec"),
+                                    F.col("sr_hz")))
+            .withColumn("pit", pu(F.col("bytes"), F.col("codec"),
+                                  F.col("sr_hz")))
+        )
+        artifact_cols = [
+            F.col("art.hum50_ratio").alias("hum50_ratio"),
+            F.col("art.hum60_ratio").alias("hum60_ratio"),
+            F.col("art.max_flat_run_ms").alias("max_flat_run_ms"),
+            F.col("art.flat_ratio").alias("flat_ratio"),
+            F.col("pit.voiced_ratio").alias("voiced_ratio"),
+            F.col("pit.f0_mean_hz").alias("f0_mean_hz"),
+            F.col("pit.zcr").alias("zcr"),
+        ]
     df = (
         df.withColumn("cleaned", cleaned_text_col(F.col("transcript")))
         .withColumn(
@@ -177,6 +212,7 @@ def quality_filter(
         )
         .select(
             *extra_cols,
+            *artifact_cols,
             "clip_id",
             "sr_hz",
             "dur_ms",
@@ -243,9 +279,18 @@ def quality_filter(
         (F.col("dup_line_frac") <= th["max_dup_line_frac"])
         & (F.col("top_2gram_char_frac") <= th["max_top_2gram_char_frac"])
     )
-    return df.withColumn("audio_ok", audio_ok).withColumn(
-        "keep", keep_decision_col(th) & audio_ok & repetition_ok
-    )
+    keep = keep_decision_col(th) & audio_ok & repetition_ok
+    df = df.withColumn("audio_ok", audio_ok)
+    if audio_artifacts:
+        artifact_ok = (
+            (F.col("hum50_ratio") <= th["max_hum_ratio"])
+            & (F.col("hum60_ratio") <= th["max_hum_ratio"])
+            & (F.col("flat_ratio") <= th["max_flat_ratio"])
+            & (F.col("max_flat_run_ms") <= th["max_flat_run_ms"])
+        )
+        df = df.withColumn("artifact_ok", artifact_ok)
+        keep = keep & artifact_ok
+    return df.withColumn("keep", keep)
 
 
 PIPELINE_METRICS = "quality_filter_metrics"
