@@ -76,6 +76,7 @@ BENCH_QUERIES = (
     "bpe_fertility",          # per-language tokenizer fertility
     "scrub_cc",               # Luhn-validated credit-card scrub
     "scrub_secrets",          # credential/secret-token scrub (codegen regex)
+    "script_mix",             # homoglyph / mixed-script spam screen
     "ngram_diversity",        # distinct-n lexical diversity per language
     "codec_stats",            # per-codec decode-health aggregate
     "rule_attribution",       # per-rule unique-drop ablation table

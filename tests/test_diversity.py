@@ -34,3 +34,54 @@ def test_twin(spark, tmp_path):
     want = sorted(map(tuple, duckdb.sql(
         ngram_diversity_sql(f"'{p}'", "lang", "text")).fetchall()))
     assert got == want
+
+
+def test_script_mix_homoglyph_detection(spark):
+    """Adjacent cross-script pairs flag homoglyph spam; whole foreign
+    words (space-separated) never trip the screen."""
+    from tiny_lingua_spark.functions.text import script_mix_cols
+
+    cases = [
+        ("pаypal login", True),          # Cyrillic а inside 'paypal'
+        ("обычный русский текст", False),
+        ("plain english", False),
+        ("mixed русский and english", False),
+        ("aβc", True),                    # Greek homoglyph
+        ("αβγ abc", False),
+        ("", False),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = {r.t: r for r in df.select("t", *script_mix_cols("t")).collect()}
+    for t, flag in cases:
+        assert got[t].homoglyph_flag == flag, t
+    assert got["pаypal login"].latin_chars == 10
+    assert got["pаypal login"].cyrillic_chars == 1
+    assert got["обычный русский текст"].cyrillic_chars == 19
+    assert got["αβγ abc"].greek_chars == 3
+
+
+def test_script_mix_duckdb_twin(spark):
+    import duckdb as _dd
+
+    from tiny_lingua_spark.functions.text import (script_mix_cols,
+                                                  script_mix_sql)
+
+    texts = ["pаypal login", "обычный текст", "plain", "aβc", "x"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [tuple(r) for r in
+           df.select("t", *script_mix_cols("t")).orderBy("t").collect()]
+    con = _dd.connect()
+    con.register("t_tbl", df.toPandas())
+    sel = ", ".join(f"{v} AS {k}" for k, v in script_mix_sql("t").items())
+    want = con.execute(f"SELECT t, {sel} FROM t_tbl ORDER BY t").fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_script_mix_plan_pure_codegen(spark):
+    from tiny_lingua_spark.functions.text import script_mix_cols
+    from tiny_lingua_spark.plans.audit import explain_str
+
+    df = spark.createDataFrame([("x",)], "t string")
+    plan = explain_str(df.select(*script_mix_cols("t")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan

@@ -215,3 +215,52 @@ def ngram_diversity_sql(table: str, strata_expr: str, text_expr: str,
            round(count(DISTINCT g) / count(*), 6) AS ratio
     FROM ({un}) GROUP BY s, n ORDER BY s, n
     """
+
+
+# ------------------------------- homoglyph / mixed-script spam screen
+#
+# Web-scraped corpora carry Cyrillic/Greek homoglyph substitution spam
+# ("pаypal" with U+0430) that survives language-ID because most chars
+# are the expected script; corpus-hygiene pipelines screen for
+# adjacent cross-script letter pairs inside a word. Pure Catalyst
+# regexp counts (patterns carry literal code-point ranges, so Spark's
+# Java regex and DuckDB's RE2 interpret them identically); the per-doc
+# script census doubles as a cheap script/language consistency signal.
+
+_LATIN_CLS = "A-Za-zÀ-ɏ"
+_CYR_CLS = "Ѐ-ӿ"
+_GREEK_CLS = "Ͱ-Ͽ"
+# adjacent cross-script letter pair (either order, either confusable
+# script) — the homoglyph signature; spaces break adjacency so whole
+# foreign words don't trip it
+_MIX_RE = (f"[{_LATIN_CLS}][{_CYR_CLS}{_GREEK_CLS}]"
+           f"|[{_CYR_CLS}{_GREEK_CLS}][{_LATIN_CLS}]")
+
+
+def script_mix_cols(text_col: str) -> list[Column]:
+    c = F.col(text_col)
+    latin = F.regexp_count(c, F.lit(f"[{_LATIN_CLS}]"))
+    cyr = F.regexp_count(c, F.lit(f"[{_CYR_CLS}]"))
+    greek = F.regexp_count(c, F.lit(f"[{_GREEK_CLS}]"))
+    mixed = F.regexp_count(c, F.lit(_MIX_RE))
+    return [
+        latin.cast("long").alias("latin_chars"),
+        cyr.cast("long").alias("cyrillic_chars"),
+        greek.cast("long").alias("greek_chars"),
+        mixed.cast("long").alias("mixed_script_pairs"),
+        (mixed > 0).alias("homoglyph_flag"),
+    ]
+
+
+def script_mix_sql(text_expr: str) -> dict[str, str]:
+    def cnt(pat: str) -> str:
+        p = pat.replace("'", "''")
+        return f"len(regexp_extract_all({text_expr}, '{p}'))::BIGINT"
+
+    return {
+        "latin_chars": cnt(f"[{_LATIN_CLS}]"),
+        "cyrillic_chars": cnt(f"[{_CYR_CLS}]"),
+        "greek_chars": cnt(f"[{_GREEK_CLS}]"),
+        "mixed_script_pairs": cnt(_MIX_RE),
+        "homoglyph_flag": cnt(_MIX_RE) + " > 0",
+    }

@@ -63,6 +63,7 @@ PLAN_QUERIES = (
     "bpe_fertility",
     "scrub_cc",
     "scrub_secrets",
+    "script_mix",
     "pq_codes",
     "pq_topk",
     "ngram_diversity",
