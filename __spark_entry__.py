@@ -848,6 +848,15 @@ def _q_pq_topk(spark, sf_dir):
     return similarity.pq_topk(_emb(spark, sf_dir), query_id=0, k=10)
 
 
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composite search (FAISS index shape): coarse-cell probe
+    prunes the corpus, PQ asymmetric distance scores only the probed
+    cells' codes — at scale a partition-pruned scan of a 32×-compressed
+    index."""
+    return similarity.ivfpq_topk(_emb(spark, sf_dir), query_id=0, k=10,
+                                 nprobe=4)
+
+
 def _q_semdedup_drop(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540): within-k-means-cell cosine pruning.
     tau=0.4 because the synthetic embeddings are near-orthogonal (max
@@ -1504,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cells": _shipped(_q_ivf_cells),
         "pq_codes": _shipped(_q_pq_codes),
         "pq_topk": _shipped(_q_pq_topk),
+        "ivfpq_topk": _shipped(_q_ivfpq_topk),
         "semdedup_drop": _shipped(_q_semdedup_drop),
         "semdedup_stats": _shipped(_q_semdedup_stats),
         "events_sessions": _shipped(_q_events_sessions),
@@ -1928,6 +1938,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cells": similarity.ivf_cells_sql("embeddings", EMB_DIM),
         "pq_codes": similarity.pq_encode_sql("embeddings", EMB_DIM),
         "pq_topk": similarity.pq_topk_sql("embeddings", 0, 10, EMB_DIM),
+        "ivfpq_topk": similarity.ivfpq_topk_sql("embeddings", 0, 10, 4, EMB_DIM),
         "semdedup_drop": similarity.semdedup_drop_sql("embeddings", 0.4, EMB_DIM),
         "semdedup_stats": similarity.semdedup_stats_sql("embeddings", 0.4, EMB_DIM),
         **_golden_oracles(),

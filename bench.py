@@ -67,6 +67,7 @@ BENCH_QUERIES = (
     "substr_dedup",           # ExactSubstr k-gram span removal (Lee et al.)
     "semdedup_drop",          # SemDeDup within-cell cosine pruning
     "pq_topk",                # product-quantization ADC search (Jegou 2011)
+    "ivfpq_topk",             # IVF-PQ composite (cell probe + ADC)
     "component_split",        # leakage-safe split on near-dup components
     "dsir_select",            # DSIR hashed-ngram importance resampling
     "unimax_sample",          # UniMax water-fill language balancing

@@ -108,3 +108,29 @@ def test_topk_plan_no_cartesian_blowup(spark, emb):
     # broadcast 1-row query is the only join; TakeOrdered does the top-k
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_subset_of_pq_ranking(emb):
+    """IVF-PQ scores a probed subset with the SAME ADC distance, so its
+    results are exactly the PQ-topk results restricted to probed cells."""
+    df, _ = emb
+    full = {r.vec_id: r.adc_dist
+            for r in S.pq_topk(df, query_id=0, k=80).collect()}
+    got = S.ivfpq_topk(df, query_id=0, k=10, nprobe=16).collect()
+    # nprobe = all cells → identical to brute PQ ranking
+    brute = sorted(full.items(), key=lambda t: (t[1], t[0]))[:10]
+    assert [(r.vec_id, r.adc_dist) for r in got] == brute
+    # fewer probes: every result still carries the exact ADC distance
+    part = S.ivfpq_topk(df, query_id=0, k=10, nprobe=2).collect()
+    for r in part:
+        assert abs(full[r.vec_id] - r.adc_dist) < 1e-9
+
+
+def test_ivfpq_plan_prunes_and_broadcasts(spark, emb):
+    df, _ = emb
+    from tiny_lingua_spark.plans.audit import explain_str
+
+    plan = explain_str(S.ivfpq_topk(df, query_id=0, k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -970,3 +970,112 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
             new[r.s, r.code, r.j] = r.mean
         cb = new
     return [[list(map(float, row)) for row in sub] for sub in cb]
+
+
+def ivfpq_topk(emb: DataFrame, query_id: int, k: int = 10, nprobe: int = 4,
+               centroids: list[list[float]] | None = None,
+               codebooks: list[list[list[float]]] | None = None
+               ) -> DataFrame:
+    """IVF-PQ composite (the standard FAISS index shape, Jégou et al.
+    2011 §V): route the query to its nprobe best coarse cells, then
+    score ONLY those cells' rows by PQ asymmetric distance — at scale
+    the stored table is (cell, vec_id, codes), cell is the partition
+    key (probe = partition pruning), and the scan reads ~nprobe/n_cells
+    of an already-32×-compressed index. Plan: codegen cell+code
+    projection → broadcast probed-cell set → broadcast 1-row query →
+    ADC literal lookups → TakeOrderedAndProject; the corpus never
+    shuffles and raw vectors are read only at index build."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(64)
+    if codebooks is None:
+        codebooks = pq_seed_codebooks()
+    dsub = len(codebooks[0][0])
+    q = emb.where(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probed = (
+        q.select(
+            F.posexplode(F.expr(_centroid_dots_expr("q_emb", centroids)))
+            .alias("cell", "qdot")
+        )
+        .orderBy(F.col("qdot").desc(), "cell")
+        .limit(nprobe)
+        .select(F.col("cell").cast("long").alias("cell"))
+    )
+    indexed = emb.where(F.col("vec_id") != query_id).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        ivf_cell_col("embedding", centroids).alias("cell"),
+        pq_codes_col("embedding", codebooks).alias("codes"),
+    )
+    terms = []
+    for s, cb_s in enumerate(codebooks):
+        cb_lit = "array(" + ", ".join(
+            "array(" + ", ".join(f"cast({v!r} as double)" for v in row) + ")"
+            for row in cb_s
+        ) + ")"
+        sub = _pq_sub_expr("q_emb", s, dsub)
+        cand = f"element_at({cb_lit}, codes[{s}] + 1)"
+        terms.append(
+            f"aggregate(zip_with({sub}, {cand}, (x, y) -> (x - y) * (x - y)),"
+            f" cast(0.0 AS double), (acc, v) -> acc + v)"
+        )
+    dist = F.round(F.expr(" + ".join(terms)), 6)
+    scored = (
+        indexed.join(F.broadcast(probed), "cell")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "cell", dist.alias("adc_dist"))
+    )
+    w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def ivfpq_topk_sql(table: str, query_id: int, k: int = 10, nprobe: int = 4,
+                   dim: int = 64,
+                   centroids: list[list[float]] | None = None,
+                   codebooks: list[list[list[float]]] | None = None) -> str:
+    if centroids is None:
+        centroids = ivf_seed_centroids(dim)
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(dim)
+    dsub = len(codebooks[0][0])
+    qd = _centroid_dots_sql("q.embedding", centroids, dim)
+    cd = _centroid_dots_sql("e.embedding", centroids, dim)
+    codes_expr = pq_codes_sql_expr("e.embedding", codebooks)
+    terms = []
+    for s, cb_s in enumerate(codebooks):
+        cb_lit = "[" + ", ".join(
+            "[" + ", ".join(repr(v) for v in row) + "]" for row in cb_s
+        ) + "]"
+        cand = f"({cb_lit}::DOUBLE[][])[i.codes[{s + 1}] + 1]"
+        terms.append(
+            f"list_sum(list_transform(range(1, {dsub + 1}), j ->"
+            f" (q.embedding[{s * dsub} + j]::DOUBLE - ({cand})[j])"
+            f" * (q.embedding[{s * dsub} + j]::DOUBLE - ({cand})[j])))"
+        )
+    dist = " + ".join(terms)
+    return f"""
+    WITH q AS (SELECT embedding FROM {table} WHERE vec_id = {query_id}),
+    qdots AS (SELECT {qd} AS d FROM q),
+    probed AS (
+        SELECT t.i::BIGINT AS cell
+        FROM qdots, range(0, {len(centroids)}) t(i)
+        ORDER BY qdots.d[t.i + 1] DESC, t.i LIMIT {nprobe}
+    ),
+    indexed AS (
+        SELECT e.vec_id::BIGINT AS vec_id,
+               (list_position({cd}, list_max({cd})) - 1)::BIGINT AS cell,
+               {codes_expr} AS codes
+        FROM {table} e WHERE e.vec_id != {query_id}
+    ),
+    scored AS (
+        SELECT i.vec_id, i.cell, round({dist}, 6) AS adc_dist
+        FROM indexed i JOIN probed p ON i.cell = p.cell, q
+    )
+    SELECT vec_id, cell, adc_dist,
+           row_number() OVER (ORDER BY adc_dist, vec_id)::BIGINT AS rank
+    FROM scored QUALIFY rank <= {k}
+    """

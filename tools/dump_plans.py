@@ -66,6 +66,7 @@ PLAN_QUERIES = (
     "script_mix",
     "pq_codes",
     "pq_topk",
+    "ivfpq_topk",
     "ngram_diversity",
     "rule_attribution",
     "classifier_auc",
