@@ -1238,6 +1238,32 @@ def _q_audio_trim(spark, sf_dir):
     return audio_fp.trim_plan(audio_fp.segment_clips(_synth_clips(spark)))
 
 
+def _q_audio_trim_apply(spark, sf_dir):
+    """Write side of the trim plan: decode → slice the keep window →
+    re-encode to canonical pcm_s16le in one whole-batch pass. Left join
+    keeps no-speech clips (null plan → ok=false, null bytes: the
+    drop-all contract). Golden-parquet oracle on bytes md5."""
+    from tiny_lingua_spark import audio_fp
+    from tiny_lingua_spark.audio import trim_udf
+
+    clips = _synth_clips(spark)
+    plan = audio_fp.trim_plan(audio_fp.segment_clips(clips)).select(
+        "clip_id", "trim_start_ms", "trim_end_ms")
+    tr = trim_udf("pcm_s16le")
+    return (
+        clips.join(F.broadcast(plan), "clip_id", "left")
+        .withColumn("t", tr(F.col("bytes"), F.col("codec"), F.col("sr_hz"),
+                            F.col("trim_start_ms"), F.col("trim_end_ms")))
+        .select(
+            "clip_id", "codec",
+            F.col("t.ok").alias("ok"),
+            F.col("t.n_samples_out").alias("n_samples_out"),
+            F.md5(F.coalesce(F.col("t.bytes_out"), F.lit(b"")))
+             .alias("bytes_md5"),
+        )
+    )
+
+
 def _q_audio_embed_knn(spark, sf_dir):
     """Audio embeddings feeding the generic KNN operator (clip ids
     mapped to dense ints via their numeric suffix)."""
@@ -1540,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": _shipped(_q_audio_neardup),
         "audio_segments": _shipped(_q_audio_segments),
         "audio_trim": _shipped(_q_audio_trim),
+        "audio_trim_apply": _shipped(_q_audio_trim_apply),
         "audio_embed_knn": _shipped(_q_audio_embed_knn),
     }
 
@@ -1564,6 +1591,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_mfcc",
     "audio_pitch",
     "audio_artifacts",
+    "audio_trim_apply",
     "audio_resample",
     "audio_loudness",
     "audio_neardup",

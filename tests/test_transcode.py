@@ -106,3 +106,85 @@ def test_udf_on_spark(spark):
 def test_bad_target_codec_rejected():
     with pytest.raises(ValueError):
         audio.transcode_udf("opus")
+
+
+def test_trim_batch_matches_rowloop():
+    import numpy as np
+
+    from tiny_lingua_spark import audio as A
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(18):
+        sr = [8000, 16000, 44100][i % 3]
+        codec = ["pcm_s16le", "pcm_f32le", "mulaw", "alaw"][i % 4]
+        m = int(rng.integers(0, 3000))
+        pcm = (0.4 * rng.standard_normal(m)).astype(np.float32)
+        rows.append((A.encode(pcm, codec), codec, sr,
+                     float(rng.integers(0, 100)),
+                     float(rng.integers(100, 400))))
+    rows.append((None, "pcm_s16le", 16000, 0.0, 100.0))   # null payload
+    rows.append((rows[0][0], "pcm_s16le", 16000, None, None))  # null plan
+    import pandas as pd
+    cols = list(zip(*rows))
+    args = [pd.Series(c) for c in cols]
+    fast = A._trim_chunk(*args, "pcm_s16le")
+    slow = A._trim_rowloop(*args, "pcm_s16le")
+    assert list(fast.ok) == list(slow.ok)
+    assert list(fast.n_samples_out) == list(slow.n_samples_out)
+    for a, b in zip(fast.bytes_out, slow.bytes_out):
+        assert a == b
+
+
+def test_trim_slices_exact_window():
+    import numpy as np
+
+    from tiny_lingua_spark import audio as A
+    import pandas as pd
+
+    sr = 16000
+    speech = 0.4 * np.sin(2 * np.pi * 220 * np.arange(8000) / sr)
+    clip = np.concatenate([np.zeros(4000), speech, np.zeros(4000)]).astype(
+        np.float32)
+    out = A._trim_chunk(
+        pd.Series([A.encode(clip, "pcm_f32le")]), pd.Series(["pcm_f32le"]),
+        pd.Series([sr]), pd.Series([250.0]), pd.Series([750.0]),
+        "pcm_s16le")
+    assert out.ok[0] and out.n_samples_out[0] == 8000
+    dec = A.decode(out.bytes_out[0], "pcm_s16le")
+    assert A.snr_db(clip[4000:12000], dec) > 40
+    # bounds clamp: window past the end trims to the clip end
+    out2 = A._trim_chunk(
+        pd.Series([A.encode(clip, "pcm_f32le")]), pd.Series(["pcm_f32le"]),
+        pd.Series([sr]), pd.Series([900.0]), pd.Series([5000.0]),
+        "pcm_s16le")
+    assert out2.n_samples_out[0] == len(clip) - int(0.9 * sr)
+
+
+def test_trim_udf_spark(spark):
+    import numpy as np
+
+    from tiny_lingua_spark import audio as A
+    from tiny_lingua_spark import audio_fp
+    from tiny_lingua_spark.data.clips import generate_clips
+
+    from pyspark.sql import functions as F
+
+    clips_pd, _ = generate_clips(n=20, seed=17)
+    clips = spark.createDataFrame(clips_pd)
+    plan = audio_fp.trim_plan(audio_fp.segment_clips(clips)).select(
+        "clip_id", "trim_start_ms", "trim_end_ms")
+    tr = A.trim_udf("pcm_s16le")
+    out = (clips.join(F.broadcast(plan), "clip_id", "left")
+           .withColumn("t", tr(F.col("bytes"), F.col("codec"),
+                               F.col("sr_hz"), F.col("trim_start_ms"),
+                               F.col("trim_end_ms")))
+           .select("clip_id", "t.ok", "t.n_samples_out")
+           .toPandas())
+    assert len(out) == 20
+    # trimmed length never exceeds the original sample count
+    feats = A._features_batch(clips_pd["bytes"], clips_pd["codec"])
+    orig = dict(zip(clips_pd["clip_id"], feats["n_samples"]))
+    for _, r in out.iterrows():
+        if r.ok:
+            assert 0 < r.n_samples_out <= orig[r.clip_id]

@@ -1705,3 +1705,99 @@ def artifacts_udf():
         return _chunked_frame_apply(_artifacts_batch, b, codec, sr)
 
     return audio_artifacts
+
+
+# ---------------------------------------------------------------------------
+# Silence-trim apply (the write side of audio_fp.trim_plan)
+#
+# Executes a trim plan against clip bytes: decode, slice the keep
+# window [trim_start_ms, trim_end_ms), re-encode to a canonical codec.
+# Same whole-batch shape as transcode_udf — codec-grouped decode, ONE
+# vectorized encode pass over the full arena, then row-level byte-span
+# slices (sample offsets × codec width), never a per-sample Python
+# loop. Rows with a null plan (clips the VAD found no speech in —
+# trim_plan emits no row, the join yields nulls) come back with
+# ok=false and null bytes: the drop-all contract.
+
+TRIM_SCHEMA = "ok boolean, n_samples_out long, bytes_out binary"
+
+
+def _trim_chunk(bytes_s, codec_s, sr_s, start_ms_s, end_ms_s,
+                codec_to: str) -> pd.DataFrame:
+    samples, offsets, ok, order = decode_grouped(bytes_s, codec_s)
+    n = len(ok)
+    lens = np.diff(offsets)
+    width = _SAMPLE_WIDTH[codec_to]
+    encoded = _encode_concat(samples, codec_to)
+    sr = pd.to_numeric(pd.Series(sr_s), errors="coerce").to_numpy(
+        np.float64, na_value=0.0)
+    s_ms = pd.to_numeric(pd.Series(start_ms_s), errors="coerce").to_numpy(
+        np.float64, na_value=np.nan)
+    e_ms = pd.to_numeric(pd.Series(end_ms_s), errors="coerce").to_numpy(
+        np.float64, na_value=np.nan)
+    out_ok = [False] * n
+    n_out = np.zeros(n, dtype=np.int64)
+    bytes_out: list = [None] * n
+    for j in range(n):  # row-level memcpy loop, not per-sample
+        i = int(order[j])
+        if not ok[i] or not np.isfinite(s_ms[i]) or not np.isfinite(e_ms[i]):
+            continue
+        m = int(lens[j])
+        a = min(max(int(round(s_ms[i] * sr[i] / 1000.0)), 0), m)
+        b = min(max(int(round(e_ms[i] * sr[i] / 1000.0)), a), m)
+        lo = (int(offsets[j]) + a) * width
+        hi = (int(offsets[j]) + b) * width
+        bytes_out[i] = encoded[lo:hi].tobytes()
+        n_out[i] = b - a
+        out_ok[i] = True
+    return pd.DataFrame({
+        "ok": pd.Series(out_ok, dtype=bool),
+        "n_samples_out": n_out,
+        "bytes_out": bytes_out,
+    })
+
+
+def _trim_rowloop(bytes_s, codec_s, sr_s, start_ms_s, end_ms_s,
+                  codec_to: str) -> pd.DataFrame:
+    """Per-row reference implementation (equivalence oracle): decode,
+    slice the PCM window, encode the slice independently."""
+    rows = []
+    for b, c, sr, s0, e0 in zip(bytes_s, codec_s, sr_s, start_ms_s,
+                                end_ms_s):
+        try:
+            pcm = decode(b, c) if b is not None else None
+        except Exception:
+            pcm = None
+        if pcm is None or s0 is None or e0 is None or pd.isna(s0) or pd.isna(e0):
+            rows.append((False, 0, None))
+            continue
+        m = len(pcm)
+        a = min(max(int(round(float(s0) * sr / 1000.0)), 0), m)
+        bnd = min(max(int(round(float(e0) * sr / 1000.0)), a), m)
+        sliced = pcm[a:bnd]
+        rows.append((True, bnd - a,
+                     _encode_concat(sliced.astype(np.float32),
+                                    codec_to).tobytes()))
+    return pd.DataFrame({
+        "ok": pd.Series([r[0] for r in rows], dtype=bool),
+        "n_samples_out": pd.Series([r[1] for r in rows], dtype=np.int64),
+        "bytes_out": [r[2] for r in rows],
+    })
+
+
+def trim_udf(codec_to: str = "pcm_s16le"):
+    """Arrow-batched (bytes, codec, sr_hz, trim_start_ms, trim_end_ms)
+    → silence-trimmed re-encoded bytes. Narrow projection, no shuffle."""
+    if codec_to not in _SAMPLE_WIDTH:
+        raise ValueError(f"unsupported codec: {codec_to}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(TRIM_SCHEMA)
+    def audio_trim_apply(b: pd.Series, codec: pd.Series, sr: pd.Series,
+                         s_ms: pd.Series, e_ms: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(
+            lambda bb, cc, ss, aa, ee: _trim_chunk(bb, cc, ss, aa, ee,
+                                                   codec_to),
+            b, codec, sr, s_ms, e_ms)
+
+    return audio_trim_apply
