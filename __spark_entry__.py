@@ -1108,6 +1108,28 @@ def _q_ngram_diversity(spark, sf_dir):
     return ngram_diversity(_docs(spark, sf_dir), "lang", "text", max_n=3)
 
 
+def _q_artifact_stats(spark, sf_dir):
+    """Per-codec artifact-rate aggregate (the quality-dashboard row a
+    corpus operator watches): hum means, flagged-hum rate (>10%
+    variance at either mains frequency), dropout prevalence. Twin
+    aggregates the committed artifacts golden with the same SQL."""
+    arts = _q_audio_artifacts(spark, sf_dir)
+    hum_flag = ((F.col("hum50_ratio") > 0.1)
+                | (F.col("hum60_ratio") > 0.1)).cast("double")
+    return (
+        arts.groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.round(F.avg("hum50_ratio"), 6).alias("avg_hum50"),
+            F.round(F.avg("hum60_ratio"), 6).alias("avg_hum60"),
+            F.round(F.avg(hum_flag), 6).alias("hum_flag_rate"),
+            F.round(F.avg("flat_ratio"), 6).alias("avg_flat_ratio"),
+            F.round(F.max("max_flat_run_ms"), 4).alias("worst_flat_run_ms"),
+        )
+        .orderBy("codec")
+    )
+
+
 def _q_codec_stats(spark, sf_dir):
     """Per-codec corpus health: decode failure rate, mean level/SNR/
     silence — the audio-side analog of source_stats. Twin aggregates the
@@ -1517,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": _shipped(_q_ngram_diversity),
         "rule_attribution": _shipped(_q_rule_attribution),
         "codec_stats": _shipped(_q_codec_stats),
+        "artifact_stats": _shipped(_q_artifact_stats),
         "ccnet_buckets": _shipped(_q_ccnet_buckets),
         "asr_chunks": _shipped(_q_asr_chunks),
         "asr_chunk_stats": _shipped(_q_asr_chunk_stats),
@@ -1805,6 +1828,17 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(clipped_ratio), 6) AS avg_clipped_ratio
             FROM '{os.path.join(EXPECTED_DIR,
                                 'audio_decode_features.parquet')}'
+            GROUP BY codec ORDER BY codec
+        """,
+        "artifact_stats": f"""
+            SELECT codec, count(*)::BIGINT AS n_clips,
+                   round(avg(hum50_ratio), 6) AS avg_hum50,
+                   round(avg(hum60_ratio), 6) AS avg_hum60,
+                   round(avg(CASE WHEN hum50_ratio > 0.1 OR hum60_ratio > 0.1
+                             THEN 1.0 ELSE 0.0 END), 6) AS hum_flag_rate,
+                   round(avg(flat_ratio), 6) AS avg_flat_ratio,
+                   round(max(max_flat_run_ms), 4) AS worst_flat_run_ms
+            FROM '{os.path.join(EXPECTED_DIR, 'audio_artifacts.parquet')}'
             GROUP BY codec ORDER BY codec
         """,
         "audio_trim": __import__(

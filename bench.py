@@ -63,6 +63,7 @@ BENCH_QUERIES = (
     "audio_pitch",            # ACF f0/voicing summary + zero-crossing rate
     "audio_artifacts",        # mains-hum + dropout artifact screen
     "audio_trim_apply",       # write-side silence trim (slice + re-encode)
+    "artifact_stats",         # per-codec hum/dropout dashboard aggregate
     "quality_classifier",     # weak-label fastText quality model (train+score)
     "mixture_sample",         # token-budget source mixing (counts + hash filter)
     "substr_dedup",           # ExactSubstr k-gram span removal (Lee et al.)
