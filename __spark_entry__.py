@@ -1235,6 +1235,40 @@ def _q_pipeline_keep(spark, sf_dir):
     )
 
 
+def _q_keep_rate_audit(spark, sf_dir):
+    """Per-language keep-rate disparity audit (the fairness screen a
+    multilingual corpus runs before training): keep rate per language
+    vs the clip-weighted corpus mean, flagging languages more than 20
+    points below it — systematic under-retention usually means the
+    quality thresholds encode a language bias. Twin re-derives the
+    audit from the committed pipeline_keep_stats golden."""
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    reg = _registry(spark)
+    clips = _synth_clips(spark)
+    out = quality_filter(clips, reg)
+    per_lang = out.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_clips"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+    total = per_lang.agg(
+        F.sum("n_clips").alias("t_clips"), F.sum("n_kept").alias("t_kept"))
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang", "n_clips", "n_kept",
+            F.round(F.col("n_kept") / F.col("n_clips"), 6)
+             .alias("keep_rate"),
+            F.round(F.col("t_kept") / F.col("t_clips"), 6)
+             .alias("corpus_keep_rate"),
+            ((F.col("n_kept") / F.col("n_clips"))
+             < (F.col("t_kept") / F.col("t_clips")) - 0.2)
+            .alias("under_retained"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_audio_neardup(spark, sf_dir):
     from tiny_lingua_spark import audio_fp
 
@@ -1540,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_attribution": _shipped(_q_rule_attribution),
         "codec_stats": _shipped(_q_codec_stats),
         "artifact_stats": _shipped(_q_artifact_stats),
+        "keep_rate_audit": _shipped(_q_keep_rate_audit),
         "ccnet_buckets": _shipped(_q_ccnet_buckets),
         "asr_chunks": _shipped(_q_asr_chunks),
         "asr_chunk_stats": _shipped(_q_asr_chunk_stats),
@@ -1840,6 +1875,25 @@ def oracle_sql() -> dict[str, str]:
                    round(max(max_flat_run_ms), 4) AS worst_flat_run_ms
             FROM '{os.path.join(EXPECTED_DIR, 'audio_artifacts.parquet')}'
             GROUP BY codec ORDER BY codec
+        """,
+        "keep_rate_audit": f"""
+            WITH per_lang AS (
+              SELECT lang, sum(n_clips)::BIGINT AS n_clips,
+                     sum(CASE WHEN keep THEN n_clips ELSE 0 END)::BIGINT
+                       AS n_kept
+              FROM '{os.path.join(EXPECTED_DIR,
+                                  'pipeline_keep_stats.parquet')}'
+              GROUP BY lang
+            ), total AS (
+              SELECT sum(n_clips) AS t_clips, sum(n_kept) AS t_kept
+              FROM per_lang
+            )
+            SELECT lang, n_clips, n_kept,
+                   round(n_kept / n_clips, 6) AS keep_rate,
+                   round(t_kept / t_clips, 6) AS corpus_keep_rate,
+                   (n_kept / n_clips) < (t_kept / t_clips) - 0.2
+                     AS under_retained
+            FROM per_lang, total ORDER BY lang
         """,
         "audio_trim": __import__(
             "tiny_lingua_spark.audio_fp", fromlist=["audio_fp"]
