@@ -1320,6 +1320,31 @@ def _q_audio_trim_apply(spark, sf_dir):
     )
 
 
+def _q_audio_class(spark, sf_dir):
+    """Rule-based speech/tonal/noise triage from the pitch + spectral
+    summaries (the coarse content gate an ASR corpus runs before the
+    expensive detector): steady strong voicing with near-zero f0
+    spread = tonal (music note / test tone / mains hum), unvoiced =
+    noise-or-silence, varying voiced pitch = speechlike. Both kernel
+    outputs are rounded exactly as their goldens are, so the codegen
+    rule sees identical values in both engines; twin joins the two
+    committed goldens and applies the same SQL rule."""
+    p = _q_audio_pitch(spark, sf_dir).select(
+        "clip_id", "codec", "n_frames", "voiced_ratio", "f0_std_hz")
+    sp = _q_audio_spectral(spark, sf_dir).select("clip_id", "flatness")
+    label = (
+        F.when(F.col("n_frames") == 0, F.lit("short"))
+         .when(F.col("voiced_ratio") < 0.2, F.lit("noise_or_silence"))
+         .when(F.col("f0_std_hz") <= 2.0, F.lit("tonal"))
+         .otherwise(F.lit("speechlike"))
+    )
+    return (
+        p.join(sp, "clip_id")
+        .select("clip_id", "codec", "voiced_ratio", "f0_std_hz",
+                "flatness", label.alias("label"))
+    )
+
+
 def _q_audio_embed_knn(spark, sf_dir):
     """Audio embeddings feeding the generic KNN operator (clip ids
     mapped to dense ints via their numeric suffix)."""
@@ -1575,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_stats": _shipped(_q_codec_stats),
         "artifact_stats": _shipped(_q_artifact_stats),
         "keep_rate_audit": _shipped(_q_keep_rate_audit),
+        "audio_class": _shipped(_q_audio_class),
         "ccnet_buckets": _shipped(_q_ccnet_buckets),
         "asr_chunks": _shipped(_q_asr_chunks),
         "asr_chunk_stats": _shipped(_q_asr_chunk_stats),
@@ -1894,6 +1920,17 @@ def oracle_sql() -> dict[str, str]:
                    (n_kept / n_clips) < (t_kept / t_clips) - 0.2
                      AS under_retained
             FROM per_lang, total ORDER BY lang
+        """,
+        "audio_class": f"""
+            SELECT p.clip_id, p.codec, p.voiced_ratio, p.f0_std_hz,
+                   s.flatness,
+                   CASE WHEN p.n_frames = 0 THEN 'short'
+                        WHEN p.voiced_ratio < 0.2 THEN 'noise_or_silence'
+                        WHEN p.f0_std_hz <= 2.0 THEN 'tonal'
+                        ELSE 'speechlike' END AS label
+            FROM '{os.path.join(EXPECTED_DIR, 'audio_pitch.parquet')}' p
+            JOIN '{os.path.join(EXPECTED_DIR, 'audio_spectral.parquet')}' s
+              USING (clip_id)
         """,
         "audio_trim": __import__(
             "tiny_lingua_spark.audio_fp", fromlist=["audio_fp"]

@@ -65,6 +65,7 @@ BENCH_QUERIES = (
     "audio_trim_apply",       # write-side silence trim (slice + re-encode)
     "artifact_stats",         # per-codec hum/dropout dashboard aggregate
     "keep_rate_audit",        # per-language keep-rate disparity screen
+    "audio_class",            # speech/tonal/noise triage from kernel summaries
     "quality_classifier",     # weak-label fastText quality model (train+score)
     "mixture_sample",         # token-budget source mixing (counts + hash filter)
     "substr_dedup",           # ExactSubstr k-gram span removal (Lee et al.)

@@ -142,3 +142,33 @@ def test_pitch_udf_spark(spark):
     for col in ("voiced_ratio", "f0_mean_hz", "f0_std_hz", "zcr"):
         assert np.allclose(got[col].to_numpy(),
                            ref[col].to_numpy()[order], atol=1e-9), col
+
+
+def test_triage_rule_separates_content_types():
+    """The audio_class rule over pitch summaries: steady tone → tonal,
+    noise → noise_or_silence, pitch-modulated 'speech' → speechlike."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 200 * t)
+    rng = np.random.default_rng(4)
+    noise = 0.3 * rng.standard_normal(sr)
+    # f0 glides 120→260 Hz: voiced everywhere, large f0 spread
+    glide = 0.5 * np.sin(2 * np.pi * (120 * t + 70 * t * t))
+    rows = [("tone", tone), ("noise", noise), ("glide", glide)]
+    b = pd.Series([A.encode(x.astype(np.float32), "pcm_f32le")
+                   for _, x in rows])
+    out = A._pitch_batch(b, pd.Series(["pcm_f32le"] * 3),
+                         pd.Series([sr] * 3))
+
+    def label(r):
+        if r.n_frames == 0:
+            return "short"
+        if r.voiced_ratio < 0.2:
+            return "noise_or_silence"
+        if r.f0_std_hz <= 2.0:
+            return "tonal"
+        return "speechlike"
+
+    got = {name: label(r) for (name, _), r in zip(rows, out.itertuples())}
+    assert got == {"tone": "tonal", "noise": "noise_or_silence",
+                   "glide": "speechlike"}, got
