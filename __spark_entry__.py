@@ -1294,6 +1294,29 @@ def _q_audio_trim(spark, sf_dir):
     return audio_fp.trim_plan(audio_fp.segment_clips(_synth_clips(spark)))
 
 
+def _q_align_words(spark, sf_dir):
+    """Word-level timestamps, uniform tier: words spread across the
+    full clip duration proportional to char length. Pure Catalyst
+    (posexplode + one clip_id window chain); twin re-derives the same
+    math over the committed clip-metadata fixture."""
+    from tiny_lingua_spark.operators.align import align_words_uniform
+
+    return align_words_uniform(_synth_clips(spark))
+
+
+def _q_align_words_vad(spark, sf_dir):
+    """Word-level timestamps, VAD tier: word spans laid out on the
+    concatenated-speech axis and mapped to wall clock through the VAD
+    segments (silence skipped; straddling words span the pause,
+    n_segs > 1). Twin re-derives the full alignment in SQL from the
+    clips-meta fixture × the committed segments golden."""
+    from tiny_lingua_spark import audio_fp
+    from tiny_lingua_spark.operators.align import align_words_vad
+
+    clips = _synth_clips(spark)
+    return align_words_vad(clips, audio_fp.segment_clips(clips))
+
+
 def _q_audio_trim_apply(spark, sf_dir):
     """Write side of the trim plan: decode → slice the keep window →
     re-encode to canonical pcm_s16le in one whole-batch pass. Left join
@@ -1650,6 +1673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": _shipped(_q_audio_neardup),
         "audio_segments": _shipped(_q_audio_segments),
         "audio_trim": _shipped(_q_audio_trim),
+        "align_words": _shipped(_q_align_words),
+        "align_words_vad": _shipped(_q_align_words_vad),
         "audio_trim_apply": _shipped(_q_audio_trim_apply),
         "audio_embed_knn": _shipped(_q_audio_embed_knn),
     }
@@ -1936,6 +1961,15 @@ def oracle_sql() -> dict[str, str]:
             "tiny_lingua_spark.audio_fp", fromlist=["audio_fp"]
         ).trim_plan_sql(
             "SELECT * FROM "
+            f"'{os.path.join(EXPECTED_DIR, 'audio_segments.parquet')}'"),
+        "align_words": __import__(
+            "tiny_lingua_spark.operators.align", fromlist=["align"]
+        ).align_words_uniform_sql(
+            f"'{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'"),
+        "align_words_vad": __import__(
+            "tiny_lingua_spark.operators.align", fromlist=["align"]
+        ).align_words_vad_sql(
+            f"'{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'",
             f"'{os.path.join(EXPECTED_DIR, 'audio_segments.parquet')}'"),
         "ccnet_buckets": __import__(
             "tiny_lingua_spark.functions.perplexity",

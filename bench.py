@@ -88,6 +88,7 @@ BENCH_QUERIES = (
     "classifier_auc",         # held-out rank-AUC of the learned filter
     "classifier_calibration", # reliability table (temperature-scaled)
     "audio_trim",             # VAD-derived silence trim plan
+    "align_words_vad",        # word timestamps over VAD speech time
 )
 
 

@@ -1,0 +1,118 @@
+"""Word-timestamp alignment (operators/align.py): closed-form cases,
+invariants, VAD silence-skipping, and plan shape."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators.align import (
+    align_words_uniform,
+    align_words_uniform_sql,
+    align_words_vad,
+    align_words_vad_sql,
+)
+from tiny_lingua_spark.plans.audit import explain_str as plan_of
+
+CLIPS_SCHEMA = "clip_id string, transcript string, dur_ms long"
+SEGS_SCHEMA = "clip_id string, seg_idx int, start_ms int, end_ms int"
+
+
+def _clips(spark, rows):
+    return spark.createDataFrame(rows, CLIPS_SCHEMA)
+
+
+def _segs(spark, rows):
+    return spark.createDataFrame(rows, SEGS_SCHEMA)
+
+
+def test_uniform_closed_form(spark):
+    # "ab cd" -> weights 3,3; total 6 -> halves of 1000ms
+    got = {r["word_idx"]: r for r in align_words_uniform(
+        _clips(spark, [("c", "ab cd", 1000)])).collect()}
+    assert got[0]["word"] == "ab" and got[0]["start_ms"] == 0.0
+    assert got[0]["end_ms"] == 500.0
+    assert got[1]["start_ms"] == 500.0 and got[1]["end_ms"] == 1000.0
+
+
+def test_uniform_weight_proportional_and_contiguous(spark):
+    rows = align_words_uniform(
+        _clips(spark, [("c", "a bbb  cc", 900)])).orderBy("word_idx").collect()
+    # weights 2,4,3 over 900ms -> 200, 400, 300
+    spans = [(r["start_ms"], r["end_ms"]) for r in rows]
+    assert spans == [(0.0, 200.0), (200.0, 600.0), (600.0, 900.0)]
+    # contiguity + full coverage
+    assert spans[0][0] == 0.0 and spans[-1][1] == 900.0
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_uniform_empty_and_null_yield_no_rows(spark):
+    df = _clips(spark, [("e", "", 500), ("w", "   ", 500), ("n", None, 500)])
+    assert align_words_uniform(df).count() == 0
+
+
+def test_vad_skips_silence(spark):
+    # one clip, speech at [100,300) and [700,900): 400ms speech total.
+    # "ab cd" halves -> word0 owns speech [0,200) -> wall [100,300);
+    # word1 owns speech [200,400) -> wall [700,900). The 400ms pause
+    # is in neither word.
+    clips = _clips(spark, [("c", "ab cd", 1000)])
+    segs = _segs(spark, [("c", 0, 100, 300), ("c", 1, 700, 900)])
+    got = {r["word_idx"]: r for r in align_words_vad(clips, segs).collect()}
+    assert (got[0]["start_ms"], got[0]["end_ms"], got[0]["n_segs"]) == (100.0, 300.0, 1)
+    assert (got[1]["start_ms"], got[1]["end_ms"], got[1]["n_segs"]) == (700.0, 900.0, 1)
+
+
+def test_vad_straddling_word_spans_pause(spark):
+    # one 3-char word per half plus a middle word straddling the pause
+    clips = _clips(spark, [("c", "aaa bbb ccc", 1000)])
+    # speech [0,200) + [800,1000): total 400ms; weights 4,4,4
+    segs = _segs(spark, [("c", 0, 0, 200), ("c", 1, 800, 1000)])
+    got = {r["word_idx"]: r for r in align_words_vad(clips, segs).collect()}
+    # word1 owns speech [133.33, 266.67): starts in seg0, ends in seg1
+    assert got[1]["n_segs"] == 2
+    assert got[1]["start_ms"] == pytest.approx(400 / 3, abs=1e-3)
+    assert got[1]["end_ms"] == pytest.approx(800 + 800 / 3 - 200, abs=1e-3)
+    # flanking words stay inside their segments
+    assert got[0]["n_segs"] == 1 and got[0]["start_ms"] == 0.0
+    assert got[2]["n_segs"] == 1 and got[2]["end_ms"] == 1000.0
+
+
+def test_vad_no_speech_yields_no_rows(spark):
+    clips = _clips(spark, [("c", "ab cd", 1000)])
+    segs = _segs(spark, []).filter(F.lit(False))
+    assert align_words_vad(clips, segs).count() == 0
+
+
+def test_duckdb_twins_match(spark, tmp_path):
+    clips = _clips(spark, [
+        ("c1", "hello wide world", 1500),
+        ("c2", "a  b", 400),
+        ("c3", "", 300),
+    ])
+    segs = _segs(spark, [
+        ("c1", 0, 0, 500), ("c1", 1, 900, 1400),
+        ("c2", 0, 100, 300),
+    ])
+    cp, sp = str(tmp_path / "clips.parquet"), str(tmp_path / "segs.parquet")
+    clips.toPandas().to_parquet(cp)
+    segs.toPandas().to_parquet(sp)
+
+    su = align_words_uniform(clips).toPandas()
+    du = duckdb.sql(align_words_uniform_sql(f"'{cp}'")).df()
+    sv = align_words_vad(clips, segs).toPandas()
+    dv = duckdb.sql(align_words_vad_sql(f"'{cp}'", f"'{sp}'")).df()
+    for s, d in ((su, du), (sv, dv)):
+        key = ["clip_id", "word_idx"]
+        s = s.sort_values(key).reset_index(drop=True)[sorted(s.columns)]
+        d = d.sort_values(key).reset_index(drop=True)[sorted(d.columns)]
+        assert s.columns.tolist() == d.columns.tolist()
+        assert len(s) == len(d)
+        for c in s.columns:
+            assert s[c].tolist() == d[c].tolist(), c
+
+
+def test_uniform_plan_single_window_exchange_no_python(spark):
+    plan = plan_of(align_words_uniform(_clips(spark, [("c", "ab cd", 10)])))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the two window aggs share the clip_id partitioning: one shuffle
+    assert plan.count("Exchange") <= 2  # hashpartition + possible AQE read

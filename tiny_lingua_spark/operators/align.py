@@ -1,0 +1,218 @@
+"""Forced-alignment-lite: word-level timestamps for clip transcripts.
+
+ASR training pipelines want per-word time spans (CTC-segmentation-style
+supervision, subtitle generation, word-level audio slicing). A real
+acoustic aligner needs the model this pipeline is *preparing data for*,
+so the bootstrap stage uses the standard proportional heuristic: each
+word owns a slice of the clip's speech time proportional to its
+character length (+1 for the following inter-word gap). Two tiers:
+
+- ``align_words_uniform`` — spreads words across the full clip
+  duration ``[0, dur_ms)``. Pure metadata math (transcript + dur_ms),
+  zero UDF, full DuckDB twin.
+- ``align_words_vad`` — spreads words across *speech time only*: the
+  word span is laid out in concatenated-speech coordinates and mapped
+  back to wall-clock through the VAD segment table
+  (``audio_fp.segment_clips`` output), skipping silence. A word that
+  straddles a pause gets the wall-clock span from the segment
+  containing its start to the segment containing its end
+  (``n_segs`` > 1 marks those). Clips with no speech segments emit no
+  rows — nothing to anchor to (the trim plan's drop-all contract).
+
+Both tiers are 100 % declarative Catalyst: posexplode(split) +
+cumulative-sum windows partitioned by clip_id, and (for the VAD tier)
+an equi-join on clip_id with an overlap post-filter. At 10^12 clips the
+only shuffle is the clip_id window/join partitioning, and both window
+chains share it; per-clip state is bounded by transcript length and
+segment count, so no key is hot. PCM never enters the plan — the VAD
+tier consumes the segment *table*, which upstream computes once.
+
+Reference parity note: the reference engine (tiny-lingua) has no audio
+axis; this operator is part of the training-data-pipeline extension
+band (BASELINE.json north_star: ASR clip+transcript corpus prep).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "word_spans",
+    "align_words_uniform",
+    "align_words_uniform_sql",
+    "align_words_vad",
+    "align_words_vad_sql",
+]
+
+
+def word_spans(clips: DataFrame, id_col: str = "clip_id",
+               transcript_col: str = "transcript",
+               carry: tuple[str, ...] = ()) -> DataFrame:
+    """(clip_id, word_idx, word, w, cum0, cum1, total [, *carry]):
+    whitespace tokens with cumulative char-weight spans. Weight =
+    len(word)+1 — the +1 absorbs the following space/pause so long
+    words get proportionally longer slices without the last word
+    losing its share. Empty/whitespace-only/null transcripts yield no
+    rows (split of '' gives one empty token, filtered)."""
+    w_ord = Window.partitionBy("clip_id").orderBy("word_idx")
+    w_all = Window.partitionBy("clip_id")
+    return (
+        clips.select(
+            F.col(id_col).alias("clip_id"),
+            *[F.col(c) for c in carry],
+            F.posexplode(F.split(F.trim(F.col(transcript_col)), r"\s+"))
+             .alias("word_idx", "word"),
+        )
+        .filter(F.col("word") != "")
+        .withColumn("w", (F.length("word") + F.lit(1)).cast("long"))
+        .withColumn("cum1", F.sum("w").over(w_ord))
+        .withColumn("cum0", (F.col("cum1") - F.col("w")))
+        .withColumn("total", F.sum("w").over(w_all))
+    )
+
+
+_WORDS_CTE = """
+    toks AS (
+      SELECT clip_id, {carry} l[i] AS word, (i - 1)::INT AS word_idx,
+             (length(l[i]) + 1)::BIGINT AS w
+      FROM (SELECT {id_expr} AS clip_id, {carry_src}
+                   regexp_split_to_array(trim({transcript_expr}), '\\s+') AS l
+            FROM {table}),
+           LATERAL unnest(generate_series(1, len(l))) AS g(i)
+      WHERE l[i] != ''
+    ),
+    spans AS (
+      SELECT *,
+             sum(w) OVER (PARTITION BY clip_id ORDER BY word_idx) AS cum1,
+             sum(w) OVER (PARTITION BY clip_id ORDER BY word_idx) - w AS cum0,
+             sum(w) OVER (PARTITION BY clip_id) AS total
+      FROM toks
+    )
+"""
+
+
+def _words_cte(table: str, id_expr: str, transcript_expr: str,
+               carry_exprs: dict[str, str] | None = None) -> str:
+    carry_exprs = carry_exprs or {}
+    carry = "".join(f"{name}, " for name in carry_exprs)
+    carry_src = "".join(f"{expr} AS {name}, "
+                        for name, expr in carry_exprs.items())
+    return _WORDS_CTE.format(table=table, id_expr=id_expr,
+                             transcript_expr=transcript_expr,
+                             carry=carry, carry_src=carry_src)
+
+
+def align_words_uniform(clips: DataFrame, id_col: str = "clip_id",
+                        transcript_col: str = "transcript",
+                        dur_ms_col: str = "dur_ms") -> DataFrame:
+    """Word timestamps proportional over the full clip duration.
+    One codegen projection after the shared clip_id window shuffle."""
+    words = word_spans(clips, id_col, transcript_col, carry=(dur_ms_col,))
+    d = F.col(dur_ms_col).cast("long")
+    return words.select(
+        "clip_id", "word_idx", "word",
+        F.round(d * F.col("cum0") / F.col("total"), 6).alias("start_ms"),
+        F.round(d * F.col("cum1") / F.col("total"), 6).alias("end_ms"),
+    )
+
+
+def align_words_uniform_sql(table: str, id_expr: str = "clip_id",
+                            transcript_expr: str = "transcript",
+                            dur_ms_expr: str = "dur_ms") -> str:
+    """DuckDB twin of align_words_uniform (same names, 6-dp rounding;
+    `table` is typically the committed clip-metadata fixture)."""
+    words = _words_cte(table, id_expr, transcript_expr,
+                       {"dur_ms": f"{dur_ms_expr}::BIGINT"})
+    return f"""
+    WITH {words}
+    SELECT clip_id, word_idx, word,
+           round(dur_ms * cum0 / total, 6) AS start_ms,
+           round(dur_ms * cum1 / total, 6) AS end_ms
+    FROM spans
+    """
+
+
+def _segments_speech_coords(segments: DataFrame) -> DataFrame:
+    """Add concatenated-speech-time coordinates to a VAD segment table:
+    scum0/scum1 = the segment's span on the silence-removed axis,
+    speech_total = per-clip speech ms."""
+    s_ord = Window.partitionBy("clip_id").orderBy("seg_idx")
+    s_all = Window.partitionBy("clip_id")
+    dur = (F.col("end_ms") - F.col("start_ms")).cast("double")
+    return (
+        segments.select("clip_id", "seg_idx", "start_ms", "end_ms")
+        .withColumn("seg_dur", dur)
+        .withColumn("scum1", F.sum("seg_dur").over(s_ord))
+        .withColumn("scum0", F.col("scum1") - F.col("seg_dur"))
+        .withColumn("speech_total", F.sum("seg_dur").over(s_all))
+    )
+
+
+def align_words_vad(clips: DataFrame, segments: DataFrame,
+                    id_col: str = "clip_id",
+                    transcript_col: str = "transcript") -> DataFrame:
+    """Word timestamps over speech time only: lay the word out on the
+    concatenated-speech axis, then map back to wall clock through the
+    segments that its span overlaps (min wall start / max wall end).
+
+    `segments` is an ``audio_fp.segment_clips``-shaped frame
+    (clip_id, seg_idx, start_ms, end_ms[, ...]). Join is equi on
+    clip_id (words × segments fan-out bounded by segments-per-clip)
+    with the overlap filter applied before the aggregate."""
+    words = word_spans(clips, id_col, transcript_col)
+    segs = _segments_speech_coords(segments)
+    j = words.join(segs, "clip_id")
+    s0 = F.col("speech_total") * F.col("cum0") / F.col("total")
+    s1 = F.col("speech_total") * F.col("cum1") / F.col("total")
+    piece_start = F.col("start_ms") + F.greatest(s0, F.col("scum0")) - F.col("scum0")
+    piece_end = F.col("start_ms") + F.least(s1, F.col("scum1")) - F.col("scum0")
+    return (
+        j.filter((s0 < F.col("scum1")) & (s1 > F.col("scum0")))
+        .select("clip_id", "word_idx", "word",
+                piece_start.alias("ps"), piece_end.alias("pe"))
+        .groupBy("clip_id", "word_idx", "word")
+        .agg(
+            F.round(F.min("ps"), 6).alias("start_ms"),
+            F.round(F.max("pe"), 6).alias("end_ms"),
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+        )
+    )
+
+
+def align_words_vad_sql(clips_table: str, segments_table: str,
+                        id_expr: str = "clip_id",
+                        transcript_expr: str = "transcript") -> str:
+    """DuckDB twin of align_words_vad — re-derives the full alignment
+    from the clip metadata fixture plus the committed VAD-segment
+    golden (only the segment boundaries come from the golden; all the
+    alignment math is recomputed in SQL)."""
+    words = _words_cte(clips_table, id_expr, transcript_expr)
+    return f"""
+    WITH {words},
+    segs AS (
+      SELECT clip_id, seg_idx, start_ms::DOUBLE AS start_ms,
+             (end_ms - start_ms)::DOUBLE AS seg_dur,
+             sum((end_ms - start_ms)::DOUBLE)
+               OVER (PARTITION BY clip_id ORDER BY seg_idx) AS scum1,
+             sum((end_ms - start_ms)::DOUBLE)
+               OVER (PARTITION BY clip_id) AS speech_total
+      FROM {segments_table}
+    ),
+    j AS (
+      SELECT w.clip_id, w.word_idx, w.word,
+             s.start_ms + greatest(s.speech_total * w.cum0 / w.total,
+                                   s.scum1 - s.seg_dur)
+                        - (s.scum1 - s.seg_dur) AS ps,
+             s.start_ms + least(s.speech_total * w.cum1 / w.total,
+                                s.scum1)
+                        - (s.scum1 - s.seg_dur) AS pe
+      FROM spans w JOIN segs s USING (clip_id)
+      WHERE s.speech_total * w.cum0 / w.total < s.scum1
+        AND s.speech_total * w.cum1 / w.total > s.scum1 - s.seg_dur
+    )
+    SELECT clip_id, word_idx, word,
+           round(min(ps), 6) AS start_ms,
+           round(max(pe), 6) AS end_ms,
+           count(*)::BIGINT AS n_segs
+    FROM j GROUP BY clip_id, word_idx, word
+    """

@@ -71,6 +71,8 @@ PLAN_QUERIES = (
     "ngram_diversity",
     "rule_attribution",
     "classifier_auc",
+    "align_words",
+    "align_words_vad",
 )
 
 
