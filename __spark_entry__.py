@@ -275,6 +275,35 @@ def _q_quality_buckets(spark, sf_dir):
     return quality_buckets(scored)
 
 
+def _drift_input(spark, sf_dir):
+    """Quality score per doc plus a deterministic ref/cur batch split
+    (even/odd doc_id stands in for snapshot t vs t+1)."""
+    from tiny_lingua_spark.functions.quality import quality_score_col
+
+    docs = _docs(spark, sf_dir).select("doc_id", *quality_metrics_cols("text"))
+    return docs.select(
+        quality_score_col().alias("q"),
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+    )
+
+
+def _q_drift_bins(spark, sf_dir):
+    """Per-bin PSI drift table between two deterministic batches of
+    the quality-score distribution. One (batch,bin) hash aggregate —
+    constant-size shuffle at any input scale."""
+    from tiny_lingua_spark.operators.drift import drift_bins
+
+    return drift_bins(_drift_input(spark, sf_dir), "q", "is_ref")
+
+
+def _q_drift_summary(spark, sf_dir):
+    """One-row drift verdict: PSI + binned KL + binned KS with the
+    0.1/0.25 PSI convention."""
+    from tiny_lingua_spark.operators.drift import drift_summary
+
+    return drift_summary(_drift_input(spark, sf_dir), "q", "is_ref")
+
+
 def _q_quality_calibrated(spark, sf_dir):
     """Data-driven quality histogram: exact-percentile thresholds (the
     oracle tier; the 100 TB path swaps in the approx_percentile sketch —
@@ -1587,6 +1616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _shipped(_q_normalize_text),
         "quality_buckets": _shipped(_q_quality_buckets),
         "quality_calibrated": _shipped(_q_quality_calibrated),
+        "drift_bins": _shipped(_q_drift_bins),
+        "drift_summary": _shipped(_q_drift_summary),
         "repetition_metrics": _shipped(_q_repetition),
         "exact_dedup": _shipped(_q_exact_dedup),
         "span_dedup": _shipped(_q_span_dedup),
@@ -1787,6 +1818,30 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(q_score), 6) AS avg_score
             FROM scored GROUP BY 1
         """,
+        "drift_bins": __import__(
+            "tiny_lingua_spark.operators.drift", fromlist=["drift"]
+        ).drift_bins_sql(
+            "(SELECT {qs} AS q, (doc_id % 2 = 0) AS is_ref FROM "
+            "(SELECT doc_id, {m} FROM documents))".format(
+                qs=qscore,
+                m=", ".join(
+                    f"({expr})::DOUBLE AS {name}"
+                    if name not in ("n_chars", "n_tokens")
+                    else f"({expr})::BIGINT AS {name}"
+                    for name, expr in qm.items())),
+            "q", "is_ref"),
+        "drift_summary": __import__(
+            "tiny_lingua_spark.operators.drift", fromlist=["drift"]
+        ).drift_summary_sql(
+            "(SELECT {qs} AS q, (doc_id % 2 = 0) AS is_ref FROM "
+            "(SELECT doc_id, {m} FROM documents))".format(
+                qs=qscore,
+                m=", ".join(
+                    f"({expr})::DOUBLE AS {name}"
+                    if name not in ("n_chars", "n_tokens")
+                    else f"({expr})::BIGINT AS {name}"
+                    for name, expr in qm.items())),
+            "q", "is_ref"),
         "quality_calibrated": __import__(
             "tiny_lingua_spark.functions.quality",
             fromlist=["quality"]).calibrated_buckets_sql(

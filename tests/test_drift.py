@@ -1,0 +1,94 @@
+"""Distribution-drift monitor (operators/drift.py): closed-form PSI/KL/KS
+on planted distributions, identical-batch zero case, clamping, empty
+bins, DuckDB twin equality, and plan shape."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators.drift import (
+    drift_bins,
+    drift_bins_sql,
+    drift_summary,
+    drift_summary_sql,
+)
+from tiny_lingua_spark.plans.audit import audit, explain_str as plan_of
+
+EPS = 1e-6
+
+
+def _df(spark, ref_scores, cur_scores):
+    rows = [(float(s), True) for s in ref_scores] + [
+        (float(s), False) for s in cur_scores]
+    return spark.createDataFrame(rows, "q double, is_ref boolean")
+
+
+def test_identical_batches_zero_drift(spark):
+    scores = [0.05, 0.15, 0.25, 0.55, 0.95]
+    row = drift_summary(_df(spark, scores, scores), "q", "is_ref").first()
+    assert row["psi"] == 0.0
+    assert row["ks_binned"] == 0.0
+    assert row["verdict"] == "stable"
+    assert row["n_ref"] == row["n_cur"] == 5
+
+
+def test_closed_form_two_bin_shift(spark):
+    # ref: 8 low + 2 high; cur: 2 low + 8 high over 2 bins
+    df = _df(spark, [0.1] * 8 + [0.9] * 2, [0.1] * 2 + [0.9] * 8)
+    row = drift_summary(df, "q", "is_ref", n_bins=2).first()
+    want = sum(
+        (c - r) * math.log((c + EPS) / (r + EPS))
+        for r, c in ((0.8, 0.2), (0.2, 0.8))
+    )
+    assert row["psi"] == pytest.approx(want, abs=1e-6)
+    assert row["ks_binned"] == pytest.approx(0.6, abs=1e-6)
+    assert row["verdict"] == "retrain"
+    bins = {r["bin_id"]: r for r in
+            drift_bins(df, "q", "is_ref", n_bins=2).collect()}
+    assert bins[0]["n_ref"] == 8 and bins[0]["n_cur"] == 2
+    assert bins[0]["p_ref"] == 0.8 and bins[0]["p_cur"] == 0.2
+
+
+def test_out_of_range_scores_clamp_to_edge_bins(spark):
+    df = _df(spark, [-5.0, 0.0], [99.0, 1.0])
+    bins = {r["bin_id"]: r for r in
+            drift_bins(df, "q", "is_ref", n_bins=4).collect()}
+    assert bins[0]["n_ref"] == 2          # -5.0 and 0.0 both clamp low
+    assert bins[3]["n_cur"] == 2          # 99.0 and 1.0 both clamp high
+    assert len(bins) == 4                  # spine keeps empty bins
+
+
+def test_empty_bins_present_and_finite(spark):
+    df = _df(spark, [0.05], [0.95])
+    rows = drift_bins(df, "q", "is_ref", n_bins=10).collect()
+    assert len(rows) == 10
+    assert all(r["psi_contrib"] is not None and
+               not math.isnan(r["psi_contrib"]) for r in rows)
+
+
+def test_duckdb_twins_match(spark, tmp_path):
+    df = _df(spark, [0.1] * 7 + [0.6] * 3, [0.2] * 2 + [0.8] * 9)
+    p = str(tmp_path / "drift.parquet")
+    df.toPandas().to_parquet(p)
+    for fn, sql in ((drift_bins, drift_bins_sql),
+                    (drift_summary, drift_summary_sql)):
+        s = fn(df, "q", "is_ref").toPandas()
+        d = duckdb.sql(sql(f"'{p}'", "q", "is_ref")).df()
+        s = s[sorted(s.columns)].sort_values(sorted(s.columns)).reset_index(drop=True)
+        d = d[sorted(d.columns)].sort_values(sorted(d.columns)).reset_index(drop=True)
+        assert s.columns.tolist() == d.columns.tolist()
+        for c in s.columns:
+            assert s[c].tolist() == d[c].tolist(), c
+
+
+def test_plan_single_hash_aggregate_no_python(spark):
+    df = _df(spark, [0.1, 0.9], [0.2, 0.8])
+    a = audit(drift_summary(df, "q", "is_ref"))
+    assert a["python_eval_nodes"] == 0
+    assert not a["cartesian"]
+    # the only raw-input shuffle is the (bin) aggregate; everything
+    # else (spine join, windows, final agg) runs on n_bins rows
+    plan = plan_of(drift_bins(df, "q", "is_ref"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

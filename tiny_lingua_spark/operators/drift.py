@@ -1,0 +1,216 @@
+"""Distribution-drift monitoring between two corpus batches.
+
+Production quality-filter fleets retrain/recalibrate when the score
+distribution moves between ingest snapshots (new crawl, codec mix
+change, upstream scrub change). The standard monitor is the Population
+Stability Index over a fixed binning, plus binned KL and a binned
+Kolmogorov-Smirnov statistic:
+
+    PSI  = Σ_b (p_cur,b − p_ref,b) · ln(p̃_cur,b / p̃_ref,b)
+    KL   = Σ_b p̃_cur,b · ln(p̃_cur,b / p̃_ref,b)
+    KS   = max_b |CDF_cur(b) − CDF_ref(b)|
+
+with p̃ = p + eps smoothing so empty bins stay finite. Common practice:
+PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 retrain.
+
+Scale shape: ONE hash aggregate on (batch, bin) — at 10^12 rows the
+map-side partial aggregation reduces each task to ≤ 2·n_bins rows, so
+the shuffle is constant-size regardless of input; empty bins are
+restored by a right join against a literal bin spine (broadcast, n_bins
+rows); everything after the aggregate operates on ≤ n_bins rows. Zero
+Python, zero windows over raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["drift_bins", "drift_bins_sql", "drift_summary",
+           "drift_summary_sql"]
+
+
+def _bin_col(score, n_bins: int, lo: float, hi: float):
+    raw = F.floor((score - F.lit(lo)) / F.lit(hi - lo) * n_bins)
+    return F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+
+
+def drift_bins(df: DataFrame, score_col: str, is_ref_col: str,
+               n_bins: int = 10, lo: float = 0.0, hi: float = 1.0,
+               eps: float = 1e-6) -> DataFrame:
+    """Per-bin drift table: (bin_id, n_ref, n_cur, p_ref, p_cur,
+    psi_contrib). `is_ref_col` is a boolean column naming the reference
+    batch; everything else is the current batch. Scores outside
+    [lo, hi) clamp into the edge bins. All n_bins rows are present even
+    when empty (smoothed)."""
+    spark = df.sparkSession
+    counts = (
+        df.select(_bin_col(F.col(score_col), n_bins, lo, hi).alias("bin_id"),
+                  F.col(is_ref_col).alias("is_ref"))
+        .groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+             .cast("long").alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+             .cast("long").alias("n_cur"),
+        )
+    )
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin_id"))
+    w = Window.partitionBy()
+    filled = (
+        spine.join(counts, "bin_id", "left")
+        .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
+        .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)))
+        .withColumn("t_ref", F.sum("n_ref").over(w))
+        .withColumn("t_cur", F.sum("n_cur").over(w))
+    )
+    p_ref = F.col("n_ref") / F.col("t_ref")
+    p_cur = F.col("n_cur") / F.col("t_cur")
+    contrib = (p_cur - p_ref) * F.log((p_cur + eps) / (p_ref + eps))
+    return filled.select(
+        "bin_id", "n_ref", "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round(contrib, 6).alias("psi_contrib"),
+    )
+
+
+def drift_bins_sql(table: str, score_expr: str, is_ref_expr: str,
+                   n_bins: int = 10, lo: float = 0.0, hi: float = 1.0,
+                   eps: float = 1e-6) -> str:
+    """DuckDB twin of drift_bins (same names, 6-dp rounding)."""
+    return f"""
+    WITH binned AS (
+      SELECT least({n_bins - 1}, greatest(0,
+               floor((({score_expr}) - {lo!r}) / {hi - lo!r} * {n_bins})
+             ))::INT AS bin_id,
+             ({is_ref_expr}) AS is_ref
+      FROM {table}
+    ),
+    counts AS (
+      SELECT bin_id,
+             sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+             sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_cur
+      FROM binned GROUP BY bin_id
+    ),
+    filled AS (
+      SELECT s.bin_id::INT AS bin_id,
+             coalesce(c.n_ref, 0)::BIGINT AS n_ref,
+             coalesce(c.n_cur, 0)::BIGINT AS n_cur,
+             sum(coalesce(c.n_ref, 0)) OVER () AS t_ref,
+             sum(coalesce(c.n_cur, 0)) OVER () AS t_cur
+      FROM (SELECT unnest(generate_series(0, {n_bins - 1})) AS bin_id) s
+      LEFT JOIN counts c USING (bin_id)
+    )
+    SELECT bin_id, n_ref, n_cur,
+           round(n_ref / t_ref, 6) AS p_ref,
+           round(n_cur / t_cur, 6) AS p_cur,
+           round((n_cur / t_cur - n_ref / t_ref)
+                 * ln((n_cur / t_cur + {eps!r}) / (n_ref / t_ref + {eps!r})),
+                 6) AS psi_contrib
+    FROM filled
+    """
+
+
+def drift_summary(df: DataFrame, score_col: str, is_ref_col: str,
+                  n_bins: int = 10, lo: float = 0.0, hi: float = 1.0,
+                  eps: float = 1e-6) -> DataFrame:
+    """One-row drift verdict: (n_ref, n_cur, psi, kl_cur_ref,
+    ks_binned, verdict). verdict follows the 0.1 / 0.25 PSI
+    convention. Everything past the (batch, bin) aggregate runs on
+    n_bins rows."""
+    spark = df.sparkSession
+    counts = (
+        df.select(_bin_col(F.col(score_col), n_bins, lo, hi).alias("bin_id"),
+                  F.col(is_ref_col).alias("is_ref"))
+        .groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+             .cast("long").alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+             .cast("long").alias("n_cur"),
+        )
+    )
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin_id"))
+    w = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("bin_id")
+    p_ref = F.col("n_ref") / F.col("t_ref")
+    p_cur = F.col("n_cur") / F.col("t_cur")
+    per_bin = (
+        spine.join(counts, "bin_id", "left")
+        .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
+        .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)))
+        .withColumn("t_ref", F.sum("n_ref").over(w))
+        .withColumn("t_cur", F.sum("n_cur").over(w))
+        .withColumn("psi_c",
+                    (p_cur - p_ref) * F.log((p_cur + eps) / (p_ref + eps)))
+        .withColumn("kl_c", (p_cur + eps) * F.log((p_cur + eps) / (p_ref + eps)))
+        .withColumn("cdf_gap",
+                    F.abs(F.sum(p_cur).over(w_cum) - F.sum(p_ref).over(w_cum)))
+    )
+    psi = F.round(F.sum("psi_c"), 6)
+    return per_bin.agg(
+        F.max("t_ref").cast("long").alias("n_ref"),
+        F.max("t_cur").cast("long").alias("n_cur"),
+        psi.alias("psi"),
+        F.round(F.sum("kl_c"), 6).alias("kl_cur_ref"),
+        F.round(F.max("cdf_gap"), 6).alias("ks_binned"),
+    ).select(
+        "*",
+        F.when(F.col("psi") < 0.1, "stable")
+         .when(F.col("psi") < 0.25, "moderate_shift")
+         .otherwise("retrain").alias("verdict"),
+    )
+
+
+def drift_summary_sql(table: str, score_expr: str, is_ref_expr: str,
+                      n_bins: int = 10, lo: float = 0.0, hi: float = 1.0,
+                      eps: float = 1e-6) -> str:
+    """DuckDB twin of drift_summary."""
+    return f"""
+    WITH binned AS (
+      SELECT least({n_bins - 1}, greatest(0,
+               floor((({score_expr}) - {lo!r}) / {hi - lo!r} * {n_bins})
+             ))::INT AS bin_id,
+             ({is_ref_expr}) AS is_ref
+      FROM {table}
+    ),
+    counts AS (
+      SELECT bin_id,
+             sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+             sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_cur
+      FROM binned GROUP BY bin_id
+    ),
+    filled AS (
+      SELECT s.bin_id::INT AS bin_id,
+             coalesce(c.n_ref, 0)::BIGINT AS n_ref,
+             coalesce(c.n_cur, 0)::BIGINT AS n_cur,
+             sum(coalesce(c.n_ref, 0)) OVER () AS t_ref,
+             sum(coalesce(c.n_cur, 0)) OVER () AS t_cur
+      FROM (SELECT unnest(generate_series(0, {n_bins - 1})) AS bin_id) s
+      LEFT JOIN counts c USING (bin_id)
+    ),
+    per_bin AS (
+      SELECT *,
+             (n_cur / t_cur - n_ref / t_ref)
+               * ln((n_cur / t_cur + {eps!r}) / (n_ref / t_ref + {eps!r}))
+               AS psi_c,
+             (n_cur / t_cur + {eps!r})
+               * ln((n_cur / t_cur + {eps!r}) / (n_ref / t_ref + {eps!r}))
+               AS kl_c,
+             abs(sum(n_cur / t_cur) OVER (ORDER BY bin_id)
+                 - sum(n_ref / t_ref) OVER (ORDER BY bin_id)) AS cdf_gap
+      FROM filled
+    ),
+    agg AS (
+      SELECT max(t_ref)::BIGINT AS n_ref, max(t_cur)::BIGINT AS n_cur,
+             round(sum(psi_c), 6) AS psi,
+             round(sum(kl_c), 6) AS kl_cur_ref,
+             round(max(cdf_gap), 6) AS ks_binned
+      FROM per_bin
+    )
+    SELECT *,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi < 0.25 THEN 'moderate_shift'
+                ELSE 'retrain' END AS verdict
+    FROM agg
+    """
