@@ -893,6 +893,16 @@ def _q_semdedup_drop(spark, sf_dir):
     return similarity.semdedup_drop(_emb(spark, sf_dir), tau=0.4)
 
 
+def _q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk ratio margin,
+    mutual-best): even/odd vec_ids simulate the two language sides.
+    Brute candidate tier (broadcast Y side); at scale candidates come
+    from the ANN tier with the same margin math."""
+    from tiny_lingua_spark.operators.bitext import mine_bitext
+
+    return mine_bitext(_emb(spark, sf_dir), n_side=40, k=4)
+
+
 def _q_semdedup_stats(spark, sf_dir):
     return similarity.semdedup_stats(_emb(spark, sf_dir), tau=0.4)
 
@@ -1680,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _shipped(_q_ivfpq_topk),
         "semdedup_drop": _shipped(_q_semdedup_drop),
         "semdedup_stats": _shipped(_q_semdedup_stats),
+        "bitext_mine": _shipped(_q_bitext_mine),
         "events_sessions": _shipped(_q_events_sessions),
         "fasttext_lang": _shipped(_q_fasttext_lang),
         "perplexity_scores": _shipped(_q_perplexity),
@@ -2183,5 +2194,8 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": similarity.ivfpq_topk_sql("embeddings", 0, 10, 4, EMB_DIM),
         "semdedup_drop": similarity.semdedup_drop_sql("embeddings", 0.4, EMB_DIM),
         "semdedup_stats": similarity.semdedup_stats_sql("embeddings", 0.4, EMB_DIM),
+        "bitext_mine": __import__(
+            "tiny_lingua_spark.operators.bitext", fromlist=["bitext"]
+        ).mine_bitext_sql("embeddings", EMB_DIM, n_side=40, k=4),
         **_golden_oracles(),
     }

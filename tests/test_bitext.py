@@ -1,0 +1,101 @@
+"""Margin-based bitext mining (operators/bitext.py): planted-pair
+recovery, hubness normalization, mutual-best requirement, twin
+equality, plan shape."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators.bitext import mine_bitext, mine_bitext_sql
+from tiny_lingua_spark.plans.audit import audit
+
+
+def _emb_df(spark, vecs):
+    rows = [(i, [float(v) for v in vec]) for i, vec in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _planted(n_pairs=6, dim=8, seed=7):
+    """Even ids: side X; odd ids: side Y. Pair (2i, 2i+1) is a true
+    translation: y = x + small noise. Others are random."""
+    rng = np.random.default_rng(seed)
+    vecs = []
+    for i in range(n_pairs):
+        x = rng.standard_normal(dim)
+        x /= np.linalg.norm(x)
+        y = x + 0.05 * rng.standard_normal(dim)
+        y /= np.linalg.norm(y)
+        vecs.extend([x, y])
+    return vecs
+
+
+def test_recovers_planted_pairs(spark):
+    df = _emb_df(spark, _planted())
+    got = mine_bitext(df, n_side=6, k=2).collect()
+    pairs = {(r["x_id"], r["y_id"]) for r in got}
+    assert pairs == {(2 * i, 2 * i + 1) for i in range(6)}
+    assert all(r["accepted"] for r in got)
+    assert all(r["margin"] > 1.0 for r in got)
+
+
+def test_hub_vector_normalized_away(spark):
+    # y=1 is a hub: moderately close to EVERY x. y=3 is the true match
+    # of x=2 only. Raw cosine would pair x0 with the hub; margin must
+    # prefer pairs whose similarity is exceptional RELATIVE to the
+    # neighborhood, so the hub's margin stays near 1.
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.3],   # x0
+        2: [0.0, 1.0, 0.0, 0.3],   # x1
+        4: [0.0, 0.0, 1.0, 0.3],   # x2
+        1: [0.4, 0.4, 0.4, 0.6],   # hub y0 — close to all xs
+        3: [0.0, 0.98, 0.0, 0.25],  # true match of x1
+        5: [0.0, 0.0, 0.98, 0.25],  # true match of x2
+    }
+    df = _emb_df(spark, [vecs[i] for i in range(6)])
+    got = {(r["x_id"], r["y_id"]): r for r in
+           mine_bitext(df, n_side=3, k=2, threshold=1.02).collect()}
+    assert (2, 3) in got and (4, 5) in got
+    true_margins = [got[(2, 3)]["margin"], got[(4, 5)]["margin"]]
+    hub_pairs = {p: r for p, r in got.items() if p[1] == 1}
+    # the hub may win x0 as mutual best, but with a weak margin
+    for r in hub_pairs.values():
+        assert r["margin"] < min(true_margins)
+
+
+def test_mutual_best_required(spark):
+    # y0 is the best match of BOTH x0 and x1, but y0's own best is x0:
+    # (x1, y0) must not be emitted even though it's x1's argmax.
+    vecs = [
+        [1.0, 0.0, 0.0],    # x0 (id 0)
+        [0.9, 0.1, 0.0],    # y0 (id 1) — closest to x0
+        [0.8, 0.2, 0.0],    # x1 (id 2) — its best y is also y0
+        [-1.0, 0.0, 0.0],   # y1 (id 3) — far from everything
+    ]
+    got = {(r["x_id"], r["y_id"]) for r in
+           mine_bitext(_emb_df(spark, vecs), n_side=2, k=2).collect()}
+    assert (0, 1) in got
+    assert (2, 1) not in got
+
+
+def test_duckdb_twin_matches(spark, tmp_path):
+    df = _emb_df(spark, _planted(n_pairs=8))
+    p = str(tmp_path / "emb.parquet")
+    df.toPandas().to_parquet(p)
+    s = mine_bitext(df, n_side=8, k=3).toPandas()
+    d = duckdb.sql(mine_bitext_sql(f"'{p}'", 8, n_side=8, k=3)).df()
+    key = ["x_id", "y_id"]
+    s = s.sort_values(key).reset_index(drop=True)[sorted(s.columns)]
+    d = d.sort_values(key).reset_index(drop=True)[sorted(d.columns)]
+    assert len(s) == len(d) and s.columns.tolist() == d.columns.tolist()
+    for c in s.columns:
+        assert s[c].tolist() == d[c].tolist(), c
+
+
+def test_plan_broadcast_no_python_no_cartesian_blowup(spark):
+    df = _emb_df(spark, _planted())
+    a = audit(mine_bitext(df, n_side=6, k=2))
+    assert a["python_eval_nodes"] == 0
+    # the bounded brute tier broadcasts the Y side; the pair table then
+    # only shuffles on the two window partitionings
+    assert a["broadcast_joins"] >= 1

@@ -1,0 +1,124 @@
+"""Margin-based bitext mining (Artetxe & Schwenk 2019, ACL —
+"Margin-based Parallel Corpus Mining with Multilingual Sentence
+Embeddings"; the CCMatrix / LASER recipe).
+
+Given sentence embeddings of two language sides X and Y, a candidate
+pair scores by the *ratio margin*
+
+    margin(x, y) = cos(x, y) /
+                   ( (avg_{z∈NNk(x,Y)} cos(x, z)
+                      + avg_{z∈NNk(y,X)} cos(y, z)) / 2 )
+
+which normalizes away hubness (sentences that are close to everything).
+A pair is mined when it is a MUTUAL best match and its margin clears
+the threshold (CCMatrix ships ~1.06).
+
+Implementation is 100 % declarative: score the candidate pair table,
+rank within each x (and each y) by cosine, take the top-k neighborhood
+means with a conditional windowed avg over the SAME partitioning as the
+rank (one shuffle per side), then filter mutual-best.
+
+Scale shape: `mine_bitext` accepts any candidate pair table. The
+default (None) builds a bounded brute-force candidate set — the
+correctness/oracle tier, same contract as similarity.knn_graph. At
+10^12 rows, feed candidates from the ANN tier instead
+(similarity.ann_lsh_candidates / ivf_topk buckets): the margin math is
+unchanged — neighborhood means are taken over the candidate lists, the
+standard approximation in production margin mining — and the only
+shuffles are the two per-side window partitionings of the candidate
+table (|candidates| ≈ k·|X|, never |X|·|Y|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .similarity import cosine_expr, cosine_sql
+
+__all__ = ["mine_bitext", "mine_bitext_sql"]
+
+
+def _sides(emb: DataFrame, n_side: int):
+    """Deterministic two-language simulation over a single embeddings
+    table: even vec_ids are side X, odd are side Y (bounded per side —
+    the brute candidate budget)."""
+    x = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * n_side))
+    y = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 2 * n_side))
+    return (
+        x.select(F.col("vec_id").cast("long").alias("x_id"),
+                 F.col("embedding").alias("x_emb")),
+        y.select(F.col("vec_id").cast("long").alias("y_id"),
+                 F.col("embedding").alias("y_emb")),
+    )
+
+
+def mine_bitext(emb: DataFrame, n_side: int = 40, k: int = 4,
+                threshold: float = 1.06,
+                candidates: DataFrame | None = None) -> DataFrame:
+    """Mutual-best margin-mined pairs: (x_id, y_id, sim, margin,
+    accepted). `candidates` — optional (x_id, x_emb, y_id, y_emb) pair
+    table from an ANN tier; None = bounded brute cross (oracle tier,
+    broadcast the smaller side)."""
+    if candidates is None:
+        x, y = _sides(emb, n_side)
+        candidates = x.crossJoin(F.broadcast(y))
+    scored = candidates.select(
+        "x_id", "y_id",
+        F.round(cosine_expr("x_emb", "y_emb"), 6).alias("sim"),
+    )
+    wx = Window.partitionBy("x_id")
+    wy = Window.partitionBy("y_id")
+    ranked = (
+        scored
+        .withColumn("rx", F.row_number().over(
+            wx.orderBy(F.col("sim").desc(), F.col("y_id"))))
+        .withColumn("ry", F.row_number().over(
+            wy.orderBy(F.col("sim").desc(), F.col("x_id"))))
+        .withColumn("avgk_x",
+                    F.avg(F.when(F.col("rx") <= k, F.col("sim"))).over(wx))
+        .withColumn("avgk_y",
+                    F.avg(F.when(F.col("ry") <= k, F.col("sim"))).over(wy))
+    )
+    margin = F.col("sim") / ((F.col("avgk_x") + F.col("avgk_y")) / 2)
+    return (
+        ranked.where((F.col("rx") == 1) & (F.col("ry") == 1))
+        .select(
+            "x_id", "y_id", "sim",
+            F.round(margin, 6).alias("margin"),
+            (F.round(margin, 6) >= threshold).alias("accepted"),
+        )
+    )
+
+
+def mine_bitext_sql(table: str, dim: int, n_side: int = 40, k: int = 4,
+                    threshold: float = 1.06) -> str:
+    """DuckDB twin of mine_bitext's brute tier (same names, 6-dp
+    rounding, same tie order)."""
+    cos = cosine_sql("x.embedding", "y.embedding", dim)
+    return f"""
+    WITH x AS (SELECT vec_id::BIGINT AS x_id, embedding FROM {table}
+               WHERE vec_id % 2 = 0 AND vec_id < {2 * n_side}),
+    y AS (SELECT vec_id::BIGINT AS y_id, embedding FROM {table}
+          WHERE vec_id % 2 = 1 AND vec_id < {2 * n_side}),
+    scored AS (
+      SELECT x.x_id, y.y_id, round({cos}, 6) AS sim FROM x, y
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY x_id ORDER BY sim DESC, y_id) AS rx,
+        row_number() OVER (PARTITION BY y_id ORDER BY sim DESC, x_id) AS ry
+      FROM scored
+    ),
+    stats AS (
+      SELECT *,
+        avg(CASE WHEN rx <= {k} THEN sim END)
+          OVER (PARTITION BY x_id) AS avgk_x,
+        avg(CASE WHEN ry <= {k} THEN sim END)
+          OVER (PARTITION BY y_id) AS avgk_y
+      FROM ranked
+    )
+    SELECT x_id, y_id, sim,
+           round(sim / ((avgk_x + avgk_y) / 2), 6) AS margin,
+           round(sim / ((avgk_x + avgk_y) / 2), 6) >= {threshold} AS accepted
+    FROM stats WHERE rx = 1 AND ry = 1
+    """
