@@ -1535,6 +1535,30 @@ def _q_audio_artifacts(spark, sf_dir):
     )
 
 
+def _q_audio_true_peak(spark, sf_dir):
+    """Inter-sample true peak (BS.1770-style 4x windowed-sinc
+    polyphase) next to the raw sample peak, with the R128 -1 dBTP
+    over flag. Golden-parquet oracle (batch convolution over decoded
+    PCM is not SQL-expressible)."""
+    from tiny_lingua_spark.audio import true_peak_udf
+
+    clips = _synth_clips(spark)
+    tp = true_peak_udf()
+    return clips.select(
+        "clip_id", "codec",
+        tp(F.col("bytes"), F.col("codec")).alias("t"),
+    ).select(
+        "clip_id", "codec",
+        F.col("t.decode_ok").alias("decode_ok"),
+        F.col("t.n_samples").alias("n_samples"),
+        F.round(F.col("t.sample_peak_db"), 6).alias("sample_peak_db"),
+        F.round(F.col("t.true_peak_dbtp"), 6).alias("true_peak_dbtp"),
+        F.round(F.col("t.true_peak") - F.col("t.sample_peak"), 6)
+         .alias("intersample_excess"),
+        F.col("t.intersample_over").alias("intersample_over"),
+    )
+
+
 def _q_audio_normalize(spark, sf_dir):
     """Write-side loudness normalization: the analysis gain
     (loudness_udf) feeds the apply half (transcode_udf) — scale to
@@ -1709,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mfcc": _shipped(_q_audio_mfcc),
         "audio_pitch": _shipped(_q_audio_pitch),
         "audio_artifacts": _shipped(_q_audio_artifacts),
+        "audio_true_peak": _shipped(_q_audio_true_peak),
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
         "audio_normalize": _shipped(_q_audio_normalize),
@@ -1745,6 +1770,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_trim_apply",
     "audio_resample",
     "audio_loudness",
+    "audio_true_peak",
     "audio_neardup",
     "audio_segments",
     "audio_embed_knn",

@@ -1,0 +1,121 @@
+"""Inter-sample true peak (audio.py true-peak section): closed-form
+sine cases, edge-ring exclusion, arena==rowloop equivalence, row
+isolation, codec coverage, and the Spark UDF plan."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio
+from tiny_lingua_spark.plans.audit import audit
+
+
+def _sine(sr, f, phase, amp=0.7, n=800):
+    t = np.arange(n, dtype=np.float64)
+    return (amp * np.sin(2 * np.pi * f * t / sr + phase)).astype(np.float32)
+
+
+def _chunk(waves, codecs):
+    bs = pd.Series([audio.encode(w, c) if w is not None else b""
+                    for w, c in zip(waves, codecs)])
+    return audio._true_peak_chunk(bs, pd.Series(codecs))
+
+
+def test_quadrature_sine_recovers_analog_peak():
+    # f = sr/4 with phase pi/4: samples only ever hit ±amp/sqrt(2);
+    # the analog peak (amp) lies exactly between samples.
+    w = _sine(8000, 2000, np.pi / 4)
+    df = _chunk([w], ["pcm_f32le"])
+    assert df["sample_peak"][0] == pytest.approx(0.7 / np.sqrt(2), rel=1e-4)
+    assert df["true_peak"][0] == pytest.approx(0.7, rel=0.02)
+    assert df["true_peak_dbtp"][0] == pytest.approx(
+        20 * np.log10(0.7), abs=0.2)
+
+
+def test_on_grid_sine_no_overshoot():
+    # peak lands exactly on a sample: true peak must not exceed it
+    # by more than the kernel's passband ripple
+    w = _sine(8000, 1000, np.pi / 2)
+    df = _chunk([w], ["pcm_f32le"])
+    assert df["sample_peak"][0] == pytest.approx(0.7, abs=1e-5)
+    assert df["true_peak"][0] <= 0.7 * 1.005
+    assert df["true_peak"][0] >= df["sample_peak"][0]
+
+
+def test_intersample_over_flag():
+    # sample peak -1.06 dBFS but true peak ~ +1.95 dBTP
+    w = _sine(8000, 2000, np.pi / 4, amp=1.25)
+    # f32 carries >1.0 amplitudes; quadrature samples sit at 0.884
+    df = _chunk([w], ["pcm_f32le"])
+    assert df["sample_peak"][0] < 1.0
+    assert df["true_peak"][0] > 1.0
+    assert bool(df["intersample_over"][0])
+
+
+def test_true_peak_never_below_sample_peak_all_codecs():
+    rng = np.random.default_rng(3)
+    waves, codecs = [], []
+    for c in ("pcm_s16le", "mulaw", "alaw", "pcm_f32le"):
+        waves.append(np.clip(rng.standard_normal(500) * 0.3, -0.99,
+                             0.99).astype(np.float32))
+        codecs.append(c)
+    df = _chunk(waves, codecs)
+    assert df["decode_ok"].all()
+    assert (df["true_peak"] >= df["sample_peak"]).all()
+
+
+def test_arena_equals_rowloop():
+    rng = np.random.default_rng(4)
+    waves = [
+        _sine(8000, 2000, np.pi / 4),
+        _sine(44100, 997, 0.0, amp=0.5, n=2000),
+        np.clip(rng.standard_normal(37) * 0.5, -0.99, 0.99).astype(np.float32),
+        np.zeros(10, dtype=np.float32),
+        None,  # empty bytes
+    ]
+    codecs = ["pcm_f32le", "pcm_s16le", "mulaw", "alaw", "pcm_f32le"]
+    bs = pd.Series([audio.encode(w, c) if w is not None else b""
+                    for w, c in zip(waves, codecs)])
+    cs = pd.Series(codecs)
+    a = audio._true_peak_chunk(bs, cs)
+    r = audio._true_peak_rowloop(bs, cs)
+    for col in ("sample_peak", "true_peak", "sample_peak_db",
+                "true_peak_dbtp"):
+        assert np.allclose(a[col], r[col], atol=1e-12), col
+    assert (a["decode_ok"] == r["decode_ok"]).all()
+    assert (a["n_samples"] == r["n_samples"]).all()
+
+
+def test_row_isolation():
+    loud = _sine(8000, 2000, np.pi / 4, amp=0.95)
+    quiet = (np.ones(300) * 1e-4).astype(np.float32)
+    both = _chunk([loud, quiet], ["pcm_f32le", "pcm_f32le"])
+    solo = _chunk([quiet], ["pcm_f32le"])
+    assert both["true_peak"][1] == pytest.approx(solo["true_peak"][0],
+                                                 abs=1e-12)
+
+
+def test_empty_and_bad_rows():
+    df = _chunk([None], ["pcm_f32le"])
+    assert not df["n_samples"][0]
+    assert df["true_peak_dbtp"][0] == audio.TP_FLOOR_DB
+    bad = audio._true_peak_chunk(pd.Series([b"\x01\x02\x03"]),
+                                 pd.Series(["pcm_f32le"]))
+    assert not bad["decode_ok"][0]
+
+
+def test_udf_plan_single_arrow_stage(spark):
+    from tiny_lingua_spark.data.clips import generate_clips
+
+    clips_pd, _ = generate_clips(n=8, seed=42)
+    clips = spark.createDataFrame(clips_pd)
+    tp = audio.true_peak_udf()
+    out = clips.select("clip_id", tp(F.col("bytes"), F.col("codec"))
+                       .alias("t"))
+    a = audit(out)
+    assert a["python_eval_nodes"] == 1
+    assert a["row_at_a_time_python"] == 0
+    assert a["exchanges"] == 0
+    got = out.select("clip_id", "t.true_peak").collect()
+    assert len(got) == 8 and all(r["true_peak"] >= 0 for r in got)

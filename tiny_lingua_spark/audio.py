@@ -1801,3 +1801,163 @@ def trim_udf(codec_to: str = "pcm_s16le"):
             b, codec, sr, s_ms, e_ms)
 
     return audio_trim_apply
+
+
+# ---------------------------------------------------------------------------
+# True peak (inter-sample peak, BS.1770-style 4x oversampling)
+#
+# Digital sample peaks under-read the analog waveform when the true
+# maximum falls BETWEEN samples (worst case ~3 dB for a sine sampled at
+# its zero/peak quadrature points); lossy codec round-trips then clip.
+# ITU-R BS.1770-4 Annex 2 measures "true peak" by 4x oversampling and
+# taking the rectified maximum. The interpolator here is the public
+# textbook construction (windowed-sinc polyphase, unit-DC-normalized),
+# not the (also public) example tap table: phase 0 is the input itself,
+# phases 1..3 are fractional-delay kernels sinc(j - c - p/4) * kaiser(8)
+# with T=32 taps and INTEGER center c=T/2 (a half-integer center makes
+# the p=2 kernel collapse to a pure sample shift and the midpoint is
+# never evaluated — measured: quadrature recovery 0.93 instead of 1.01).
+# Passband ripple of the chosen kernel is 5e-4 up to 0.42*fs.
+# Edge handling: band-limited interpolation rings at the clip's
+# start/stop discontinuity (measured ~8% false overshoot in the first/
+# last taps), so the interpolated-phase max is taken over the row
+# INTERIOR [c, len-c) only; the raw sample peak still covers the full
+# row, so a genuine full-scale edge sample is never missed.
+# Each phase is ONE np.convolve over the concatenated batch arena
+# (rows separated by T zeros so kernels never mix rows); per-row maxima
+# via the usual segment reduction. O(3*T*N) multiply-adds per batch,
+# no per-row Python in the hot loop.
+
+TP_TAPS = 32
+TP_PHASES = 4
+TP_FLOOR_DB = -120.0
+TP_OVER_DBTP = -1.0  # EBU R128 permitted maximum true peak
+
+TRUE_PEAK_SCHEMA = (
+    "decode_ok boolean, n_samples int, sample_peak double,"
+    " true_peak double, sample_peak_db double, true_peak_dbtp double,"
+    " intersample_over boolean"
+)
+
+
+def _tp_kernels() -> np.ndarray:
+    """(TP_PHASES-1, TP_TAPS) fractional-delay kernels for offsets
+    1/4, 2/4, 3/4 (phase 0 is exact). Kaiser(8)-windowed sinc with an
+    integer center, normalized to unit DC gain."""
+    c = TP_TAPS // 2
+    j = np.arange(TP_TAPS, dtype=np.float64)
+    win = np.kaiser(TP_TAPS, 8.0)
+    ks = []
+    for p in range(1, TP_PHASES):
+        h = np.sinc(j - c - p / TP_PHASES) * win
+        ks.append(h / h.sum())
+    return np.stack(ks)
+
+
+_TP_KERNELS = _tp_kernels()
+
+
+def _db(x: np.ndarray) -> np.ndarray:
+    out = np.full(len(x), TP_FLOOR_DB, dtype=np.float64)
+    pos = x > 0
+    out[pos] = np.maximum(20.0 * np.log10(x[pos]), TP_FLOOR_DB)
+    return out
+
+
+def _true_peak_from_decoded(samples, offsets, ok) -> pd.DataFrame:
+    n = len(ok)
+    lens = np.diff(offsets)
+    sample_peak = _segment_max(np.abs(samples), offsets)
+    if samples.size:
+        # re-pack rows with TP_TAPS zero gaps so convolution tails
+        # cannot cross rows
+        gap = TP_TAPS
+        g_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens + gap, out=g_offsets[1:])
+        arena = np.zeros(int(g_offsets[-1]), dtype=np.float64)
+        idx = np.arange(len(samples), dtype=np.int64)
+        row_of = np.searchsorted(offsets[1:], idx, side="right")
+        arena[idx + (row_of * gap)] = samples
+        true_peak = sample_peak.copy()
+        c = TP_TAPS // 2
+        interior = lens > 2 * c  # rows with a ring-free interior span
+        for h in _TP_KERNELS:
+            # 'same' output aligns 1:1 with input positions, so the
+            # row's own span [g_start, g_start+len) is exactly the
+            # rowloop's per-row 'same' output (gap >= taps means edge
+            # windows read zeros either way); max over the interior
+            # [start+c, start+len-c) excludes edge ringing
+            y = np.abs(np.convolve(arena, h, mode="same"))
+            m = np.zeros(n, dtype=np.float64)
+            if interior.any():
+                edges = np.empty(2 * int(interior.sum()), dtype=np.int64)
+                edges[0::2] = g_offsets[:-1][interior] + c
+                edges[1::2] = g_offsets[:-1][interior] + lens[interior] - c
+                mx = np.maximum.reduceat(y, edges)[0::2]
+                m[interior] = mx
+            true_peak = np.maximum(true_peak, m)
+    else:
+        true_peak = sample_peak.copy()
+    true_peak = np.where(ok, true_peak, 0.0)
+    sample_peak = np.where(ok, sample_peak, 0.0)
+    tp_db = _db(true_peak)
+    return pd.DataFrame({
+        "decode_ok": pd.Series(ok, dtype=bool),
+        "n_samples": pd.Series(np.where(ok, lens, 0), dtype=np.int32),
+        "sample_peak": sample_peak,
+        "true_peak": true_peak,
+        "sample_peak_db": _db(sample_peak),
+        "true_peak_dbtp": tp_db,
+        "intersample_over": pd.Series(tp_db > TP_OVER_DBTP, dtype=bool),
+    })
+
+
+def _true_peak_chunk(bytes_s, codec_s) -> pd.DataFrame:
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    return _true_peak_from_decoded(samples, offsets, ok)
+
+
+def _true_peak_rowloop(bytes_s, codec_s) -> pd.DataFrame:
+    """Per-row reference implementation (equivalence oracle for the
+    arena kernel)."""
+    rows = []
+    for b, c in zip(bytes_s, codec_s):
+        try:
+            pcm = decode(bytes(b), c).astype(np.float64)
+            ok = True
+        except Exception:
+            pcm, ok = np.zeros(0), False
+        sp = float(np.max(np.abs(pcm))) if len(pcm) else 0.0
+        tp = sp
+        c = TP_TAPS // 2
+        for h in _TP_KERNELS:
+            if len(pcm) > 2 * c:
+                tp = max(tp, float(np.max(np.abs(
+                    np.convolve(pcm, h, mode="same"))[c:len(pcm) - c])))
+        if not ok:
+            sp = tp = 0.0
+        rows.append((ok, len(pcm) if ok else 0, sp, tp))
+    sp = np.array([r[2] for r in rows], dtype=np.float64)
+    tp = np.array([r[3] for r in rows], dtype=np.float64)
+    tp_db = _db(tp)
+    return pd.DataFrame({
+        "decode_ok": pd.Series([r[0] for r in rows], dtype=bool),
+        "n_samples": pd.Series([r[1] for r in rows], dtype=np.int32),
+        "sample_peak": sp,
+        "true_peak": tp,
+        "sample_peak_db": _db(sp),
+        "true_peak_dbtp": tp_db,
+        "intersample_over": pd.Series(tp_db > TP_OVER_DBTP, dtype=bool),
+    })
+
+
+def true_peak_udf():
+    """Arrow-batched (bytes, codec) → per-clip sample/true peak. Narrow
+    projection, no shuffle; PCM stays inside the executor batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(TRUE_PEAK_SCHEMA)
+    def audio_true_peak(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(_true_peak_chunk, b, codec)
+
+    return audio_true_peak
