@@ -227,3 +227,50 @@ def test_audio_artifact_diagnostics_opt_in(spark, registry):
     assert not strict.loc[planted, "keep"]
     others = strict.index != planted
     assert (strict.loc[others, "keep"] == base[others]).all()
+
+
+def test_true_peak_diagnostics_opt_in(spark, registry):
+    """true_peak=True adds the peak columns and a tp_ok flag; at the
+    non-binding default keep is unchanged, and enforcing the R128
+    -1 dBTP ceiling drops a planted hot-mastered clip only."""
+    import numpy as np
+
+    from tiny_lingua_spark import audio as A
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    clips_pd, _ = generate_clips(n=16, seed=13)
+    # plant an inter-sample-over clip: quadrature sine near full scale
+    # (samples at 0.70, analog peak at 0.99 -> -0.09 dBTP > -1 dBTP)
+    n = np.arange(16000)
+    hot = (0.99 * np.sin(2 * np.pi * 4000 * n / 16000 + np.pi / 4)
+           ).astype(np.float32)
+    i = 0
+    clips_pd.loc[i, "bytes"] = A.encode(hot, "pcm_s16le")
+    clips_pd.loc[i, "codec"] = "pcm_s16le"
+    clips_pd.loc[i, "sr_hz"] = 16000
+    planted = clips_pd.loc[i, "clip_id"]
+    clips = spark.createDataFrame(clips_pd)
+
+    base = quality_filter(clips, registry, n_partitions=4).select(
+        "clip_id", "keep").toPandas().set_index("clip_id")["keep"]
+    diag = quality_filter(
+        clips, registry, n_partitions=4, true_peak=True
+    ).toPandas().set_index("clip_id")
+    for col in ("sample_peak_db", "true_peak_dbtp", "intersample_over",
+                "tp_ok"):
+        assert col in diag.columns, col
+    assert diag["tp_ok"].all()
+    assert (diag["keep"] == base).all()
+    assert diag.loc[planted, "true_peak_dbtp"] > -1.0
+    assert diag.loc[planted, "true_peak_dbtp"] > \
+        diag.loc[planted, "sample_peak_db"] + 2.5
+
+    strict = quality_filter(
+        clips, registry, n_partitions=4, true_peak=True,
+        thresholds={"max_true_peak_dbtp": -1.0},
+    ).toPandas().set_index("clip_id")
+    assert not strict.loc[planted, "tp_ok"]
+    assert not strict.loc[planted, "keep"]
+    others = strict.index != planted
+    assert (strict.loc[others, "keep"] == base[others]).all()

@@ -65,6 +65,9 @@ AUDIO_THRESHOLDS = {
     "max_hum_ratio": 1.0,
     "max_flat_ratio": 1.0,
     "max_flat_run_ms": float("inf"),
+    # inter-sample true-peak ceiling (only computed with true_peak=True);
+    # inf = non-binding default — set to -1.0 to enforce EBU R128
+    "max_true_peak_dbtp": float("inf"),
 }
 
 
@@ -144,6 +147,7 @@ def quality_filter(
     ft_model: tuple[DataFrame, DataFrame] | None = None,
     quality_model: tuple[DataFrame, DataFrame] | None = None,
     audio_artifacts: bool = False,
+    true_peak: bool = False,
 ) -> DataFrame:
     """Full pipeline → one row per clip with decision + diagnostics.
 
@@ -165,6 +169,13 @@ def quality_filter(
     them to enforce. Costs one extra decode pass per clip; a deployment
     that always wants these would fold them into the fused enrich
     kernel instead.
+
+    ``true_peak=True`` adds the BS.1770-style inter-sample peak columns
+    (`sample_peak_db`, `true_peak_dbtp`, `intersample_over`) plus a
+    `tp_ok` flag AND-ed into `keep` — non-binding at the default
+    ceiling (max_true_peak_dbtp = inf); set -1.0 for the EBU R128
+    permitted maximum. Same second-Arrow-stage shape as the artifact
+    screen (one extra decode pass).
     """
     th = {**DEFAULT_THRESHOLDS, **AUDIO_THRESHOLDS, **(thresholds or {})}
     enrich = make_enrich_udf(registry, params)
@@ -203,6 +214,17 @@ def quality_filter(
             F.col("pit.f0_mean_hz").alias("f0_mean_hz"),
             F.col("pit.zcr").alias("zcr"),
         ]
+    tp_cols = []
+    if true_peak:
+        from .audio import true_peak_udf
+
+        tpu = true_peak_udf()
+        df = df.withColumn("tpk", tpu(F.col("bytes"), F.col("codec")))
+        tp_cols = [
+            F.col("tpk.sample_peak_db").alias("sample_peak_db"),
+            F.col("tpk.true_peak_dbtp").alias("true_peak_dbtp"),
+            F.col("tpk.intersample_over").alias("intersample_over"),
+        ]
     df = (
         df.withColumn("cleaned", cleaned_text_col(F.col("transcript")))
         .withColumn(
@@ -213,6 +235,7 @@ def quality_filter(
         .select(
             *extra_cols,
             *artifact_cols,
+            *tp_cols,
             "clip_id",
             "sr_hz",
             "dur_ms",
@@ -290,6 +313,10 @@ def quality_filter(
         )
         df = df.withColumn("artifact_ok", artifact_ok)
         keep = keep & artifact_ok
+    if true_peak:
+        tp_ok = F.col("true_peak_dbtp") <= th["max_true_peak_dbtp"]
+        df = df.withColumn("tp_ok", tp_ok)
+        keep = keep & tp_ok
     return df.withColumn("keep", keep)
 
 
