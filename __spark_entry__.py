@@ -287,6 +287,15 @@ def _drift_input(spark, sf_dir):
     )
 
 
+def _q_rate_outliers(spark, sf_dir):
+    """Iglewicz-Hoaglin modified-z speech-rate outliers per codec
+    group: median/MAD via exact grouped percentile (oracle tier;
+    exact=False swaps the approx_percentile sketch at scale)."""
+    from tiny_lingua_spark.functions.quality import speech_rate_outliers
+
+    return speech_rate_outliers(_synth_clips(spark))
+
+
 def _q_drift_bins(spark, sf_dir):
     """Per-bin PSI drift table between two deterministic batches of
     the quality-score distribution. One (batch,bin) hash aggregate —
@@ -1650,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _shipped(_q_normalize_text),
         "quality_buckets": _shipped(_q_quality_buckets),
         "quality_calibrated": _shipped(_q_quality_calibrated),
+        "rate_outliers": _shipped(_q_rate_outliers),
         "drift_bins": _shipped(_q_drift_bins),
         "drift_summary": _shipped(_q_drift_summary),
         "repetition_metrics": _shipped(_q_repetition),
@@ -1855,6 +1865,10 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(q_score), 6) AS avg_score
             FROM scored GROUP BY 1
         """,
+        "rate_outliers": __import__(
+            "tiny_lingua_spark.functions.quality", fromlist=["quality"]
+        ).speech_rate_outliers_sql(
+            f"'{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'"),
         "drift_bins": __import__(
             "tiny_lingua_spark.operators.drift", fromlist=["drift"]
         ).drift_bins_sql(

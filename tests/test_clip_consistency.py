@@ -78,3 +78,64 @@ def test_fixture_matches_generator(spark):
     committed = pd.read_parquet(path)
     pd.testing.assert_frame_equal(
         fresh.reset_index(drop=True), committed.reset_index(drop=True))
+
+
+# ------------------------- robust rate outliers (speech_rate_outliers)
+
+def test_rate_outliers_planted(spark):
+    from tiny_lingua_spark.functions.quality import speech_rate_outliers
+
+    # 20 normal clips at 10-12 cps, one absurd 200 cps outlier
+    rows = [(f"c{i:02d}", "x" * (100 + i), 10_000, "pcm_s16le")
+            for i in range(20)]
+    rows += [("hot", "y" * 2000, 10_000, "pcm_s16le")]
+    df = spark.createDataFrame(
+        rows, "clip_id string, transcript string, dur_ms long, codec string")
+    got = {r["clip_id"]: r for r in speech_rate_outliers(df).collect()}
+    assert got["hot"]["is_outlier"]
+    assert got["hot"]["robust_z"] > 3.5
+    assert not any(got[f"c{i:02d}"]["is_outlier"] for i in range(20))
+
+
+def test_rate_outliers_zero_mad_guard(spark):
+    from tiny_lingua_spark.functions.quality import speech_rate_outliers
+
+    rows = [(f"c{i}", "x" * 50, 5000, "mulaw") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "clip_id string, transcript string, dur_ms long, codec string")
+    got = speech_rate_outliers(df).collect()
+    assert all(r["robust_z"] == 0.0 and not r["is_outlier"] for r in got)
+
+
+def test_rate_outliers_grouped_by_codec(spark):
+    from tiny_lingua_spark.functions.quality import speech_rate_outliers
+
+    # 40 cps is normal for group A but would be an outlier in group B:
+    # grouping must keep it un-flagged
+    rows = [(f"a{i}", "x" * (400 + i), 10_000, "A") for i in range(9)]
+    rows += [(f"b{i}", "x" * (100 + i), 10_000, "B") for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "clip_id string, transcript string, dur_ms long, codec string")
+    got = speech_rate_outliers(df).collect()
+    assert not any(r["is_outlier"] for r in got)
+    meds = {r["grp"]: r["med"] for r in got}
+    assert meds["A"] > meds["B"] * 3
+
+
+def test_rate_outliers_twin(spark, tmp_path):
+    from tiny_lingua_spark.functions.quality import (
+        speech_rate_outliers, speech_rate_outliers_sql)
+
+    rows = [(f"c{i}", "x" * (60 + 13 * i), 4000 + 900 * i,
+             "mulaw" if i % 2 else "alaw") for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "clip_id string, transcript string, dur_ms long, codec string")
+    p = str(tmp_path / "c.parquet")
+    df.toPandas().to_parquet(p)
+    s = speech_rate_outliers(df).toPandas()
+    d = duckdb.sql(speech_rate_outliers_sql(f"'{p}'")).df()
+    s = s.sort_values("clip_id").reset_index(drop=True)[sorted(s.columns)]
+    d = d.sort_values("clip_id").reset_index(drop=True)[sorted(d.columns)]
+    assert len(s) == len(d)
+    for c in s.columns:
+        assert s[c].tolist() == d[c].tolist(), c

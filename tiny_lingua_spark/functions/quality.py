@@ -614,3 +614,90 @@ def rule_attribution_sql(metrics_sql: str, th: dict | None = None) -> str:
                  / (SELECT count(*)::DOUBLE FROM m), 6) AS fail_rate
     FROM ex GROUP BY rule ORDER BY rule
     """
+
+
+# ------------------------------------------- robust rate-outlier screen
+#
+# Fixed-threshold rate rules (clip_consistency_cols above) need manual
+# tuning per corpus; the robust complement is the Iglewicz-Hoaglin
+# modified z-score over the median/MAD of the observed distribution:
+# z = 0.6745 * (x - median) / MAD, |z| > 3.5 flags an outlier. Median
+# and MAD resist the very outliers being hunted (unlike mean/std).
+#
+# Scale shape: two grouped aggregates (median, then MAD of residuals)
+# + broadcast joins back — group cardinality is tiny (codec/language),
+# so the per-group exact `percentile` buffers are bounded by group row
+# counts. At 10^12 rows swap exact=False: approx_percentile's
+# KLL-sketch is one scan, mergeable map-side, and the z-scores shift
+# by at most the sketch error (the oracle tier stays exact).
+
+
+def speech_rate_outliers(clips, id_col: str = "clip_id",
+                         group_col: str = "codec",
+                         transcript_col: str = "transcript",
+                         dur_ms_col: str = "dur_ms",
+                         z_thresh: float = 3.5,
+                         exact: bool = True):
+    """(clip_id, grp, chars_per_sec, med, mad, robust_z, is_outlier) —
+    per-group robust speaking-rate outlier flags."""
+    pct = "percentile" if exact else "approx_percentile"
+    cps = (F.length(F.trim(F.col(transcript_col))).cast("double")
+           / (F.greatest(F.col(dur_ms_col).cast("double"), F.lit(1.0))
+              / 1000.0))
+    rates = clips.select(
+        F.col(id_col).alias("clip_id"),
+        F.col(group_col).alias("grp"),
+        F.round(cps, 6).alias("chars_per_sec"),
+    )
+    med = rates.groupBy("grp").agg(
+        F.expr(f"{pct}(chars_per_sec, 0.5)").alias("med"))
+    j = rates.join(F.broadcast(med), "grp")
+    mad = j.groupBy("grp").agg(
+        F.expr(f"{pct}(abs(chars_per_sec - med), 0.5)").alias("mad"))
+    z = F.when(F.col("mad") > 0,
+               0.6745 * (F.col("chars_per_sec") - F.col("med"))
+               / F.col("mad")).otherwise(F.lit(0.0))
+    return (
+        j.join(F.broadcast(mad), "grp")
+        .select(
+            "clip_id", "grp", "chars_per_sec",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(z, 6).alias("robust_z"),
+            (F.abs(F.round(z, 6)) > z_thresh).alias("is_outlier"),
+        )
+    )
+
+
+def speech_rate_outliers_sql(table: str, id_expr: str = "clip_id",
+                             group_expr: str = "codec",
+                             transcript_expr: str = "transcript",
+                             dur_ms_expr: str = "dur_ms",
+                             z_thresh: float = 3.5) -> str:
+    """DuckDB twin of speech_rate_outliers (exact tier; quantile_cont
+    interpolates like Spark's percentile)."""
+    return f"""
+    WITH rates AS (
+      SELECT {id_expr} AS clip_id, {group_expr} AS grp,
+             round(length(trim({transcript_expr}))::DOUBLE
+                   / (greatest({dur_ms_expr}::DOUBLE, 1.0) / 1000.0),
+                   6) AS chars_per_sec
+      FROM {table}
+    ),
+    med AS (SELECT grp, quantile_cont(chars_per_sec, 0.5) AS med
+            FROM rates GROUP BY grp),
+    j AS (SELECT r.*, med.med FROM rates r JOIN med USING (grp)),
+    mad AS (SELECT grp, quantile_cont(abs(chars_per_sec - med), 0.5)
+                     AS mad
+            FROM j GROUP BY grp)
+    SELECT clip_id, j.grp, chars_per_sec,
+           round(j.med, 6) AS med,
+           round(mad.mad, 6) AS mad,
+           round(CASE WHEN mad.mad > 0
+                      THEN 0.6745 * (chars_per_sec - j.med) / mad.mad
+                      ELSE 0.0 END, 6) AS robust_z,
+           abs(round(CASE WHEN mad.mad > 0
+                          THEN 0.6745 * (chars_per_sec - j.med) / mad.mad
+                          ELSE 0.0 END, 6)) > {z_thresh} AS is_outlier
+    FROM j JOIN mad USING (grp)
+    """
