@@ -238,3 +238,56 @@ def test_stream_neardup_hot_cap_bounds_state(spark, tmp_path):
     per_band = spark.read.parquet(out).groupBy("band_idx").count().collect()
     # each band bucket: first 8 ids emit C(8,2)=28 pairs then overflow
     assert per_band and all(r["count"] == 28 for r in per_band)
+
+
+def test_ph_drift_stateful(spark, tmp_path):
+    """Page-Hinkley over a two-phase score stream: batch 1 (stable
+    ~0.8) must not alarm; batch 2 (drops to ~0.2) must alarm 'down'.
+    Final state must equal the plain sequential reference."""
+    import numpy as np
+
+    from tiny_lingua_spark.streaming import drift as sd
+
+    d = str(tmp_path / "scores")
+    os.makedirs(d)
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    phase1 = 0.8 + 0.01 * rng.standard_normal(60)
+    phase2 = 0.2 + 0.01 * rng.standard_normal(60)
+    for i, phase in enumerate((phase1, phase2)):
+        pdf = pd.DataFrame({
+            "grp": "mulaw",
+            "score": phase,
+            "ts": [base + pd.Timedelta(seconds=120 * i + j)
+                   for j in range(len(phase))],
+        })
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(tmp_path / f"tmp{i}"))
+        for f in os.listdir(str(tmp_path / f"tmp{i}")):
+            if f.endswith(".parquet"):
+                os.rename(str(tmp_path / f"tmp{i}" / f),
+                          os.path.join(d, f"part-{i}.parquet"))
+    stream = (
+        spark.readStream.schema("grp string, score double, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        sd.ph_drift_stateful(stream, "grp", "score", "ts", lam=1.0)
+        .writeStream.format("memory").queryName("phdrift")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckph"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from phdrift order by n").toPandas()
+    assert len(got) == 2
+    first, last = got.iloc[0], got.iloc[-1]
+    assert first["n"] == 60 and not first["drift"]
+    assert last["n"] == 120 and last["drift"]
+    assert last["drift_dir"] == "down"
+    # exact equivalence with the sequential reference (files arrive in
+    # part order; rows are ts-sorted inside the operator)
+    ref = sd.ph_reference(np.concatenate([phase1, phase2]), lam=1.0)
+    assert last["mean"] == pytest.approx(ref["mean"], abs=1e-12)
+    assert last["ph_dec"] == pytest.approx(ref["ph_dec"], abs=1e-9)
+    assert last["ph_inc"] == pytest.approx(ref["ph_inc"], abs=1e-9)

@@ -1,0 +1,119 @@
+"""Streaming drift detection: Page-Hinkley test over a score stream.
+
+The batch-side monitor (operators/drift.py) compares two complete
+snapshots; a *live* ingest wants the sequential complement — an online
+changepoint alarm over per-clip quality scores as micro-batches arrive.
+Page-Hinkley (Page 1954, "Continuous inspection schemes"; the standard
+streaming-ML drift test, e.g. river/MOA) tracks the cumulative
+deviation of observations from their running mean:
+
+    increase arm:  m_t = Σ (x_i − x̄_i − δ);  alarm when m_t − min m_t > λ
+    decrease arm:  l_t = Σ (x_i − x̄_i + δ);  alarm when max l_t − l_t > λ
+
+δ absorbs tolerated wobble, λ sets the detection threshold (bigger =
+fewer false alarms, slower detection). Both arms run so quality
+degradation AND suspicious improvement (e.g. a scoring bug) alarm.
+
+Spark shape: `applyInPandasWithState` keyed by a low-cardinality group
+(codec / language / source) — state is six floats per key, shuffle is
+keyed by the group only, and the scores never leave the executor.
+Within a micro-batch rows are processed in `order_col` order (event
+time), making the sequential statistic deterministic under Spark's
+unordered batch delivery. Checkpointing resumes the detector
+mid-sequence for free (the state store is the PH state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PH_STATE_SCHEMA = (
+    "n long, mean double, m_inc double, m_inc_min double,"
+    " m_dec double, m_dec_max double"
+)
+PH_OUT_SCHEMA = (
+    "grp string, n long, mean double, ph_inc double, ph_dec double,"
+    " drift boolean, drift_dir string, batch_rows long"
+)
+
+
+def _make_ph_fn(score_col: str, order_col: str, delta: float, lam: float):
+    def ph_update(key: tuple, batches: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+        (grp,) = key
+        if state.exists:
+            n, mean, m_inc, m_inc_min, m_dec, m_dec_max = state.get
+        else:
+            n, mean, m_inc, m_inc_min, m_dec, m_dec_max = (
+                0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        batch_rows = 0
+        for pdf in batches:
+            pdf = pdf.sort_values(order_col)
+            batch_rows += len(pdf)
+            for x in pdf[score_col].astype(float):
+                n += 1
+                mean += (x - mean) / n
+                m_inc += x - mean - delta
+                m_inc_min = min(m_inc_min, m_inc)
+                m_dec += x - mean + delta
+                m_dec_max = max(m_dec_max, m_dec)
+        state.update((n, mean, m_inc, m_inc_min, m_dec, m_dec_max))
+        ph_inc = m_inc - m_inc_min
+        ph_dec = m_dec_max - m_dec
+        drift_dir = ("up" if ph_inc > lam else
+                     "down" if ph_dec > lam else "")
+        yield pd.DataFrame(
+            [(grp, n, mean, ph_inc, ph_dec, drift_dir != "", drift_dir,
+              batch_rows)],
+            columns=["grp", "n", "mean", "ph_inc", "ph_dec", "drift",
+                     "drift_dir", "batch_rows"],
+        )
+
+    return ph_update
+
+
+def ph_drift_stateful(scored_stream: DataFrame, group_col: str,
+                      score_col: str, order_col: str,
+                      delta: float = 0.005,
+                      lam: float = 1.0) -> DataFrame:
+    """Per-group Page-Hinkley drift state over a streaming score
+    column. Emits one row per (group, micro-batch) with the current
+    alarm status (update mode)."""
+    return (
+        scored_stream.select(
+            scored_stream[group_col].alias("grp"),
+            scored_stream[score_col].alias(score_col),
+            scored_stream[order_col].alias(order_col),
+        )
+        .groupBy("grp")
+        .applyInPandasWithState(
+            _make_ph_fn(score_col, order_col, delta, lam),
+            outputStructType=PH_OUT_SCHEMA,
+            stateStructType=PH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def ph_reference(xs, delta: float = 0.005, lam: float = 1.0):
+    """Plain-Python sequential reference (equivalence oracle for the
+    stateful operator across any micro-batch slicing)."""
+    n, mean = 0, 0.0
+    m_inc = m_inc_min = m_dec = m_dec_max = 0.0
+    for x in xs:
+        n += 1
+        mean += (x - mean) / n
+        m_inc += x - mean - delta
+        m_inc_min = min(m_inc_min, m_inc)
+        m_dec += x - mean + delta
+        m_dec_max = max(m_dec_max, m_dec)
+    ph_inc = m_inc - m_inc_min
+    ph_dec = m_dec_max - m_dec
+    drift_dir = "up" if ph_inc > lam else "down" if ph_dec > lam else ""
+    return {"n": n, "mean": mean, "ph_inc": ph_inc, "ph_dec": ph_dec,
+            "drift": drift_dir != "", "drift_dir": drift_dir}
