@@ -287,6 +287,30 @@ def _drift_input(spark, sf_dir):
     )
 
 
+_SHARD_BYTES = 1 << 21  # 2 MB demo budget -> multiple shards at n=300
+
+
+def _q_shard_plan(spark, sf_dir):
+    """WebDataset-style shard placement plan (distributed exclusive
+    prefix-sum: bucket totals -> bucket base offsets -> within-bucket
+    windows; no global sort). Twin re-derives sizes from the metadata
+    fixture joined to the decode-features golden (n_samples × codec
+    width + transcript bytes + tar header)."""
+    from tiny_lingua_spark.operators.sharding import shard_plan
+
+    return shard_plan(_synth_clips(spark), shard_bytes=_SHARD_BYTES)
+
+
+def _q_shard_stats(spark, sf_dir):
+    """Per-shard yield of the placement plan (fill ratio vs budget;
+    >1.0 marks the single straddling member)."""
+    from tiny_lingua_spark.operators.sharding import shard_plan, shard_stats
+
+    return shard_stats(shard_plan(_synth_clips(spark),
+                                  shard_bytes=_SHARD_BYTES),
+                       shard_bytes=_SHARD_BYTES)
+
+
 def _q_rate_outliers(spark, sf_dir):
     """Iglewicz-Hoaglin modified-z speech-rate outliers per codec
     group: median/MAD via exact grouped percentile (oracle tier;
@@ -1660,6 +1684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": _shipped(_q_quality_buckets),
         "quality_calibrated": _shipped(_q_quality_calibrated),
         "rate_outliers": _shipped(_q_rate_outliers),
+        "shard_plan": _shipped(_q_shard_plan),
+        "shard_stats": _shipped(_q_shard_stats),
         "drift_bins": _shipped(_q_drift_bins),
         "drift_summary": _shipped(_q_drift_summary),
         "repetition_metrics": _shipped(_q_repetition),
@@ -1865,6 +1891,29 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(q_score), 6) AS avg_score
             FROM scored GROUP BY 1
         """,
+        "shard_plan": (lambda sh: sh.shard_plan_sql(
+            "(SELECT m.clip_id, m.transcript, f.n_samples, f.codec "
+            f"FROM '{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}' m "
+            f"JOIN '{os.path.join(EXPECTED_DIR, 'audio_decode_features.parquet')}' f "
+            "USING (clip_id))",
+            shard_bytes=_SHARD_BYTES,
+            nbytes_expr=("n_samples * (CASE codec WHEN 'pcm_s16le' THEN 2 "
+                         "WHEN 'pcm_f32le' THEN 4 ELSE 1 END) "
+                         "+ octet_length(encode(coalesce(transcript, ''))) + 512")))(
+            __import__("tiny_lingua_spark.operators.sharding",
+                       fromlist=["sharding"])),
+        "shard_stats": (lambda sh: sh.shard_stats_sql(sh.shard_plan_sql(
+            "(SELECT m.clip_id, m.transcript, f.n_samples, f.codec "
+            f"FROM '{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}' m "
+            f"JOIN '{os.path.join(EXPECTED_DIR, 'audio_decode_features.parquet')}' f "
+            "USING (clip_id))",
+            shard_bytes=_SHARD_BYTES,
+            nbytes_expr=("n_samples * (CASE codec WHEN 'pcm_s16le' THEN 2 "
+                         "WHEN 'pcm_f32le' THEN 4 ELSE 1 END) "
+                         "+ octet_length(encode(coalesce(transcript, ''))) + 512")),
+            shard_bytes=_SHARD_BYTES))(
+            __import__("tiny_lingua_spark.operators.sharding",
+                       fromlist=["sharding"])),
         "rate_outliers": __import__(
             "tiny_lingua_spark.functions.quality", fromlist=["quality"]
         ).speech_rate_outliers_sql(

@@ -1,0 +1,84 @@
+"""WebDataset-style shard packing (operators/sharding.py): tape
+invariants, budget/straddle behavior, partitioning-independence, twin
+equality, and plan shape."""
+
+import duckdb
+import numpy as np
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators.sharding import (
+    shard_plan,
+    shard_plan_sql,
+    shard_stats,
+)
+from tiny_lingua_spark.plans.audit import audit
+
+SCHEMA = "clip_id string, bytes binary, transcript string"
+
+
+def _clips(spark, sizes, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = [(f"clip-{i:04d}", bytes(rng.integers(0, 256, s, dtype=np.uint8)),
+             "t" * (i % 7)) for i, s in enumerate(sizes)]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_tape_is_contiguous_and_complete(spark):
+    df = _clips(spark, [1000 + 37 * i for i in range(40)])
+    plan = shard_plan(df, shard_bytes=16_000, n_buckets=8).toPandas()
+    assert len(plan) == 40 and plan["clip_id"].nunique() == 40
+    # reconstruct global starts and verify the tape has no gaps/overlaps
+    starts = (plan["shard_id"] * 16_000 + plan["offset_in_shard"]).sort_values()
+    sizes = plan.set_index("clip_id")["nbytes"]
+    ordered = plan.assign(start=plan["shard_id"] * 16_000
+                          + plan["offset_in_shard"]).sort_values("start")
+    ends = ordered["start"] + ordered["nbytes"]
+    assert ordered["start"].iloc[0] == 0
+    assert (ordered["start"].iloc[1:].values == ends.iloc[:-1].values).all()
+    assert sizes.sum() == ends.iloc[-1]
+
+
+def test_shard_assignment_by_start_offset(spark):
+    df = _clips(spark, [900] * 30)
+    plan = shard_plan(df, shard_bytes=5000, n_buckets=4).toPandas()
+    start = plan["shard_id"] * 5000 + plan["offset_in_shard"]
+    assert ((start // 5000) == plan["shard_id"]).all()
+    assert (plan["offset_in_shard"] < 5000).all()
+    stats = shard_stats(
+        shard_plan(df, shard_bytes=5000, n_buckets=4), 5000).toPandas()
+    # every shard except the last holds >= budget - one straddler
+    full = stats.sort_values("shard_id").iloc[:-1]
+    assert (full["shard_payload"] >= 5000 - (900 + 512)).all()
+
+
+def test_partitioning_independence(spark):
+    df = _clips(spark, [500 + 13 * i for i in range(50)])
+    a = shard_plan(df.repartition(1), shard_bytes=9000).toPandas()
+    b = shard_plan(df.repartition(16), shard_bytes=9000).toPandas()
+    a = a.sort_values("clip_id").reset_index(drop=True)
+    b = b.sort_values("clip_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_duckdb_twin(spark, tmp_path):
+    df = _clips(spark, [777 + 31 * i for i in range(25)])
+    p = str(tmp_path / "clips.parquet")
+    df.toPandas().to_parquet(p)
+    s = shard_plan(df, shard_bytes=8192, n_buckets=16).toPandas()
+    d = duckdb.sql(shard_plan_sql(f"'{p}'", shard_bytes=8192,
+                                  n_buckets=16)).df()
+    s = s.sort_values("clip_id").reset_index(drop=True)[sorted(s.columns)]
+    d = d.sort_values("clip_id").reset_index(drop=True)[sorted(d.columns)]
+    assert len(s) == len(d)
+    for c in s.columns:
+        assert s[c].tolist() == d[c].tolist(), c
+
+
+def test_plan_no_global_sort_no_python(spark):
+    df = _clips(spark, [1000] * 20)
+    plan_df = shard_plan(df, shard_bytes=4000)
+    a = audit(plan_df)
+    assert a["python_eval_nodes"] == 0
+    assert not a["cartesian"]
+    # bases side is broadcast back; the raw data never globally sorts
+    assert a["broadcast_joins"] >= 1

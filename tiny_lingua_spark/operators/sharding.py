@@ -1,0 +1,160 @@
+"""WebDataset-style shard packing: assign clips to fixed-byte-budget
+output shards (tar members) with deterministic offsets.
+
+Training jobs stream audio corpora as sequential shards (WebDataset /
+tfrecord style: ~shard_bytes per file, members concatenated). The
+pipeline emits the *placement plan* — (clip_id, nbytes, shard_id,
+offset_in_shard) — and the writer slices at write time; payload bytes
+never enter the plan (same contract as asr_chunk_plan / trim_plan).
+
+Assignment model is the concatenated-tape split: clips are laid on one
+deterministic tape (ordered by bucket, then clip_id), and a clip whose
+START offset falls in shard k belongs to shard k. Shards may overflow
+the budget by at most one clip (documented; tar writers want whole
+members), every shard except the last is ≥ budget-one-clip full, and
+the plan is a pure function of (ids, sizes) — re-running after a resume
+reproduces identical placement.
+
+Scale shape — the distributed exclusive prefix-sum pattern: a global
+ordered cumsum would single-partition the window, so the tape offset is
+computed hierarchically. Level 1: hash-bucket each clip (n_buckets
+uniform buckets), aggregate per-bucket byte totals (tiny). Level 2: an
+ordered window over the n_buckets-row aggregate yields each bucket's
+base offset. Level 3: a window partitioned BY BUCKET (parallel,
+bounded) computes within-bucket cumsums; global offset = bucket base +
+within-bucket offset. Two small shuffles + one bounded window — no
+global sort, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["shard_plan", "shard_plan_sql", "shard_stats",
+           "shard_stats_sql"]
+
+_HDR = 512  # tar member header + padding overhead per entry
+
+
+def _sized(clips: DataFrame, id_col: str, bytes_col: str,
+           transcript_col: str, n_buckets: int) -> DataFrame:
+    nbytes = (F.octet_length(F.col(bytes_col))
+              + F.octet_length(F.coalesce(F.col(transcript_col), F.lit("")))
+              + F.lit(_HDR)).cast("long")
+    return clips.select(
+        F.col(id_col).alias("clip_id"),
+        nbytes.alias("nbytes"),
+        F.pmod(F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                  1, 8), 16, 10).cast("long"),
+               F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+
+
+def shard_plan(clips: DataFrame, shard_bytes: int = 1 << 30,
+               id_col: str = "clip_id", bytes_col: str = "bytes",
+               transcript_col: str = "transcript",
+               n_buckets: int = 256) -> DataFrame:
+    """(clip_id, nbytes, shard_id, offset_in_shard) — deterministic
+    tape placement under a byte budget per shard."""
+    sized = _sized(clips, id_col, bytes_col, transcript_col, n_buckets)
+    # level 1+2: bucket totals -> ordered bucket base offsets
+    w_bucket_order = Window.orderBy("bucket")
+    bases = (
+        sized.groupBy("bucket")
+        .agg(F.sum("nbytes").alias("bucket_bytes"))
+        .withColumn("bucket_base",
+                    F.coalesce(
+                        F.sum("bucket_bytes").over(
+                            w_bucket_order.rowsBetween(
+                                Window.unboundedPreceding, -1)),
+                        F.lit(0)))
+        .select("bucket", "bucket_base")
+    )
+    # level 3: within-bucket exclusive cumsum (parallel over buckets)
+    w_in = (Window.partitionBy("bucket").orderBy("clip_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    start = (F.coalesce(F.sum("nbytes").over(w_in), F.lit(0))
+             + F.col("bucket_base"))
+    shard_id = F.floor(start / F.lit(shard_bytes)).cast("long")
+    return (
+        sized.join(F.broadcast(bases), "bucket")
+        .withColumn("start", start)
+        .withColumn("shard_id", shard_id)
+        .select(
+            "clip_id", "nbytes", "shard_id",
+            (F.col("start") - F.col("shard_id") * shard_bytes)
+            .cast("long").alias("offset_in_shard"),
+        )
+    )
+
+
+def shard_plan_sql(table: str, shard_bytes: int = 1 << 30,
+                   id_expr: str = "clip_id", bytes_expr: str = "bytes",
+                   transcript_expr: str = "transcript",
+                   n_buckets: int = 256,
+                   nbytes_expr: str | None = None) -> str:
+    """DuckDB twin of shard_plan — the same hierarchical offsets (the
+    bucket decomposition is exact, so the twin re-derives it rather
+    than flattening to a global cumsum). `nbytes_expr` overrides the
+    octet_length formula when the twin's table carries sizes instead
+    of payloads (e.g. the metadata fixture × the decode golden)."""
+    nb = nbytes_expr or (
+        f"octet_length({bytes_expr})"
+        f" + octet_length(encode(coalesce({transcript_expr}, '')))"
+        f" + {_HDR}")
+    return f"""
+    WITH sized AS (
+      SELECT {id_expr} AS clip_id,
+             ({nb})::BIGINT AS nbytes,
+             ((('0x' || substr(md5({id_expr}::VARCHAR), 1, 8))::BIGINT
+               % {n_buckets}))::INT AS bucket
+      FROM {table}
+    ),
+    bases AS (
+      SELECT bucket,
+             coalesce(sum(bucket_bytes) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bucket_base
+      FROM (SELECT bucket, sum(nbytes) AS bucket_bytes
+            FROM sized GROUP BY bucket)
+    ),
+    placed AS (
+      SELECT s.clip_id, s.nbytes,
+             coalesce(sum(s.nbytes) OVER (PARTITION BY s.bucket
+               ORDER BY s.clip_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + b.bucket_base AS start
+      FROM sized s JOIN bases b USING (bucket)
+    )
+    SELECT clip_id, nbytes,
+           (start // {shard_bytes})::BIGINT AS shard_id,
+           (start - (start // {shard_bytes}) * {shard_bytes})::BIGINT
+             AS offset_in_shard
+    FROM placed
+    """
+
+
+def shard_stats(plan: DataFrame, shard_bytes: int = 1 << 30) -> DataFrame:
+    """Per-shard yield: member count, payload bytes, fill ratio vs the
+    budget (>1.0 marks the one-straddling-member overflow)."""
+    return (
+        plan.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum("nbytes").cast("long").alias("shard_payload"),
+        )
+        .select(
+            "shard_id", "n_clips", "shard_payload",
+            F.round(F.col("shard_payload") / F.lit(float(shard_bytes)), 6)
+             .alias("fill_ratio"),
+        )
+    )
+
+
+def shard_stats_sql(plan_sql: str, shard_bytes: int = 1 << 30) -> str:
+    return f"""
+    SELECT shard_id, count(*)::BIGINT AS n_clips,
+           sum(nbytes)::BIGINT AS shard_payload,
+           round(sum(nbytes) / {float(shard_bytes)!r}, 6) AS fill_ratio
+    FROM ({plan_sql}) GROUP BY shard_id
+    """
