@@ -287,6 +287,24 @@ def _drift_input(spark, sf_dir):
     )
 
 
+def _q_speed_perturb(spark, sf_dir):
+    """Kaldi-style 3-way speed-perturbation plan (Ko et al. 2015):
+    one row per (clip, factor) with perturbed duration + realizing
+    resample rate. Pure explode projection, zero shuffle."""
+    from tiny_lingua_spark.operators.augment import speed_perturb_plan
+
+    return speed_perturb_plan(_synth_clips(spark))
+
+
+def _q_specaugment(spark, sf_dir):
+    """SpecAugment mask-parameter plan (Park et al. 2019), hash-seeded
+    per (clip, kind, mask index) — reproducible across runs and
+    partitionings, no RNG state, no decode."""
+    from tiny_lingua_spark.operators.augment import specaugment_plan
+
+    return specaugment_plan(_synth_clips(spark))
+
+
 _SHARD_BYTES = 1 << 21  # 2 MB demo budget -> multiple shards at n=300
 
 
@@ -1067,6 +1085,35 @@ _SECRET_KV = " password = hunter2hunter2 bye"
 _SECRET_MISS = " AKIA1234 short"                      # near-miss survives
 
 
+def _q_scrub_impact(spark, sf_dir):
+    """Scrub-aggressiveness audit: character edit distance between raw
+    and scrubbed text (built-in levenshtein, JVM codegen) normalized by
+    length, aggregated per source. Both sides are projected to
+    printable ASCII first — the scrub placeholders and every scrub
+    target grammar are ASCII, and DuckDB's levenshtein counts bytes
+    where Spark counts characters, so the projection makes the twin
+    byte-exact without touching what is being measured."""
+    ascii_only = F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", "")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", ascii_only.alias("raw"),
+    ).withColumn("scrubbed", scrubbed_col(F.col("raw")))
+    from tiny_lingua_spark.functions.scrub import scrub_impact_cols
+
+    per_doc = docs.select("doc_id", "source",
+                          *scrub_impact_cols("raw", "scrubbed"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("changed").cast("long")).cast("long")
+             .alias("n_changed"),
+            F.round(F.avg("cer"), 6).alias("avg_cer"),
+            F.round(F.max("cer"), 6).alias("max_cer"),
+            F.sum("edit_dist").cast("long").alias("total_edits"),
+        )
+    )
+
+
 def _q_scrub_secrets(spark, sf_dir):
     """Credential scrubbing (BigCode/StarCoder-style secret-detection
     pass): structural token grammars — AWS key ids, GitHub/Slack tokens,
@@ -1685,6 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibrated": _shipped(_q_quality_calibrated),
         "rate_outliers": _shipped(_q_rate_outliers),
         "shard_plan": _shipped(_q_shard_plan),
+        "speed_perturb": _shipped(_q_speed_perturb),
+        "specaugment": _shipped(_q_specaugment),
         "shard_stats": _shipped(_q_shard_stats),
         "drift_bins": _shipped(_q_drift_bins),
         "drift_summary": _shipped(_q_drift_summary),
@@ -1718,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _shipped(_q_bpe_fertility),
         "scrub_cc": _shipped(_q_scrub_cc),
         "scrub_secrets": _shipped(_q_scrub_secrets),
+        "scrub_impact": _shipped(_q_scrub_impact),
         "script_mix": _shipped(_q_script_mix),
         "ngram_diversity": _shipped(_q_ngram_diversity),
         "rule_attribution": _shipped(_q_rule_attribution),
@@ -1891,6 +1941,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(q_score), 6) AS avg_score
             FROM scored GROUP BY 1
         """,
+        "speed_perturb": __import__(
+            "tiny_lingua_spark.operators.augment", fromlist=["augment"]
+        ).speed_perturb_plan_sql(
+            f"'{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'"),
+        "specaugment": __import__(
+            "tiny_lingua_spark.operators.augment", fromlist=["augment"]
+        ).specaugment_plan_sql(
+            f"'{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'"),
         "shard_plan": (lambda sh: sh.shard_plan_sql(
             "(SELECT m.clip_id, m.transcript, f.n_samples, f.codec "
             f"FROM '{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}' m "
@@ -1914,6 +1972,26 @@ def oracle_sql() -> dict[str, str]:
             shard_bytes=_SHARD_BYTES))(
             __import__("tiny_lingua_spark.operators.sharding",
                        fromlist=["sharding"])),
+        "scrub_impact": (lambda si: f"""
+            WITH p AS (
+              SELECT doc_id, source,
+                     regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS raw
+              FROM documents
+            ),
+            d AS (
+              SELECT doc_id, source,
+                     {si.scrub_impact_sql('raw', si.scrubbed_sql('raw'))}
+              FROM p
+            )
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN changed THEN 1 ELSE 0 END)::BIGINT
+                     AS n_changed,
+                   round(avg(cer), 6) AS avg_cer,
+                   round(max(cer), 6) AS max_cer,
+                   sum(edit_dist)::BIGINT AS total_edits
+            FROM d GROUP BY source
+        """)(__import__("tiny_lingua_spark.functions.scrub",
+                        fromlist=["scrub"])),
         "rate_outliers": __import__(
             "tiny_lingua_spark.functions.quality", fromlist=["quality"]
         ).speech_rate_outliers_sql(

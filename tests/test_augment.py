@@ -1,0 +1,91 @@
+"""Augmentation plans (operators/augment.py) and the scrub-impact CER
+audit (functions/scrub.py)."""
+
+import duckdb
+import numpy as np
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators.augment import (
+    specaugment_plan,
+    specaugment_plan_sql,
+    speed_perturb_plan,
+    speed_perturb_plan_sql,
+)
+from tiny_lingua_spark.plans.audit import audit
+
+SCHEMA = "clip_id string, sr_hz long, dur_ms long"
+
+
+def _clips(spark, n=10):
+    rows = [(f"clip-{i:03d}", [8000, 16000, 44100][i % 3], 1000 + 777 * i)
+            for i in range(n)]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_speed_perturb_three_way(spark):
+    got = speed_perturb_plan(_clips(spark, 4)).toPandas()
+    assert len(got) == 12
+    assert sorted(got["factor"].unique()) == [0.9, 1.0, 1.1]
+    one = got[got["clip_id"] == "clip-000"].set_index("factor")
+    assert one.loc[1.0, "out_dur_ms"] == 1000
+    assert one.loc[0.9, "out_dur_ms"] == int(1000 / 0.9)
+    assert one.loc[1.1, "resample_sr"] == round(8000 / 1.1)
+    assert one.loc[1.0, "aug_id"] == "clip-000-sp1.0"
+
+
+def test_specaugment_deterministic_and_in_range(spark):
+    a = specaugment_plan(_clips(spark)).toPandas()
+    b = specaugment_plan(_clips(spark).repartition(7)).toPandas()
+    key = ["clip_id", "kind", "mask_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)  # hash-seeded: partitioning-independent
+    assert len(a) == 10 * 4  # 2 freq + 2 time masks per clip
+    fr = a[a["kind"] == "freq"]
+    assert fr["width"].between(0, 27).all()
+    assert (fr["start"] >= 0).all()
+    assert (fr["start"] + fr["width"] <= 80).all()
+    tm = a[a["kind"] == "time"]
+    assert tm["width"].between(0, 100).all()
+    assert tm["start"].between(0, 1).all()
+    # draws actually vary across clips/masks
+    assert fr["width"].nunique() > 3 and tm["start"].nunique() > 5
+
+
+def test_augment_twins(spark, tmp_path):
+    df = _clips(spark, 7)
+    p = str(tmp_path / "c.parquet")
+    df.toPandas().to_parquet(p)
+    for fn, sql, kwargs in (
+        (speed_perturb_plan, speed_perturb_plan_sql, {}),
+        (specaugment_plan, specaugment_plan_sql, {}),
+    ):
+        s = fn(df, **kwargs).toPandas()
+        d = duckdb.sql(sql(f"'{p}'", **kwargs)).df()
+        cols = sorted(s.columns)
+        s = s[cols].sort_values(cols).reset_index(drop=True)
+        d = d[cols].sort_values(cols).reset_index(drop=True)
+        assert len(s) == len(d)
+        for c in cols:
+            assert s[c].tolist() == d[c].tolist(), (fn.__name__, c)
+
+
+def test_plans_no_shuffle_no_python(spark):
+    for df in (speed_perturb_plan(_clips(spark)),
+               specaugment_plan(_clips(spark))):
+        a = audit(df)
+        assert a["python_eval_nodes"] == 0
+        assert a["exchanges"] == 0
+
+
+def test_scrub_impact_cols(spark):
+    from tiny_lingua_spark.functions.scrub import scrub_impact_cols
+
+    df = spark.createDataFrame(
+        [("same", "same"), ("mail me a@b.co now", "mail me <EMAIL> now")],
+        "raw string, scrubbed string")
+    got = df.select("raw", *scrub_impact_cols("raw", "scrubbed")).collect()
+    by = {r["raw"]: r for r in got}
+    assert by["same"]["edit_dist"] == 0 and not by["same"]["changed"]
+    assert by["mail me a@b.co now"]["changed"]
+    assert 0 < by["mail me a@b.co now"]["cer"] < 1

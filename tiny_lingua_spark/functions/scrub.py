@@ -199,3 +199,32 @@ def has_secret_sql(expr: str) -> str:
         pat_sql = pat.replace("'", "''")
         parts.append(f"regexp_matches({expr}, '{pat_sql}')")
     return "(" + " OR ".join(parts) + ")"
+
+
+# ------------------------------------------------- scrub-impact audit
+
+
+def scrub_impact_cols(raw: str = "text", scrubbed: str = "scrubbed"):
+    """Per-doc scrub aggressiveness: character edit distance between the
+    raw and scrubbed text (built-in levenshtein — JVM codegen, no
+    Python) normalized by the raw length. High CER rows flag templates
+    the scrubber mangles rather than masks."""
+    from pyspark.sql import functions as F
+
+    dist = F.levenshtein(F.col(raw), F.col(scrubbed))
+    return [
+        dist.cast("long").alias("edit_dist"),
+        F.round(dist / F.greatest(F.length(F.col(raw)), F.lit(1)), 6)
+         .alias("cer"),
+        (dist > 0).alias("changed"),
+    ]
+
+
+def scrub_impact_sql(raw_expr: str, scrubbed_expr: str) -> str:
+    """DuckDB twin fragment: (edit_dist, cer, changed) select items."""
+    d = f"levenshtein({raw_expr}, {scrubbed_expr})"
+    return (
+        f"{d}::BIGINT AS edit_dist, "
+        f"round({d} / greatest(length({raw_expr}), 1), 6) AS cer, "
+        f"({d} > 0) AS changed"
+    )

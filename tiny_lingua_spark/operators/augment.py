@@ -1,0 +1,158 @@
+"""Deterministic audio-augmentation *plans* for ASR training prep.
+
+Standard speech-training augmentation (Kaldi/ESPnet recipes) is decided
+at dataset-build time and applied at read time; the pipeline therefore
+emits parameter rows, never audio bytes (same plan-not-payload contract
+as asr_chunk_plan / trim_plan / shard_plan):
+
+- ``speed_perturb_plan`` — the classic 3-way speed perturbation (Ko et
+  al. 2015, "Audio augmentation for speech recognition"): one output
+  row per (clip, factor) with the perturbed duration and the resample
+  rate that realizes the factor (speed x is resample sr→sr/x played at
+  sr). Pure sequence-explode projection, zero shuffle.
+- ``specaugment_plan`` — SpecAugment mask parameters (Park et al. 2019)
+  drawn deterministically per (clip, policy) from the md5 of the clip
+  id: nf frequency masks (f0, f_width) and nt time masks (t0_frac,
+  t_width_frames). Hash-seeded → reproducible across runs/partitions,
+  no RNG state, no Python.
+
+Both are pure Catalyst with DuckDB twins; at 10^12 clips each plan is
+one streaming scan (speed: 3x fan-out via explode; masks: fixed
+columns). The md5→uniform construction matches the repo's
+deterministic-sampling idiom (operators/sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["speed_perturb_plan", "speed_perturb_plan_sql",
+           "specaugment_plan", "specaugment_plan_sql"]
+
+SPEED_FACTORS = (0.9, 1.0, 1.1)
+
+
+def speed_perturb_plan(clips: DataFrame, id_col: str = "clip_id",
+                       sr_col: str = "sr_hz", dur_ms_col: str = "dur_ms",
+                       factors: tuple[float, ...] = SPEED_FACTORS
+                       ) -> DataFrame:
+    """(clip_id, factor, aug_id, out_dur_ms, resample_sr): 3x dataset
+    fan-out plan. out_dur = dur/factor; the factor is realized by
+    resampling to round(sr/factor) and playing back at sr."""
+    arr = F.array(*[F.lit(float(f)) for f in factors])
+    return (
+        clips.select(
+            F.col(id_col).alias("clip_id"),
+            F.col(sr_col).cast("long").alias("sr_hz"),
+            F.col(dur_ms_col).cast("long").alias("dur_ms"),
+            F.explode(arr).alias("factor"),
+        )
+        .select(
+            "clip_id", "factor",
+            F.concat_ws("-sp", F.col("clip_id"),
+                        F.format_number(F.col("factor"), 1)).alias("aug_id"),
+            F.floor(F.col("dur_ms") / F.col("factor")).cast("long")
+             .alias("out_dur_ms"),
+            F.floor(F.col("sr_hz") / F.col("factor") + 0.5).cast("long")
+             .alias("resample_sr"),
+        )
+    )
+
+
+def speed_perturb_plan_sql(table: str, id_expr: str = "clip_id",
+                           sr_expr: str = "sr_hz",
+                           dur_ms_expr: str = "dur_ms",
+                           factors: tuple[float, ...] = SPEED_FACTORS
+                           ) -> str:
+    lits = ", ".join(repr(float(f)) for f in factors)
+    return f"""
+    WITH ex AS (
+      SELECT {id_expr} AS clip_id, {sr_expr}::BIGINT AS sr_hz,
+             {dur_ms_expr}::BIGINT AS dur_ms,
+             unnest([{lits}]) AS factor
+      FROM {table}
+    )
+    SELECT clip_id, factor,
+           clip_id || '-sp' || format('{{:.1f}}', factor) AS aug_id,
+           floor(dur_ms / factor)::BIGINT AS out_dur_ms,
+           floor(sr_hz / factor + 0.5)::BIGINT AS resample_sr
+    FROM ex
+    """
+
+
+# md5-seeded uniform in [0, 1): 12 hex chars -> 48-bit integer / 2^48
+def _u(seed_col, tag: str):
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", seed_col, F.lit(tag))),
+                           1, 12), 16, 10).cast("double")
+    return h / F.lit(float(1 << 48))
+
+
+def _u_sql(seed_expr: str, tag: str) -> str:
+    return (f"(('0x' || substr(md5({seed_expr} || '|{tag}'), 1, 12))::BIGINT"
+            f" / {float(1 << 48)!r})")
+
+
+def specaugment_plan(clips: DataFrame, id_col: str = "clip_id",
+                     n_mels: int = 80, f_max: int = 27,
+                     t_max_frames: int = 100,
+                     nf: int = 2, nt: int = 2) -> DataFrame:
+    """One row per (clip, mask): SpecAugment LD-policy parameters,
+    hash-seeded per (clip, mask kind, mask index). Frequency masks:
+    width ~ U[0, f_max], start ~ U[0, n_mels - width]. Time masks:
+    width ~ U[0, t_max_frames] frames, start as a fraction of the
+    (clip-dependent) frame count so the plan needs no decode."""
+    masks = F.array(*[
+        F.struct(F.lit(kind).alias("kind"), F.lit(i).alias("mask_idx"))
+        for kind in ("freq", "time") for i in range(nf if kind == "freq"
+                                                    else nt)
+    ])
+    ex = clips.select(F.col(id_col).alias("clip_id"),
+                      F.explode(masks).alias("m")).select(
+        "clip_id", F.col("m.kind").alias("kind"),
+        F.col("m.mask_idx").alias("mask_idx"))
+    seed = F.concat_ws("#", F.col("clip_id"), F.col("kind"),
+                       F.col("mask_idx").cast("string"))
+    width_u = _u(seed, "w")
+    start_u = _u(seed, "s")
+    f_width = F.floor(width_u * (f_max + 1)).cast("int")
+    t_width = F.floor(width_u * (t_max_frames + 1)).cast("int")
+    return ex.select(
+        "clip_id", "kind", "mask_idx",
+        F.when(F.col("kind") == "freq", f_width).otherwise(t_width)
+         .alias("width"),
+        F.when(F.col("kind") == "freq",
+               F.floor(start_u * (n_mels - f_width + 1)).cast("double"))
+         .otherwise(F.round(start_u, 6)).alias("start"),
+    )
+
+
+def specaugment_plan_sql(table: str, id_expr: str = "clip_id",
+                         n_mels: int = 80, f_max: int = 27,
+                         t_max_frames: int = 100,
+                         nf: int = 2, nt: int = 2) -> str:
+    rows = ", ".join(
+        f"('{kind}', {i})"
+        for kind in ("freq", "time")
+        for i in range(nf if kind == "freq" else nt))
+    seed = f"(clip_id || '#' || kind || '#' || mask_idx::VARCHAR)"
+    wu = _u_sql(seed, "w")
+    su = _u_sql(seed, "s")
+    return f"""
+    WITH ex AS (
+      SELECT {id_expr} AS clip_id, m.kind, m.mask_idx
+      FROM {table}, (VALUES {rows}) AS m(kind, mask_idx)
+    ),
+    drawn AS (
+      SELECT clip_id, kind, mask_idx::INT AS mask_idx,
+             CASE WHEN kind = 'freq'
+                  THEN floor({wu} * {f_max + 1})
+                  ELSE floor({wu} * {t_max_frames + 1}) END::INT AS width,
+             {su} AS su
+      FROM ex
+    )
+    SELECT clip_id, kind, mask_idx, width,
+           CASE WHEN kind = 'freq'
+                THEN floor(su * ({n_mels} - width + 1))
+                ELSE round(su, 6) END AS start
+    FROM drawn
+    """
