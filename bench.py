@@ -89,6 +89,13 @@ BENCH_QUERIES = (
     "classifier_calibration", # reliability table (temperature-scaled)
     "audio_trim",             # VAD-derived silence trim plan
     "align_words_vad",        # word timestamps over VAD speech time
+    "audio_true_peak",        # BS.1770 inter-sample peak (polyphase)
+    "bitext_mine",            # margin-based mutual-best pair mining
+    "drift_summary",          # PSI/KL/KS batch drift verdict
+    "rate_outliers",          # median/MAD modified-z rate screen
+    "shard_plan",             # WebDataset shard packing (prefix-sum)
+    "specaugment",            # hash-seeded SpecAugment mask plan
+    "scrub_impact",           # levenshtein CER scrub audit
 )
 
 

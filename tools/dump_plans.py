@@ -73,6 +73,16 @@ PLAN_QUERIES = (
     "classifier_auc",
     "align_words",
     "align_words_vad",
+    "drift_bins",
+    "drift_summary",
+    "bitext_mine",
+    "audio_true_peak",
+    "rate_outliers",
+    "shard_plan",
+    "shard_stats",
+    "speed_perturb",
+    "specaugment",
+    "scrub_impact",
 )
 
 
