@@ -1436,6 +1436,40 @@ def _q_align_words_vad(spark, sf_dir):
     return align_words_vad(clips, audio_fp.segment_clips(clips))
 
 
+def _q_dialog_turns(spark, sf_dir):
+    """Turn grouping over VAD segments (conversational-pause
+    heuristic): segments closer than 700 ms merge into one turn. Twin
+    re-derives the grouping in SQL over the committed segments
+    golden."""
+    from tiny_lingua_spark import audio_fp
+
+    return audio_fp.dialog_turns(audio_fp.segment_clips(_synth_clips(spark)))
+
+
+def _q_crest_factor(spark, sf_dir):
+    """Mastering/over-compression screen: crest factor = true peak −
+    RMS level. Loudness-war material sits under ~6 dB; clean speech
+    runs 12-20 dB. Composes the decode-features and true-peak kernels
+    (join on clip_id); the twin joins the two committed goldens, so the
+    crest arithmetic is re-derived while the kernels stay pinned."""
+    feats = _q_audio_features(spark, sf_dir).select(
+        "clip_id", "codec", "dbfs", "rms")
+    tp = _q_audio_true_peak(spark, sf_dir).select(
+        "clip_id", "decode_ok", "true_peak_dbtp")
+    crest = F.round(F.col("true_peak_dbtp") - F.col("dbfs"), 6)
+    return (
+        feats.join(tp, "clip_id")
+        .select(
+            "clip_id", "codec", "decode_ok",
+            crest.alias("crest_db"),
+            (F.col("decode_ok") & (F.col("rms") > 1e-4)
+             & (crest < 6.0)).alias("overcompressed"),
+            (F.col("decode_ok") & (F.col("rms") > 1e-4)
+             & (crest > 40.0)).alias("spiky"),
+        )
+    )
+
+
 def _q_audio_trim_apply(spark, sf_dir):
     """Write side of the trim plan: decode → slice the keep window →
     re-encode to canonical pcm_s16le in one whole-batch pass. Left join
@@ -1827,6 +1861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": _shipped(_q_audio_segments),
         "audio_trim": _shipped(_q_audio_trim),
         "align_words": _shipped(_q_align_words),
+        "dialog_turns": _shipped(_q_dialog_turns),
+        "crest_factor": _shipped(_q_crest_factor),
         "align_words_vad": _shipped(_q_align_words_vad),
         "audio_trim_apply": _shipped(_q_audio_trim_apply),
         "audio_embed_knn": _shipped(_q_audio_embed_knn),
@@ -2195,6 +2231,23 @@ def oracle_sql() -> dict[str, str]:
         ).trim_plan_sql(
             "SELECT * FROM "
             f"'{os.path.join(EXPECTED_DIR, 'audio_segments.parquet')}'"),
+        "dialog_turns": __import__(
+            "tiny_lingua_spark.audio_fp", fromlist=["audio_fp"]
+        ).dialog_turns_sql(
+            f"SELECT * FROM '{os.path.join(EXPECTED_DIR, 'audio_segments.parquet')}'"),
+        "crest_factor": f"""
+            SELECT f.clip_id, f.codec, t.decode_ok,
+                   round(t.true_peak_dbtp - f.dbfs, 6) AS crest_db,
+                   (t.decode_ok AND f.rms > 1e-4
+                    AND round(t.true_peak_dbtp - f.dbfs, 6) < 6.0)
+                     AS overcompressed,
+                   (t.decode_ok AND f.rms > 1e-4
+                    AND round(t.true_peak_dbtp - f.dbfs, 6) > 40.0)
+                     AS spiky
+            FROM '{os.path.join(EXPECTED_DIR, 'audio_decode_features.parquet')}' f
+            JOIN '{os.path.join(EXPECTED_DIR, 'audio_true_peak.parquet')}' t
+              USING (clip_id)
+        """,
         "align_words": __import__(
             "tiny_lingua_spark.operators.align", fromlist=["align"]
         ).align_words_uniform_sql(

@@ -207,3 +207,57 @@ def test_trim_plan_invariants(spark):
     for p in plan.values():
         assert 0 < p["speech_density"] <= 1.0
         assert p["speech_ms"] <= p["trim_end_ms"] - p["trim_start_ms"]
+
+
+# ----------------------------------------------------- dialog turns
+
+def test_dialog_turns_grouping(spark):
+    from tiny_lingua_spark.audio_fp import dialog_turns
+
+    segs = spark.createDataFrame(
+        [
+            # clip a: segs at [0,500) [600,900) (gap 100 -> same turn),
+            # then [2000,2400) (gap 1100 -> new turn)
+            ("a", 0, 0, 500), ("a", 1, 600, 900), ("a", 2, 2000, 2400),
+            # clip b: one segment
+            ("b", 0, 100, 300),
+        ],
+        "clip_id string, seg_idx int, start_ms int, end_ms int")
+    got = {r["clip_id"]: r for r in dialog_turns(segs, gap_ms=700).collect()}
+    assert got["a"]["n_turns"] == 2
+    assert got["a"]["speech_ms"] == 500 + 300 + 400
+    assert got["a"]["max_turn_ms"] == 900      # turn 1 spans [0,900)
+    assert got["a"]["max_gap_ms"] == 1100
+    assert got["b"]["n_turns"] == 1 and got["b"]["max_gap_ms"] == 0
+
+
+def test_dialog_turns_gap_threshold_boundary(spark):
+    from tiny_lingua_spark.audio_fp import dialog_turns
+
+    segs = spark.createDataFrame(
+        [("c", 0, 0, 100), ("c", 1, 800, 900)],
+        "clip_id string, seg_idx int, start_ms int, end_ms int")
+    # gap exactly 700 -> new turn (>= threshold)
+    assert dialog_turns(segs, gap_ms=700).first()["n_turns"] == 2
+    assert dialog_turns(segs, gap_ms=701).first()["n_turns"] == 1
+
+
+def test_dialog_turns_twin(spark, tmp_path):
+    import duckdb
+
+    from tiny_lingua_spark.audio_fp import dialog_turns, dialog_turns_sql
+
+    segs = spark.createDataFrame(
+        [("a", 0, 0, 500), ("a", 1, 600, 900), ("a", 2, 2000, 2400),
+         ("b", 0, 100, 300), ("d", 0, 0, 50), ("d", 1, 60, 90),
+         ("d", 2, 95, 200)],
+        "clip_id string, seg_idx int, start_ms int, end_ms int")
+    p = str(tmp_path / "segs.parquet")
+    segs.toPandas().to_parquet(p)
+    s = dialog_turns(segs).toPandas().sort_values("clip_id").reset_index(drop=True)
+    d = duckdb.sql(dialog_turns_sql(f"SELECT * FROM '{p}'")).df() \
+        .sort_values("clip_id").reset_index(drop=True)
+    s = s[sorted(s.columns)]
+    d = d[sorted(d.columns)]
+    for c in s.columns:
+        assert s[c].tolist() == d[c].tolist(), c

@@ -52,7 +52,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .audio import (
     FRAME_SAMPLES,
@@ -501,4 +501,85 @@ def trim_plan_sql(segments_sql: str) -> str:
            round(sum(end_ms - start_ms)::DOUBLE
                  / (max(end_ms) - min(start_ms)), 6) AS speech_density
     FROM ({segments_sql}) GROUP BY clip_id ORDER BY clip_id
+    """
+
+
+def dialog_turns(segments: DataFrame, gap_ms: int = 700) -> DataFrame:
+    """Utterance/turn grouping over the VAD segment rows: consecutive
+    speech segments separated by less than ``gap_ms`` of silence merge
+    into one turn (the conversational-pause heuristic; inter-turn gaps
+    in dialog run ~0.7 s+ while intra-turn pauses stay shorter). Per
+    clip: turn count, speech accounting, mean turn length, longest
+    silence. Pure Catalyst — lag window over seg_idx (one clip_id
+    shuffle shared with every other segment consumer) then one
+    aggregate; clips with no segments emit no row."""
+    w = Window.partitionBy("clip_id").orderBy("seg_idx")
+    gap = F.col("start_ms") - F.lag("end_ms").over(w)
+    seg = segments.select(
+        "clip_id", "seg_idx", "start_ms", "end_ms",
+        F.coalesce(gap, F.lit(None)).alias("gap_ms"),
+    ).withColumn(
+        "new_turn",
+        F.when(F.col("gap_ms").isNull()
+               | (F.col("gap_ms") >= gap_ms), 1).otherwise(0),
+    ).withColumn("turn_id", F.sum("new_turn").over(w))
+    turns = seg.groupBy("clip_id", "turn_id").agg(
+        F.min("start_ms").alias("t0"),
+        F.max("end_ms").alias("t1"),
+        F.sum(F.col("end_ms") - F.col("start_ms")).alias("speech"),
+    )
+    per_clip = turns.groupBy("clip_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("speech").cast("long").alias("speech_ms"),
+        F.round(F.avg(F.col("t1") - F.col("t0")), 6).alias("avg_turn_ms"),
+        F.max(F.col("t1") - F.col("t0")).cast("long").alias("max_turn_ms"),
+    )
+    gaps = seg.groupBy("clip_id").agg(
+        F.coalesce(F.max("gap_ms"), F.lit(0)).cast("long")
+         .alias("max_gap_ms"))
+    return per_clip.join(gaps, "clip_id").select(
+        "clip_id", "n_turns", "speech_ms", "avg_turn_ms", "max_turn_ms",
+        "max_gap_ms")
+
+
+def dialog_turns_sql(segments_sql: str, gap_ms: int = 700) -> str:
+    """DuckDB twin over any (clip_id, seg_idx, start_ms, end_ms)
+    relation (e.g. the committed segments golden)."""
+    return f"""
+    WITH seg AS (
+      SELECT clip_id, seg_idx, start_ms, end_ms,
+             start_ms - lag(end_ms) OVER (PARTITION BY clip_id
+                                          ORDER BY seg_idx) AS gap_ms
+      FROM ({segments_sql})
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN gap_ms IS NULL OR gap_ms >= {gap_ms}
+                  THEN 1 ELSE 0 END AS new_turn
+      FROM seg
+    ),
+    turned AS (
+      SELECT *, sum(new_turn) OVER (PARTITION BY clip_id ORDER BY seg_idx)
+                AS turn_id
+      FROM marked
+    ),
+    turns AS (
+      SELECT clip_id, turn_id, min(start_ms) AS t0, max(end_ms) AS t1,
+             sum(end_ms - start_ms) AS speech
+      FROM turned GROUP BY clip_id, turn_id
+    ),
+    per_clip AS (
+      SELECT clip_id, count(*)::BIGINT AS n_turns,
+             sum(speech)::BIGINT AS speech_ms,
+             round(avg(t1 - t0), 6) AS avg_turn_ms,
+             max(t1 - t0)::BIGINT AS max_turn_ms
+      FROM turns GROUP BY clip_id
+    ),
+    gaps AS (
+      SELECT clip_id, coalesce(max(gap_ms), 0)::BIGINT AS max_gap_ms
+      FROM seg GROUP BY clip_id
+    )
+    SELECT clip_id, n_turns, speech_ms, avg_turn_ms, max_turn_ms,
+           max_gap_ms
+    FROM per_clip JOIN gaps USING (clip_id)
     """
