@@ -1436,6 +1436,27 @@ def _q_align_words_vad(spark, sf_dir):
     return align_words_vad(clips, audio_fp.segment_clips(clips))
 
 
+def _q_audio_reverb(spark, sf_dir):
+    """Blind reverberation proxy: drop-weighted slope of the
+    significant energy-decay phases of the frame log-envelope (dry
+    speech decays steeply, reverb tails slowly; proxy is monotonic in
+    the tail constant). Golden-parquet oracle."""
+    from tiny_lingua_spark.audio import reverb_udf
+
+    clips = _synth_clips(spark)
+    rv = reverb_udf()
+    return clips.select(
+        "clip_id", "codec",
+        rv(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("r"),
+    ).select(
+        "clip_id", "codec",
+        F.col("r.decode_ok").alias("decode_ok"),
+        F.col("r.n_decays").alias("n_decays"),
+        F.round(F.col("r.decay_db_per_s"), 4).alias("decay_db_per_s"),
+        F.round(F.col("r.rt60_proxy_s"), 6).alias("rt60_proxy_s"),
+    )
+
+
 def _q_dialog_turns(spark, sf_dir):
     """Turn grouping over VAD segments (conversational-pause
     heuristic): segments closer than 700 ms merge into one turn. Twin
@@ -1861,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": _shipped(_q_audio_segments),
         "audio_trim": _shipped(_q_audio_trim),
         "align_words": _shipped(_q_align_words),
+        "audio_reverb": _shipped(_q_audio_reverb),
         "dialog_turns": _shipped(_q_dialog_turns),
         "crest_factor": _shipped(_q_crest_factor),
         "align_words_vad": _shipped(_q_align_words_vad),
@@ -1893,6 +1915,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_resample",
     "audio_loudness",
     "audio_true_peak",
+    "audio_reverb",
     "audio_neardup",
     "audio_segments",
     "audio_embed_knn",

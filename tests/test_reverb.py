@@ -1,0 +1,99 @@
+"""Blind reverberation proxy (audio.py reverb section): monotonicity in
+the true tail constant, dry/reverb separation, batch==rowloop
+equivalence, row isolation, degenerate rows."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio
+from tiny_lingua_spark.plans.audit import audit
+
+SR = 16000
+
+
+def _tail_clip(tau, dur=1.0, burst=0.2, amp=0.7, seed=None):
+    t = np.arange(int(dur * SR)) / SR
+    env = np.where(t < burst, amp, amp * np.exp(-(t - burst) / tau))
+    if seed is None:
+        x = env * np.sin(2 * np.pi * 440 * t)
+    else:
+        rng = np.random.default_rng(seed)
+        x = np.clip(env * rng.standard_normal(len(t)), -0.99, 0.99)
+    return x.astype(np.float32)
+
+
+def _dry_clip():
+    rng = np.random.default_rng(1)
+    y = np.zeros(int(0.8 * SR), dtype=np.float32)
+    y[: int(0.3 * SR)] = np.clip(0.4 * rng.standard_normal(int(0.3 * SR)),
+                                 -0.99, 0.99)
+    return y
+
+
+def _run(waves):
+    bs = pd.Series([audio.encode(w, "pcm_f32le") for w in waves])
+    cs = pd.Series(["pcm_f32le"] * len(waves))
+    ss = pd.Series([SR] * len(waves))
+    return audio._reverb_chunk(bs, cs, ss)
+
+
+def test_monotonic_in_tail_constant():
+    df = _run([_tail_clip(0.02), _tail_clip(0.05), _tail_clip(0.15)])
+    rt = df["rt60_proxy_s"].tolist()
+    assert rt[0] < rt[1] < rt[2]
+    # proxy lands in the right decade (frame/floor effects keep it from
+    # exact 6.91*tau; the screen thresholds relative values)
+    assert 0.1 < rt[0] < 0.45
+    assert 0.25 < rt[1] < 0.8
+    assert 0.7 < rt[2] < 2.5
+
+
+def test_dry_vs_reverb_separation():
+    df = _run([_dry_clip(), _tail_clip(0.08, seed=3)])
+    dry, wet = df["rt60_proxy_s"].tolist()
+    assert dry * 5 < wet
+    assert df["decay_db_per_s"][0] > 5 * df["decay_db_per_s"][1]
+
+
+def test_batch_equals_rowloop():
+    waves = [_tail_clip(0.05), _dry_clip(), _tail_clip(0.1, seed=7),
+             np.zeros(100, dtype=np.float32)]
+    bs = pd.Series([audio.encode(w, c) for w, c in
+                    zip(waves, ["pcm_f32le", "pcm_s16le", "mulaw", "alaw"])]
+                   + [b""])
+    cs = pd.Series(["pcm_f32le", "pcm_s16le", "mulaw", "alaw", "pcm_f32le"])
+    ss = pd.Series([SR] * 5)
+    a = audio._reverb_chunk(bs, cs, ss)
+    r = audio._reverb_rowloop(bs, cs, ss)
+    for col in ("decay_db_per_s", "rt60_proxy_s"):
+        assert np.allclose(a[col], r[col], atol=1e-9), col
+    for col in ("decode_ok", "n_frames", "n_decays"):
+        assert (a[col] == r[col]).all(), col
+
+
+def test_row_isolation():
+    solo = _run([_tail_clip(0.05)])
+    batch = _run([_dry_clip(), _tail_clip(0.05), _dry_clip()])
+    assert batch["rt60_proxy_s"][1] == solo["rt60_proxy_s"][0]
+
+
+def test_degenerate_rows():
+    df = _run([np.zeros(0, dtype=np.float32),       # empty
+               np.zeros(100, dtype=np.float32),     # shorter than a frame
+               np.ones(2000, dtype=np.float32) * 0.5])  # constant: no decay
+    assert (df["n_decays"] == 0).all()
+    assert (df["rt60_proxy_s"] == 0.0).all()
+
+
+def test_udf_plan(spark):
+    from tiny_lingua_spark.data.clips import generate_clips
+
+    clips_pd, _ = generate_clips(n=6, seed=42)
+    clips = spark.createDataFrame(clips_pd)
+    rv = audio.reverb_udf()
+    out = clips.select("clip_id", rv(F.col("bytes"), F.col("codec"),
+                                     F.col("sr_hz")).alias("r"))
+    a = audit(out)
+    assert a["python_eval_nodes"] == 1 and a["exchanges"] == 0
+    assert out.count() == 6
