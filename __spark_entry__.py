@@ -329,6 +329,21 @@ def _q_shard_stats(spark, sf_dir):
                        shard_bytes=_SHARD_BYTES)
 
 
+def _q_rank_normalize(spark, sf_dir):
+    """Per-source percentile normalization of the quality score (the
+    cross-source threshold fix: 'top 30%' means the same thing in
+    every source). Exact percent_rank tier = oracle; huge sources use
+    the approx_percentile bucket path instead."""
+    from tiny_lingua_spark.functions.quality import (quality_score_col,
+                                                     rank_normalize)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", *quality_metrics_cols("text"))
+    scored = docs.select("doc_id", "source",
+                         quality_score_col().alias("q_score"))
+    return rank_normalize(scored)
+
+
 def _q_rate_outliers(spark, sf_dir):
     """Iglewicz-Hoaglin modified-z speech-rate outliers per codec
     group: median/MAD via exact grouped percentile (oracle tier;
@@ -1436,6 +1451,56 @@ def _q_align_words_vad(spark, sf_dir):
     return align_words_vad(clips, audio_fp.segment_clips(clips))
 
 
+def _synth_clips_joint_dups(spark, n: int = 120, n_dups: int = 6,
+                            n_rerecord: int = 6):
+    """Clips + two planted duplicate families: µ-law re-encodes (same
+    audio AND transcript → `both`) and re-recordings (same transcript,
+    a different waveform → `text_only`)."""
+    import pandas as pd
+
+    from tiny_lingua_spark import audio
+    from tiny_lingua_spark.data.clips import generate_clips, _waveform
+    from tiny_lingua_spark.session import ship_package
+
+    ship_package(spark)
+    clips_pd, _ = generate_clips(n=n, seed=42)
+    extra = []
+    for _, r in clips_pd.head(n_dups).iterrows():
+        pcm = audio.decode(bytes(r["bytes"]), r.codec)
+        extra.append({
+            "clip_id": r.clip_id.replace("clip-", "dupmu-"),
+            "bytes": audio.encode(pcm, "mulaw"),
+            "sr_hz": r.sr_hz, "dur_ms": r.dur_ms, "codec": "mulaw",
+            "transcript": r.transcript,
+        })
+    for _, r in clips_pd.iloc[n_dups:n_dups + n_rerecord].iterrows():
+        wav = _waveform(5000 + int(r.clip_id.split("-")[1]), r.sr_hz,
+                        r.dur_ms)
+        extra.append({
+            "clip_id": r.clip_id.replace("clip-", "rerec-"),
+            "bytes": audio.encode(wav, "pcm_s16le"),
+            "sr_hz": r.sr_hz, "dur_ms": r.dur_ms, "codec": "pcm_s16le",
+            "transcript": r.transcript,
+        })
+    both = pd.concat([clips_pd, pd.DataFrame(extra)], ignore_index=True)
+    return spark.createDataFrame(both)
+
+
+def _q_joint_neardup(spark, sf_dir):
+    """Joint text+audio dedup policy over planted duplicate families:
+    µ-law re-encodes must label `both`, re-recordings `text_only`.
+    Golden-parquet oracle (the variant rows exist only in this query's
+    synthesis)."""
+    from tiny_lingua_spark import audio_fp
+    from tiny_lingua_spark.operators.dedup import (joint_neardup_policy,
+                                                   neardup_text)
+
+    clips = _synth_clips_joint_dups(spark)
+    tp = neardup_text(clips, "clip_id", "transcript", threshold=0.8)
+    ap = audio_fp.audio_neardup(clips, bin_tol=0, threshold=0.8)
+    return joint_neardup_policy(tp, ap)
+
+
 def _q_audio_reverb(spark, sf_dir):
     """Blind reverberation proxy: drop-weighted slope of the
     significant energy-decay phases of the frame log-envelope (dry
@@ -1785,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _shipped(_q_normalize_text),
         "quality_buckets": _shipped(_q_quality_buckets),
         "quality_calibrated": _shipped(_q_quality_calibrated),
+        "rank_normalize": _shipped(_q_rank_normalize),
         "rate_outliers": _shipped(_q_rate_outliers),
         "shard_plan": _shipped(_q_shard_plan),
         "speed_perturb": _shipped(_q_speed_perturb),
@@ -1883,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_trim": _shipped(_q_audio_trim),
         "align_words": _shipped(_q_align_words),
         "audio_reverb": _shipped(_q_audio_reverb),
+        "joint_neardup": _shipped(_q_joint_neardup),
         "dialog_turns": _shipped(_q_dialog_turns),
         "crest_factor": _shipped(_q_crest_factor),
         "align_words_vad": _shipped(_q_align_words_vad),
@@ -1916,6 +1983,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_loudness",
     "audio_true_peak",
     "audio_reverb",
+    "joint_neardup",
     "audio_neardup",
     "audio_segments",
     "audio_embed_knn",
@@ -2051,6 +2119,17 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY source
         """)(__import__("tiny_lingua_spark.functions.scrub",
                         fromlist=["scrub"])),
+        "rank_normalize": (lambda q: q.rank_normalize_sql(
+            "(SELECT doc_id, source, {qs} AS q_score FROM "
+            "(SELECT doc_id, source, {m} FROM documents))".format(
+                qs=qscore,
+                m=", ".join(
+                    f"({expr})::DOUBLE AS {name}"
+                    if name not in ("n_chars", "n_tokens")
+                    else f"({expr})::BIGINT AS {name}"
+                    for name, expr in qm.items()))))(
+            __import__("tiny_lingua_spark.functions.quality",
+                       fromlist=["quality"])),
         "rate_outliers": __import__(
             "tiny_lingua_spark.functions.quality", fromlist=["quality"]
         ).speech_rate_outliers_sql(

@@ -261,3 +261,28 @@ def test_dialog_turns_twin(spark, tmp_path):
     d = d[sorted(d.columns)]
     for c in s.columns:
         assert s[c].tolist() == d[c].tolist(), c
+
+
+# ---------------------------------------------- joint dedup policy
+
+def test_joint_neardup_policy_labels(spark):
+    import __spark_entry__ as e
+
+    got = e._q_joint_neardup(spark, None).toPandas()
+    dupmu = got[got.id_a.str.startswith("dupmu-")
+                | got.id_b.str.startswith("dupmu-")]
+    rerec = got[got.id_a.str.startswith("rerec-")
+                | got.id_b.str.startswith("rerec-")]
+    # every µ-law re-encode pairs with its original in BOTH modalities
+    planted_mu = dupmu[
+        dupmu.apply(lambda r: r.id_a.split("-")[-1] == r.id_b.split("-")[-1],
+                    axis=1)]
+    assert len(planted_mu) == 6
+    assert (planted_mu.modality == "both").all()
+    # every re-recording pairs with its original as text_only
+    planted_re = rerec[
+        rerec.apply(lambda r: r.id_a.split("-")[-1] == r.id_b.split("-")[-1],
+                    axis=1)]
+    assert len(planted_re) == 6
+    assert (planted_re.modality == "text_only").all()
+    assert (planted_re.match_frac.isna()).all()

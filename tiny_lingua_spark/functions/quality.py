@@ -701,3 +701,53 @@ def speech_rate_outliers_sql(table: str, id_expr: str = "clip_id",
                           ELSE 0.0 END, 6)) > {z_thresh} AS is_outlier
     FROM j JOIN mad USING (grp)
     """
+
+
+# ---------------------------------------- cross-source rank normalize
+#
+# Mixing sources whose quality scores live on incomparable scales (one
+# crawl's 0.6 is another's 0.9) breaks a single global threshold; the
+# standard fix is per-source rank normalization — each doc's score
+# becomes its percentile WITHIN its source, so "keep the top 30%" means
+# the same thing everywhere (the CCNet per-language-tercile idea
+# generalized to any grouping).
+#
+# Scale shape: percent_rank is a per-group window sort — bounded by the
+# largest single source. For sources too large to sort, calibrate with
+# the approx_percentile bucket path (quality_buckets/calibrated_buckets
+# above) instead; this exact tier is the oracle.
+
+
+def rank_normalize(df, score_col: str = "q_score",
+                   group_col: str = "source",
+                   id_col: str = "doc_id"):
+    """(id, grp, score, pct_rank): percentile of the score within its
+    group (percent_rank: 0 for the group min, 1 for the max; ties
+    share a rank). Deterministic tie order not required — percent_rank
+    is a pure function of the (grp, score) multiset."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("grp").orderBy("score")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("grp"),
+            F.col(score_col).alias("score"),
+        )
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+    )
+
+
+def rank_normalize_sql(table: str, score_expr: str = "q_score",
+                       group_expr: str = "source",
+                       id_expr: str = "doc_id") -> str:
+    """DuckDB twin of rank_normalize."""
+    return f"""
+    SELECT {id_expr} AS id, {group_expr} AS grp,
+           ({score_expr}) AS score,
+           round(percent_rank() OVER (PARTITION BY {group_expr}
+                                      ORDER BY ({score_expr})), 6)
+             AS pct_rank
+    FROM {table}
+    """

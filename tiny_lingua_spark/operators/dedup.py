@@ -1379,3 +1379,35 @@ def substr_dedup_sql(table: str, id_col: str = "doc_id",
     FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
     GROUP BY w.doc_id, len(w.words)
     """
+
+
+# ------------------------------------------- joint-modality dedup policy
+
+
+def joint_neardup_policy(text_pairs: DataFrame,
+                         audio_pairs: DataFrame) -> DataFrame:
+    """Combine per-modality near-dup verdicts for clip+transcript rows:
+    a full-outer join of the text-pair table (id_a, id_b, jaccard) and
+    the audio-pair table (id_a, id_b, match_frac) labels every candidate
+    pair `both` / `text_only` / `audio_only`.
+
+    The split matters operationally: `both` = true duplicate ingests
+    (drop one), `text_only` = re-recordings of the same script (keep
+    for ASR robustness, drop for TTS), `audio_only` = transcript
+    conflicts over identical audio (route to label review). Both input
+    tables already emit canonically ordered (id_a < id_b) pairs, so the
+    join never misses a mirror. Pair tables are candidate-bounded
+    upstream — this join carries pairs only, never the corpus."""
+    t = text_pairs.select("id_a", "id_b", "jaccard")
+    a = audio_pairs.select("id_a", "id_b", "match_frac")
+    j = t.join(a, ["id_a", "id_b"], "full_outer")
+    dup_text = F.col("jaccard").isNotNull()
+    dup_audio = F.col("match_frac").isNotNull()
+    return j.select(
+        "id_a", "id_b", "jaccard", "match_frac",
+        dup_text.alias("dup_text"),
+        dup_audio.alias("dup_audio"),
+        F.when(dup_text & dup_audio, "both")
+         .when(dup_text, "text_only")
+         .otherwise("audio_only").alias("modality"),
+    )
