@@ -432,3 +432,19 @@ def test_snr_estimate_tone_plus_noise():
     assert pure["snr_est_db"][1] == -99.0    # no speech frames
     assert pure["snr_est_db"][2] == 0.0      # empty
     assert pure["snr_est_db"][3] == 0.0      # bad decode
+
+
+def test_compressed_codec_stubs():
+    """opus/mp3/flac are env-gated: the scalar decode raises an honest
+    NotImplementedError (library absent), while the batched path marks
+    the row decode_ok=False and keeps the batch alive."""
+    import pytest as _pytest
+
+    for codec in ("opus", "mp3", "flac"):
+        with _pytest.raises(NotImplementedError):
+            audio.decode(b"\x00\x01\x02\x03", codec)
+    with _pytest.raises(ValueError):
+        audio.decode(b"\x00", "not-a-codec")
+    df = audio._features_batch(pd.Series([b"\x00\x01\x02\x03"]),
+                               pd.Series(["opus"]))
+    assert not df["decode_ok"][0]

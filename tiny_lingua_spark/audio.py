@@ -130,6 +130,22 @@ def decode(data: bytes, codec: str) -> np.ndarray:
         return _MULAW_LUT[raw]
     if codec == "alaw":
         return _ALAW_LUT[raw]
+    if codec in ("opus", "mp3", "flac", "aac", "vorbis"):
+        # real-world compressed codecs need an external decoder the
+        # container doesn't ship — honest import-guarded stubs (same
+        # contract as operators/multimodal.py): the Spark-side plumbing
+        # (schema, codec-grouped batching, error surfaces) is identical
+        # to the implemented codecs, only the byte->PCM kernel is
+        # environment-gated
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                f"decoding {codec} needs libsndfile/ffmpeg bindings, "
+                "not present in this container"
+            ) from e
+        raise NotImplementedError(
+            f"wire the soundfile {codec} decode here when available")
     raise ValueError(f"unsupported codec: {codec}")
 
 
