@@ -274,3 +274,49 @@ def test_true_peak_diagnostics_opt_in(spark, registry):
     assert not strict.loc[planted, "keep"]
     others = strict.index != planted
     assert (strict.loc[others, "keep"] == base[others]).all()
+
+
+def test_reverb_diagnostics_opt_in(spark, registry):
+    """reverb=True adds the decay columns and a reverb_ok flag; at the
+    non-binding default keep is unchanged, and a tight rt60 ceiling
+    drops a planted reverberant clip only."""
+    import numpy as np
+
+    from tiny_lingua_spark import audio as A
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    clips_pd, _ = generate_clips(n=16, seed=13)
+    # plant a strongly reverberant clip: burst + slow exponential tail
+    sr = 16000
+    t = np.arange(int(1.2 * sr)) / sr
+    rng = np.random.default_rng(5)
+    env = np.where(t < 0.2, 1.0, np.exp(-(t - 0.2) / 0.3))
+    wet = np.clip(0.4 * env * rng.standard_normal(len(t)),
+                  -0.99, 0.99).astype(np.float32)
+    i = 0
+    clips_pd.loc[i, "bytes"] = A.encode(wet, "pcm_s16le")
+    clips_pd.loc[i, "codec"] = "pcm_s16le"
+    clips_pd.loc[i, "sr_hz"] = sr
+    planted = clips_pd.loc[i, "clip_id"]
+    clips = spark.createDataFrame(clips_pd)
+
+    base = quality_filter(clips, registry, n_partitions=4).select(
+        "clip_id", "keep").toPandas().set_index("clip_id")["keep"]
+    diag = quality_filter(
+        clips, registry, n_partitions=4, reverb=True
+    ).toPandas().set_index("clip_id")
+    for col in ("decay_db_per_s", "rt60_proxy_s", "reverb_ok"):
+        assert col in diag.columns, col
+    assert diag["reverb_ok"].all()
+    assert (diag["keep"] == base).all()
+    assert diag.loc[planted, "rt60_proxy_s"] > 1.0
+
+    strict = quality_filter(
+        clips, registry, n_partitions=4, reverb=True,
+        thresholds={"max_rt60_proxy_s": 1.0},
+    ).toPandas().set_index("clip_id")
+    assert not strict.loc[planted, "reverb_ok"]
+    assert not strict.loc[planted, "keep"]
+    others = strict.index != planted
+    assert (strict.loc[others, "keep"] == base[others]).all()

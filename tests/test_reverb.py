@@ -44,16 +44,25 @@ def test_monotonic_in_tail_constant():
     assert rt[0] < rt[1] < rt[2]
     # proxy lands in the right decade (frame/floor effects keep it from
     # exact 6.91*tau; the screen thresholds relative values)
-    assert 0.1 < rt[0] < 0.45
-    assert 0.25 < rt[1] < 0.8
-    assert 0.7 < rt[2] < 2.5
+    assert 0.1 < rt[0] < 0.4
+    assert 0.3 < rt[1] < 0.8
+    assert 0.8 < rt[2] < 2.0
 
 
 def test_dry_vs_reverb_separation():
-    df = _run([_dry_clip(), _tail_clip(0.08, seed=3)])
+    df = _run([_dry_clip(), _tail_clip(0.15, seed=3)])
     dry, wet = df["rt60_proxy_s"].tolist()
-    assert dry * 5 < wet
-    assert df["decay_db_per_s"][0] > 5 * df["decay_db_per_s"][1]
+    assert dry * 4 < wet
+    assert df["decay_db_per_s"][0] > 4 * df["decay_db_per_s"][1]
+
+
+def test_slow_noisy_tail_detected():
+    # the case a strict monotonic-run detector misses: tau=0.3 noise
+    # carrier fluctuates +-2-3 dB per frame; the smoothed tolerant run
+    # must still find one qualifying decay and flag heavy reverb
+    df = _run([_tail_clip(0.3, seed=5, dur=1.2)])
+    assert df["n_decays"][0] >= 1
+    assert df["rt60_proxy_s"][0] > 1.5
 
 
 def test_batch_equals_rowloop():

@@ -1988,20 +1988,37 @@ def true_peak_udf():
 # proxy). This kernel measures the aggregate slope of the significant
 # energy-DECAY phases of the frame-level log-energy envelope:
 #
-#   envelope L_f = 10*log10(frame energy), frames of FRAME_SAMPLES
-#   decay run   = maximal consecutive frames with dL < 0 (within a row)
-#   qualifying  = total drop over the run >= min_drop_db (default 10)
-#   decay_db_per_s = sum(drops) / sum(durations)   (drop-weighted slope)
+#   envelope L_f = 10*log10(frame energy), frames of FRAME_SAMPLES,
+#                  smoothed by a centered 5-frame mean (full in-row
+#                  windows only; edge frames stay raw) — a raw noise
+#                  envelope fluctuates ±2-3 dB per frame, which breaks
+#                  slow decays into sub-threshold fragments
+#   decay run   = maximal consecutive frames with dL < +0.5 dB
+#                 (tolerant descent: small noise upticks don't end a
+#                 run; within a row only)
+#   qualifying  = NET drop over the run >= min_drop_db (default 10) —
+#                 this also rejects flat plateaus that the tolerance
+#                 would otherwise admit
+#   decay_db_per_s = sum(net drops) / sum(durations)
 #   rt60_proxy_s   = 60 / decay_db_per_s
 #
 # Dry speech stops fast (steep decays, small RT60 proxy); reverb tails
 # decay at -8.686/tau dB/s for an e^{-t/tau} amplitude tail, so the
-# proxy recovers 6.91*tau on synthetic exponential tails (pinned by
-# test). All run detection is change-point arithmetic over the
-# concatenated frame axis (same reduceat style as the dropout screen);
-# no per-frame Python, no per-row loops.
+# proxy is monotonic in tau (pinned by test; absolute calibration is
+# frame/floor-limited — threshold relative values). All run detection
+# is change-point arithmetic over the concatenated frame axis (same
+# reduceat style as the dropout screen); no per-frame Python, no
+# per-row loops.
 
 REVERB_MIN_DROP_DB = 10.0
+REVERB_SMOOTH_W = 5        # centered smoothing window (frames)
+REVERB_UPTICK_TOL_DB = 0.5  # a run survives upticks below this
+# runs end once the envelope reaches the measurement floor (the digital
+# eps floor sits at -120; without this gate a fast decay's run coasts
+# along the flat floor and dilutes its slope — measured: tau=0.02 and
+# 0.05 became indistinguishable). A step INTO the floor still counts
+# (it carries the plunge); steps starting at the floor do not.
+REVERB_FLOOR_GATE_DB = -95.0
 REVERB_SCHEMA = ("decode_ok boolean, n_frames int, n_decays int,"
                  " decay_db_per_s double, rt60_proxy_s double")
 _REVERB_EPS = 1e-12
@@ -2018,18 +2035,31 @@ def _reverb_from_decoded(samples, offsets, ok, sr_row,
     if frame_starts.size:
         e = _frame_sums(samples.astype(np.float64) ** 2, frame_starts)
         lvl = 10.0 * np.log10(e / FRAME_SAMPLES + _REVERB_EPS)
-        if len(lvl) >= 2:
-            d = lvl[1:] - lvl[:-1]
+        # centered smoothing where the window fits inside the row;
+        # edge frames keep the raw level (no cross-row bleed possible)
+        half = REVERB_SMOOTH_W // 2
+        row_first = np.concatenate([[0], np.cumsum(n_frames)])[:-1]
+        k_in_row = np.arange(len(lvl)) - row_first[row_of_frame]
+        m_row = n_frames[row_of_frame]
+        full = (k_in_row >= half) & (k_in_row <= m_row - 1 - half)
+        smoothed = np.convolve(lvl, np.full(REVERB_SMOOTH_W,
+                                            1.0 / REVERB_SMOOTH_W),
+                               mode="same")
+        sm = np.where(full, smoothed, lvl)
+        if len(sm) >= 2:
+            d = sm[1:] - sm[:-1]
             same_row = row_of_frame[1:] == row_of_frame[:-1]
-            down = (d < 0.0) & same_row
-            # maximal runs of `down`: starts where down & !prev
+            down = ((d < REVERB_UPTICK_TOL_DB) & same_row
+                    & (sm[:-1] > REVERB_FLOOR_GATE_DB))
+            # maximal tolerant-descent runs: starts where down & !prev
             prev = np.concatenate([[False], down[:-1]])
             starts = np.flatnonzero(down & ~prev)
             if starts.size:
                 nxt = np.concatenate([down[1:], [False]])
                 ends = np.flatnonzero(down & ~nxt)  # inclusive
-                # run drop = lvl[start] - lvl[end+1] (both frames exist)
-                drops = lvl[starts] - lvl[ends + 1]
+                # NET drop = sm[start] - sm[end+1]; plateaus that the
+                # tolerance admitted fail the min_drop filter
+                drops = sm[starts] - sm[ends + 1]
                 durs = (ends - starts + 1).astype(np.float64)
                 rows = row_of_frame[starts]
                 q = drops >= min_drop_db
@@ -2076,14 +2106,23 @@ def _reverb_rowloop(bytes_s, codec_s, sr_s,
             float(np.sum(pcm[i * FRAME_SAMPLES:(i + 1) * FRAME_SAMPLES]
                          ** 2)) / FRAME_SAMPLES + _REVERB_EPS)
                for i in range(k)]
+        half = REVERB_SMOOTH_W // 2
+        sm = [
+            float(np.mean(lvl[i - half:i + half + 1]))
+            if half <= i <= k - 1 - half else lvl[i]
+            for i in range(k)
+        ]
         drops, durs = [], []
         i = 0
-        while i < len(lvl) - 1:
-            if lvl[i + 1] < lvl[i]:
+        while i < len(sm) - 1:
+            if (sm[i + 1] - sm[i] < REVERB_UPTICK_TOL_DB
+                    and sm[i] > REVERB_FLOOR_GATE_DB):
                 j = i
-                while j < len(lvl) - 1 and lvl[j + 1] < lvl[j]:
+                while (j < len(sm) - 1
+                       and sm[j + 1] - sm[j] < REVERB_UPTICK_TOL_DB
+                       and sm[j] > REVERB_FLOOR_GATE_DB):
                     j += 1
-                drop = lvl[i] - lvl[j]
+                drop = sm[i] - sm[j]
                 if drop >= min_drop_db:
                     drops.append(drop)
                     durs.append(j - i)

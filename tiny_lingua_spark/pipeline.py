@@ -68,6 +68,9 @@ AUDIO_THRESHOLDS = {
     # inter-sample true-peak ceiling (only computed with true_peak=True);
     # inf = non-binding default — set to -1.0 to enforce EBU R128
     "max_true_peak_dbtp": float("inf"),
+    # reverberation proxy ceiling (only computed with reverb=True);
+    # inf = non-binding default — far-field screens use ~1.0 s
+    "max_rt60_proxy_s": float("inf"),
 }
 
 
@@ -148,6 +151,7 @@ def quality_filter(
     quality_model: tuple[DataFrame, DataFrame] | None = None,
     audio_artifacts: bool = False,
     true_peak: bool = False,
+    reverb: bool = False,
 ) -> DataFrame:
     """Full pipeline → one row per clip with decision + diagnostics.
 
@@ -176,6 +180,11 @@ def quality_filter(
     ceiling (max_true_peak_dbtp = inf); set -1.0 for the EBU R128
     permitted maximum. Same second-Arrow-stage shape as the artifact
     screen (one extra decode pass).
+
+    ``reverb=True`` adds the blind reverberation proxy
+    (`decay_db_per_s`, `rt60_proxy_s`) plus a `reverb_ok` flag AND-ed
+    into `keep` — non-binding at the default inf ceiling; far-field
+    screens set max_rt60_proxy_s ≈ 1.0 s.
     """
     th = {**DEFAULT_THRESHOLDS, **AUDIO_THRESHOLDS, **(thresholds or {})}
     enrich = make_enrich_udf(registry, params)
@@ -214,6 +223,17 @@ def quality_filter(
             F.col("pit.f0_mean_hz").alias("f0_mean_hz"),
             F.col("pit.zcr").alias("zcr"),
         ]
+    rv_cols = []
+    if reverb:
+        from .audio import reverb_udf
+
+        rvu = reverb_udf()
+        df = df.withColumn("rvb", rvu(F.col("bytes"), F.col("codec"),
+                                      F.col("sr_hz")))
+        rv_cols = [
+            F.col("rvb.decay_db_per_s").alias("decay_db_per_s"),
+            F.col("rvb.rt60_proxy_s").alias("rt60_proxy_s"),
+        ]
     tp_cols = []
     if true_peak:
         from .audio import true_peak_udf
@@ -236,6 +256,7 @@ def quality_filter(
             *extra_cols,
             *artifact_cols,
             *tp_cols,
+            *rv_cols,
             "clip_id",
             "sr_hz",
             "dur_ms",
@@ -317,6 +338,10 @@ def quality_filter(
         tp_ok = F.col("true_peak_dbtp") <= th["max_true_peak_dbtp"]
         df = df.withColumn("tp_ok", tp_ok)
         keep = keep & tp_ok
+    if reverb:
+        reverb_ok = F.col("rt60_proxy_s") <= th["max_rt60_proxy_s"]
+        df = df.withColumn("reverb_ok", reverb_ok)
+        keep = keep & reverb_ok
     return df.withColumn("keep", keep)
 
 
