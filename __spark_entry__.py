@@ -287,6 +287,27 @@ def _drift_input(spark, sf_dir):
     )
 
 
+def _q_length_batches(spark, sf_dir):
+    """SortaGrad-style duration-bucketed batch plan (padding-waste
+    minimization). Oracle tier uses the exact global rank (range
+    exchange + serial row_number window, documented); the scale tier
+    swaps duration-quantile bucket ids."""
+    from tiny_lingua_spark.operators.packing import length_batches
+
+    return length_batches(_synth_clips(spark), batch_size=16)
+
+
+def _q_batch_padding(spark, sf_dir):
+    """Padding ledger of the duration-bucketed plan — the number that
+    justifies bucketing (vs ~50% waste on shuffled batches of a
+    heavy-tailed duration mix)."""
+    from tiny_lingua_spark.operators.packing import (batch_padding_stats,
+                                                     length_batches)
+
+    return batch_padding_stats(length_batches(_synth_clips(spark),
+                                              batch_size=16))
+
+
 def _q_speed_perturb(spark, sf_dir):
     """Kaldi-style 3-way speed-perturbation plan (Ko et al. 2015):
     one row per (clip, factor) with perturbed duration + realizing
@@ -1853,6 +1874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize": _shipped(_q_rank_normalize),
         "rate_outliers": _shipped(_q_rate_outliers),
         "shard_plan": _shipped(_q_shard_plan),
+        "length_batches": _shipped(_q_length_batches),
+        "batch_padding": _shipped(_q_batch_padding),
         "speed_perturb": _shipped(_q_speed_perturb),
         "specaugment": _shipped(_q_specaugment),
         "shard_stats": _shipped(_q_shard_stats),
@@ -2068,6 +2091,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(q_score), 6) AS avg_score
             FROM scored GROUP BY 1
         """,
+        "length_batches": (lambda pk: pk.length_batches_sql(
+            f"'{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'", batch_size=16))(
+            __import__("tiny_lingua_spark.operators.packing",
+                       fromlist=["packing"])),
+        "batch_padding": (lambda pk: pk.batch_padding_stats_sql(
+            pk.length_batches_sql(f"'{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'", batch_size=16)))(
+            __import__("tiny_lingua_spark.operators.packing",
+                       fromlist=["packing"])),
         "speed_perturb": __import__(
             "tiny_lingua_spark.operators.augment", fromlist=["augment"]
         ).speed_perturb_plan_sql(

@@ -93,3 +93,57 @@ def test_param_validation(docs):
         packing.pack_sequences(docs, "doc_id", "text", seq_len=0)
     with pytest.raises(ValueError):
         packing.pack_sequences(docs, "doc_id", "text", n_shards=0)
+
+
+# ----------------------------------------- length-bucketed batching
+
+def test_length_batches_contiguous_by_duration(spark):
+    from tiny_lingua_spark.operators.packing import length_batches
+
+    rows = [(f"c{i:03d}", (i * 37) % 900 + 100) for i in range(50)]
+    df = spark.createDataFrame(rows, "clip_id string, dur_ms long")
+    plan = length_batches(df, batch_size=8).toPandas()
+    assert len(plan) == 50 and plan.batch_id.nunique() == 7
+    # every batch's duration band is disjoint from the next batch's
+    bands = plan.groupby("batch_id")["dur_ms"].agg(["min", "max"]).sort_index()
+    assert (bands["max"].values[:-1] <= bands["min"].values[1:]).all()
+
+
+def test_batch_padding_beats_shuffled(spark):
+    import numpy as np
+
+    from tiny_lingua_spark.operators.packing import (batch_padding_stats,
+                                                     length_batches)
+
+    rng = np.random.default_rng(9)
+    durs = np.minimum(np.maximum(
+        rng.lognormal(6.5, 1.0, 200), 200), 120_000).astype(int)
+    rows = [(f"c{i:03d}", int(d)) for i, d in enumerate(durs)]
+    df = spark.createDataFrame(rows, "clip_id string, dur_ms long")
+    bucketed = batch_padding_stats(length_batches(df, 16)).first()
+    # shuffled baseline: batch on the id hash instead of duration
+    from pyspark.sql import functions as F
+    shuffled = df.select(
+        "clip_id", "dur_ms",
+        (F.conv(F.substring(F.md5("clip_id"), 1, 8), 16, 10)
+         .cast("long") % 13).alias("batch_id"))
+    base = batch_padding_stats(shuffled).first()
+    assert bucketed["padding_frac"] < base["padding_frac"] / 3
+    assert bucketed["audio_ms"] == base["audio_ms"]
+
+
+def test_length_batches_twin(spark, tmp_path):
+    import duckdb
+
+    from tiny_lingua_spark.operators.packing import (length_batches,
+                                                     length_batches_sql)
+
+    rows = [(f"c{i:03d}", (i * 211) % 5000 + 150) for i in range(40)]
+    df = spark.createDataFrame(rows, "clip_id string, dur_ms long")
+    p = str(tmp_path / "c.parquet")
+    df.toPandas().to_parquet(p)
+    s = length_batches(df, 8).toPandas().sort_values("clip_id").reset_index(drop=True)
+    d = duckdb.sql(length_batches_sql(f"'{p}'", 8)).df() \
+        .sort_values("clip_id").reset_index(drop=True)
+    for c in sorted(s.columns):
+        assert s[c].tolist() == d[c].tolist(), c

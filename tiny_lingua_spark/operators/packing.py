@@ -244,3 +244,83 @@ def asr_chunk_stats_sql(table: str, id_expr: str = "clip_id",
            sum({win_ms} - (end_ms - start_ms))::BIGINT AS pad_ms
     FROM ({plan})
     """
+
+
+# --------------------------------------- length-bucketed batch planning
+#
+# ASR/TTS training batches pad every clip to the batch max duration;
+# batching random-length clips wastes (max - mean)/max of the compute.
+# The standard fix (SortaGrad/bucketing, Deep Speech 2 appendix) sorts
+# by duration and cuts consecutive batches, so each batch spans a
+# narrow duration band. The pipeline emits the placement plan
+# (clip_id -> batch_id) plus the padding ledger.
+#
+# Scale shape: the duration sort is a RANGE exchange (Spark's orderBy =
+# repartitionByRange + in-partition sort — no single-partition stage);
+# only the row_number over the global order is a serial window, so the
+# oracle tier documents it and the scale tier replaces the exact rank
+# with duration-quantile bucket ids (approx_percentile cuts), which
+# needs no global window at all.
+
+
+def length_batches(clips: DataFrame, batch_size: int = 16,
+                   id_col: str = "clip_id",
+                   dur_ms_col: str = "dur_ms") -> DataFrame:
+    """(clip_id, dur_ms, batch_id): consecutive batches over the
+    duration-sorted order (ties broken by id for determinism)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(dur_ms_col).cast("long"), F.col(id_col))
+    return clips.select(
+        F.col(id_col).alias("clip_id"),
+        F.col(dur_ms_col).cast("long").alias("dur_ms"),
+    ).withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+
+
+def length_batches_sql(table: str, batch_size: int = 16,
+                       id_expr: str = "clip_id",
+                       dur_ms_expr: str = "dur_ms") -> str:
+    return f"""
+    SELECT {id_expr} AS clip_id, {dur_ms_expr}::BIGINT AS dur_ms,
+           ((row_number() OVER (ORDER BY {dur_ms_expr}::BIGINT,
+                                {id_expr}) - 1) // {batch_size})::BIGINT
+             AS batch_id
+    FROM {table}
+    """
+
+
+def batch_padding_stats(plan: DataFrame) -> DataFrame:
+    """Per-corpus padding ledger of a batch plan: scheduled (padded)
+    ms vs real audio ms, plus the padding fraction — THE number that
+    justifies bucketing (compare against a shuffled plan)."""
+    per_batch = plan.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("dur_ms").alias("mx"),
+        F.sum("dur_ms").alias("real"),
+    )
+    return per_batch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum(F.col("n") * F.col("mx")).cast("long").alias("padded_ms"),
+        F.sum("real").cast("long").alias("audio_ms"),
+        F.round(F.lit(1.0)
+                - F.sum("real") / F.sum(F.col("n") * F.col("mx")), 6)
+         .alias("padding_frac"),
+    )
+
+
+def batch_padding_stats_sql(plan_sql: str) -> str:
+    return f"""
+    WITH per_batch AS (
+      SELECT batch_id, count(*) AS n, max(dur_ms) AS mx,
+             sum(dur_ms) AS real
+      FROM ({plan_sql}) GROUP BY batch_id
+    )
+    SELECT count(*)::BIGINT AS n_batches,
+           sum(n * mx)::BIGINT AS padded_ms,
+           sum(real)::BIGINT AS audio_ms,
+           round(1.0 - sum(real) / sum(n * mx), 6) AS padding_frac
+    FROM per_batch
+    """
