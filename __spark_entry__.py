@@ -1121,6 +1121,15 @@ _SECRET_KV = " password = hunter2hunter2 bye"
 _SECRET_MISS = " AKIA1234 short"                      # near-miss survives
 
 
+def _q_pii_density(spark, sf_dir):
+    """Scoring side of the scrub chain: per-doc hit counts + density
+    for each scrub category (the Dolma-style tox-per-100-tokens gate
+    metric). One codegen projection."""
+    from tiny_lingua_spark.functions.scrub import pii_density_cols
+
+    return _docs(spark, sf_dir).select("doc_id", *pii_density_cols("text"))
+
+
 def _q_scrub_impact(spark, sf_dir):
     """Scrub-aggressiveness audit: character edit distance between raw
     and scrubbed text (built-in levenshtein, JVM codegen) normalized by
@@ -1911,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _shipped(_q_bpe_fertility),
         "scrub_cc": _shipped(_q_scrub_cc),
         "scrub_secrets": _shipped(_q_scrub_secrets),
+        "pii_density": _shipped(_q_pii_density),
         "scrub_impact": _shipped(_q_scrub_impact),
         "script_mix": _shipped(_q_script_mix),
         "ngram_diversity": _shipped(_q_ngram_diversity),
@@ -2130,6 +2140,10 @@ def oracle_sql() -> dict[str, str]:
             shard_bytes=_SHARD_BYTES))(
             __import__("tiny_lingua_spark.operators.sharding",
                        fromlist=["sharding"])),
+        "pii_density": (lambda si: "SELECT doc_id, "
+            + si.pii_density_sql("text") + " FROM documents")(
+            __import__("tiny_lingua_spark.functions.scrub",
+                       fromlist=["scrub"])),
         "scrub_impact": (lambda si: f"""
             WITH p AS (
               SELECT doc_id, source,

@@ -226,3 +226,35 @@ def test_secret_scrub_plan_pure_codegen(spark):
     plan = explain_str(df.select(secrets_scrubbed_col("t")))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_pii_density_counts(spark):
+    import pytest
+
+    from tiny_lingua_spark.functions.scrub import pii_density_cols
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and c@d.org plus https://x.y now"),
+         (2, "that badword and toxicword here five tokens pad pad"),
+         (3, ""),
+         (4, "clean text with nothing to flag at all")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           df.select("doc_id", *pii_density_cols("text")).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_url"] == 1
+    assert got[1]["n_tox"] == 0
+    assert got[2]["n_tox"] == 2
+    assert got[2]["tox_per_100_tokens"] == pytest.approx(2 * 100 / 9, abs=1e-4)
+    assert got[3]["n_url"] == got[3]["n_tox"] == 0
+    assert got[3]["tox_per_100_tokens"] == 0.0
+    assert got[4]["pii_per_100_tokens"] == 0.0
+
+
+def test_pii_density_plan_pure_codegen(spark):
+    from tiny_lingua_spark.functions.scrub import pii_density_cols
+    from tiny_lingua_spark.plans.audit import explain_str
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = explain_str(df.select("doc_id", *pii_density_cols("text")))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

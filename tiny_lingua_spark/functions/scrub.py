@@ -228,3 +228,58 @@ def scrub_impact_sql(raw_expr: str, scrubbed_expr: str) -> str:
         f"round({d} / greatest(length({raw_expr}), 1), 6) AS cer, "
         f"({d} > 0) AS changed"
     )
+
+
+# --------------------------------------------------- PII/tox density
+
+
+def pii_density_cols(col: str = "text"):
+    """Per-doc hit counts + density for each scrub category (URL,
+    email, SSN-style id, phone, toxicity) — the SCORING side of the
+    scrub chain: the scrubber masks, this ranks. `tox_per_100_tokens`
+    is the usual keep-gate metric (Dolma/RefinedWeb threshold ~0.x
+    hits per 100 tokens). Pure Catalyst regexp_count, one codegen
+    projection, zero Python."""
+    c = F.col(col)
+    tokens = F.when(
+        F.length(F.trim(c)) > 0, F.size(F.split(F.trim(c), r"\s+"))
+    ).otherwise(F.lit(0))
+    counts = {
+        "n_url": F.regexp_count(c, F.lit(URL_RE)),
+        "n_email": F.regexp_count(c, F.lit(EMAIL_RE)),
+        "n_id": F.regexp_count(c, F.lit(SSN_RE)),
+        "n_phone": F.regexp_count(c, F.lit(PHONE_RE)),
+        "n_tox": F.regexp_count(c, F.lit(TOX_RE)),
+    }
+    total_pii = sum(counts.values(), F.lit(0)) - counts["n_tox"]
+    out = [v.cast("long").alias(k) for k, v in counts.items()]
+    out.append(
+        F.round(counts["n_tox"] * 100.0
+                / F.greatest(tokens, F.lit(1)), 6)
+         .alias("tox_per_100_tokens"))
+    out.append(
+        F.round(total_pii * 100.0 / F.greatest(tokens, F.lit(1)), 6)
+         .alias("pii_per_100_tokens"))
+    return out
+
+
+def pii_density_sql(expr: str) -> str:
+    """DuckDB twin fragment (same names; len(regexp_extract_all) is
+    DuckDB's regexp_count)."""
+    def cnt(pat: str) -> str:
+        esc = pat.replace("'", "''")
+        return f"len(regexp_extract_all({expr}, '{esc}'))"
+
+    toks = (f"(CASE WHEN length(trim({expr})) > 0 THEN "
+            f"len(regexp_split_to_array(trim({expr}), '\\s+')) "
+            f"ELSE 0 END)")
+    n = {k: cnt(p) for k, p in (
+        ("n_url", URL_RE), ("n_email", EMAIL_RE), ("n_id", SSN_RE),
+        ("n_phone", PHONE_RE), ("n_tox", TOX_RE))}
+    pii_sum = " + ".join(v for k, v in n.items() if k != "n_tox")
+    parts = [f"({v})::BIGINT AS {k}" for k, v in n.items()]
+    parts.append(f"round(({n['n_tox']}) * 100.0 / greatest({toks}, 1), 6)"
+                 " AS tox_per_100_tokens")
+    parts.append(f"round(({pii_sum}) * 100.0 / greatest({toks}, 1), 6)"
+                 " AS pii_per_100_tokens")
+    return ", ".join(parts)
