@@ -1531,6 +1531,37 @@ def _q_joint_neardup(spark, sf_dir):
     return joint_neardup_policy(tp, ap)
 
 
+def _q_audio_decontaminate(spark, sf_dir):
+    """Audio-side eval decontamination: corpus clips whose fingerprints
+    near-match an eval clip (re-encoded eval copies must not reach
+    training). Eval = 20 held-out clips + µ-law copies of 4 corpus
+    clips planted as contamination; exactly those 4 must flag. Golden
+    oracle."""
+    import pandas as pd
+
+    from tiny_lingua_spark import audio, audio_fp
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.session import ship_package
+
+    ship_package(spark)
+    clips_pd, _ = generate_clips(n=120, seed=42)
+    corpus = spark.createDataFrame(clips_pd.iloc[:100])
+    eval_rows = [clips_pd.iloc[100:]]
+    contam = []
+    for _, r in clips_pd.head(4).iterrows():
+        pcm = audio.decode(bytes(r["bytes"]), r.codec)
+        contam.append({
+            "clip_id": r.clip_id.replace("clip-", "eval-"),
+            "bytes": audio.encode(pcm, "mulaw"),
+            "sr_hz": r.sr_hz, "dur_ms": r.dur_ms, "codec": "mulaw",
+            "transcript": r.transcript,
+        })
+    eval_clips = spark.createDataFrame(
+        pd.concat(eval_rows + [pd.DataFrame(contam)], ignore_index=True))
+    return audio_fp.audio_decontaminate(corpus, eval_clips,
+                                        threshold=0.8, bin_tol=0)
+
+
 def _q_audio_reverb(spark, sf_dir):
     """Blind reverberation proxy: drop-weighted slope of the
     significant energy-decay phases of the frame log-envelope (dry
@@ -1982,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_trim": _shipped(_q_audio_trim),
         "align_words": _shipped(_q_align_words),
         "audio_reverb": _shipped(_q_audio_reverb),
+        "audio_decontaminate": _shipped(_q_audio_decontaminate),
         "joint_neardup": _shipped(_q_joint_neardup),
         "dialog_turns": _shipped(_q_dialog_turns),
         "crest_factor": _shipped(_q_crest_factor),
@@ -2016,6 +2048,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_loudness",
     "audio_true_peak",
     "audio_reverb",
+    "audio_decontaminate",
     "joint_neardup",
     "audio_neardup",
     "audio_segments",

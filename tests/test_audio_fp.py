@@ -286,3 +286,16 @@ def test_joint_neardup_policy_labels(spark):
     assert len(planted_re) == 6
     assert (planted_re.modality == "text_only").all()
     assert (planted_re.match_frac.isna()).all()
+
+
+def test_audio_decontaminate_recovers_planted(spark):
+    import __spark_entry__ as e
+
+    got = e._q_audio_decontaminate(spark, None).toPandas()
+    planted = got[got.eval_id.str.startswith("eval-")]
+    # exactly the 4 µ-law eval copies, each matched to its source clip
+    assert sorted(planted.corpus_id) == [f"clip-{i:08d}" for i in range(4)]
+    assert (planted.match_frac == 1.0).all()
+    # pure held-out eval clips may tone-collide with the synthetic
+    # corpus (same dominant bin) but never with a planted id
+    assert not got.corpus_id.str.startswith("eval-").any()

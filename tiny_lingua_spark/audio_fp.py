@@ -242,10 +242,14 @@ def neardup_from_fingerprints(fps: DataFrame, threshold: float = 0.6,
                               bin_tol: int = 1,
                               n_hashes: int = FP_N_HASHES,
                               band_size: int = FP_BAND_SIZE,
-                              hash_fn: str = "xxhash64") -> DataFrame:
+                              hash_fn: str = "xxhash64",
+                              cross_prefix_only: bool = False) -> DataFrame:
     """The dedup chain over a precomputed (id, fp array<bigint>)
     relation — the production entry point when fingerprints live in
-    their own table."""
+    their own table. ``cross_prefix_only`` keeps only candidate pairs
+    whose ids differ in their 1-char side prefix (see
+    audio_decontaminate) so same-side pairs never reach the
+    verification joins."""
     coarse = (
         f"transform(fp, x -> shiftleft(shiftright(x, {_BLOCK_SHIFT}),"
         f" {_BIN_SHIFT}) | (x & {(1 << _BIN_SHIFT) - 1}))"
@@ -263,6 +267,9 @@ def neardup_from_fingerprints(fps: DataFrame, threshold: float = 0.6,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if cross_prefix_only:
+        cand = cand.where(F.substring("id_a", 1, 1)
+                          != F.substring("id_b", 1, 1))
     blocks = fps.select(
         "id",
         F.size("fp").alias("n_blocks"),
@@ -583,3 +590,42 @@ def dialog_turns_sql(segments_sql: str, gap_ms: int = 700) -> str:
            max_gap_ms
     FROM per_clip JOIN gaps USING (clip_id)
     """
+
+
+def audio_decontaminate(corpus: DataFrame, eval_clips: DataFrame,
+                        id_col: str = "clip_id",
+                        bytes_col: str = "bytes",
+                        codec_col: str = "codec", sr_col: str = "sr_hz",
+                        threshold: float = 0.6, bin_tol: int = 1,
+                        n_hashes: int = FP_N_HASHES,
+                        band_size: int = FP_BAND_SIZE) -> DataFrame:
+    """Audio-side benchmark decontamination: corpus clips whose
+    fingerprints near-match an EVAL clip (the audio analog of
+    decontam's 13-gram text rule — a re-encoded/resampled copy of an
+    eval recording must not reach training).
+
+    Returns (corpus_id, eval_id, match_frac) for matches at/over the
+    threshold. The chain is the audio_neardup LSH, run over the union
+    with a side tag and filtered to CROSS-side candidate pairs before
+    the (expensive) aligned verification — within-corpus and
+    within-eval pairs never reach the block joins. The eval side is
+    tiny by construction; at 10^12-clip scale the corpus fingerprints
+    stream through one LSH band shuffle exactly as in audio_neardup,
+    and only cross candidates fan out."""
+    c_fp = _fingerprints(corpus, id_col, bytes_col, codec_col, sr_col) \
+        .select(F.concat(F.lit("c:"), F.col("id")).alias("id"), "fp")
+    e_fp = _fingerprints(eval_clips, id_col, bytes_col, codec_col,
+                         sr_col) \
+        .select(F.concat(F.lit("e:"), F.col("id")).alias("id"), "fp")
+    from pyspark import StorageLevel
+
+    fps = c_fp.unionByName(e_fp).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = neardup_from_fingerprints(
+        fps, threshold=threshold, bin_tol=bin_tol, n_hashes=n_hashes,
+        band_size=band_size, cross_prefix_only=True)
+    # canonical pair order put 'c:' ids first (c < e lexically)
+    return pairs.select(
+        F.substring("id_a", 3, 1 << 20).alias("corpus_id"),
+        F.substring("id_b", 3, 1 << 20).alias("eval_id"),
+        "match_frac",
+    )
