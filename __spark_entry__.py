@@ -598,6 +598,27 @@ def _q_dsir_select(spark, sf_dir):
     return dsir.dsir_select(docs, ratio, _DSIR_K, "doc_id", "text")
 
 
+def _q_dataset_card(spark, sf_dir):
+    """One-row corpus card: clip counts, audio hours, duration
+    quantiles, codec/rate mix, transcript coverage — the numbers a
+    dataset README leads with. One aggregate over metadata (bytes
+    never read)."""
+    clips = _synth_clips(spark)
+    dur_s = F.col("dur_ms") / 1000.0
+    has_txt = F.length(F.trim(F.coalesce(F.col("transcript"),
+                                         F.lit("")))) > 0
+    return clips.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.round(F.sum(dur_s) / 3600.0, 6).alias("audio_hours"),
+        F.round(F.expr("percentile(dur_ms, 0.5)"), 6).alias("p50_dur_ms"),
+        F.round(F.expr("percentile(dur_ms, 0.95)"), 6).alias("p95_dur_ms"),
+        F.countDistinct("codec").cast("long").alias("n_codecs"),
+        F.countDistinct("sr_hz").cast("long").alias("n_rates"),
+        F.round(F.avg(has_txt.cast("double")), 6)
+         .alias("transcript_coverage"),
+    )
+
+
 def _q_clip_consistency(spark, sf_dir):
     """Audio/transcript joint-consistency filter: speaking-rate
     plausibility (chars/sec, words/min) over clip metadata — a pure
@@ -1937,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_sample": _shipped(_q_unimax_sample),
         "dsir_weights": _shipped(_q_dsir_weights),
         "dsir_select": _shipped(_q_dsir_select),
+        "dataset_card": _shipped(_q_dataset_card),
         "clip_consistency": _shipped(_q_clip_consistency),
         "clip_speech_rate": _shipped(_q_clip_speech_rate),
         "pack_sequences": _shipped(_q_pack_sequences),
@@ -2291,6 +2313,18 @@ def oracle_sql() -> dict[str, str]:
             "tiny_lingua_spark.operators.dsir", fromlist=["dsir"]
         ).dsir_select_sql("documents", _DSIR_K, "doc_id", "text",
                           _DSIR_TARGET, _DSIR_BUCKETS),
+        "dataset_card": f"""
+            SELECT count(*)::BIGINT AS n_clips,
+                   round(sum(dur_ms / 1000.0) / 3600.0, 6) AS audio_hours,
+                   round(quantile_cont(dur_ms, 0.5), 6) AS p50_dur_ms,
+                   round(quantile_cont(dur_ms, 0.95), 6) AS p95_dur_ms,
+                   count(DISTINCT codec)::BIGINT AS n_codecs,
+                   count(DISTINCT sr_hz)::BIGINT AS n_rates,
+                   round(avg(CASE WHEN length(trim(coalesce(transcript, '')))
+                                       > 0 THEN 1.0 ELSE 0.0 END), 6)
+                     AS transcript_coverage
+            FROM '{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'
+        """,
         "clip_consistency": __import__(
             "tiny_lingua_spark.functions.quality", fromlist=["quality"]
         ).clip_consistency_sql(

@@ -448,3 +448,33 @@ def test_compressed_codec_stubs():
     df = audio._features_batch(pd.Series([b"\x00\x01\x02\x03"]),
                                pd.Series(["opus"]))
     assert not df["decode_ok"][0]
+
+
+def test_audio_kernels_survive_fuzzed_bytes():
+    """Every batched audio kernel must treat arbitrary garbage bytes as
+    decode failures (or best-effort PCM for width-aligned payloads) —
+    never raise, never produce NaN/Inf in its numeric outputs."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    payloads, codecs = [], []
+    for i in range(12):
+        n = int(rng.integers(0, 4000))
+        payloads.append(bytes(rng.integers(0, 256, n, dtype=np.uint8)))
+        codecs.append(["pcm_s16le", "mulaw", "alaw", "pcm_f32le"][i % 4])
+    payloads += [None, b""]
+    codecs += ["pcm_s16le", "mulaw"]
+    bs, cs = pd.Series(payloads), pd.Series(codecs)
+    ss = pd.Series([8000] * len(payloads))
+
+    frames = [
+        audio._features_batch(bs, cs),
+        audio._spectral_batch(bs, cs, ss),
+        audio._mfcc_batch(bs, cs, ss),
+        audio._true_peak_chunk(bs, cs),
+        audio._reverb_chunk(bs, cs, ss),
+        audio._loudness_chunk(bs, cs, ss, audio.TARGET_LUFS),
+    ]
+    for df in frames:
+        num = df.select_dtypes(include=[float])
+        assert np.isfinite(num.to_numpy(dtype=float)).all(), df.columns
