@@ -128,15 +128,22 @@ def main() -> None:
 
         deadline = time.time() + max_wait_s
         while True:
-            t0 = time.time()
-            a = np.empty(25_000_000)
-            a[:] = 1.0
-            mb_s = 200.0 / max(time.time() - t0, 1e-9)
-            del a
-            if mb_s >= 400 or time.time() > deadline:
-                return mb_s
-            print(f"host degraded ({mb_s:.0f} MB/s) — waiting")
-            time.sleep(60)
+            # best-of-3 quick probes: the host's steal windows flap on a
+            # sub-minute cycle, so a single sample false-negatives often
+            best = 0.0
+            for _ in range(3):
+                t0 = time.time()
+                a = np.empty(25_000_000)
+                a[:] = 1.0
+                best = max(best, 200.0 / max(time.time() - t0, 1e-9))
+                del a
+                if best >= 400:
+                    break
+                time.sleep(1)
+            if best >= 400 or time.time() > deadline:
+                return best
+            print(f"host degraded ({best:.0f} MB/s) — waiting")
+            time.sleep(10)
 
     def launch(cores: int) -> dict:
         # Pin the WHOLE process tree (JVM + every Python worker) to
