@@ -1142,6 +1142,18 @@ _SECRET_KV = " password = hunter2hunter2 bye"
 _SECRET_MISS = " AKIA1234 short"                      # near-miss survives
 
 
+def _q_compression_ratio(spark, sf_dir):
+    """zlib compression ratio per doc (MassiveText-style boilerplate
+    signal: repetitive text compresses far below prose, noise doesn't
+    compress). C-speed inside the Arrow batch; golden-parquet oracle
+    (no SQL zlib)."""
+    from tiny_lingua_spark.functions.text import compression_ratio_udf
+
+    cr = compression_ratio_udf()
+    return _docs(spark, sf_dir).select(
+        "doc_id", cr(F.col("text")).alias("compression_ratio"))
+
+
 def _q_pii_density(spark, sf_dir):
     """Scoring side of the scrub chain: per-doc hit counts + density
     for each scrub category (the Dolma-style tox-per-100-tokens gate
@@ -1973,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _shipped(_q_bpe_fertility),
         "scrub_cc": _shipped(_q_scrub_cc),
         "scrub_secrets": _shipped(_q_scrub_secrets),
+        "compression_ratio": _shipped(_q_compression_ratio),
         "pii_density": _shipped(_q_pii_density),
         "scrub_impact": _shipped(_q_scrub_impact),
         "script_mix": _shipped(_q_script_mix),
@@ -2070,6 +2083,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_loudness",
     "audio_true_peak",
     "audio_reverb",
+    "compression_ratio",
     "audio_decontaminate",
     "joint_neardup",
     "audio_neardup",

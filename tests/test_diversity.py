@@ -85,3 +85,21 @@ def test_script_mix_plan_pure_codegen(spark):
     plan = explain_str(df.select(*script_mix_cols("t")))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_compression_ratio_signal(spark):
+    from pyspark.sql import functions as F
+
+    from tiny_lingua_spark.functions.text import compression_ratio_udf
+
+    cr = compression_ratio_udf()
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog. " * 20),
+         (2, "aaaaaaaaaa" * 100),
+         (3, ""),
+         (4, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["cr"] for r in
+           df.select("doc_id", cr(F.col("text")).alias("cr")).collect()}
+    assert got[2] < got[1] < 0.3          # repetition << prose << 0.3
+    assert got[3] == 0.0 and got[4] == 0.0

@@ -264,3 +264,38 @@ def script_mix_sql(text_expr: str) -> dict[str, str]:
         "mixed_script_pairs": cnt(_MIX_RE),
         "homoglyph_flag": cnt(_MIX_RE) + " > 0",
     }
+
+
+# ------------------------------------------------ compression ratio
+
+
+def compression_ratio_udf(level: int = 6):
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the
+    classic cheap boilerplate/noise signal (MassiveText-family rules):
+    templated or repetitive text compresses far below prose (~0.3-0.6
+    for natural language; <0.2 screams boilerplate, ~1.0 is random
+    noise or already-compressed junk). zlib runs at C speed inside the
+    Arrow batch — one pandas UDF projection, no shuffle; empty docs
+    ratio 0."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: explicit non-stringified hints via locals — this module has
+    # `from __future__ import annotations` and pandas is factory-local,
+    # so stringified 'pd.Series' hints would not resolve (NOTES_r3
+    # session-3 gotcha)
+    def _ratio_fn(text):
+        def ratio(t):
+            if t is None:
+                return 0.0
+            raw = t.encode("utf-8")
+            if not raw:
+                return 0.0
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return text.map(ratio)
+
+    _ratio_fn.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(_ratio_fn)
