@@ -130,16 +130,28 @@ def _gate_on_host_health() -> tuple[float, bool]:
     last probe value and whether the record should be stamped degraded
     (the driver always gets its JSON line — a degraded record is
     flagged, never silently emitted as if healthy)."""
-    retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4"))
-    wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "90"))
-    mb_s = _first_touch_probe_mb_s()
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "24"))
+    wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "15"))
+
+    def best_of_3() -> float:
+        # the steal window flaps on a sub-minute cycle; a single sample
+        # false-negatives often (same fix as tools/scaling_bench.py)
+        best = 0.0
+        for _ in range(3):
+            best = max(best, _first_touch_probe_mb_s())
+            if best >= _PROBE_HEALTHY_MB_S:
+                break
+            time.sleep(1)
+        return best
+
+    mb_s = best_of_3()
     for _ in range(retries):
         if mb_s >= _PROBE_HEALTHY_MB_S:
             return mb_s, False
         print(f"bench: host degraded (first-touch {mb_s:.0f} MB/s); "
               f"waiting {wait_s:.0f}s", file=sys.stderr)
         time.sleep(wait_s)
-        mb_s = _first_touch_probe_mb_s()
+        mb_s = best_of_3()
     return mb_s, mb_s < _PROBE_HEALTHY_MB_S
 
 
