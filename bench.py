@@ -96,6 +96,13 @@ BENCH_QUERIES = (
     "shard_plan",             # WebDataset shard packing (prefix-sum)
     "specaugment",            # hash-seeded SpecAugment mask plan
     "scrub_impact",           # levenshtein CER scrub audit
+    "audio_reverb",           # blind reverberation decay proxy
+    "dialog_turns",           # VAD turn grouping (pause heuristic)
+    "crest_factor",           # mastering / over-compression screen
+    "length_batches",         # duration-bucketed batch plan
+    "pii_density",            # per-category PII/tox hit density
+    "compression_ratio",      # zlib boilerplate/noise signal
+    "joint_neardup",          # text+audio dedup policy routing
 )
 
 

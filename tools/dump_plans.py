@@ -83,6 +83,17 @@ PLAN_QUERIES = (
     "speed_perturb",
     "specaugment",
     "scrub_impact",
+    "dialog_turns",
+    "crest_factor",
+    "audio_reverb",
+    "length_batches",
+    "batch_padding",
+    "pii_density",
+    "rank_normalize",
+    "joint_neardup",
+    "audio_decontaminate",
+    "dataset_card",
+    "compression_ratio",
 )
 
 
