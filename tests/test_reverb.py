@@ -4,6 +4,7 @@ equivalence, row isolation, degenerate rows."""
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from tiny_lingua_spark import audio
@@ -84,7 +85,11 @@ def test_batch_equals_rowloop():
 def test_row_isolation():
     solo = _run([_tail_clip(0.05)])
     batch = _run([_dry_clip(), _tail_clip(0.05), _dry_clip()])
-    assert batch["rt60_proxy_s"][1] == solo["rt60_proxy_s"][0]
+    # not exact ==: np.convolve's SIMD partial-sum order varies with
+    # the row's offset inside the batch arena (last-ulp wiggle); the
+    # isolation claim is "no cross-row contamination", pinned at 1e-9
+    assert batch["rt60_proxy_s"][1] == pytest.approx(
+        solo["rt60_proxy_s"][0], abs=1e-9)
 
 
 def test_degenerate_rows():
