@@ -914,6 +914,22 @@ def _q_neardup_components(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+def _q_dedup_keeper(spark, sf_dir):
+    """Quality-aware keeper selection inside near-dup clusters: keep
+    the highest-quality member, drop the rest (production dedup keeps
+    the best copy, not the lowest id). Components + quality score are
+    both independently oracle-verified upstream; this re-derives the
+    policy join/window in the twin."""
+    from tiny_lingua_spark.functions.quality import quality_score_col
+
+    pairs = dedup.minhash_pairs(_docs(spark, sf_dir), "doc_id", "text")
+    comps = dedup.connected_components(pairs)
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", *quality_metrics_cols("text")).select(
+        F.col("doc_id").alias("id"), quality_score_col().alias("score"))
+    return dedup.keeper_policy(comps, scored)
+
+
 def _q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash (winnowing) document fingerprints — MOSS-style
     local fingerprinting; zero-shuffle per-row array math."""
@@ -2006,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _shipped(_q_minhash_pairs),
         "jaccard_pairs": _shipped(_q_jaccard_pairs),
         "neardup_components": _shipped(_q_neardup_components),
+        "dedup_keeper": _shipped(_q_dedup_keeper),
         "neardup_text": _shipped(_q_neardup_text),
         "winnow_fingerprints": _shipped(_q_winnow_fingerprints),
         "winnow_pairs": _shipped(_q_winnow_pairs),
@@ -2615,6 +2632,17 @@ def oracle_sql() -> dict[str, str]:
         "fasttext_lang": ft_sql,
         "detect_trigram_declarative": _trigram_decl_sql(),
         "minhash_bands": dedup.minhash_bands_sql("documents", "doc_id", "text"),
+        "dedup_keeper": dedup.keeper_policy_sql(
+            dedup.connected_components_sql(
+                dedup.minhash_pairs_sql("documents", "doc_id", "text")),
+            "SELECT doc_id AS id, {qs} AS score FROM "
+            "(SELECT doc_id, {m} FROM documents)".format(
+                qs=qscore,
+                m=", ".join(
+                    f"({expr})::DOUBLE AS {name}"
+                    if name not in ("n_chars", "n_tokens")
+                    else f"({expr})::BIGINT AS {name}"
+                    for name, expr in qm.items()))),
         "neardup_components": dedup.connected_components_sql(
             dedup.minhash_pairs_sql("documents", "doc_id", "text")),
         "simhash_declarative": dedup.simhash_declarative_pairs_sql(

@@ -47,3 +47,34 @@ def test_propagation_round_is_aggregate_not_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_keeper_policy(spark):
+    from tiny_lingua_spark.operators.dedup import (keeper_policy,
+                                                   keeper_policy_sql)
+
+    comps = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (7, 200), (8, 200)],
+        "id long, comp long")
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.1),
+         (99, 1.0)],  # 99 is in no component: implicit keeper, no row
+        "id long, score double")
+    got = {r["id"]: r for r in keeper_policy(comps, scored).collect()}
+    assert len(got) == 5
+    # comp 100: 2 and 3 tie at 0.9 -> smaller id (2) keeps
+    assert got[2]["keep"] and got[2]["keeper_id"] == 2
+    assert not got[3]["keep"] and got[3]["keeper_id"] == 2
+    assert not got[1]["keep"]
+    # comp 200: tie at 0.1 -> id 7 keeps
+    assert got[7]["keep"] and not got[8]["keep"]
+
+    import duckdb
+    d = duckdb.sql(keeper_policy_sql(
+        "SELECT * FROM (VALUES (1,100),(2,100),(3,100),(7,200),(8,200))"
+        " t(id, comp)",
+        "SELECT * FROM (VALUES (1,0.5),(2,0.9),(3,0.9),(7,0.1),(8,0.1),"
+        "(99,1.0)) t(id, score)")).df()
+    assert len(d) == 5
+    assert bool(d[d.id == 2]["keep"].iloc[0])
+    assert not bool(d[d.id == 3]["keep"].iloc[0])

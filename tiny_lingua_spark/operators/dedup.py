@@ -1411,3 +1411,49 @@ def joint_neardup_policy(text_pairs: DataFrame,
          .when(dup_text, "text_only")
          .otherwise("audio_only").alias("modality"),
     )
+
+
+def keeper_policy(components: DataFrame, scored: DataFrame,
+                  id_col: str = "id", score_col: str = "score"
+                  ) -> DataFrame:
+    """Quality-aware dedup keeper selection: within each near-dup
+    component keep the HIGHEST-scoring member (production dedup keeps
+    the best copy — longest/cleanest — not the lowest id; ties break
+    to the smaller id for determinism). Docs outside any component are
+    implicit keepers and never enter this plan.
+
+    (id, comp, score, keeper_id, keep): one row per component member.
+    One window over the component partitioning (components are
+    hot-cap-bounded upstream), broadcast-free equi-join on id."""
+    from pyspark.sql import Window
+
+    j = components.join(
+        scored.select(F.col(id_col).alias("id"),
+                      F.col(score_col).alias("score")),
+        "id")
+    w = Window.partitionBy("comp").orderBy(F.col("score").desc(),
+                                           F.col("id"))
+    return (
+        j.withColumn("keeper_id", F.first("id").over(w))
+        .select("id", "comp", F.round("score", 6).alias("score"),
+                "keeper_id", (F.col("id") == F.col("keeper_id"))
+                .alias("keep"))
+    )
+
+
+def keeper_policy_sql(components_sql: str, scored_sql: str) -> str:
+    """DuckDB twin over any (id, comp) and (id, score) relations."""
+    return f"""
+    WITH j AS (
+      SELECT c.id, c.comp, s.score
+      FROM ({components_sql}) c JOIN ({scored_sql}) s USING (id)
+    ),
+    ranked AS (
+      SELECT *, first_value(id) OVER (PARTITION BY comp
+               ORDER BY score DESC, id) AS keeper_id
+      FROM j
+    )
+    SELECT id, comp, round(score, 6) AS score, keeper_id,
+           (id = keeper_id) AS keep
+    FROM ranked
+    """
