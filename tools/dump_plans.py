@@ -94,6 +94,7 @@ PLAN_QUERIES = (
     "audio_decontaminate",
     "dataset_card",
     "compression_ratio",
+    "dedup_keeper",
 )
 
 
