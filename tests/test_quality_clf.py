@@ -194,3 +194,34 @@ def test_calibration_twin(spark):
         "SELECT * FROM scored", "m", "label", "hq",
         temperature=2.0)).fetchall()))
     assert got == want
+
+
+def test_classify_wide_matches_narrow(corpus, model):
+    """classify_quality now scores through score_fasttext_wide (one
+    row-scale shuffle, no window/SMJ); it must stay bit-equal to the
+    narrow argmax path — including the sorted-axis tie-break — and the
+    executed plan must contain neither a SortMergeJoin nor a window."""
+    from pyspark.sql import functions as F
+
+    from tiny_lingua_spark.models.fasttext import score_fasttext
+
+    w, p = model
+    wide = qc.classify_quality(corpus, w, p)
+    narrow = score_fasttext(corpus, w, p).select(
+        "doc_id", F.col("ft_lang").alias("quality_pred"),
+        F.col("ft_score").alias("quality_lm_score"))
+    assert wide.exceptAll(narrow).count() == 0
+    assert narrow.exceptAll(wide).count() == 0
+    # plan shape of the SCORING path (weights materialized so the
+    # vocabulary-bounded training chain — where a tiny SMJ is harmless —
+    # stays out of the checked plan): no window, no sort-merge join, no
+    # cross join, exactly one row-scale exchange (the groupBy on doc id)
+    spark = corpus.sparkSession
+    w_m = spark.createDataFrame(w.collect(), w.schema)
+    p_m = spark.createDataFrame(p.collect(), p.schema)
+    scoring = qc.classify_quality(corpus, w_m, p_m)
+    assert scoring.exceptAll(narrow).count() == 0
+    plan = scoring._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1746,7 +1746,7 @@ def _trim_chunk(bytes_s, codec_s, sr_s, start_ms_s, end_ms_s,
     width = _SAMPLE_WIDTH[codec_to]
     encoded = _encode_concat(samples, codec_to)
     sr = pd.to_numeric(pd.Series(sr_s), errors="coerce").to_numpy(
-        np.float64, na_value=0.0)
+        np.float64, na_value=np.nan)
     s_ms = pd.to_numeric(pd.Series(start_ms_s), errors="coerce").to_numpy(
         np.float64, na_value=np.nan)
     e_ms = pd.to_numeric(pd.Series(end_ms_s), errors="coerce").to_numpy(
@@ -1756,7 +1756,12 @@ def _trim_chunk(bytes_s, codec_s, sr_s, start_ms_s, end_ms_s,
     bytes_out: list = [None] * n
     for j in range(n):  # row-level memcpy loop, not per-sample
         i = int(order[j])
-        if not ok[i] or not np.isfinite(s_ms[i]) or not np.isfinite(e_ms[i]):
+        if (not ok[i] or not np.isfinite(s_ms[i])
+                or not np.isfinite(e_ms[i])
+                or not np.isfinite(sr[i]) or sr[i] <= 0):
+            # bad sample-rate metadata is a failed row (ok=false, null
+            # bytes), same as the null-plan drop-all contract — never a
+            # silently "successful" zero-length trim
             continue
         m = int(lens[j])
         a = min(max(int(round(s_ms[i] * sr[i] / 1000.0)), 0), m)
@@ -1784,7 +1789,9 @@ def _trim_rowloop(bytes_s, codec_s, sr_s, start_ms_s, end_ms_s,
             pcm = decode(b, c) if b is not None else None
         except Exception:
             pcm = None
-        if pcm is None or s0 is None or e0 is None or pd.isna(s0) or pd.isna(e0):
+        if (pcm is None or s0 is None or e0 is None or pd.isna(s0)
+                or pd.isna(e0) or sr is None or pd.isna(sr)
+                or not np.isfinite(float(sr)) or float(sr) <= 0):
             rows.append((False, 0, None))
             continue
         m = len(pcm)

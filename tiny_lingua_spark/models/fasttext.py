@@ -254,15 +254,24 @@ def score_fasttext_sql(
     """
 
 
-def widen_weights(weights: DataFrame) -> DataFrame:
+def widen_weights(weights: DataFrame,
+                  labels: tuple[str, ...] | None = None) -> DataFrame:
     """(bucket, lang, w) → (bucket, ws array<double> ordered by the
-    canonical language axis; 0.0 where unobserved — `w` already carries
-    the −ln(default) correction, so 0 means exactly default).
+    label axis; 0.0 where unobserved — `w` already carries the
+    −ln(default) correction, so 0 means exactly default).
+
+    ``labels`` is the fixed label axis; default is the canonical
+    77-language axis (enum order — the wide SQL twin uses the same
+    axis, so ties resolve identically on both sides). A caller that
+    needs narrow-path tie parity (ORDER BY score DESC, lang) passes a
+    sorted axis — e.g. the 2-class quality classifier's ('hq', 'lq').
 
     One wide row per bucket turns the score join from a per-(bucket,
     lang) fan-out (up to |langs|× row explosion into the contrib
     shuffle) into a 1:1 join + per-language column sums."""
-    from .. import langmeta as lm
+    if labels is None:
+        from .. import langmeta as lm
+        labels = tuple(lm.ISO_CODES)
 
     m = weights.groupBy("bucket").agg(
         F.map_from_arrays(
@@ -272,7 +281,7 @@ def widen_weights(weights: DataFrame) -> DataFrame:
     return m.select(
         "bucket",
         F.array(*[
-            F.coalesce(F.col("m")[F.lit(c)], F.lit(0.0)) for c in lm.ISO_CODES
+            F.coalesce(F.col("m")[F.lit(c)], F.lit(0.0)) for c in labels
         ]).alias("ws"),
     )
 
@@ -285,6 +294,7 @@ def score_fasttext_wide(
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
     hash_fn: str = "md5",
+    labels: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Same result as score_fasttext, via the widened weights, in ONE
     pass over the input: explode_outer carries n_feats alongside each
@@ -294,13 +304,17 @@ def score_fasttext_wide(
     language axis, and argmax is array math on the single aggregated row
     per doc — no per-(doc, lang) fan-out, no window, one shuffle on id.
 
-    Ties break toward the earliest language in canonical order
-    (array_position finds the first maximum), matching the narrow path's
-    ORDER BY score DESC, lang.
+    ``labels`` must be the SAME axis the weights were widened with
+    (widen_weights); default is the canonical 77-language axis. Ties
+    break toward the earliest label on the axis (array_position finds
+    the first maximum) — a sorted axis therefore matches the narrow
+    path's ORDER BY score DESC, lang exactly.
     """
-    from .. import langmeta as lm
+    if labels is None:
+        from .. import langmeta as lm
+        labels = tuple(lm.ISO_CODES)
 
-    n_langs = len(lm.ISO_CODES)
+    n_langs = len(labels)
     # n_feats is NOT carried as size(features) next to the explode:
     # projection collapse would inline the full feature-array expression
     # into every generated row (re-building the array per feature — a
@@ -325,15 +339,15 @@ def score_fasttext_wide(
         )
     )
     # priors are a tiny table: collected once at plan build and inlined
-    # as literal arrays over the canonical language axis
+    # as literal arrays over the label axis
     pr = {r["lang"]: (r["b"], r["default_w"]) for r in priors.collect()}
     score_arr = F.array(*[
         F.lit(float(pr[c][0]))
         + F.col("n_feats") * F.lit(float(pr[c][1]))
         + F.col(f"s{i}")
-        for i, c in enumerate(lm.ISO_CODES)
+        for i, c in enumerate(labels)
     ])
-    lang_arr = F.array(*[F.lit(c) for c in lm.ISO_CODES])
+    lang_arr = F.array(*[F.lit(c) for c in labels])
     return (
         sums.select(
             "id",

@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.quality import (quality_metrics_cols, quality_metrics_sql,
                                  quality_score_col, quality_score_sql)
 from .fasttext import (N_BUCKETS, SMOOTH_ALPHA, _features_sql, bucket_sql,
-                       score_fasttext, score_fasttext_all, train_fasttext)
+                       score_fasttext_all, score_fasttext_wide,
+                       train_fasttext, widen_weights)
 
 HQ_THRESHOLD = 0.85
 _LABELS = ("hq", "lq")
@@ -57,9 +58,21 @@ def train_quality_classifier(df: DataFrame, text_col: str = "text",
 def classify_quality(docs: DataFrame, weights: DataFrame,
                      priors: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
-    """(id, quality_pred, quality_lm_score): model opinion per doc."""
-    s = score_fasttext(docs, weights, priors, id_col=id_col,
-                       text_col=text_col)
+    """(id, quality_pred, quality_lm_score): model opinion per doc.
+
+    Scores through the WIDE path (score_fasttext_wide over the 2-class
+    axis): one scan, a 1:1 bucket→[w_hq, w_lq] broadcast join, one
+    shuffle on doc id, argmax as array math — no per-(doc, label)
+    fan-out, no window, no sort-merge join (the narrow path's committed
+    plan had 15 exchanges + SMJ; this is the classifier analog of
+    fasttext_lang's scoring). The label axis is sorted ascending, so
+    ties break identically to the narrow ORDER BY score DESC, lang —
+    bit-equal outputs (pinned by test_quality_clf)."""
+    labels = tuple(sorted(r["lang"] for r in priors.select("lang")
+                          .distinct().collect()))
+    wide = widen_weights(weights, labels=labels)
+    s = score_fasttext_wide(docs, wide, priors, id_col=id_col,
+                            text_col=text_col, labels=labels)
     return s.select(
         id_col,
         F.col("ft_lang").alias("quality_pred"),

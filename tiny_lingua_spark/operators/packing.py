@@ -87,7 +87,16 @@ def pack_sequences_sql(table: str, id_expr: str, text_expr: str,
                        seq_len: int = 2048, n_shards: int = 8,
                        sep_tokens: int = 1, seed: int = 42) -> str:
     """DuckDB twin of `pack_sequences` (same hash, same order, same
-    integer arithmetic)."""
+    integer arithmetic).
+
+    ``id_expr`` must be a plain column name (it is reused as the output
+    alias `id AS {id_expr}`, which is only valid SQL for a bare
+    identifier — the Spark twin has the same plain-column contract via
+    ``F.col(id_col)``); any expression raises here rather than
+    generating invalid SQL."""
+    if not id_expr.isidentifier():
+        raise ValueError(
+            f"id_expr must be a plain column name, got {id_expr!r}")
     bucket = hash_bucket_sql(id_expr, seed)
     return f"""
     WITH toks AS (

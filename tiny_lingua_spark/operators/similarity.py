@@ -818,8 +818,9 @@ def pq_codes_sql_expr(emb_col: str,
 
 def pq_encode(emb: DataFrame,
               codebooks: list[list[list[float]]] | None = None) -> DataFrame:
-    """(vec_id, codes array<int>, code_str) — the compressed index table.
-    code_str is the comma-joined form (stable for hashing/grouping)."""
+    """(vec_id, code_str) — the compressed index table. code_str is the
+    comma-joined form of the M per-subspace code ids (stable for
+    hashing/grouping; `pq_encode_sql` emits the identical shape)."""
     if codebooks is None:
         codebooks = pq_seed_codebooks()
     codes = pq_codes_col("embedding", codebooks)

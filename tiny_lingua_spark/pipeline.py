@@ -61,8 +61,11 @@ AUDIO_THRESHOLDS = {
     # VAD-frame SNR-estimate floor; -inf = non-binding default
     "min_snr_est_db": float("-inf"),
     # artifact screen (only computed with audio_artifacts=True);
-    # 1.0/inf = non-binding defaults — callers tighten to enforce
-    "max_hum_ratio": 1.0,
+    # inf = non-binding defaults — callers tighten to enforce.
+    # NB: the hum-ratio estimator can legitimately exceed 1.0 (up to
+    # ~2.0 for very short or DC-offset clips), so the non-binding
+    # default must be inf, not 1.0.
+    "max_hum_ratio": float("inf"),
     "max_flat_ratio": 1.0,
     "max_flat_run_ms": float("inf"),
     # inter-sample true-peak ceiling (only computed with true_peak=True);
@@ -169,7 +172,9 @@ def quality_filter(
     dropout flat-run metrics, pitch/voicing summary) as a second Arrow
     stage sharing the same salted partitioning, plus an `artifact_ok`
     flag AND-ed into `keep` — non-binding at the default thresholds
-    (max_hum_ratio/max_flat_ratio 1.0, max_flat_run_ms inf); tighten
+    (max_hum_ratio inf, max_flat_ratio 1.0, max_flat_run_ms inf —
+    hum ratios can exceed 1.0 for short/DC-offset clips, flat_ratio
+    cannot); tighten
     them to enforce. Costs one extra decode pass per clip; a deployment
     that always wants these would fold them into the fused enrich
     kernel instead.
