@@ -103,6 +103,50 @@ BENCH_QUERIES = (
     "pii_density",            # per-category PII/tox hit density
     "compression_ratio",      # zlib boilerplate/noise signal
     "joint_neardup",          # text+audio dedup policy routing
+    # ---- round 4: the remaining 42 contract queries, so the official
+    # record covers every queries() entry (VERDICT r3 item 10) ----
+    "accuracy_report",        # detector accuracy vs eval corpus
+    "align_words",            # uniform word-timestamp alignment
+    "ann_lsh_topk",           # LSH-bucketed ANN top-k
+    "asr_chunk_stats",        # per-chunk-plan yield aggregate
+    "audio_decode_features",  # batched decode + frame features
+    "audio_decontaminate",    # eval-set audio fingerprint screen
+    "audio_resample",         # polyphase resample plan
+    "audio_spectral",         # spectral centroid/rolloff summary
+    "batch_padding",          # padding-waste aggregate
+    "bpe_merges",             # BPE merge-table training
+    "c4_clean",               # C4 line/page cleaning
+    "clean_project",          # cleanUpInputText projection
+    "clip_speech_rate",       # chars-per-speech-second screen
+    "dataset_card",           # one-row corpus datasheet
+    "dedup_keeper",           # quality-aware keeper per component
+    "detect_lang_counts",     # detector label histogram
+    "detect_low_accuracy",    # low-accuracy mode min-length plan
+    "detect_trigram_declarative",  # declarative trigram detector twin
+    "drift_bins",             # per-bin drift histogram
+    "dsir_weights",           # DSIR importance weights
+    "embedding_neardup_exact",  # exact cosine verify tier
+    "ivf_cells",              # IVF cell assignment
+    "jaccard_pairs",          # n-gram Jaccard verify pairs
+    "lang_doc_stats",         # per-language corpus stats
+    "minhash_bands",          # banded MinHash signatures
+    "normalize_text",         # NFC/width/case normalization
+    "pack_stats",             # per-shard packing yield
+    "pq_codes",               # PQ code table build
+    "quality_buckets",        # heuristic quality bucket counts
+    "rank_normalize",         # corpus-rank score normalization
+    "screen_lang_accuracy",   # per-language accuracy screen
+    "screen_lang_confusion",  # confusion-pair counts
+    "semdedup_stats",         # SemDeDup per-cell drop stats
+    "shard_stats",            # shard fill/size aggregate
+    "simhash_declarative",    # declarative simhash twin
+    "speed_perturb",          # speed-perturbation plan
+    "split_stats",            # leakage-safe split stats
+    "substr_dup_spans",       # ExactSubstr duplicate spans
+    "token_stats",            # token count/length stats
+    "unimax_alloc",           # UniMax per-language budgets
+    "vocab_topk",             # vocabulary top-k
+    "winnow_fingerprints",    # winnowing fingerprint table
 )
 
 

@@ -406,3 +406,25 @@ def test_audio_feature_plans_are_single_arrow_stage(spark):
         assert a["python_eval_nodes"] == 1, (name, a)
         assert a["exchanges"] == 0, (name, a)
         assert a["row_at_a_time_python"] == 0, (name, a)
+
+
+def test_bnlj_cross_detected_and_allowlisted(spark):
+    """The audit counts BroadcastNestedLoopJoin-Cross nodes (the class
+    of cross join a CartesianProduct check can't see — r3 VERDICT
+    blind spot): a deliberate broadcast cross join must be caught, and
+    every allowlisted driver query must actually carry one."""
+    from tiny_lingua_spark.plans.audit import audit
+
+    big = spark.range(1000).select(F.col("id").alias("a"))
+    small = spark.createDataFrame([(1.0,), (2.0,)], "b double")
+    crossed = big.crossJoin(F.broadcast(small))
+    rep = audit(crossed)
+    assert rep["bnlj_cross"] >= 1, rep
+
+    # a plain broadcast EQUI join must NOT be flagged
+    joined = big.join(F.broadcast(small.select(F.col("b").alias("a"))), "a")
+    assert audit(joined)["bnlj_cross"] == 0
+
+    # dump_plans fails regeneration on any non-allowlisted violation
+    import tools.dump_plans as dp
+    assert "keep_rate_audit" in dp.BNLJ_CROSS_ALLOWED

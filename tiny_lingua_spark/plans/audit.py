@@ -37,6 +37,24 @@ def count_nodes(plan: str, node: str) -> int:
     return len(re.findall(rf"\(\d+\) {re.escape(node)}", plan))
 
 
+def bnlj_cross_nodes(plan: str) -> int:
+    """BroadcastNestedLoopJoin nodes with Cross (or Inner-without-keys)
+    semantics. A CartesianProduct check alone misses these: a
+    `crossJoin(broadcast(x))` plans as BNLJ-Cross, which is bounded and
+    fine when the build side is a tiny relation (priors, a 1-row total)
+    but quadratic if the build side is row-scale — so the audit counts
+    them and the caller allowlists the known-bounded cases explicitly.
+
+    Formatted-mode plans carry the join type on the TREE line
+    (``BroadcastNestedLoopJoin Cross BuildRight (25)``), not on the
+    numbered detail header — match both shapes, count tree lines."""
+    tree = len(re.findall(
+        r"BroadcastNestedLoopJoin\s+Cross\b[^\n]*\(\d+\)", plan))
+    detail = len(re.findall(
+        r"\(\d+\) BroadcastNestedLoopJoin[^\n]*\bCross\b", plan))
+    return max(tree, detail)
+
+
 def audit(df: DataFrame) -> dict:
     """One-call plan health summary."""
     plan = explain_str(df)
@@ -47,6 +65,7 @@ def audit(df: DataFrame) -> dict:
         "exchanges": count_nodes(plan, "Exchange"),
         "broadcast_exchanges": count_nodes(plan, "BroadcastExchange"),
         "cartesian": count_nodes(plan, "CartesianProduct") > 0,
+        "bnlj_cross": bnlj_cross_nodes(plan),
         "broadcast_joins": count_nodes(plan, "BroadcastHashJoin")
         + count_nodes(plan, "BroadcastNestedLoopJoin"),
         "sort_merge_joins": count_nodes(plan, "SortMergeJoin"),

@@ -95,7 +95,36 @@ PLAN_QUERIES = (
     "dataset_card",
     "compression_ratio",
     "dedup_keeper",
+    "keep_rate_audit",
 )
+
+
+# Queries allowed to carry BroadcastNestedLoopJoin-Cross nodes, each
+# with the bounded build side that makes the cross harmless. Any OTHER
+# query whose plan grows a BNLJ-Cross fails regeneration — the audit
+# gate for the class of bug a CartesianProduct check can't see.
+BNLJ_CROSS_ALLOWED = {
+    "keep_rate_audit": "1-row corpus-total aggregate",
+    "pq_topk": "1-row query vector",
+    "ivfpq_topk": "1-row query vector",
+    "cosine_topk": "1-row query vector",
+    "drift_summary": "1-row reference-histogram aggregate",
+    "batch_padding": "1-row corpus aggregate",
+    "dataset_card": "single-row summary aggregates",
+    "classifier_auc": "1-row pos/neg count aggregate",
+    "classifier_calibration": "1-row count aggregate",
+    "rank_normalize": "1-row corpus-size aggregate",
+    "source_stats": "1-row corpus aggregate",
+    "ivf_topk": "1-row query vector",
+    "detect_trigram_declarative": (
+        "language-axis list from the model table (<=77 rows)"),
+    "knn_graph": (
+        "n_src-row source set (bounded brute oracle tier; LSH/IVF is "
+        "the scale path)"),
+    "bitext_mine": (
+        "n_side-row brute tier (bounded oracle; bitext_mine_ann is the "
+        "scale path)"),
+}
 
 
 def main() -> None:
@@ -114,9 +143,15 @@ def main() -> None:
         "partitions; AQE metrics resolve at runtime).\n",
         "Audit fields: see `tiny_lingua_spark/plans/audit.py`.\n",
     ]
+    violations = []
     for name in PLAN_QUERIES:
         df = qs[name](spark, sf_dir)
         a = audit(df)
+        if a["bnlj_cross"] > 0:
+            reason = BNLJ_CROSS_ALLOWED.get(name)
+            a["bnlj_cross_bounded_build"] = reason
+            if reason is None:
+                violations.append(name)
         plan = explain_str(df)
         # keep the tree, drop the verbose per-node detail section
         tree = plan.split("\n\n\n")[0]
@@ -127,6 +162,11 @@ def main() -> None:
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(parts))
     print("wrote PLANS.md")
+    if violations:
+        raise SystemExit(
+            "BNLJ-Cross in queries with no allowlisted bounded build "
+            f"side: {violations} — either fix the plan or add the "
+            "bounded-build justification to BNLJ_CROSS_ALLOWED")
 
 
 if __name__ == "__main__":
