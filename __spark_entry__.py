@@ -147,7 +147,18 @@ def _detected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _synth_clips(spark: SparkSession, n: int = 300) -> DataFrame:
+def _synth_clips(spark: SparkSession, n: int = 300,
+                 sf_dir: str | None = None) -> DataFrame:
+    """Audio-clip corpus. The driver testdata dirs carry no clip table,
+    so by default this synthesizes a fixed n=300 corpus (deterministic,
+    matches every committed golden). For the scale-up curve,
+    tools/gen_scale_data.py pre-materializes a K-fold clips.parquet
+    into its sf dir — when sf_dir carries one, read it instead so the
+    audio queries scale with the data like the text queries do."""
+    if sf_dir is not None:
+        path = os.path.join(sf_dir, "clips.parquet")
+        if os.path.exists(path):
+            return spark.read.parquet(path)
     from tiny_lingua_spark.data.clips import generate_clips
     from tiny_lingua_spark.session import ship_package
 
@@ -157,11 +168,19 @@ def _synth_clips(spark: SparkSession, n: int = 300) -> DataFrame:
 
 
 def _synth_clips_with_dups(spark: SparkSession, n: int = 120,
-                           n_dups: int = 8) -> DataFrame:
+                           n_dups: int = 8,
+                           sf_dir: str | None = None) -> DataFrame:
     """Synthetic clips plus planted near-duplicates: the first n_dups
     clips re-encoded as µ-law copies (new clip_ids) — the audio_neardup
-    query must recover exactly these pairs."""
+    query must recover exactly these pairs. Scale curve: reads a
+    pre-materialized clips_dups.parquet from sf_dir when present (see
+    _synth_clips)."""
     import pandas as pd
+
+    if sf_dir is not None:
+        path = os.path.join(sf_dir, "clips_dups.parquet")
+        if os.path.exists(path):
+            return spark.read.parquet(path)
 
     from tiny_lingua_spark import audio
     from tiny_lingua_spark.data.clips import generate_clips
@@ -294,7 +313,7 @@ def _q_length_batches(spark, sf_dir):
     swaps duration-quantile bucket ids."""
     from tiny_lingua_spark.operators.packing import length_batches
 
-    return length_batches(_synth_clips(spark), batch_size=16)
+    return length_batches(_synth_clips(spark, sf_dir=sf_dir), batch_size=16)
 
 
 def _q_batch_padding(spark, sf_dir):
@@ -304,7 +323,7 @@ def _q_batch_padding(spark, sf_dir):
     from tiny_lingua_spark.operators.packing import (batch_padding_stats,
                                                      length_batches)
 
-    return batch_padding_stats(length_batches(_synth_clips(spark),
+    return batch_padding_stats(length_batches(_synth_clips(spark, sf_dir=sf_dir),
                                               batch_size=16))
 
 
@@ -314,7 +333,7 @@ def _q_speed_perturb(spark, sf_dir):
     resample rate. Pure explode projection, zero shuffle."""
     from tiny_lingua_spark.operators.augment import speed_perturb_plan
 
-    return speed_perturb_plan(_synth_clips(spark))
+    return speed_perturb_plan(_synth_clips(spark, sf_dir=sf_dir))
 
 
 def _q_specaugment(spark, sf_dir):
@@ -323,7 +342,7 @@ def _q_specaugment(spark, sf_dir):
     partitionings, no RNG state, no decode."""
     from tiny_lingua_spark.operators.augment import specaugment_plan
 
-    return specaugment_plan(_synth_clips(spark))
+    return specaugment_plan(_synth_clips(spark, sf_dir=sf_dir))
 
 
 _SHARD_BYTES = 1 << 21  # 2 MB demo budget -> multiple shards at n=300
@@ -337,7 +356,7 @@ def _q_shard_plan(spark, sf_dir):
     width + transcript bytes + tar header)."""
     from tiny_lingua_spark.operators.sharding import shard_plan
 
-    return shard_plan(_synth_clips(spark), shard_bytes=_SHARD_BYTES)
+    return shard_plan(_synth_clips(spark, sf_dir=sf_dir), shard_bytes=_SHARD_BYTES)
 
 
 def _q_shard_stats(spark, sf_dir):
@@ -345,7 +364,7 @@ def _q_shard_stats(spark, sf_dir):
     >1.0 marks the single straddling member)."""
     from tiny_lingua_spark.operators.sharding import shard_plan, shard_stats
 
-    return shard_stats(shard_plan(_synth_clips(spark),
+    return shard_stats(shard_plan(_synth_clips(spark, sf_dir=sf_dir),
                                   shard_bytes=_SHARD_BYTES),
                        shard_bytes=_SHARD_BYTES)
 
@@ -371,7 +390,7 @@ def _q_rate_outliers(spark, sf_dir):
     exact=False swaps the approx_percentile sketch at scale)."""
     from tiny_lingua_spark.functions.quality import speech_rate_outliers
 
-    return speech_rate_outliers(_synth_clips(spark))
+    return speech_rate_outliers(_synth_clips(spark, sf_dir=sf_dir))
 
 
 def _q_drift_bins(spark, sf_dir):
@@ -603,7 +622,7 @@ def _q_dataset_card(spark, sf_dir):
     quantiles, codec/rate mix, transcript coverage — the numbers a
     dataset README leads with. One aggregate over metadata (bytes
     never read)."""
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     dur_s = F.col("dur_ms") / 1000.0
     has_txt = F.length(F.trim(F.coalesce(F.col("transcript"),
                                          F.lit("")))) > 0
@@ -626,7 +645,7 @@ def _q_clip_consistency(spark, sf_dir):
     clip-metadata fixture parquet."""
     from tiny_lingua_spark.functions.quality import clip_consistency_cols
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     return clips.select("clip_id", "dur_ms", *clip_consistency_cols())
 
 
@@ -637,7 +656,7 @@ def _q_clip_speech_rate(spark, sf_dir):
     oracle — the decode/VAD math is not SQL-expressible)."""
     from tiny_lingua_spark.audio import decode_features_udf
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     feat = decode_features_udf()
     f_ = feat(F.col("bytes"), F.col("codec"))
     n_chars = F.length(F.trim(F.col("transcript")))
@@ -1256,14 +1275,14 @@ def _q_asr_chunks(spark, sf_dir):
     metadata fixture."""
     from tiny_lingua_spark.operators.packing import asr_chunk_plan
 
-    return asr_chunk_plan(_synth_clips(spark), win_ms=_ASR_WIN_MS,
+    return asr_chunk_plan(_synth_clips(spark, sf_dir=sf_dir), win_ms=_ASR_WIN_MS,
                           stride_ms=_ASR_STRIDE_MS)
 
 
 def _q_asr_chunk_stats(spark, sf_dir):
     from tiny_lingua_spark.operators.packing import asr_chunk_stats
 
-    return asr_chunk_stats(_synth_clips(spark), win_ms=_ASR_WIN_MS,
+    return asr_chunk_stats(_synth_clips(spark, sf_dir=sf_dir), win_ms=_ASR_WIN_MS,
                            stride_ms=_ASR_STRIDE_MS)
 
 
@@ -1440,7 +1459,7 @@ def _q_pipeline_keep(spark, sf_dir):
     from tiny_lingua_spark.pipeline import quality_filter
 
     reg = _registry(spark)
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     out = quality_filter(clips, reg)
     return out.groupBy("lang", "keep").agg(
         F.count("*").cast("long").alias("n_clips"),
@@ -1458,7 +1477,7 @@ def _q_keep_rate_audit(spark, sf_dir):
     from tiny_lingua_spark.pipeline import quality_filter
 
     reg = _registry(spark)
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     out = quality_filter(clips, reg)
     per_lang = out.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_clips"),
@@ -1485,7 +1504,7 @@ def _q_keep_rate_audit(spark, sf_dir):
 def _q_audio_neardup(spark, sf_dir):
     from tiny_lingua_spark import audio_fp
 
-    clips = _synth_clips_with_dups(spark)
+    clips = _synth_clips_with_dups(spark, sf_dir=sf_dir)
     # exact-bin verification: the synthetic tone grid is 37 Hz-spaced vs
     # 31.25 Hz bins, so the ±1-bin default would blur neighbor tones
     return audio_fp.audio_neardup(clips, bin_tol=0, threshold=0.8)
@@ -1494,7 +1513,7 @@ def _q_audio_neardup(spark, sf_dir):
 def _q_audio_segments(spark, sf_dir):
     from tiny_lingua_spark import audio_fp
 
-    return audio_fp.segment_clips(_synth_clips(spark))
+    return audio_fp.segment_clips(_synth_clips(spark, sf_dir=sf_dir))
 
 
 def _q_audio_trim(spark, sf_dir):
@@ -1504,7 +1523,7 @@ def _q_audio_trim(spark, sf_dir):
     the committed segments golden with the same SQL."""
     from tiny_lingua_spark import audio_fp
 
-    return audio_fp.trim_plan(audio_fp.segment_clips(_synth_clips(spark)))
+    return audio_fp.trim_plan(audio_fp.segment_clips(_synth_clips(spark, sf_dir=sf_dir)))
 
 
 def _q_align_words(spark, sf_dir):
@@ -1514,7 +1533,7 @@ def _q_align_words(spark, sf_dir):
     math over the committed clip-metadata fixture."""
     from tiny_lingua_spark.operators.align import align_words_uniform
 
-    return align_words_uniform(_synth_clips(spark))
+    return align_words_uniform(_synth_clips(spark, sf_dir=sf_dir))
 
 
 def _q_align_words_vad(spark, sf_dir):
@@ -1526,7 +1545,7 @@ def _q_align_words_vad(spark, sf_dir):
     from tiny_lingua_spark import audio_fp
     from tiny_lingua_spark.operators.align import align_words_vad
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     return align_words_vad(clips, audio_fp.segment_clips(clips))
 
 
@@ -1618,7 +1637,7 @@ def _q_audio_reverb(spark, sf_dir):
     the tail constant). Golden-parquet oracle."""
     from tiny_lingua_spark.audio import reverb_udf
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     rv = reverb_udf()
     return clips.select(
         "clip_id", "codec",
@@ -1639,7 +1658,7 @@ def _q_dialog_turns(spark, sf_dir):
     golden."""
     from tiny_lingua_spark import audio_fp
 
-    return audio_fp.dialog_turns(audio_fp.segment_clips(_synth_clips(spark)))
+    return audio_fp.dialog_turns(audio_fp.segment_clips(_synth_clips(spark, sf_dir=sf_dir)))
 
 
 def _q_crest_factor(spark, sf_dir):
@@ -1674,7 +1693,7 @@ def _q_audio_trim_apply(spark, sf_dir):
     from tiny_lingua_spark import audio_fp
     from tiny_lingua_spark.audio import trim_udf
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     plan = audio_fp.trim_plan(audio_fp.segment_clips(clips)).select(
         "clip_id", "trim_start_ms", "trim_end_ms")
     tr = trim_udf("pcm_s16le")
@@ -1733,7 +1752,7 @@ def _q_audio_embed_knn(spark, sf_dir):
 def _q_audio_features(spark, sf_dir):
     from tiny_lingua_spark.audio import decode_features_udf
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     feats = decode_features_udf()
     return clips.select(
         "clip_id", "codec",
@@ -1759,7 +1778,7 @@ def _q_audio_spectral(spark, sf_dir):
     over decoded PCM is not SQL-expressible)."""
     from tiny_lingua_spark.audio import spectral_features_udf
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     sp = spectral_features_udf()
     return clips.select(
         "clip_id", "codec", "sr_hz",
@@ -1787,7 +1806,7 @@ def _q_audio_mfcc(spark, sf_dir):
         return F.concat_ws(
             ",", F.transform(col, lambda x: F.round(x, 4).cast("string")))
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     mf = mfcc_udf()
     return clips.select(
         "clip_id", "codec", "sr_hz",
@@ -1809,7 +1828,7 @@ def _q_audio_pitch(spark, sf_dir):
     oracle (FFT autocorrelation is not SQL-expressible)."""
     from tiny_lingua_spark.audio import pitch_udf
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     pu = pitch_udf()
     return clips.select(
         "clip_id", "codec", "sr_hz",
@@ -1831,7 +1850,7 @@ def _q_audio_artifacts(spark, sf_dir):
     PCM is not SQL-expressible)."""
     from tiny_lingua_spark.audio import artifacts_udf
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     au = artifacts_udf()
     return clips.select(
         "clip_id", "codec", "sr_hz",
@@ -1852,7 +1871,7 @@ def _q_audio_true_peak(spark, sf_dir):
     PCM is not SQL-expressible)."""
     from tiny_lingua_spark.audio import true_peak_udf
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     tp = true_peak_udf()
     return clips.select(
         "clip_id", "codec",
@@ -1876,7 +1895,7 @@ def _q_audio_normalize(spark, sf_dir):
     Golden-parquet oracle on bytes md5 + post-gain clipping."""
     from tiny_lingua_spark.audio import loudness_udf, transcode_udf
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     lu = loudness_udf()
     tx = transcode_udf("pcm_s16le")
     return (
@@ -1903,7 +1922,7 @@ def _q_audio_loudness(spark, sf_dir):
     Rows-only check (numpy block/gating math is not SQL-expressible)."""
     from tiny_lingua_spark.audio import loudness_udf
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     lu = loudness_udf()
     return clips.select(
         "clip_id", "codec", "sr_hz",
@@ -1925,7 +1944,7 @@ def _q_audio_resample(spark, sf_dir):
     enters the plan. Rows-only check."""
     from tiny_lingua_spark.audio import resample_stats_udf
 
-    clips = _synth_clips(spark)
+    clips = _synth_clips(spark, sf_dir=sf_dir)
     rs = resample_stats_udf(16_000)
     return clips.select(
         "clip_id", "codec", "sr_hz",

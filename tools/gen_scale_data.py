@@ -1,0 +1,186 @@
+"""Deterministic sf0.5 / sf1.0 scale-up tables for the local scale curve.
+
+The driver ships sf{0.001,0.01,0.1}; the 100 TB bar needs evidence of
+the *slope*, so this tool synthesizes K-fold replicas of the sf0.1
+tables the bench queries actually read (documents, embeddings, events)
+plus a scaled audio-clip corpus, under ``.cache/scale/sf{0.5,1.0}``.
+
+Replication must keep the pair-generating structure *scale-invariant*,
+or the curve lies:
+
+- **documents** — replica 0 is verbatim; replica r>0 interleaves a
+  salt token every SALT_EVERY words, keyed on (r, xxh(text), block), so
+  two docs with identical text stay identical *within* a replica (the
+  planted exact-dup rate is preserved) while sharing almost no shingles
+  *across* replicas (MinHash/SimHash/winnow pair counts grow linearly
+  with K, not quadratically — naive copying would plant K^2 dup pairs
+  per source doc and falsely flag every dedup query as super-linear).
+- **embeddings** — replica r applies a deterministic 64-dim orthogonal
+  rotation (QR of a seeded gaussian): every within-replica cosine is
+  bit-for-bit preserved in exact arithmetic (so near-dup/SemDeDup/ANN
+  cell structure replicates), while cross-replica similarities collapse
+  to ~N(0, 1/64) noise — no spurious cross-replica neighbors.
+- **events** — replica r offsets event_id/user_id; timestamps are kept,
+  so per-user session shapes are identical and the sessionize shuffle
+  scales linearly in distinct keys.
+- **clips** — ``generate_clips(n=K*CLIPS_BASE)`` (the same generator
+  the bench uses at n=300), written as clips.parquet; the dup-planted
+  corpus scales as clips_dups.parquet with K*8 planted pairs.
+
+IDs are offset by r*ID_STRIDE on every table so any id-equality join
+keeps its per-replica hit structure and never collides across replicas.
+
+Usage: python tools/gen_scale_data.py [--base /root/testdata/sf0.1]
+                                      [--out  .cache/scale] [--k 5 10]
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ID_STRIDE = 10_000_000
+SALT_EVERY = 8
+CLIPS_BASE = 300
+CLIPS_DUPS_BASE, CLIPS_DUPS_PLANT = 120, 8
+EMB_DIM = 64
+
+
+def _salt(replica: int, text_hash: int, block: int) -> str:
+    h = hashlib.blake2b(
+        f"{replica}:{text_hash}:{block}".encode(), digest_size=4
+    ).hexdigest()
+    return f"zq{replica}{h}"
+
+
+def scale_documents(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    reps = [df]
+    # cache the per-source-text salted variant per replica: identical
+    # texts must stay identical so exact-dup structure is preserved
+    for r in range(1, k):
+        texts = df["text"].tolist()
+        memo: dict[int, str] = {}
+        out_texts = []
+        for t in texts:
+            th = int(hashlib.blake2b(t.encode(), digest_size=8).hexdigest(), 16)
+            if th not in memo:
+                words = t.split(" ")
+                out = []
+                for b in range(0, len(words), SALT_EVERY):
+                    out.extend(words[b:b + SALT_EVERY])
+                    out.append(_salt(r, th, b // SALT_EVERY))
+                memo[th] = " ".join(out)
+            out_texts.append(memo[th])
+        rep = df.copy()
+        rep["doc_id"] = rep["doc_id"] + r * ID_STRIDE
+        rep["text"] = out_texts
+        rep["n_chars"] = rep["text"].str.len().astype("int64")
+        reps.append(rep)
+    return pd.concat(reps, ignore_index=True)
+
+
+def _rotation(replica: int, dim: int) -> np.ndarray:
+    rng = np.random.default_rng(1_000_003 * replica + 17)
+    q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return q.astype(np.float64)
+
+
+def scale_embeddings(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    base = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    reps = [df]
+    for r in range(1, k):
+        rot = (base @ _rotation(r, base.shape[1])).astype(np.float32)
+        rep = pd.DataFrame({
+            "vec_id": df["vec_id"] + r * ID_STRIDE,
+            "embedding": list(rot),
+            "label": df["label"],
+        })
+        reps.append(rep)
+    out = pd.concat(reps, ignore_index=True)
+    out["embedding"] = out["embedding"].map(
+        lambda v: np.asarray(v, dtype=np.float32)
+    )
+    return out
+
+
+def scale_events(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    reps = [df]
+    for r in range(1, k):
+        rep = df.copy()
+        rep["event_id"] = rep["event_id"] + r * ID_STRIDE
+        rep["user_id"] = rep["user_id"] + r * ID_STRIDE
+        reps.append(rep)
+    return pd.concat(reps, ignore_index=True)
+
+
+def write_clips(out_dir: str, k: int) -> None:
+    from tiny_lingua_spark.data.clips import generate_clips
+
+    clips, _ = generate_clips(n=k * CLIPS_BASE, seed=42)
+    clips.to_parquet(os.path.join(out_dir, "clips.parquet"), index=False)
+
+    from tiny_lingua_spark import audio
+
+    base, _ = generate_clips(n=k * CLIPS_DUPS_BASE, seed=42)
+    dup_rows = []
+    # plant K*8 mu-law near-dup copies, spread across the corpus so
+    # every bench partition sees some
+    step = max(1, len(base) // (k * CLIPS_DUPS_PLANT))
+    picked = base.iloc[::step].head(k * CLIPS_DUPS_PLANT)
+    for _, row in picked.iterrows():
+        pcm = audio.decode(bytes(row["bytes"]), row.codec)
+        dup_rows.append({
+            "clip_id": row.clip_id.replace("clip-", "dupmu-"),
+            "bytes": audio.encode(pcm, "mulaw"),
+            "sr_hz": row.sr_hz, "dur_ms": row.dur_ms, "codec": "mulaw",
+            "transcript": row.transcript,
+        })
+    both = pd.concat([base, pd.DataFrame(dup_rows)], ignore_index=True)
+    both.to_parquet(os.path.join(out_dir, "clips_dups.parquet"), index=False)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=os.path.join(REPO, ".cache", "scale"))
+    ap.add_argument("--k", type=int, nargs="+", default=[1, 5, 10])
+    args = ap.parse_args()
+
+    for k in args.k:
+        sf = 0.1 * k
+        out_dir = os.path.join(args.out, f"sf{sf:g}")
+        os.makedirs(out_dir, exist_ok=True)
+        print(f"== sf{sf:g} (K={k}) -> {out_dir}")
+
+        docs = pd.read_parquet(os.path.join(args.base, "documents.parquet"))
+        sd = scale_documents(docs, k)
+        sd.to_parquet(os.path.join(out_dir, "documents.parquet"), index=False)
+        print(f"  documents: {len(docs)} -> {len(sd)}")
+
+        emb = pd.read_parquet(os.path.join(args.base, "embeddings.parquet"))
+        se = scale_embeddings(emb, k)
+        tbl = pa.Table.from_pandas(se, preserve_index=False)
+        # match the driver schema: list<float32>
+        pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+        print(f"  embeddings: {len(emb)} -> {len(se)}")
+
+        ev = pd.read_parquet(os.path.join(args.base, "events.parquet"))
+        sv = scale_events(ev, k)
+        sv.to_parquet(os.path.join(out_dir, "events.parquet"), index=False)
+        print(f"  events: {len(ev)} -> {len(sv)}")
+
+        write_clips(out_dir, k)
+        print("  clips + clips_dups written")
+
+
+if __name__ == "__main__":
+    main()
