@@ -653,10 +653,13 @@ def _q_clip_speech_rate(spark, sf_dir):
     """Speech-adjusted transcript rate: decode features give the actual
     sampled duration + silence ratio; chars per SPEECH second is the
     alignment-quality signal duration alone can't provide (golden-parquet
-    oracle — the decode/VAD math is not SQL-expressible)."""
+    oracle; closed-form anchor in tests/test_clip_consistency.py)."""
+    return _clip_speech_rate_over(_synth_clips(spark, sf_dir=sf_dir))
+
+
+def _clip_speech_rate_over(clips: DataFrame) -> DataFrame:
     from tiny_lingua_spark.audio import decode_features_udf
 
-    clips = _synth_clips(spark, sf_dir=sf_dir)
     feat = decode_features_udf()
     f_ = feat(F.col("bytes"), F.col("codec"))
     n_chars = F.length(F.trim(F.col("transcript")))
@@ -987,9 +990,13 @@ def _q_embedding_neardup(spark, sf_dir):
 
 
 def _q_embedding_neardup_exact(spark, sf_dir):
-    """Brute-force all-pairs tier — the per-bucket verification oracle
-    (bounded inputs only; the scale path is _q_embedding_neardup)."""
-    return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    """Brute-force all-pairs tier — the per-bucket verification oracle.
+    n_cap=500 enforces the bounded-inputs contract (identical at
+    sf0.01, where all ids < 500, so committed hashes are unchanged;
+    constant-size at every larger sf — the scale path is
+    _q_embedding_neardup)."""
+    return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.4,
+                                    n_cap=500)
 
 
 def _q_ivf_topk(spark, sf_dir):
@@ -1044,6 +1051,23 @@ def _q_bitext_mine(spark, sf_dir):
     from tiny_lingua_spark.operators.bitext import mine_bitext
 
     return mine_bitext(_emb(spark, sf_dir), n_side=40, k=4)
+
+
+def _q_bitext_mine_ann(spark, sf_dir):
+    """Bitext mining over the ANN candidate tier (VERDICT r3 #4): IVF
+    cell-join candidates (X multi-probes 4 of 16 seeded cells, Y
+    index-replicated into its top 2, equi-join on cell — no cross
+    join, unbounded sides) feeding the same margin/mutual-best math as
+    bitext_mine. Hash-checked against a full DuckDB twin;
+    recall-superset-vs-brute on a translation-structured corpus pinned
+    by tests/test_bitext.py."""
+    from tiny_lingua_spark.operators.bitext import (ann_bitext_candidates,
+                                                    mine_bitext)
+
+    emb = _emb(spark, sf_dir)
+    return mine_bitext(
+        emb, k=4,
+        candidates=ann_bitext_candidates(emb, nprobe=4, nprobe_y=2))
 
 
 def _q_semdedup_stats(spark, sf_dir):
@@ -2057,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_drop": _shipped(_q_semdedup_drop),
         "semdedup_stats": _shipped(_q_semdedup_stats),
         "bitext_mine": _shipped(_q_bitext_mine),
+        "bitext_mine_ann": _shipped(_q_bitext_mine_ann),
         "events_sessions": _shipped(_q_events_sessions),
         "fasttext_lang": _shipped(_q_fasttext_lang),
         "perplexity_scores": _shipped(_q_perplexity),
@@ -2679,7 +2704,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": similarity.knn_graph_sql("embeddings", 20, 3, EMB_DIM),
         "embedding_neardup": similarity.neardup_lsh_sql("embeddings", 0.4, EMB_DIM),
         "embedding_neardup_exact": similarity.neardup_pairs_sql(
-            "embeddings", 0.4, EMB_DIM
+            "embeddings", 0.4, EMB_DIM, n_cap=500
         ),
         "ann_lsh_topk": similarity.ann_lsh_sql("embeddings", 0, 10, 16, EMB_DIM),
         "ivf_topk": similarity.ivf_topk_sql("embeddings", 0, 10, 4, EMB_DIM),
@@ -2692,5 +2717,9 @@ def oracle_sql() -> dict[str, str]:
         "bitext_mine": __import__(
             "tiny_lingua_spark.operators.bitext", fromlist=["bitext"]
         ).mine_bitext_sql("embeddings", EMB_DIM, n_side=40, k=4),
+        "bitext_mine_ann": __import__(
+            "tiny_lingua_spark.operators.bitext", fromlist=["bitext"]
+        ).mine_bitext_ann_sql("embeddings", EMB_DIM, nprobe=4, nprobe_y=2,
+                              k=4),
         **_golden_oracles(),
     }

@@ -91,6 +91,7 @@ BENCH_QUERIES = (
     "align_words_vad",        # word timestamps over VAD speech time
     "audio_true_peak",        # BS.1770 inter-sample peak (polyphase)
     "bitext_mine",            # margin-based mutual-best pair mining
+    "bitext_mine_ann",        # same margin math over IVF cell-join candidates
     "drift_summary",          # PSI/KL/KS batch drift verdict
     "rate_outliers",          # median/MAD modified-z rate screen
     "shard_plan",             # WebDataset shard packing (prefix-sum)

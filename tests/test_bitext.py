@@ -99,3 +99,83 @@ def test_plan_broadcast_no_python_no_cartesian_blowup(spark):
     # the bounded brute tier broadcasts the Y side; the pair table then
     # only shuffles on the two window partitionings
     assert a["broadcast_joins"] >= 1
+
+
+# ---- ANN candidate tier (VERDICT r3 #4) ----
+
+from tiny_lingua_spark.operators.bitext import (ann_bitext_candidates,  # noqa: E402
+                                                mine_bitext_ann_sql)
+
+SF_EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def test_ann_candidates_no_cross_join(spark):
+    df = spark.read.parquet(SF_EMB)
+    cands = ann_bitext_candidates(df, nprobe=4)
+    a = audit(cands)
+    assert not a["cartesian"]
+    assert a["bnlj_cross"] == 0
+    assert a["python_eval_nodes"] == 0
+    # candidate volume is a strict subset of the cross (nprobe/n_cells)
+    n_x = df.where(F.col("vec_id") % 2 == 0).count()
+    n_y = df.count() - n_x
+    assert cands.count() < n_x * n_y
+
+
+def _planted_bitext_corpus(spark, noise=0.05, seed=13):
+    """Translation-structured corpus DERIVED from the sf0.001
+    embeddings: side X = the even-id vectors (normalized); side Y = a
+    noised copy of each (odd id = even id + 1), i.e. every x has one
+    true high-cosine translation — the structure real bitext mining
+    runs on. (The raw synthetic sf tables plant NO translation pairs:
+    their mutual-best cosines sit at the corpus bulk ≈ 0.37, and
+    noise-level pairs are not sub-linearly cell-recallable by ANY ANN
+    scheme — measured: seeded cells need nprobe 14/16 for those.)"""
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(SF_EMB)
+    ids = emb.vec_id.to_numpy()
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)[ids % 2 == 0]
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    Y = X + noise * rng.standard_normal(X.shape)
+    Y /= np.linalg.norm(Y, axis=1, keepdims=True)
+    rows = []
+    for i, (xv, yv) in enumerate(zip(X, Y)):
+        rows.append((2 * i, [float(v) for v in xv]))
+        rows.append((2 * i + 1, [float(v) for v in yv]))
+    return (spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            {(2 * i, 2 * i + 1) for i in range(len(X))})
+
+
+def test_ann_accepted_superset_of_brute_on_planted(spark):
+    """On the translation-structured corpus the ANN tier must accept
+    every pair the brute tier accepts — and both must recover every
+    planted translation."""
+    df, planted = _planted_bitext_corpus(spark)
+    n_side = df.count() // 2
+    brute = mine_bitext(df, n_side=n_side, k=4)
+    ann = mine_bitext(df, k=4,
+                      candidates=ann_bitext_candidates(df, nprobe=4,
+                                                       nprobe_y=2))
+    brute_acc = {(r["x_id"], r["y_id"])
+                 for r in brute.where("accepted").collect()}
+    ann_acc = {(r["x_id"], r["y_id"])
+               for r in ann.where("accepted").collect()}
+    assert brute_acc == planted
+    assert brute_acc <= ann_acc
+
+
+def test_ann_duckdb_twin_matches(spark):
+    df = spark.read.parquet(SF_EMB)
+    s = mine_bitext(df, k=4,
+                    candidates=ann_bitext_candidates(df, nprobe=4)).toPandas()
+    d = duckdb.sql(mine_bitext_ann_sql(f"'{SF_EMB}'", 64,
+                                       nprobe=4, k=4)).df()
+    key = ["x_id", "y_id"]
+    s = s.sort_values(key).reset_index(drop=True)[sorted(s.columns)]
+    d = d.sort_values(key).reset_index(drop=True)[sorted(d.columns)]
+    assert len(s) == len(d) and s.columns.tolist() == d.columns.tolist()
+    for c in s.columns:
+        assert s[c].tolist() == d[c].tolist(), c

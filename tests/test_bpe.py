@@ -75,3 +75,38 @@ def test_bpe_encode_matches_per_word_reference(spark, corpus):
         assert out[doc_id]["tokens"] == " ".join(want)
         assert out[doc_id]["n_tokens"] == len(want)
     assert out[2]["tokens"] == "" and out[2]["n_tokens"] == 0
+
+
+def test_fertility_query_matches_pandas_reference(spark):
+    """Independent anchor for the bpe_fertility golden (VERDICT r3 #5):
+    re-derive every per-language aggregate in pandas with the pure-
+    Python encode_word reference over the same sf0.001 corpus + the
+    same learned merge table."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["bpe_fertility"](spark, sf).toPandas()
+
+    merges = e._bpe_merges_df(spark, sf)
+    ranks = {(r["left"], r["right"]): r["rank"] for r in merges.collect()}
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+
+    def n_tokens(t):
+        return sum(len(bpe.encode_word(w, ranks))
+                   for w in (t or "").lower().split())
+
+    ref = docs.assign(
+        n_tokens=docs.text.map(n_tokens),
+        n_chars=docs.text.str.len(),
+        n_words=docs.text.str.strip().map(lambda t: len(t.split()) if t else 0),
+    ).groupby("lang", as_index=False).agg(
+        n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"),
+        n_chars=("n_chars", "sum"), n_words=("n_words", "sum"))
+    ref["tokens_per_100_chars"] = (ref.n_tokens * 100.0 / ref.n_chars).round(4)
+    ref["tokens_per_word"] = (ref.n_tokens / ref.n_words).round(4)
+    ref = ref.drop(columns="n_words").sort_values("lang").reset_index(drop=True)
+
+    got = got.sort_values("lang").reset_index(drop=True)[ref.columns.tolist()]
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)

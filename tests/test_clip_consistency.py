@@ -139,3 +139,32 @@ def test_rate_outliers_twin(spark, tmp_path):
     assert len(s) == len(d)
     for c in s.columns:
         assert s[c].tolist() == d[c].tolist(), c
+
+
+def test_clip_speech_rate_closed_form(spark):
+    """Independent anchor for the clip_speech_rate golden (VERDICT r3
+    #5): an all-speech tone clip has silence_ratio 0, so the speech-
+    adjusted rate equals chars / (n_samples / sr) exactly."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from tiny_lingua_spark import audio as A
+    from tiny_lingua_spark.session import ship_package
+
+    ship_package(spark)
+    sr = 16000
+    t = np.arange(2 * sr) / sr  # 2.0 s
+    tone = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    transcript = "twelve chars"  # 12 chars after trim
+    df = spark.createDataFrame(
+        pd.DataFrame([{
+            "clip_id": "anchor-0", "bytes": A.encode(tone, "pcm_s16le"),
+            "sr_hz": sr, "dur_ms": 2000, "codec": "pcm_s16le",
+            "transcript": transcript,
+        }]))
+    out = e._clip_speech_rate_over(df).collect()[0]
+    assert out["n_samples"] == 2 * sr and out["n_chars"] == 12
+    assert out["audio_s"] == 2.0
+    assert out["speech_s"] == 2.0          # silence_ratio is exactly 0
+    assert abs(out["chars_per_speech_sec"] - 12 / 2.0) < 1e-9

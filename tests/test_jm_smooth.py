@@ -1,0 +1,47 @@
+"""Jelinek-Mercer cluster smoothing (models/train.py::jm_cluster_smooth,
+VERDICT r3 #6): convexity, pass-through, and identity properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.models.train import jm_cluster_smooth
+
+
+@pytest.fixture(scope="module")
+def models(spark):
+    rows = [
+        # lang, n, gram, freq — two cluster langs + one outsider;
+        # per-(lang,n) freqs sum to 1
+        ("sr", 1, "a", 0.6), ("sr", 1, "b", 0.4),
+        ("mk", 1, "a", 0.2), ("mk", 1, "c", 0.8),
+        ("de", 1, "a", 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, n int, gram string, freq float")
+
+
+def test_convexity_keeps_normalization(spark, models):
+    out = jm_cluster_smooth(models, ("sr", "mk"), lam=0.7).toPandas()
+    sums = out.groupby(["lang", "n"]).freq.sum()
+    for (lang, _n), s in sums.items():
+        assert s == pytest.approx(1.0, abs=1e-6), lang
+
+
+def test_cluster_math_and_passthrough(spark, models):
+    out = {(r["lang"], r["gram"]): r["freq"] for r in
+           jm_cluster_smooth(models, ("sr", "mk"), lam=0.8).collect()}
+    # pbar(a) = (0.6+0.2)/2 = 0.4 ; p'(a|sr) = .8*.6 + .2*.4 = 0.56
+    assert out[("sr", "a")] == pytest.approx(0.56, abs=1e-6)
+    # gram c unseen by sr gets interpolated mass: .8*0 + .2*(0.8/2)=0.08
+    assert out[("sr", "c")] == pytest.approx(0.08, abs=1e-6)
+    # outsider untouched bit-exactly
+    assert out[("de", "a")] == 1.0
+
+
+def test_lambda_one_is_identity_on_seen_grams(spark, models):
+    out = {(r["lang"], r["gram"]): r["freq"] for r in
+           jm_cluster_smooth(models, ("sr", "mk"), lam=1.0).collect()
+           if r["freq"] > 0}
+    base = {(r["lang"], r["gram"]): r["freq"] for r in models.collect()}
+    for k, v in base.items():
+        assert out[k] == pytest.approx(v, abs=1e-7)

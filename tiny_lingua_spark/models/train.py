@@ -127,3 +127,36 @@ def train_and_write(spark: SparkSession, path: str, n_sentences: int = 400,
     df = spark.createDataFrame(rows, "lang string, text string")
     write_models(train_ngram_models(spark, df), path)
     return path
+
+
+def jm_cluster_smooth(models: DataFrame, cluster: tuple[str, ...],
+                      lam: float) -> DataFrame:
+    """Jelinek-Mercer interpolation WITHIN a confusable-language cluster
+    (VERDICT r3 #6, the sr/mk/bg south-Slavic Cyrillic case): for every
+    (n, gram) seen by ANY cluster language,
+
+        p'(g | l) = lam * p(g | l) + (1 - lam) * mean_{m in C} p(g | m)
+
+    Convexity keeps each per-length distribution normalized; grams a
+    cluster sibling saw but l did not get a small interpolated mass
+    instead of falling to the prefix back-off, which shrinks the noisy
+    log-odds margins fold-scale training data can't estimate well.
+    Non-cluster languages pass through untouched — their scores (and
+    every other language's accuracy) are bit-identical."""
+    in_c = F.col("lang").isin(list(cluster))
+    c = models.where(in_c)
+    rest = models.where(~in_c)
+    spark = models.sparkSession
+    means = c.groupBy("n", "gram").agg(
+        (F.sum("freq") / float(len(cluster))).alias("pbar"))
+    langs = spark.createDataFrame([(l,) for l in cluster], "lang string")
+    smoothed = (
+        means.crossJoin(F.broadcast(langs))
+        .join(c, ["lang", "n", "gram"], "left")
+        .select(
+            "lang", "n", "gram",
+            (lam * F.coalesce(F.col("freq"), F.lit(0.0))
+             + (1.0 - lam) * F.col("pbar")).cast("float").alias("freq"),
+        )
+    )
+    return rest.select("lang", "n", "gram", "freq").unionByName(smoothed)

@@ -33,17 +33,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import cosine_expr, cosine_sql
+from .similarity import (cosine_expr, cosine_sql, _centroid_dots_expr,
+                         _centroid_dots_sql, ivf_cell_col,
+                         ivf_seed_centroids)
 
-__all__ = ["mine_bitext", "mine_bitext_sql"]
+__all__ = ["mine_bitext", "mine_bitext_sql", "ann_bitext_candidates",
+           "mine_bitext_ann_sql"]
 
 
-def _sides(emb: DataFrame, n_side: int):
+def _sides(emb: DataFrame, n_side: int | None):
     """Deterministic two-language simulation over a single embeddings
-    table: even vec_ids are side X, odd are side Y (bounded per side —
-    the brute candidate budget)."""
-    x = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * n_side))
-    y = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 2 * n_side))
+    table: even vec_ids are side X, odd are side Y. n_side bounds each
+    side (the brute candidate budget); None = unbounded (the ANN tier
+    feeds on full sides)."""
+    x = emb.where(F.col("vec_id") % 2 == 0)
+    y = emb.where(F.col("vec_id") % 2 == 1)
+    if n_side is not None:
+        x = x.where(F.col("vec_id") < 2 * n_side)
+        y = y.where(F.col("vec_id") < 2 * n_side)
     return (
         x.select(F.col("vec_id").cast("long").alias("x_id"),
                  F.col("embedding").alias("x_emb")),
@@ -102,6 +109,122 @@ def mine_bitext_sql(table: str, dim: int, n_side: int = 40, k: int = 4,
           WHERE vec_id % 2 = 1 AND vec_id < {2 * n_side}),
     scored AS (
       SELECT x.x_id, y.y_id, round({cos}, 6) AS sim FROM x, y
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY x_id ORDER BY sim DESC, y_id) AS rx,
+        row_number() OVER (PARTITION BY y_id ORDER BY sim DESC, x_id) AS ry
+      FROM scored
+    ),
+    stats AS (
+      SELECT *,
+        avg(CASE WHEN rx <= {k} THEN sim END)
+          OVER (PARTITION BY x_id) AS avgk_x,
+        avg(CASE WHEN ry <= {k} THEN sim END)
+          OVER (PARTITION BY y_id) AS avgk_y
+      FROM ranked
+    )
+    SELECT x_id, y_id, sim,
+           round(sim / ((avgk_x + avgk_y) / 2), 6) AS margin,
+           round(sim / ((avgk_x + avgk_y) / 2), 6) >= {threshold} AS accepted
+    FROM stats WHERE rx = 1 AND ry = 1
+    """
+
+
+def _probe_cells_expr(emb_col: str, centroids: list[list[float]],
+                      nprobe: int) -> str:
+    """Top-`nprobe` cells by centroid dot as ONE codegen array-sort —
+    no shuffle, no Python. Tie order: higher dot first, then lower cell
+    id (matches the DuckDB twin's ORDER BY d DESC, i)."""
+    d = _centroid_dots_expr(emb_col, centroids)
+    return (
+        f"transform(slice(array_sort(zip_with({d}, "
+        f"sequence(0, {len(centroids) - 1}), "
+        f"(v, i) -> named_struct('nv', -v, 'i', i))), 1, {nprobe}), "
+        f"s -> cast(s.i AS long))"
+    )
+
+
+def ann_bitext_candidates(emb: DataFrame, nprobe: int = 4,
+                          nprobe_y: int = 2, n_cells: int = 16,
+                          centroids: list[list[float]] | None = None,
+                          n_side: int | None = None) -> DataFrame:
+    """IVF cell-join candidate pairs (x_id, x_emb, y_id, y_emb) for
+    margin mining — the scale tier that replaces the brute cross.
+
+    X (the query side) multi-probes its top-`nprobe` cells; Y (the
+    indexed side) is written into its top-`nprobe_y` cells (FAISS-style
+    index replication — the standard recall lever for pairs that sit
+    near a cell boundary). Both probes are pure codegen array-sorts (no
+    shuffle); the only join is an equi-join on `cell`, so |candidates|
+    stays a nprobe·nprobe_y/n_cells-ish fraction of |X|·|Y| — never the
+    full cross. With nprobe_y > 1 a pair can surface in two cells, so
+    pairs are deduplicated (duplicate rows carry identical embeddings,
+    hence identical downstream scores).
+
+    Recall contract: translation-grade pairs (cosine well above the
+    corpus bulk — the pairs margin mining exists to find) co-locate
+    under the probe sets; tests/test_bitext.py pins 100 % recall of
+    planted pairs at the defaults. Noise-level mutual-best pairs
+    (cosine ≈ the bulk, as in the UNplanted synthetic sf tables where
+    no true bitext exists) are NOT cell-recallable sub-linearly by any
+    ANN scheme — measured and documented in the test file.
+
+    At 10^12 rows the Y side is written cell-partitioned once (the IVF
+    index build, ×nprobe_y replication) and the join becomes a pruned
+    scan per probed cell; the X side only shuffles on `cell`."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(64, n_cells=n_cells)
+    x, y = _sides(emb, n_side)
+    x_probed = x.select(
+        "x_id", "x_emb",
+        F.explode(F.expr(_probe_cells_expr("x_emb", centroids, nprobe)))
+        .alias("cell"),
+    )
+    y_assigned = y.select(
+        "y_id", "y_emb",
+        F.explode(F.expr(_probe_cells_expr("y_emb", centroids, nprobe_y)))
+        .alias("cell"),
+    )
+    pairs = x_probed.join(y_assigned, "cell").select(
+        "x_id", "x_emb", "y_id", "y_emb"
+    )
+    if nprobe_y > 1:
+        pairs = pairs.dropDuplicates(["x_id", "y_id"])
+    return pairs
+
+
+def mine_bitext_ann_sql(table: str, dim: int, nprobe: int = 4,
+                        nprobe_y: int = 2, n_cells: int = 16, k: int = 4,
+                        threshold: float = 1.06) -> str:
+    """DuckDB twin of mine_bitext over ann_bitext_candidates (same
+    seeded centroids as double literals, same probe tie order, same
+    pair dedup, same 6-dp margin math)."""
+    centroids = ivf_seed_centroids(dim, n_cells=n_cells)
+    dx = _centroid_dots_sql("embedding", centroids, dim)
+    cos = cosine_sql("xp.x_emb", "ya.y_emb", dim)
+    return f"""
+    WITH x AS (SELECT vec_id::BIGINT AS x_id, embedding FROM {table}
+               WHERE vec_id % 2 = 0),
+    y AS (SELECT vec_id::BIGINT AS y_id, embedding FROM {table}
+          WHERE vec_id % 2 = 1),
+    xd AS (SELECT x_id, embedding AS x_emb, {dx} AS d FROM x),
+    xp AS (
+      SELECT x_id, x_emb, t.i::BIGINT AS cell
+      FROM xd, range(0, {n_cells}) t(i)
+      QUALIFY row_number() OVER (PARTITION BY x_id
+                                 ORDER BY d[t.i + 1] DESC, t.i) <= {nprobe}
+    ),
+    yd AS (SELECT y_id, embedding AS y_emb, {dx} AS d FROM y),
+    ya AS (
+      SELECT y_id, y_emb, t.i::BIGINT AS cell
+      FROM yd, range(0, {n_cells}) t(i)
+      QUALIFY row_number() OVER (PARTITION BY y_id
+                                 ORDER BY d[t.i + 1] DESC, t.i) <= {nprobe_y}
+    ),
+    scored AS (
+      SELECT DISTINCT xp.x_id, ya.y_id, round({cos}, 6) AS sim
+      FROM xp JOIN ya USING (cell)
     ),
     ranked AS (
       SELECT *,

@@ -138,13 +138,29 @@ def knn_graph_sql(table: str, n_src: int, k: int, dim: int) -> str:
 
 
 def neardup_pairs(emb: DataFrame, threshold: float = 0.4,
-                  dim: int = 64) -> DataFrame:
+                  dim: int = 64, n_cap: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs, brute force (the exact
     verification tier — correctness oracle for the LSH candidates from
     `ann_lsh_candidates`/simhash-style bucketing, which is the plan that
     runs at 10^12 rows; this one is O(n²) by construction and only for
-    bounded inputs / per-bucket verification)."""
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    bounded inputs / per-bucket verification).
+
+    `n_cap` ENFORCES the bounded-inputs contract (vec_id < n_cap on both
+    sides) so a caller pointing this at a growing corpus gets a
+    constant-size oracle, not a quadratic blow-up — the round-4 scale
+    curve measured the uncapped tier at 132 s over 2k vectors (one
+    interpreted BNLJ task) and O(n²) beyond; the scale path is
+    neardup_lsh."""
+    if n_cap is not None:
+        emb = emb.where(F.col("vec_id") < n_cap)
+    # the cosine condition is a higher-order expression (zip_with +
+    # aggregate) — BNLJ evaluates it interpreted, so parallelism is the
+    # only lever: explicitly spread the stream side (a fixed partition
+    # count is respected by AQE; without it the tiny input coalesces to
+    # ONE task and the whole O(n²) loop runs on a single core)
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("ea")).repartition(n_part)
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     sim = F.round(cosine_expr("ea", "eb"), 6)
     return (
@@ -158,12 +174,14 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.4,
     )
 
 
-def neardup_pairs_sql(table: str, threshold: float, dim: int) -> str:
+def neardup_pairs_sql(table: str, threshold: float, dim: int,
+                      n_cap: int | None = None) -> str:
     cos = cosine_sql("a.embedding", "b.embedding", dim)
+    cap = f"AND a.vec_id < {n_cap} AND b.vec_id < {n_cap}" if n_cap else ""
     return f"""
     SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
            round({cos}, 6) AS sim
-    FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+    FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id {cap}
     WHERE round({cos}, 6) >= {threshold}
     """
 

@@ -1,0 +1,54 @@
+"""Analyze the sf0.1/0.5/1.0 scale-up curve (VERDICT r3 #1).
+
+Reads .cache/scale/bench_sf{0.1,0.5,1}.json (bench.py runs against the
+structure-preserving replicas from tools/gen_scale_data.py) and prints
+a per-query table of time ratios vs the data ratio. A query is flagged
+SUPER-LINEAR when t(sf1)/t(sf0.1) > LIN_SLACK * 10 (data grows 10x);
+sub-second-at-sf1 queries are never flagged (fixed overhead dominates).
+
+Clip-backed queries scale 300 -> 3000 rows (10x, same as the tables);
+constant-input queries (model-table scans etc.) are expected flat.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LIN_SLACK = 1.3
+MIN_SEC = 1.0     # don't flag queries still under a second at sf1
+
+
+def main() -> None:
+    base = os.path.join(REPO, ".cache", "scale")
+    pts = {}
+    for sf in ("sf0.1", "sf0.5", "sf1"):
+        with open(os.path.join(base, f"bench_{sf}.json")) as f:
+            pts[sf] = json.load(f)
+    qs = sorted(pts["sf0.1"]["queries"])
+    rows = []
+    for q in qs:
+        t1 = pts["sf0.1"]["queries"].get(q)
+        t5 = pts["sf0.5"]["queries"].get(q)
+        t10 = pts["sf1"]["queries"].get(q)
+        if t1 is None or t10 is None:
+            continue
+        r10 = t10 / max(t1, 1e-9)
+        flag = "SUPER-LINEAR" if (r10 > LIN_SLACK * 10 and t10 >= MIN_SEC) \
+            else ""
+        rows.append((q, t1, t5, t10, r10, flag))
+    rows.sort(key=lambda r: -r[4])
+    print(f"{'query':28s} {'sf0.1':>7s} {'sf0.5':>7s} {'sf1':>7s} "
+          f"{'x10 ratio':>9s}")
+    for q, t1, t5, t10, r10, flag in rows:
+        print(f"{q:28s} {t1:7.2f} {t5:7.2f} {t10:7.2f} {r10:9.2f} {flag}")
+    tot = {sf: pts[sf]["value"] for sf in pts}
+    print("totals:", tot)
+    print("probes:", {sf: pts[sf]["first_touch_mb_s"] for sf in pts})
+    flagged = [r[0] for r in rows if r[5]]
+    print("flagged:", flagged or "none")
+
+
+if __name__ == "__main__":
+    main()

@@ -264,13 +264,19 @@ Regenerate: `python tools/scaling_bench.py`
     if m:
         old_cps = float(m.group(1).replace(",", ""))
     new_cps = results[CORES[1]]["clips_per_sec"]
-    degraded = not (0.8 <= eff <= 1.15) or new_cps < 0.8 * old_cps
+    in_band = 0.8 <= eff <= 1.15
+    degraded = not in_band or new_cps < 0.8 * old_cps
     if degraded and "Scaling efficiency" in old:
-        note = (f"\n\nDegraded-window attempt (NOT the record): "
-                f"eff {eff:.3f}, runs {json.dumps(results)}\n")
+        # one unambiguous label per datapoint (VERDICT r3 #9): gate
+        # status first, record status second — a run can pass the ≥0.8
+        # gate yet stay below the committed healthy-window record.
+        tag = ("In-band scaling datapoint (gate PASS, below the "
+               "committed record)" if in_band else
+               "Degraded-window attempt (gate FAIL, not a datapoint)")
+        note = f"\n\n{tag}: eff {eff:.3f}, runs {json.dumps(results)}\n"
         with open(bench_path, "a") as f:
             f.write(note)
-        print("degraded attempt appended; record preserved")
+        print("non-record run appended; record preserved")
     else:
         with open(bench_path, "w") as f:
             f.write(md + tail)

@@ -1,0 +1,74 @@
+"""A/B the sr/mk/bg Jelinek-Mercer cluster smoothing (VERDICT r3 #6).
+
+Reads the SHIPPED registry (lang, n, gram, freq), applies
+models.train.jm_cluster_smooth at each lambda, re-runs the held-out
+ref-parity eval, and prints the cluster deltas plus any language
+regressing > 1 pp. Accepts:
+
+    python tools/sr_smooth_ab.py [lam ...]     # default 0.9 0.8 0.7
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CLUSTER = ("sr", "mk", "bg")
+
+
+def eval_registry(spark, models_path: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from tiny_lingua_spark.eval import ref_parity
+    from tiny_lingua_spark.models.registry import ModelRegistry
+
+    reg = ModelRegistry(spark, models_path)
+    ref = ref_parity.load_ref_corpus(spark)
+    _, eval_df = ref_parity.split_train_eval(ref)
+    pred = ref_parity.detect_ref_corpus(eval_df, reg)
+    rows = (pred.groupBy("expected")
+            .agg(F.count("*").alias("n"),
+                 F.sum((F.col("predicted") == F.col("expected"))
+                       .cast("int")).alias("hits")).collect())
+    return {r["expected"]: round(100.0 * r["hits"] / r["n"], 2)
+            for r in rows}
+
+
+def main() -> None:
+    from tiny_lingua_spark import corpus as seed_corpus, pretrained
+    from tiny_lingua_spark.models.train import jm_cluster_smooth
+    from tiny_lingua_spark.session import get_spark
+
+    lams = [float(a) for a in sys.argv[1:]] or [0.9, 0.8, 0.7]
+    spark = get_spark("sr-smooth-ab", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    base_path = pretrained.default_ngram_models_path(
+        seed_corpus.CORPUS_VERSION)
+    print(f"base registry: {base_path}")
+    base = eval_registry(spark, base_path)
+    results = {"base": base}
+    models = spark.read.parquet(base_path).select("lang", "n", "gram",
+                                                  "freq")
+    for lam in lams:
+        out = os.path.join(REPO, ".cache", f"srjm_{lam:g}")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            jm_cluster_smooth(models, CLUSTER, lam).write.mode(
+                "overwrite").partitionBy("n").parquet(out)
+        tab = eval_registry(spark, out)
+        results[f"lam{lam:g}"] = tab
+        regress = [(l, round(tab[l] - base[l], 2)) for l in tab
+                   if tab[l] - base[l] <= -1.0]
+        cluster = {l: (base[l], tab[l]) for l in CLUSTER}
+        print(f"lam={lam:g} cluster {cluster} "
+              f"mean {round(sum(tab.values())/len(tab),2)} "
+              f"(base {round(sum(base.values())/len(base),2)}) "
+              f"regressions>1pp: {regress or 'none'}")
+    with open(os.path.join(REPO, ".cache", "sr_smooth_ab.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
