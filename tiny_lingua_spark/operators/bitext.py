@@ -148,7 +148,8 @@ def _probe_cells_expr(emb_col: str, centroids: list[list[float]],
 def ann_bitext_candidates(emb: DataFrame, nprobe: int = 4,
                           nprobe_y: int = 2, n_cells: int = 16,
                           centroids: list[list[float]] | None = None,
-                          n_side: int | None = None) -> DataFrame:
+                          n_side: int | None = None,
+                          cell_cap: int = 256) -> DataFrame:
     """IVF cell-join candidate pairs (x_id, x_emb, y_id, y_emb) for
     margin mining — the scale tier that replaces the brute cross.
 
@@ -170,9 +171,18 @@ def ann_bitext_candidates(emb: DataFrame, nprobe: int = 4,
     no true bitext exists) are NOT cell-recallable sub-linearly by any
     ANN scheme — measured and documented in the test file.
 
+    `cell_cap` bounds Y occupancy per cell (keep the lowest-id
+    `cell_cap` rows, deterministic — the winnow-postings hot-cap
+    precedent): per x the candidate list is ≤ nprobe·cell_cap however
+    large Y grows, so total work is LINEAR in |X| instead of a constant
+    fraction of |X|·|Y| when a fixed cell count meets a structureless
+    corpus. At real scale the cap composes with n_cells ∝ corpus size
+    (constant expected occupancy), so it only bites on hot cells.
+
     At 10^12 rows the Y side is written cell-partitioned once (the IVF
-    index build, ×nprobe_y replication) and the join becomes a pruned
-    scan per probed cell; the X side only shuffles on `cell`."""
+    index build, ×nprobe_y replication, cap applied at build time) and
+    the join becomes a pruned scan per probed cell; the X side only
+    shuffles on `cell`."""
     if centroids is None:
         centroids = ivf_seed_centroids(64, n_cells=n_cells)
     x, y = _sides(emb, n_side)
@@ -186,6 +196,11 @@ def ann_bitext_candidates(emb: DataFrame, nprobe: int = 4,
         F.explode(F.expr(_probe_cells_expr("y_emb", centroids, nprobe_y)))
         .alias("cell"),
     )
+    if cell_cap is not None:
+        w = Window.partitionBy("cell").orderBy("y_id")
+        y_assigned = (y_assigned
+                      .withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") <= cell_cap).drop("_rn"))
     pairs = x_probed.join(y_assigned, "cell").select(
         "x_id", "x_emb", "y_id", "y_emb"
     )
@@ -196,10 +211,11 @@ def ann_bitext_candidates(emb: DataFrame, nprobe: int = 4,
 
 def mine_bitext_ann_sql(table: str, dim: int, nprobe: int = 4,
                         nprobe_y: int = 2, n_cells: int = 16, k: int = 4,
-                        threshold: float = 1.06) -> str:
+                        threshold: float = 1.06,
+                        cell_cap: int = 256) -> str:
     """DuckDB twin of mine_bitext over ann_bitext_candidates (same
     seeded centroids as double literals, same probe tie order, same
-    pair dedup, same 6-dp margin math)."""
+    per-cell Y cap, same pair dedup, same 6-dp margin math)."""
     centroids = ivf_seed_centroids(dim, n_cells=n_cells)
     dx = _centroid_dots_sql("embedding", centroids, dim)
     cos = cosine_sql("xp.x_emb", "ya.y_emb", dim)
@@ -216,11 +232,16 @@ def mine_bitext_ann_sql(table: str, dim: int, nprobe: int = 4,
                                  ORDER BY d[t.i + 1] DESC, t.i) <= {nprobe}
     ),
     yd AS (SELECT y_id, embedding AS y_emb, {dx} AS d FROM y),
-    ya AS (
+    ya_prb AS (
       SELECT y_id, y_emb, t.i::BIGINT AS cell
       FROM yd, range(0, {n_cells}) t(i)
       QUALIFY row_number() OVER (PARTITION BY y_id
                                  ORDER BY d[t.i + 1] DESC, t.i) <= {nprobe_y}
+    ),
+    ya AS (
+      SELECT y_id, y_emb, cell FROM ya_prb
+      QUALIFY row_number() OVER (PARTITION BY cell
+                                 ORDER BY y_id) <= {cell_cap}
     ),
     scored AS (
       SELECT DISTINCT xp.x_id, ya.y_id, round({cos}, 6) AS sim
