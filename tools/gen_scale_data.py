@@ -84,6 +84,11 @@ def scale_documents(df: pd.DataFrame, k: int) -> pd.DataFrame:
         rep["doc_id"] = rep["doc_id"] + r * ID_STRIDE
         rep["text"] = out_texts
         rep["n_chars"] = rep["text"].str.len().astype("int64")
+        # a 10x corpus has more shards/sources, not 10x-bigger ones:
+        # per-replica source names keep every per-source group (the
+        # bound for exact-Jaccard verify etc.) at its original size,
+        # so group-local O(n^2) tiers scale linearly with K
+        rep["source"] = rep["source"].astype(str) + f"-r{r}"
         reps.append(rep)
     return pd.concat(reps, ignore_index=True)
 
