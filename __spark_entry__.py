@@ -985,8 +985,17 @@ def _q_knn_graph(spark, sf_dir):
 def _q_embedding_neardup(spark, sf_dir):
     """The 10^12-row plan: LSH-bucketed candidates + exact in-bucket
     cosine. Its DuckDB oracle computes the SAME literal-plane signatures,
-    so recall-by-design differences cancel and values must match."""
-    return similarity.neardup_lsh(_emb(spark, sf_dir), threshold=0.4)
+    so recall-by-design differences cancel and values must match.
+    Band width scales with the corpus (16-bit sig in 8-bit bands up to
+    2 000 vectors — sf0.01/sf0.1 behavior unchanged — then a 32-bit sig
+    in 16-bit bands: 256x more buckets keeps in-bucket occupancy, the
+    quadratic verify term, constant; the r4 scale curve measured the
+    fixed-band tier at 18.8x for 10x data before this change)."""
+    emb = _emb(spark, sf_dir)
+    if emb.count() <= 2000:
+        return similarity.neardup_lsh(emb, threshold=0.4)
+    return similarity.neardup_lsh(emb, threshold=0.4,
+                                  n_bits=32, half_bits=16)
 
 
 def _q_embedding_neardup_exact(spark, sf_dir):
@@ -1036,11 +1045,27 @@ def _q_ivfpq_topk(spark, sf_dir):
                                  nprobe=4)
 
 
+def _semdedup_centroids(emb):
+    """Cluster count ∝ corpus size — the paper's own scale lever (in-
+    cell work is quadratic in cell SIZE, so constant expected occupancy
+    keeps total work linear). 16 cells up to 2 000 vectors (sf0.01 and
+    sf0.1 behavior — and therefore the DuckDB-twin hashes — unchanged),
+    then ~125 vectors/cell, capped at 64 cells (the literal-centroid
+    codegen budget; a real deployment trains n_cells ∝ N with
+    ivf_train and stores centroids, not literals)."""
+    n = emb.count()
+    n_cells = min(64, max(16, n // 125))
+    return similarity.ivf_seed_centroids(64, n_cells=n_cells)
+
+
 def _q_semdedup_drop(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540): within-k-means-cell cosine pruning.
     tau=0.4 because the synthetic embeddings are near-orthogonal (max
-    pairwise cosine ~0.51); production tau is ~0.95 on real encoders."""
-    return similarity.semdedup_drop(_emb(spark, sf_dir), tau=0.4)
+    pairwise cosine ~0.51); production tau is ~0.95 on real encoders.
+    n_cells scales with the corpus (see _semdedup_centroids)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.semdedup_drop(emb, tau=0.4,
+                                    centroids=_semdedup_centroids(emb))
 
 
 def _q_bitext_mine(spark, sf_dir):
@@ -1071,7 +1096,9 @@ def _q_bitext_mine_ann(spark, sf_dir):
 
 
 def _q_semdedup_stats(spark, sf_dir):
-    return similarity.semdedup_stats(_emb(spark, sf_dir), tau=0.4)
+    emb = _emb(spark, sf_dir)
+    return similarity.semdedup_stats(emb, tau=0.4,
+                                     centroids=_semdedup_centroids(emb))
 
 
 # ---- UDF-backed (rows-only oracle) ----
@@ -1507,10 +1534,16 @@ def _q_keep_rate_audit(spark, sf_dir):
         F.count("*").cast("long").alias("n_clips"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
     )
-    total = per_lang.agg(
-        F.sum("n_clips").alias("t_clips"), F.sum("n_kept").alias("t_kept"))
+    # corpus totals via a global window over the per-language frame
+    # (<= n_languages rows) instead of crossJoin(broadcast(agg)): the
+    # agg branch re-evaluates the whole decode+detect lineage whenever
+    # AQE breaks exchange reuse — measured 1.6 s -> 16 s between sf0.5
+    # and sf1 on the scale curve before this change
+    w_all = Window.partitionBy()
     return (
-        per_lang.crossJoin(F.broadcast(total))
+        per_lang
+        .withColumn("t_clips", F.sum("n_clips").over(w_all))
+        .withColumn("t_kept", F.sum("n_kept").over(w_all))
         .select(
             "lang", "n_clips", "n_kept",
             F.round(F.col("n_kept") / F.col("n_clips"), 6)

@@ -263,18 +263,24 @@ def lsh_signature_udf(planes: np.ndarray):
     return signature
 
 
-def _exploded_halves(emb: DataFrame, n_bits: int, dim: int) -> DataFrame:
-    """(vec_id, embedding, h, hv): one row per 8-bit signature half —
-    vectors sharing any half value are Hamming-≤7 candidates (pigeonhole
-    over n_bits=16)."""
+def _exploded_halves(emb: DataFrame, n_bits: int, dim: int,
+                     half_bits: int = 8) -> DataFrame:
+    """(vec_id, embedding, h, hv): one row per `half_bits`-wide
+    signature band — vectors sharing any band value are pigeonhole
+    candidates. Band width is the bucket-granularity lever: buckets per
+    band = 2^half_bits, so expected occupancy n/2^half_bits; widen the
+    bands as the corpus grows to keep in-bucket pair counts (the
+    quadratic term) constant."""
+    mask = (1 << half_bits) - 1
     sig = signature_col("embedding", rademacher_planes(dim, n_bits))
     with_sig = emb.select("vec_id", "embedding", sig.alias("sig"))
     halves = [
         F.struct(
             F.lit(i).alias("h"),
-            F.shiftright("sig", i * 8).bitwiseAND(F.lit(0xFF)).alias("hv"),
+            F.shiftright("sig", i * half_bits).bitwiseAND(F.lit(mask))
+            .alias("hv"),
         )
-        for i in range(n_bits // 8)
+        for i in range(n_bits // half_bits)
     ]
     return with_sig.select(
         "vec_id", "embedding", F.explode(F.array(*halves)).alias("c")
@@ -333,13 +339,17 @@ def ann_lsh_sql(table: str, query_id: int, k: int, n_bits: int, dim: int) -> str
 
 
 def neardup_lsh(emb: DataFrame, threshold: float = 0.4, dim: int = 64,
-                n_bits: int = 16) -> DataFrame:
+                n_bits: int = 16, half_bits: int = 8) -> DataFrame:
     """Embedding near-dup, the 10^12-row plan: LSH-bucketed candidate
-    pairs (join within 8-bit signature-half buckets — never all-pairs)
+    pairs (join within signature-band buckets — never all-pairs)
     verified by exact cosine within the bucket. Same output schema as
     neardup_pairs; recall < 1 by LSH design, identical in the DuckDB twin
-    (same literal planes)."""
-    exploded = _exploded_halves(emb, n_bits, dim)
+    (same literal planes). (n_bits, half_bits) tune the standard
+    bands×width S-curve: more bands raise recall at a given threshold,
+    wider bands (2^half_bits buckets each) keep in-bucket occupancy —
+    and hence the quadratic verify term — constant as the corpus
+    grows."""
+    exploded = _exploded_halves(emb, n_bits, dim, half_bits)
     a = exploded.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "h", "hv"
     )
@@ -361,15 +371,16 @@ def neardup_lsh(emb: DataFrame, threshold: float = 0.4, dim: int = 64,
 
 
 def neardup_lsh_sql(table: str, threshold: float, dim: int,
-                    n_bits: int = 16) -> str:
+                    n_bits: int = 16, half_bits: int = 8) -> str:
     sig = signature_sql("embedding", rademacher_planes(dim, n_bits), dim)
     cos = cosine_sql("x.embedding", "y.embedding", dim)
+    mask = (1 << half_bits) - 1
     return f"""
     WITH sigs AS (SELECT vec_id, embedding, {sig} AS sig FROM {table}),
     halves AS (
         SELECT vec_id, hs.h,
-               CASE WHEN hs.h = 0 THEN sig % 256 ELSE sig // 256 END AS hv
-        FROM sigs, (SELECT unnest(range(0, {n_bits // 8})) AS h) hs
+               (sig >> (hs.h * {half_bits})) & {mask} AS hv
+        FROM sigs, (SELECT unnest(range(0, {n_bits // half_bits})) AS h) hs
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
