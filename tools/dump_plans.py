@@ -76,6 +76,7 @@ PLAN_QUERIES = (
     "drift_bins",
     "drift_summary",
     "bitext_mine",
+    "bitext_mine_ann",
     "audio_true_peak",
     "rate_outliers",
     "shard_plan",
