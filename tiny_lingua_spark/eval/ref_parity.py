@@ -110,13 +110,18 @@ def train_ref_pretrained(spark: SparkSession, out_path: str,
     languages the reference corpus doesn't cover (kn, ml) so every
     language on the axis has a model.
 
-    Post-train: Jelinek-Mercer smoothing within the sr/mk/bg
-    south-Slavic Cyrillic cluster at lam=0.9 (VERDICT r3 #6; A/B'd via
-    tools/sr_smooth_ab.py on the held-out eval split: sr 79.24→86.38,
-    mk 79.55→85.03, bg 84.92→87.43, overall mean 82.85→83.14, zero
-    languages regressing >1 pp — fold-scale training can't estimate the
-    confusable-cluster margins, and shrinking them toward the cluster
-    mean recovers the data-volume loss)."""
+    Post-train: Jelinek-Mercer smoothing within each confusable
+    cluster at lam=0.9 (VERDICT r3 #6; both A/B'd via
+    tools/sr_smooth_ab.py on the held-out eval split, zero languages
+    regressing >1 pp in either — fold-scale training can't estimate
+    the confusable-cluster margins, and shrinking them toward the
+    cluster mean recovers the data-volume loss):
+    - sr/mk/bg (south-Slavic Cyrillic): sr 79.24→86.38, mk 79.55→85.03,
+      bg 84.92→87.43; overall mean 82.85→83.14.
+    - hr/bs/sl (south-Slavic Latin): hr 66.56→71.24, bs 60.71→64.66,
+      sl 70.94→74.43; overall mean 83.14→83.37. This dissolves the
+      round-2 finding that upweighting sr trades hr/bs down — each
+      cluster is smoothed locally, other models stay bit-identical."""
     from .. import corpus as seed_corpus
     from .. import langmeta as lm
     from ..models.train import jm_cluster_smooth
@@ -131,6 +136,7 @@ def train_ref_pretrained(spark: SparkSession, out_path: str,
         train = train.unionByName(extra_df)
     models = jm_cluster_smooth(train_ngram_models(spark, train),
                                ("sr", "mk", "bg"), lam=0.9)
+    models = jm_cluster_smooth(models, ("hr", "bs", "sl"), lam=0.9)
     write_models(models, out_path)
     return out_path
 

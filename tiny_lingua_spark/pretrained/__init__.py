@@ -26,7 +26,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 
 # bump when the ref-pretrained training recipe changes
 # v2 = 90/10 sentence folds (ref_parity.TRAIN_FOLDS = 10)
-REF_VERSION = 3
+REF_VERSION = 4
 
 
 def ngram_models_path(version: int) -> str | None:

@@ -16,7 +16,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CLUSTER = ("sr", "mk", "bg")
+CLUSTER = ("sr", "mk", "bg")   # override with --cluster a,b,c
 
 
 def eval_registry(spark, models_path: str) -> dict[str, float]:
@@ -42,7 +42,12 @@ def main() -> None:
     from tiny_lingua_spark.models.train import jm_cluster_smooth
     from tiny_lingua_spark.session import get_spark
 
-    lams = [float(a) for a in sys.argv[1:]] or [0.9, 0.8, 0.7]
+    args = sys.argv[1:]
+    cluster = CLUSTER
+    if args and args[0] == "--cluster":
+        cluster = tuple(args[1].split(","))
+        args = args[2:]
+    lams = [float(a) for a in args] or [0.9, 0.8, 0.7]
     spark = get_spark("sr-smooth-ab", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     base_path = pretrained.default_ngram_models_path(
@@ -53,16 +58,17 @@ def main() -> None:
     models = spark.read.parquet(base_path).select("lang", "n", "gram",
                                                   "freq")
     for lam in lams:
-        out = os.path.join(REPO, ".cache", f"srjm_{lam:g}")
+        out = os.path.join(REPO, ".cache",
+                           f"srjm_{'-'.join(cluster)}_{lam:g}")
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            jm_cluster_smooth(models, CLUSTER, lam).write.mode(
+            jm_cluster_smooth(models, cluster, lam).write.mode(
                 "overwrite").partitionBy("n").parquet(out)
         tab = eval_registry(spark, out)
         results[f"lam{lam:g}"] = tab
         regress = [(l, round(tab[l] - base[l], 2)) for l in tab
                    if tab[l] - base[l] <= -1.0]
-        cluster = {l: (base[l], tab[l]) for l in CLUSTER}
-        print(f"lam={lam:g} cluster {cluster} "
+        cdelta = {l: (base[l], tab[l]) for l in cluster}
+        print(f"lam={lam:g} cluster {cdelta} "
               f"mean {round(sum(tab.values())/len(tab),2)} "
               f"(base {round(sum(base.values())/len(base),2)}) "
               f"regressions>1pp: {regress or 'none'}")
