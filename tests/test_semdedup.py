@@ -112,3 +112,30 @@ def test_stats_reconcile_and_plan(spark):
         6
     ).equals(stats.keep_rate)
     assert "CartesianProduct" not in plan_of(drop)
+
+
+def test_trained_tier_equals_literal_tier_under_shared_centroids(spark):
+    """semdedup_drop_trained (Arrow BLAS assignment, the production
+    quantizer path) must produce the exact rows of the literal-codegen
+    oracle tier when both use the same centroids — pins the assignment
+    UDF's argmax/tie semantics to ivf_cell_col."""
+    from tiny_lingua_spark.operators.similarity import (
+        ivf_seed_centroids, semdedup_drop, semdedup_drop_trained)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_seed_centroids(64, n_cells=16)
+    lit = semdedup_drop(emb, tau=0.4, centroids=cents).collect()
+    trn = semdedup_drop_trained(emb, tau=0.4, centroids=cents).collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, trn))
+
+
+def test_trained_tier_trains_and_runs(spark):
+    """End-to-end with ivf_train-learned centroids: every cell id is in
+    range and the drop table is deterministic across two runs."""
+    from tiny_lingua_spark.operators.similarity import semdedup_drop_trained
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = semdedup_drop_trained(emb, tau=0.4, n_cells=8, n_iter=2).collect()
+    b = semdedup_drop_trained(emb, tau=0.4, n_cells=8, n_iter=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(0 <= r["cell"] < 8 for r in a)

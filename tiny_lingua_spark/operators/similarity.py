@@ -1109,3 +1109,67 @@ def ivfpq_topk_sql(table: str, query_id: int, k: int = 10, nprobe: int = 4,
            row_number() OVER (ORDER BY adc_dist, vec_id)::BIGINT AS rank
     FROM scored QUALIFY rank <= {k}
     """
+
+
+def ivf_assign_udf(spark, centroids: list[list[float]]):
+    """Arrow-batched cell assignment: one BLAS matmul per batch against
+    BROADCAST centroids — per-row cost is O(dim) regardless of n_cells,
+    unlike the literal-centroid codegen tier whose per-row cost grows
+    with the centroid count (measured in BENCH.md's round-4 semdedup
+    residual decomposition). This is the production assignment path for
+    trained quantizers (ivf_train), where centroids are data, not SQL
+    literals. Tie semantics match ivf_cell_col: first max wins."""
+    from pyspark.sql.functions import pandas_udf
+
+    c_t = np.asarray(centroids, dtype=np.float64).T  # dim x n_cells
+    bc = spark.sparkContext.broadcast(c_t)
+
+    @pandas_udf("long")
+    def assign(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        return pd.Series((mat @ bc.value).argmax(axis=1).astype("int64"))
+
+    return assign
+
+
+def semdedup_drop_trained(emb: DataFrame, tau: float = 0.4,
+                          n_cells: int = 16, n_iter: int = 3,
+                          dim: int = 64,
+                          centroids: list[list[float]] | None = None
+                          ) -> DataFrame:
+    """SemDeDup over a TRAINED spherical-k-means quantizer (the paper's
+    actual configuration): ivf_train learns the centroids (one
+    distributed pass per iteration), ivf_assign_udf routes each vector
+    to its cell in one Arrow matmul, and the within-cell prune is the
+    same shuffled-hash self-join as semdedup_drop. At scale n_cells
+    tracks the corpus size with NO per-row assignment penalty and no
+    literal-codegen budget — the two limits of the oracle tier.
+    Equivalence to the literal tier under shared centroids is pinned by
+    tests/test_semdedup.py."""
+    if centroids is None:
+        centroids = ivf_train(emb, n_cells=n_cells, n_iter=n_iter, dim=dim)
+    assign = ivf_assign_udf(emb.sparkSession, centroids)
+    assigned = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "embedding",
+        assign(F.col("embedding")).alias("cell"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b").hint("shuffle_hash")
+    sim = F.round(cosine_expr("a.embedding", "b.embedding"), 6)
+    pairs = (
+        a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                      F.col("b.vec_id") < F.col("a.vec_id")])
+        .select(F.col("a.vec_id").alias("vec_id"),
+                F.col("a.cell").alias("cell"),
+                F.col("b.vec_id").alias("nbr"),
+                sim.alias("sim"))
+        .where(F.col("sim") >= tau)
+    )
+    return (
+        pairs.groupBy("vec_id", "cell")
+        .agg(F.min("nbr").alias("kept_by"),
+             F.max("sim").alias("max_sim"),
+             F.count(F.lit(1)).alias("n_near"))
+        .orderBy("vec_id")
+    )
