@@ -1095,10 +1095,47 @@ def _q_bitext_mine_ann(spark, sf_dir):
         candidates=ann_bitext_candidates(emb, nprobe=4, nprobe_y=2))
 
 
+def _q_bitext_mine_ann_trained(spark, sf_dir):
+    """Bitext mining over TRAINED-quantizer ANN candidates: ivf_train
+    learns the coarse cells over the shared embedding space, the probe
+    is an Arrow BLAS top-nprobe (bitext.probe_cells_udf — no
+    literal-codegen budget, n_cells ∝ corpus), and the margin math is
+    unchanged. Oracle: committed golden (ivf_train is bit-deterministic
+    — exact fixed-point means); independent anchor: literal-tier
+    candidate equivalence under shared centroids in
+    tests/test_bitext.py."""
+    from tiny_lingua_spark.operators.bitext import (
+        ann_bitext_candidates_trained, mine_bitext)
+
+    emb = _emb(spark, sf_dir)
+    n_cells = max(16, emb.count() // 125)
+    return mine_bitext(
+        emb, k=4,
+        candidates=ann_bitext_candidates_trained(
+            emb, nprobe=4, nprobe_y=2, n_cells=n_cells, n_iter=2))
+
+
 def _q_semdedup_stats(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return similarity.semdedup_stats(emb, tau=0.4,
                                      centroids=_semdedup_centroids(emb))
+
+
+def _q_semdedup_drop_trained(spark, sf_dir):
+    """SemDeDup over a TRAINED spherical-k-means quantizer — the
+    production configuration of the paper (centroids are learned data,
+    not SQL literals, so there is no literal-codegen budget and
+    n_cells tracks the corpus uncapped). Assignment is one Arrow BLAS
+    matmul per batch (similarity.ivf_assign_udf); the within-cell
+    prune is the same shuffled-hash self-join as semdedup_drop.
+    Oracle: committed golden (ivf_train is bit-deterministic under any
+    partitioning — exact fixed-point means); independent anchors:
+    numpy Lloyd's replication + literal-tier equivalence under shared
+    centroids in tests/test_semdedup.py."""
+    emb = _emb(spark, sf_dir)
+    n_cells = max(16, emb.count() // 125)
+    return similarity.semdedup_drop_trained(emb, tau=0.4,
+                                            n_cells=n_cells, n_iter=2)
 
 
 # ---- UDF-backed (rows-only oracle) ----
@@ -2113,8 +2150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _shipped(_q_ivfpq_topk),
         "semdedup_drop": _shipped(_q_semdedup_drop),
         "semdedup_stats": _shipped(_q_semdedup_stats),
+        "semdedup_drop_trained": _shipped(_q_semdedup_drop_trained),
         "bitext_mine": _shipped(_q_bitext_mine),
         "bitext_mine_ann": _shipped(_q_bitext_mine_ann),
+        "bitext_mine_ann_trained": _shipped(_q_bitext_mine_ann_trained),
         "events_sessions": _shipped(_q_events_sessions),
         "fasttext_lang": _shipped(_q_fasttext_lang),
         "perplexity_scores": _shipped(_q_perplexity),
@@ -2188,6 +2227,8 @@ GOLDEN_ORACLE_QUERIES = (
     "bpe_merges",
     "bpe_tokens",
     "bpe_fertility",
+    "semdedup_drop_trained",
+    "bitext_mine_ann_trained",
 )
 
 EXPECTED_DIR = os.path.join(_REPO, "expected")

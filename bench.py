@@ -148,6 +148,9 @@ BENCH_QUERIES = (
     "unimax_alloc",           # UniMax per-language budgets
     "vocab_topk",             # vocabulary top-k
     "winnow_fingerprints",    # winnowing fingerprint table
+    # ---- round 4 additions: trained-quantizer tiers ----
+    "semdedup_drop_trained",  # SemDeDup, trained k-means + Arrow BLAS assign
+    "bitext_mine_ann_trained",  # margin mining over trained-probe candidates
 )
 
 

@@ -179,3 +179,46 @@ def test_ann_duckdb_twin_matches(spark):
     assert len(s) == len(d) and s.columns.tolist() == d.columns.tolist()
     for c in s.columns:
         assert s[c].tolist() == d[c].tolist(), c
+
+
+def test_trained_candidates_equal_literal_under_shared_centroids(spark):
+    """ann_bitext_candidates_trained (Arrow BLAS probe, the production
+    quantizer path) must produce the exact candidate pair set of the
+    literal-codegen tier when both use the same centroids — pins the
+    probe UDF's top-nprobe tie order (dot desc, cell asc) to
+    _probe_cells_expr."""
+    from tiny_lingua_spark.operators.bitext import (
+        ann_bitext_candidates_trained)
+    from tiny_lingua_spark.operators.similarity import ivf_seed_centroids
+
+    df = spark.read.parquet(SF_EMB)
+    cents = ivf_seed_centroids(64, n_cells=16)
+    lit = ann_bitext_candidates(df, nprobe=4, nprobe_y=2, centroids=cents)
+    trn = ann_bitext_candidates_trained(df, nprobe=4, nprobe_y=2,
+                                        centroids=cents)
+    lit_pairs = {(r["x_id"], r["y_id"]) for r in lit.collect()}
+    trn_pairs = {(r["x_id"], r["y_id"]) for r in trn.collect()}
+    assert lit_pairs == trn_pairs
+
+
+def test_trained_tier_recovers_planted_pairs(spark):
+    """End-to-end with ivf_train-learned centroids on the
+    translation-structured corpus: every planted pair is accepted, and
+    two runs agree exactly (ivf_train bit-determinism)."""
+    from tiny_lingua_spark.operators.bitext import (
+        ann_bitext_candidates_trained)
+
+    df, planted = _planted_bitext_corpus(spark)
+    mined = mine_bitext(
+        df, k=4,
+        candidates=ann_bitext_candidates_trained(df, nprobe=4, nprobe_y=2,
+                                                 n_cells=8, n_iter=2))
+    acc = {(r["x_id"], r["y_id"]) for r in mined.where("accepted").collect()}
+    assert planted <= acc
+    mined2 = mine_bitext(
+        df, k=4,
+        candidates=ann_bitext_candidates_trained(df, nprobe=4, nprobe_y=2,
+                                                 n_cells=8, n_iter=2))
+    a = sorted(map(tuple, mined.collect()))
+    b = sorted(map(tuple, mined2.collect()))
+    assert a == b

@@ -139,3 +139,52 @@ def test_trained_tier_trains_and_runs(spark):
     b = semdedup_drop_trained(emb, tau=0.4, n_cells=8, n_iter=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(0 <= r["cell"] < 8 for r in a)
+
+
+def _numpy_lloyds(ids, M, n_cells, n_iter):
+    """Independent Lloyd's replication with the SAME exact fixed-point
+    mean contract as similarity.ivf_train (_MEAN_FP_SCALE): sums of
+    round(v * 2^40) longs are order-independent, so Spark and numpy
+    must agree BIT-EXACTLY — this is the independent anchor that the
+    trained tier's golden oracles rest on."""
+    from tiny_lingua_spark.operators.similarity import _MEAN_FP_SCALE
+
+    order = np.argsort(ids)
+    cents = M[order[:n_cells]].astype(np.float64).copy()
+    fp = np.round(M.astype(np.float64) * _MEAN_FP_SCALE).astype(np.int64)
+    for _ in range(n_iter):
+        normed = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        cells = np.argmax(M @ normed.T, axis=1)
+        new = cents.copy()
+        for c in range(n_cells):
+            idx = np.where(cells == c)[0]
+            if len(idx):
+                s = fp[idx].sum(axis=0, dtype=np.int64)
+                new[c] = (s / len(idx)) / _MEAN_FP_SCALE
+        cents = new
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def test_ivf_train_matches_numpy_reference_bit_exactly(spark):
+    from tiny_lingua_spark.operators.similarity import ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    ids = pdf.vec_id.to_numpy()
+    M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    got = np.array(ivf_train(emb, n_cells=8, n_iter=3))
+    want = _numpy_lloyds(ids, M, n_cells=8, n_iter=3)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want), "ivf_train diverged from the numpy twin"
+
+
+def test_ivf_train_partitioning_independent(spark):
+    """The exact fixed-point means make the trained centroids invariant
+    to physical partitioning — the property that lets trained-tier
+    driver queries commit golden oracles."""
+    from tiny_lingua_spark.operators.similarity import ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = ivf_train(emb.repartition(1), n_cells=8, n_iter=2)
+    b = ivf_train(emb.repartition(13, "vec_id"), n_cells=8, n_iter=2)
+    assert a == b

@@ -35,10 +35,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .similarity import (cosine_expr, cosine_sql, _centroid_dots_expr,
                          _centroid_dots_sql, ivf_cell_col,
-                         ivf_seed_centroids)
+                         ivf_seed_centroids, ivf_train)
 
 __all__ = ["mine_bitext", "mine_bitext_sql", "ann_bitext_candidates",
-           "mine_bitext_ann_sql"]
+           "mine_bitext_ann_sql", "probe_cells_udf",
+           "ann_bitext_candidates_trained"]
 
 
 def _sides(emb: DataFrame, n_side: int | None):
@@ -266,3 +267,72 @@ def mine_bitext_ann_sql(table: str, dim: int, nprobe: int = 4,
            round(sim / ((avgk_x + avgk_y) / 2), 6) >= {threshold} AS accepted
     FROM stats WHERE rx = 1 AND ry = 1
     """
+
+
+def probe_cells_udf(spark, centroids: list[list[float]], nprobe: int):
+    """Arrow-batched multi-probe: each row's top-`nprobe` cells by
+    centroid dot, as ONE BLAS matmul per batch against BROADCAST
+    centroids — the trained-quantizer analog of _probe_cells_expr.
+    Per-row cost is O(dim·n_cells) inside BLAS with no literal-codegen
+    budget, so n_cells can track the corpus size (the same argument as
+    similarity.ivf_assign_udf, measured in BENCH.md's round-4 semdedup
+    residual decomposition). Tie order matches the codegen tier: dot
+    desc, then cell id asc (np.argsort is stable on -dots)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c_t = np.asarray(centroids, dtype=np.float64).T  # dim x n_cells
+    bc = spark.sparkContext.broadcast(c_t)
+    n = int(nprobe)
+
+    # no type hints: PEP 563 stringizes them and pandas is only a local
+    # import here, so Spark's hint resolver would fail — the explicit
+    # returnType carries the schema instead
+    @pandas_udf("array<long>")
+    def probe(emb):
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        dots = mat @ bc.value
+        idx = np.argsort(-dots, axis=1, kind="stable")[:, :n].astype("int64")
+        return pd.Series(list(idx))
+
+    return probe
+
+
+def ann_bitext_candidates_trained(emb: DataFrame, nprobe: int = 4,
+                                  nprobe_y: int = 2, n_cells: int = 16,
+                                  n_iter: int = 3,
+                                  centroids: list[list[float]] | None = None,
+                                  n_side: int | None = None,
+                                  cell_cap: int = 256) -> DataFrame:
+    """ann_bitext_candidates over a TRAINED spherical-k-means quantizer
+    (ivf_train over the full table — both sides share one embedding
+    space, as in LASER mining). Identical join shape, Y replication,
+    per-cell cap and pair dedup as the literal tier; only the probe is
+    different: an Arrow BLAS top-nprobe (probe_cells_udf) instead of a
+    codegen array-sort over literal centroids. Equivalence to the
+    literal tier under shared centroids is pinned by
+    tests/test_bitext.py. ivf_train is bit-deterministic under any
+    partitioning (exact fixed-point means), so driver queries over this
+    tier can carry committed golden oracles."""
+    if centroids is None:
+        centroids = ivf_train(emb, n_cells=n_cells, n_iter=n_iter)
+    x, y = _sides(emb, n_side)
+    spark = emb.sparkSession
+    probe_x = probe_cells_udf(spark, centroids, nprobe)
+    probe_y = probe_cells_udf(spark, centroids, nprobe_y)
+    x_probed = x.select(
+        "x_id", "x_emb", F.explode(probe_x(F.col("x_emb"))).alias("cell"))
+    y_assigned = y.select(
+        "y_id", "y_emb", F.explode(probe_y(F.col("y_emb"))).alias("cell"))
+    if cell_cap is not None:
+        w = Window.partitionBy("cell").orderBy("y_id")
+        y_assigned = (y_assigned
+                      .withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") <= cell_cap).drop("_rn"))
+    pairs = x_probed.join(y_assigned, "cell").select(
+        "x_id", "x_emb", "y_id", "y_emb"
+    )
+    if nprobe_y > 1:
+        pairs = pairs.dropDuplicates(["x_id", "y_id"])
+    return pairs

@@ -575,13 +575,27 @@ def ivf_topk_sql(table: str, query_id: int, k: int = 10, nprobe: int = 4,
     """
 
 
+# Fixed-point scale for ivf_train's per-cell means: component sums are
+# accumulated as scaled BIGINTs so the reduce is exact and therefore
+# independent of partitioning / partial-aggregation order — the trained
+# centroids are bit-identical across cluster sizes, which is what lets
+# trained-tier driver queries carry committed golden oracles. Headroom:
+# |v| <= ~2 for unit-ish embeddings → |v·2^40| ~ 2e12; 2^63/2e12 ≈ 4.6e6
+# rows per (cell,pos) before overflow, far above any cell occupancy the
+# n_cells ∝ corpus policy allows.
+_MEAN_FP_SCALE = 2.0 ** 40
+
+
 def ivf_train(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
               dim: int = 64) -> list[list[float]]:
     """Spherical k-means coarse quantizer (Lloyd's). Initialization is
     the first n_cells vectors by vec_id (deterministic); each iteration
     assigns by BLAS argmax-dot in one Arrow-batched UDF and recomputes
     centroids as per-cell means via posexplode → groupBy(cell, pos) —
-    one distributed pass, driver traffic bounded by n_cells × dim."""
+    one distributed pass, driver traffic bounded by n_cells × dim.
+    Means are exact fixed-point sums (see _MEAN_FP_SCALE), so the
+    result is bit-deterministic under any partitioning; the numpy
+    replication anchor in tests/test_semdedup.py relies on this."""
     from pyspark.sql.functions import pandas_udf
 
     init = emb.orderBy("vec_id").limit(n_cells).select("embedding").collect()
@@ -597,12 +611,16 @@ def ivf_train(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
         means = (
             emb.select(assign("embedding").alias("cell"),
                        F.posexplode(F.expr(_vecd("embedding"))).alias("pos", "v"))
-            .groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+            .groupBy("cell", "pos").agg(
+                F.sum(F.round(F.col("v") * _MEAN_FP_SCALE).cast("long"))
+                .alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
             .collect()
         )
         new = cents.copy()  # empty cells keep their previous centroid
         for r in means:
-            new[r.cell, r.pos] = r.m
+            new[r.cell, r.pos] = (r.s / r.c) / _MEAN_FP_SCALE
         cents = new
     normed = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     return [[float(v) for v in row] for row in normed]
@@ -1118,7 +1136,13 @@ def ivf_assign_udf(spark, centroids: list[list[float]]):
     with the centroid count (measured in BENCH.md's round-4 semdedup
     residual decomposition). This is the production assignment path for
     trained quantizers (ivf_train), where centroids are data, not SQL
-    literals. Tie semantics match ivf_cell_col: first max wins."""
+    literals. Tie semantics match ivf_cell_col: first max wins.
+
+    Marked nondeterministic ON PURPOSE (the function itself is pure):
+    it stops Catalyst substituting the UDF into join-key null filters,
+    which would evaluate the matmul TWICE per side of a cell self-join
+    (measured: 4 ArrowEvalPython nodes instead of 2 in the
+    semdedup_drop_trained plan)."""
     from pyspark.sql.functions import pandas_udf
 
     c_t = np.asarray(centroids, dtype=np.float64).T  # dim x n_cells
@@ -1129,7 +1153,7 @@ def ivf_assign_udf(spark, centroids: list[list[float]]):
         mat = np.stack(emb.to_numpy()).astype(np.float64)
         return pd.Series((mat @ bc.value).argmax(axis=1).astype("int64"))
 
-    return assign
+    return assign.asNondeterministic()
 
 
 def semdedup_drop_trained(emb: DataFrame, tau: float = 0.4,

@@ -97,6 +97,8 @@ PLAN_QUERIES = (
     "compression_ratio",
     "dedup_keeper",
     "keep_rate_audit",
+    "semdedup_drop_trained",
+    "bitext_mine_ann_trained",
 )
 
 
