@@ -968,6 +968,16 @@ def _q_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", "source")
 
 
+def _q_jaccard_bottomk(spark, sf_dir):
+    """Bottom-k sketch Jaccard (Broder min-wise estimator): the scale
+    tier of jaccard_pairs — per-pair cost capped at O(k_sketch) however
+    long the documents grow (removes the round-4 scale curve's
+    1.2×-over-linear shingle-length residual). Full DuckDB twin (shared
+    md5 hash, bit-identical sketches)."""
+    return dedup.jaccard_pairs_bottomk(_docs(spark, sf_dir), "doc_id",
+                                       "text", "source", k_sketch=64)
+
+
 def _q_neardup_text(spark, sf_dir):
     """Production near-dup chain: 128-hash / 16-band MinHash-LSH
     candidates verified by exact shingle-Jaccard (dedup.neardup_text)."""
@@ -2134,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": _shipped(_q_minhash_bands),
         "minhash_pairs": _shipped(_q_minhash_pairs),
         "jaccard_pairs": _shipped(_q_jaccard_pairs),
+        "jaccard_bottomk": _shipped(_q_jaccard_bottomk),
         "neardup_components": _shipped(_q_neardup_components),
         "dedup_keeper": _shipped(_q_dedup_keeper),
         "neardup_text": _shipped(_q_neardup_text),
@@ -2768,6 +2779,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": dedup.minhash_pairs_sql("documents", "doc_id", "text"),
         "jaccard_pairs": dedup.jaccard_pairs_sql(
             "documents", "doc_id", "text", "source"
+        ),
+        "jaccard_bottomk": dedup.jaccard_pairs_bottomk_sql(
+            "documents", "doc_id", "text", "source", k_sketch=64
         ),
         "neardup_text": dedup.neardup_text_sql("documents", "doc_id", "text"),
         "winnow_fingerprints": dedup.winnow_fingerprints_sql(

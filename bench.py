@@ -151,6 +151,7 @@ BENCH_QUERIES = (
     # ---- round 4 additions: trained-quantizer tiers ----
     "semdedup_drop_trained",  # SemDeDup, trained k-means + Arrow BLAS assign
     "bitext_mine_ann_trained",  # margin mining over trained-probe candidates
+    "jaccard_bottomk",        # bottom-k sketch Jaccard (O(k) per pair)
 )
 
 

@@ -1,0 +1,71 @@
+"""Bottom-k sketch Jaccard (dedup.jaccard_pairs_bottomk): the O(k)-per-
+pair scale tier of jaccard_pairs. Checks: exactness when the sketch
+covers the full shingle set, estimator error bound at the shipped
+k_sketch, DuckDB twin bit-equality, plan shape (no cartesian, no
+Python)."""
+
+import duckdb
+
+from tiny_lingua_spark.operators.dedup import (jaccard_pairs,
+                                               jaccard_pairs_bottomk,
+                                               jaccard_pairs_bottomk_sql)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _key(df):
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def test_exact_when_sketch_covers_sets(spark):
+    """k_sketch >= |A ∪ B| means the sketches ARE the hash sets, so the
+    estimator is the exact Jaccard (collisions are 2^-60-negligible)."""
+    docs = spark.read.parquet(DOCS)
+    exact = _key(jaccard_pairs(docs, "doc_id", "text", "source",
+                               threshold=0.0).toPandas())
+    big = _key(jaccard_pairs_bottomk(docs, "doc_id", "text", "source",
+                                     threshold=0.0,
+                                     k_sketch=1_000_000).toPandas())
+    assert len(exact) == len(big) > 0
+    assert exact.id_a.tolist() == big.id_a.tolist()
+    assert exact.id_b.tolist() == big.id_b.tolist()
+    assert exact.jaccard.tolist() == big.jaccard_est.tolist()
+
+
+def test_estimator_error_bounded_at_shipped_k(spark):
+    """At the shipped k_sketch=64 the estimate tracks the exact Jaccard
+    (measured max |err| = 0.0215, mean 0.0007 on this corpus; the bound
+    below has ~2x headroom)."""
+    docs = spark.read.parquet(DOCS)
+    exact = jaccard_pairs(docs, "doc_id", "text", "source",
+                          threshold=0.0).toPandas()
+    est = jaccard_pairs_bottomk(docs, "doc_id", "text", "source",
+                                threshold=0.0, k_sketch=64).toPandas()
+    m = exact.merge(est, on=["id_a", "id_b"], how="outer")
+    assert not m.jaccard.isna().any() and not m.jaccard_est.isna().any()
+    err = (m.jaccard - m.jaccard_est).abs()
+    assert err.max() <= 0.05
+    assert err.mean() <= 0.005
+
+
+def test_duckdb_twin_bit_equal(spark):
+    docs = spark.read.parquet(DOCS)
+    s = _key(jaccard_pairs_bottomk(docs, "doc_id", "text", "source",
+                                   k_sketch=64).toPandas())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    d = _key(con.sql(jaccard_pairs_bottomk_sql(
+        "documents", "doc_id", "text", "source", k_sketch=64)).df())
+    assert len(s) == len(d) > 0
+    for c in ("id_a", "id_b", "jaccard_est"):
+        assert s[c].tolist() == d[c].tolist(), c
+
+
+def test_plan_no_cartesian_no_python(spark):
+    from tests.test_plans import plan_of
+
+    docs = spark.read.parquet(DOCS)
+    q = jaccard_pairs_bottomk(docs, "doc_id", "text", "source")
+    p = plan_of(q)
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p  # pure codegen: sketch build + join

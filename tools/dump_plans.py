@@ -99,6 +99,7 @@ PLAN_QUERIES = (
     "keep_rate_audit",
     "semdedup_drop_trained",
     "bitext_mine_ann_trained",
+    "jaccard_bottomk",
 )
 
 
