@@ -2060,6 +2060,55 @@ def _q_audio_resample(spark, sf_dir):
     )
 
 
+# Canonical ingest-contract suite for the documents table: identity
+# completeness/uniqueness, closed label set, source shape, the
+# n_chars = length(text) cross-field invariant, and value bounds. The
+# same Constraint list generates BOTH the Spark plan and the DuckDB
+# oracle (operators/validate.py), so the twins cannot drift.
+def _documents_suite():
+    from tiny_lingua_spark.operators.validate import Constraint
+
+    return [
+        Constraint("doc_id_complete", "completeness", "doc_id"),
+        Constraint("doc_id_unique", "uniqueness", "doc_id"),
+        Constraint("text_complete", "completeness", "text"),
+        Constraint("lang_closed_set", "in_set", "lang",
+                   values=("de", "en", "es", "fr", "zh")),
+        Constraint("source_shape", "matches", "source",
+                   pattern="^src[0-9]+$"),
+        Constraint("n_chars_consistent", "satisfies",
+                   predicate="n_chars = length(text)"),
+        Constraint("n_chars_min", "min_ge", "n_chars", low=1),
+        Constraint("n_chars_max", "max_le", "n_chars", high=1_000_000),
+        Constraint("n_chars_mean", "mean_between", "n_chars",
+                   low=10, high=10_000),
+    ]
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _q_validate_docs(spark, sf_dir):
+    """Deequ-style declarative validation (Schelter 2018): the whole
+    9-constraint suite in ONE aggregation pass — one scan, one
+    single-row shuffle, zero Python. The approximate=True tier swaps
+    exact count-distincts for HLL at 100 TB (exact tier here: it is
+    the DuckDB-hash-comparable one)."""
+    from tiny_lingua_spark.operators import validate
+
+    return validate.check(_docs(spark, sf_dir), _documents_suite())
+
+
+def _q_profile_docs(spark, sf_dir):
+    """Single-pass column profiler: null/distinct/min/max/mean per
+    column from one aggregation over one scan (exact-distinct oracle
+    tier; approximate=True collapses the Expand at scale)."""
+    from tiny_lingua_spark.operators import validate
+
+    return validate.profile_columns(_docs(spark, sf_dir),
+                                    list(_PROFILE_COLS))
+
+
 def _shipped(fn: Callable) -> Callable:
     """Ensure executors can import tiny_lingua_spark (UDF closures pickle
     module references; the driver's session may lack our addPyFile)."""
@@ -2145,6 +2194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _shipped(_q_minhash_pairs),
         "jaccard_pairs": _shipped(_q_jaccard_pairs),
         "jaccard_bottomk": _shipped(_q_jaccard_bottomk),
+        "validate_docs": _shipped(_q_validate_docs),
+        "profile_docs": _shipped(_q_profile_docs),
         "neardup_components": _shipped(_q_neardup_components),
         "dedup_keeper": _shipped(_q_dedup_keeper),
         "neardup_text": _shipped(_q_neardup_text),
@@ -2267,6 +2318,7 @@ def _trigram_decl_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from tiny_lingua_spark.models.fasttext import score_fasttext_sql
+    from tiny_lingua_spark.operators import validate
     from tiny_lingua_spark.functions.cleaning import normalize_corpus_sql
     from tiny_lingua_spark.functions.text import vocab_topk_sql
 
@@ -2783,6 +2835,10 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_bottomk": dedup.jaccard_pairs_bottomk_sql(
             "documents", "doc_id", "text", "source", k_sketch=64
         ),
+        "validate_docs": validate.check_sql("documents",
+                                            _documents_suite()),
+        "profile_docs": validate.profile_columns_sql(
+            "documents", list(_PROFILE_COLS)),
         "neardup_text": dedup.neardup_text_sql("documents", "doc_id", "text"),
         "winnow_fingerprints": dedup.winnow_fingerprints_sql(
             "documents", "doc_id", "text"),

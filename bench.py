@@ -152,6 +152,8 @@ BENCH_QUERIES = (
     "semdedup_drop_trained",  # SemDeDup, trained k-means + Arrow BLAS assign
     "bitext_mine_ann_trained",  # margin mining over trained-probe candidates
     "jaccard_bottomk",        # bottom-k sketch Jaccard (O(k) per pair)
+    "validate_docs",          # Deequ-style suite, one aggregation pass
+    "profile_docs",           # single-pass column profiler
 )
 
 

@@ -1,0 +1,139 @@
+"""Declarative validation suite (operators/validate.py): constraint
+semantics (pass/fail on engineered violations, NULL-metric = fail),
+DuckDB twin bit-equality for both check() and profile_columns(), and
+the plan contract (one aggregation pass; approximate tier has no
+Expand node)."""
+
+import duckdb
+import pytest
+
+from tiny_lingua_spark.operators.validate import (
+    Constraint,
+    check,
+    check_sql,
+    profile_columns,
+    profile_columns_sql,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+SUITE = [
+    Constraint("doc_id_complete", "completeness", "doc_id"),
+    Constraint("doc_id_unique", "uniqueness", "doc_id"),
+    Constraint("lang_closed_set", "in_set", "lang",
+               values=("de", "en", "es", "fr", "zh")),
+    Constraint("source_shape", "matches", "source", pattern="^src[0-9]+$"),
+    Constraint("n_chars_consistent", "satisfies",
+               predicate="n_chars = length(text)"),
+    Constraint("n_chars_min", "min_ge", "n_chars", low=1),
+    Constraint("n_chars_max", "max_le", "n_chars", high=100000),
+    Constraint("n_chars_mean", "mean_between", "n_chars", low=10, high=5000),
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{DOCS}'")
+    return con
+
+
+def _norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(repr)
+    return sorted(df.apply(lambda r: "|".join(r), axis=1).tolist())
+
+
+def test_clean_table_passes_and_twin_matches(spark):
+    got = check(spark.read.parquet(DOCS), SUITE).toPandas()
+    assert len(got) == len(SUITE)
+    assert got.passed.all()
+    con = _duck()
+    twin = con.sql(check_sql("documents", SUITE)).df()
+    assert _norm(got) == _norm(twin)
+
+
+def test_engineered_violations_fail(spark):
+    """Corrupt the table in every checked dimension; each constraint
+    must flip to failed with the exact expected metric."""
+    docs = spark.read.parquet(DOCS)
+    bad = docs.selectExpr(
+        # one duplicated + one null doc_id
+        "case when doc_id = 0 then 1 when doc_id = 2 then null "
+        "else doc_id end as doc_id",
+        "text",
+        "case when doc_id = 3 then 'xx' else lang end as lang",
+        "case when doc_id = 4 then 'SRC-4' else source end as source",
+        "n_chars + cast(doc_id = 5 as int) as n_chars",
+    )
+    n = docs.count()
+    got = check(bad, SUITE).toPandas().set_index("check_name")
+    assert not got.loc["doc_id_complete"].passed
+    assert got.loc["doc_id_complete"].metric == pytest.approx((n - 1) / n)
+    assert not got.loc["doc_id_unique"].passed
+    assert got.loc["doc_id_unique"].metric == pytest.approx(
+        (n - 2) / (n - 1))
+    assert not got.loc["lang_closed_set"].passed
+    assert not got.loc["source_shape"].passed
+    assert not got.loc["n_chars_consistent"].passed
+    assert got.loc["n_chars_consistent"].metric == pytest.approx((n - 1) / n)
+    # untouched numeric bounds still pass (n_chars_min unchanged: +1 on
+    # one row cannot cross min when that row was not the min row > 1)
+    assert got.loc["n_chars_max"].passed
+
+
+def test_null_metric_fails(spark):
+    """Empty input: ratio metrics go NULL and NULL must mean FAIL."""
+    docs = spark.read.parquet(DOCS).where("doc_id < 0")
+    got = check(docs, SUITE).toPandas().set_index("check_name")
+    assert not got.passed.any()
+    m = got.loc["doc_id_complete"].metric
+    assert m != m  # NaN/NULL ratio on the empty table
+
+
+def test_approximate_tier_plan_has_no_expand(spark):
+    docs = spark.read.parquet(DOCS)
+    plan = check(docs, SUITE, approximate=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # single aggregation pass: exactly one shuffle (partial -> final)
+    assert plan.count("Exchange") == 1
+    # the HLL uniqueness estimate is rsd-noisy around the true 1.0 —
+    # an approximate-tier threshold must budget that (module contract);
+    # assert the estimate lands within 3*rsd of truth
+    got = check(docs, SUITE, approximate=True).toPandas() \
+        .set_index("check_name")
+    assert abs(got.loc["doc_id_unique"].metric - 1.0) <= 0.06
+    # the exact-ratio metrics are untouched by the approximate switch
+    assert got.loc["doc_id_complete"].passed
+    assert got.loc["n_chars_consistent"].passed
+
+
+def test_profile_matches_twin_and_plan(spark):
+    docs = spark.read.parquet(DOCS)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    got = profile_columns(docs, cols).toPandas()
+    assert len(got) == len(cols)
+    con = _duck()
+    twin = con.sql(profile_columns_sql("documents", cols)).df()
+    assert _norm(got) == _norm(twin)
+    # exact tier: multiple count-distincts -> Expand, still one scan
+    plan = profile_columns(docs, cols) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+    apx = profile_columns(docs, cols, approximate=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in apx and apx.count("Exchange") == 1
+
+
+def test_bad_specs_raise(spark):
+    docs = spark.read.parquet(DOCS)
+    with pytest.raises(ValueError):
+        check(docs, [])
+    with pytest.raises(ValueError):
+        check(docs, [Constraint("x", "no_such_kind", "doc_id")])
+    with pytest.raises(ValueError):
+        check(docs, [Constraint("x", "min_ge", "n_chars")])  # missing low
+    with pytest.raises(ValueError):
+        profile_columns(docs, ["nope"])

@@ -1,0 +1,294 @@
+"""Declarative data-validation + column profiling (Deequ-style).
+
+Target-spec component with no tiny-lingua analog: before a quality-
+filter pipeline runs over a 10^12-row clip+transcript ingest, the
+table's contract must be asserted — id completeness/uniqueness, closed
+label sets, value ranges, regex shape, cross-field consistency. The
+design follows the published Deequ model (Schelter et al., VLDB 2018:
+"Automating Large-Scale Data Quality Verification"): a constraint is a
+(metric, predicate) pair, and EVERY metric for a suite is computed in
+ONE aggregation pass over the table.
+
+Scale shape (the whole point of the design):
+- `check()` compiles the suite to a single `df.agg(...)` — one
+  hash-aggregate with map-side partials, so the 100 TB scan happens
+  once regardless of how many constraints the suite carries; the
+  shuffle moves one partial row per partition.
+- The only wide metric is exact `uniqueness` (count distinct), which
+  Catalyst plans via Expand (input duplicated once per distinct-agg).
+  `approximate=True` swaps every distinct to HyperLogLog
+  (`approx_count_distinct`) and collapses the plan back to a plain
+  single-pass aggregate — the 100 TB tier. The exact tier is the
+  DuckDB-oracle tier (HLL estimates are engine-specific).
+- The unpivot from the 1-row metric vector to the report table is a
+  codegen `stack()` over ONE row — no second scan, no Python.
+
+Every metric below is an exact integer-ratio or min/max/sum-of-ints in
+IEEE double, so the Spark and DuckDB twins are bit-identical with no
+rounding (avg over 0/1 indicators and BIGINTs sums exactly below 2^53).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Constraint",
+    "check",
+    "check_sql",
+    "profile_columns",
+    "profile_columns_sql",
+]
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One declarative constraint = a named metric + a pass predicate.
+
+    kinds and their metric:
+      completeness  count(col) / count(*)            pass: metric >= threshold
+      uniqueness    count(distinct col) / count(col) pass: metric >= threshold
+      in_set        frac rows with col in `values`   pass: metric >= threshold
+      matches       frac rows matching `pattern`     pass: metric >= threshold
+      satisfies     frac rows where `predicate`      pass: metric >= threshold
+      min_ge        min(col)                         pass: metric >= low
+      max_le        max(col)                         pass: metric <= high
+      mean_between  avg(col)                         pass: low <= metric <= high
+
+    `predicate` (for satisfies) must be an ANSI boolean expression valid
+    in both Spark SQL and DuckDB (the oracle twin reuses it verbatim).
+    NULL metrics (empty table, all-null column) always FAIL: absence of
+    evidence is not a pass.
+    """
+
+    name: str
+    kind: str
+    column: str = "*"
+    threshold: float = 1.0
+    values: Sequence = ()
+    pattern: str = ""
+    predicate: str = ""
+    low: Optional[float] = None
+    high: Optional[float] = None
+
+
+# relative standard deviation of the HLL sketch at the approximate
+# tier. An approximate-tier uniqueness threshold must budget this
+# error (e.g. threshold = target - 3 * rsd): the estimate on a fully
+# unique column is rsd-noisy around 1.0, so threshold=1.0 would flap.
+_APPROX_RSD = 0.02
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _metric_sql(c: Constraint, dialect: str, approximate: bool) -> str:
+    """The aggregate expression computing `c`'s metric, in `dialect`
+    ('spark' | 'duckdb'). Shared ANSI text wherever the engines agree;
+    the regex predicate is the one dialect split."""
+    # every metric is built in EXPLICIT double arithmetic (`1e0`,
+    # cast-to-double divisors): Spark parses `1.0` as DECIMAL and its
+    # decimal scale rules differ from DuckDB's, while IEEE double is
+    # bit-identical across both engines for these integer-valued sums.
+    col = c.column
+    if c.kind == "completeness":
+        # nullif: ANSI Spark raises DIVIDE_BY_ZERO even for doubles; an
+        # empty table must yield a NULL metric (= fail), not an error
+        return f"count({col}) / cast(nullif(count(*), 0) as double)"
+    if c.kind == "uniqueness":
+        if approximate and dialect == "spark":
+            return (f"approx_count_distinct({col}, {_APPROX_RSD!r}) "
+                    f"/ cast(nullif(count({col}), 0) as double)")
+        return (f"count(distinct {col}) "
+                f"/ cast(nullif(count({col}), 0) as double)")
+    if c.kind == "in_set":
+        vals = ", ".join(_sql_literal(v) for v in c.values)
+        return (f"avg(case when {col} in ({vals}) "
+                f"then 1e0 else 0e0 end)")
+    if c.kind == "matches":
+        if dialect == "spark":
+            m = f"{col} rlike {_sql_literal(c.pattern)}"
+        else:
+            m = f"regexp_matches({col}, {_sql_literal(c.pattern)})"
+        return f"avg(case when {m} then 1e0 else 0e0 end)"
+    if c.kind == "satisfies":
+        return (f"avg(case when ({c.predicate}) "
+                f"then 1e0 else 0e0 end)")
+    if c.kind == "min_ge":
+        return f"cast(min({col}) as double)"
+    if c.kind == "max_le":
+        return f"cast(max({col}) as double)"
+    if c.kind == "mean_between":
+        return f"avg(cast({col} as double))"
+    raise ValueError(f"unknown constraint kind: {c.kind!r}")
+
+
+def _pass_bounds(c: Constraint):
+    """(low, high) closed bounds the metric must fall in to pass."""
+    if c.kind in ("completeness", "uniqueness", "in_set", "matches",
+                  "satisfies"):
+        return (c.threshold, None)
+    if c.kind == "min_ge":
+        if c.low is None:
+            raise ValueError(f"{c.name}: min_ge needs low=")
+        return (c.low, None)
+    if c.kind == "max_le":
+        if c.high is None:
+            raise ValueError(f"{c.name}: max_le needs high=")
+        return (None, c.high)
+    if c.kind == "mean_between":
+        if c.low is None or c.high is None:
+            raise ValueError(f"{c.name}: mean_between needs low= and high=")
+        return (c.low, c.high)
+    raise ValueError(f"unknown constraint kind: {c.kind!r}")
+
+
+def check(df: DataFrame, constraints: Sequence[Constraint],
+          approximate: bool = False) -> DataFrame:
+    """Run a constraint suite in one aggregation pass.
+
+    Returns (check_name, col_name, kind, metric double, passed boolean),
+    one row per constraint. `approximate=True` is the 100 TB tier:
+    exact count-distincts become HLL sketches and the plan loses its
+    Expand node (verify with .explain — the suite is then a single
+    partial/final hash-aggregate pair over the scan)."""
+    if not constraints:
+        raise ValueError("empty constraint suite")
+    aggs = [
+        F.expr(_metric_sql(c, "spark", approximate)).alias(f"_m{i}")
+        for i, c in enumerate(constraints)
+    ]
+    one = df.agg(*aggs)
+    # unpivot the 1-row metric vector: stack(n, name, col, kind, metric, ...)
+    parts = []
+    for i, c in enumerate(constraints):
+        parts += [_sql_literal(c.name), _sql_literal(c.column),
+                  _sql_literal(c.kind), f"_m{i}"]
+    stacked = one.select(F.expr(
+        f"stack({len(constraints)}, {', '.join(parts)}) "
+        "as (check_name, col_name, kind, metric)"
+    ))
+    # pass predicate per constraint; NULL metric -> failed
+    pass_expr = F.lit(False)
+    for c in constraints:
+        lo, hi = _pass_bounds(c)
+        cond = F.col("metric").isNotNull()
+        if lo is not None:
+            cond = cond & (F.col("metric") >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (F.col("metric") <= F.lit(float(hi)))
+        pass_expr = F.when(F.col("check_name") == c.name, cond) \
+            .otherwise(pass_expr)
+    return stacked.withColumn("passed", pass_expr)
+
+
+def check_sql(table: str, constraints: Sequence[Constraint]) -> str:
+    """DuckDB twin of `check` (exact tier): identical metric SQL from
+    the same constraint list, one aggregate CTE, UNION ALL unpivot."""
+    metrics = ", ".join(
+        f"{_metric_sql(c, 'duckdb', False)} AS _m{i}"
+        for i, c in enumerate(constraints)
+    )
+    rows = []
+    for i, c in enumerate(constraints):
+        lo, hi = _pass_bounds(c)
+        conds = [f"_m{i} IS NOT NULL"]
+        if lo is not None:
+            conds.append(f"_m{i} >= {float(lo)!r}")
+        if hi is not None:
+            conds.append(f"_m{i} <= {float(hi)!r}")
+        rows.append(
+            f"SELECT {_sql_literal(c.name)} AS check_name, "
+            f"{_sql_literal(c.column)} AS col_name, "
+            f"{_sql_literal(c.kind)} AS kind, "
+            f"_m{i} AS metric, ({' AND '.join(conds)}) AS passed FROM m"
+        )
+    return f"WITH m AS (SELECT {metrics} FROM {table})\n" + \
+        "\nUNION ALL\n".join(rows)
+
+
+# ---------------------------------------------------------------- profile
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float",
+                     "double", "decimal", "long", "short", "byte")
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.lower().startswith(_NUMERIC_PREFIXES)
+
+
+def profile_columns(df: DataFrame, columns: Sequence[str] = (),
+                    approximate: bool = False) -> DataFrame:
+    """Single-pass column profiler: one row per column with
+    (col_name, dtype, n_rows, n_nonnull, n_distinct, min_repr, max_repr,
+    mean) — `mean` is avg(value) for numeric columns and avg(char
+    length) for everything else; min/max are cast to string so the
+    report schema is column-type-independent.
+
+    Same scale contract as `check`: ONE aggregation over the scan,
+    however many columns; `approximate=True` for HLL distincts at
+    100 TB (exact tier is the oracle tier)."""
+    dtypes = dict(df.dtypes)
+    cols = list(columns) if columns else [c for c, _ in df.dtypes]
+    aggs = [F.expr("count(*)").alias("_n")]
+    for i, c in enumerate(cols):
+        if c not in dtypes:
+            raise ValueError(f"no such column: {c!r}")
+        distinct = (f"approx_count_distinct({c})" if approximate
+                    else f"count(distinct {c})")
+        mean = (f"avg(cast({c} as double))" if _is_numeric(dtypes[c])
+                else f"avg(cast(length({c}) as double))")
+        aggs += [
+            F.expr(f"count({c})").alias(f"_nn{i}"),
+            F.expr(distinct).alias(f"_d{i}"),
+            F.expr(f"cast(min({c}) as string)").alias(f"_lo{i}"),
+            F.expr(f"cast(max({c}) as string)").alias(f"_hi{i}"),
+            F.expr(mean).alias(f"_mu{i}"),
+        ]
+    one = df.agg(*aggs)
+    parts = []
+    for i, c in enumerate(cols):
+        parts += [_sql_literal(c), _sql_literal(dtypes[c]), "_n",
+                  f"_nn{i}", f"_d{i}", f"_lo{i}", f"_hi{i}", f"_mu{i}"]
+    return one.select(F.expr(
+        f"stack({len(cols)}, {', '.join(parts)}) as (col_name, dtype, "
+        "n_rows, n_nonnull, n_distinct, min_repr, max_repr, mean)"
+    ))
+
+
+# Spark dtype -> the dtype string the profiler reports; the DuckDB twin
+# hard-codes the same Spark-side names so the report rows hash-match.
+_SPARK_DTYPES = {"documents": {
+    "doc_id": "bigint", "text": "string", "lang": "string",
+    "source": "string", "n_chars": "bigint",
+}}
+
+
+def profile_columns_sql(table: str, columns: Sequence[str],
+                        spark_dtypes: Optional[dict] = None) -> str:
+    """DuckDB twin of `profile_columns` (exact tier). `spark_dtypes`
+    maps column -> the Spark dtype string (the report echoes Spark's
+    names; defaults to the registered map for the driver tables)."""
+    dtypes = spark_dtypes or _SPARK_DTYPES[table]
+    rows = []
+    for c in columns:
+        dt = dtypes[c]
+        mean = (f"avg(cast({c} as double))" if _is_numeric(dt)
+                else f"avg(cast(length({c}) as double))")
+        rows.append(
+            f"SELECT {_sql_literal(c)} AS col_name, "
+            f"{_sql_literal(dt)} AS dtype, "
+            f"count(*) AS n_rows, count({c}) AS n_nonnull, "
+            f"count(distinct {c}) AS n_distinct, "
+            f"cast(min({c}) as varchar) AS min_repr, "
+            f"cast(max({c}) as varchar) AS max_repr, "
+            f"{mean} AS mean FROM {table}"
+        )
+    return "\nUNION ALL\n".join(rows)

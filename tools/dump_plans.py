@@ -100,6 +100,8 @@ PLAN_QUERIES = (
     "semdedup_drop_trained",
     "bitext_mine_ann_trained",
     "jaccard_bottomk",
+    "validate_docs",
+    "profile_docs",
 )
 
 
