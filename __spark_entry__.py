@@ -2109,6 +2109,39 @@ def _q_profile_docs(spark, sf_dir):
                                     list(_PROFILE_COLS))
 
 
+# Deterministic benchmark query set for the BM25 contamination probe —
+# the SAME literals feed the Spark DataFrame and the DuckDB VALUES twin.
+_BM25_QUERIES = ((0, "fast hash join scan"),
+                 (1, "window sort table"),
+                 (2, "slow merge batch value"))
+
+
+def _bm25_queries_values() -> str:
+    vals = ", ".join(f"({qid}, '{txt}')" for qid, txt in _BM25_QUERIES)
+    return f"(VALUES {vals}) q(query_id, q_text)"
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (dataset-card topic audit).
+    One explode + postings aggregate, vocab-row idf join, per-doc
+    window over ≤ distinct-terms rows — trigram_counts scale shape."""
+    from tiny_lingua_spark.operators.retrieval import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """Lucene-BM25 top-10 docs per benchmark query — the lexical
+    contamination probe. Query terms broadcast-prune the postings scan
+    before any shuffle; the (query, doc) aggregate is bounded by
+    Σ df_t over query terms only."""
+    from tiny_lingua_spark.operators.retrieval import bm25_topk
+
+    q = spark.createDataFrame(list(_BM25_QUERIES),
+                              "query_id long, q_text string")
+    return bm25_topk(_docs(spark, sf_dir), q, "doc_id", "text", k=10)
+
+
 def _shipped(fn: Callable) -> Callable:
     """Ensure executors can import tiny_lingua_spark (UDF closures pickle
     module references; the driver's session may lack our addPyFile)."""
@@ -2196,6 +2229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_bottomk": _shipped(_q_jaccard_bottomk),
         "validate_docs": _shipped(_q_validate_docs),
         "profile_docs": _shipped(_q_profile_docs),
+        "tfidf_topk": _shipped(_q_tfidf_topk),
+        "bm25_topk": _shipped(_q_bm25_topk),
         "neardup_components": _shipped(_q_neardup_components),
         "dedup_keeper": _shipped(_q_dedup_keeper),
         "neardup_text": _shipped(_q_neardup_text),
@@ -2318,7 +2353,7 @@ def _trigram_decl_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from tiny_lingua_spark.models.fasttext import score_fasttext_sql
-    from tiny_lingua_spark.operators import validate
+    from tiny_lingua_spark.operators import retrieval, validate
     from tiny_lingua_spark.functions.cleaning import normalize_corpus_sql
     from tiny_lingua_spark.functions.text import vocab_topk_sql
 
@@ -2839,6 +2874,10 @@ def oracle_sql() -> dict[str, str]:
                                             _documents_suite()),
         "profile_docs": validate.profile_columns_sql(
             "documents", list(_PROFILE_COLS)),
+        "tfidf_topk": retrieval.tfidf_topk_sql(
+            "documents", "doc_id", "text", k=3),
+        "bm25_topk": retrieval.bm25_topk_sql(
+            "documents", _bm25_queries_values(), "doc_id", "text", k=10),
         "neardup_text": dedup.neardup_text_sql("documents", "doc_id", "text"),
         "winnow_fingerprints": dedup.winnow_fingerprints_sql(
             "documents", "doc_id", "text"),

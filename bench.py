@@ -154,6 +154,8 @@ BENCH_QUERIES = (
     "jaccard_bottomk",        # bottom-k sketch Jaccard (O(k) per pair)
     "validate_docs",          # Deequ-style suite, one aggregation pass
     "profile_docs",           # single-pass column profiler
+    "tfidf_topk",             # top-k TF-IDF terms per doc
+    "bm25_topk",              # BM25 benchmark-query contamination probe
 )
 
 

@@ -1,0 +1,87 @@
+"""TF-IDF / BM25 retrieval (operators/retrieval.py)."""
+
+import math
+
+import duckdb
+
+from tiny_lingua_spark.operators.retrieval import (bm25_topk, bm25_topk_sql,
+                                                   tfidf_topk, tfidf_topk_sql)
+
+
+def _docs(spark):
+    rows = [(0, "fast hash join beats slow sort merge join"),
+            (1, "the window sort runs after the hash agg"),
+            (2, "hash hash hash table scan"),
+            (3, ""),                       # empty doc still counts in N
+            (4, "unique zebra quartz")]    # rare terms -> high idf
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _queries(spark):
+    rows = [(0, "fast hash join"), (1, "zebra"), (2, "missingword")]
+    return spark.createDataFrame(rows, "query_id long, q_text string")
+
+
+def test_tfidf_known_values(spark):
+    out = {(r["doc_id"], r["term"]): r
+           for r in tfidf_topk(_docs(spark), "doc_id", "text", k=10)
+           .collect()}
+    # 'zebra' appears in exactly one of 5 docs: idf = ln(6/2)+1
+    want = round(1 * (math.log(6 / 2) + 1), 6)
+    assert out[(4, "zebra")]["weight"] == want
+    # 'hash' appears in 3 docs; tf=3 in doc 2
+    want = round(3 * (math.log(6 / 4) + 1), 6)
+    assert out[(2, "hash")]["weight"] == want
+    assert out[(2, "hash")]["rank"] == 1
+    # empty doc contributes no rows but still inflates N
+    assert not any(d == 3 for d, _ in out)
+
+
+def test_tfidf_twin(spark, tmp_path):
+    p = str(tmp_path / "d.parquet")
+    _docs(spark).toPandas().to_parquet(p, index=False)
+    got = sorted(map(tuple, tfidf_topk(_docs(spark), "doc_id", "text",
+                                       k=3).collect()))
+    want = sorted(map(tuple, duckdb.sql(
+        tfidf_topk_sql(f"'{p}'", "doc_id", "text", k=3)).fetchall()))
+    assert got == want
+
+
+def test_bm25_ordering_and_misses(spark):
+    out = bm25_topk(_docs(spark), _queries(spark), "doc_id", "text",
+                    k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # q0 'fast hash join': doc 0 holds all three terms -> rank 1
+    assert by_q[0][0]["doc_id"] == 0 and by_q[0][0]["rank"] == 1
+    # docs 1 and 2 match only 'hash'
+    assert {r["doc_id"] for r in by_q[0]} == {0, 1, 2}
+    # q1 'zebra' hits only doc 4
+    assert [(r["doc_id"], r["rank"]) for r in by_q[1]] == [(4, 1)]
+    # q2 term absent from the corpus -> no rows at all
+    assert 2 not in by_q
+    # scores are positive (Lucene idf variant never goes negative)
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_bm25_twin(spark, tmp_path):
+    p = str(tmp_path / "d.parquet")
+    _docs(spark).toPandas().to_parquet(p, index=False)
+    qv = ("(VALUES (0, 'fast hash join'), (1, 'zebra'), "
+          "(2, 'missingword')) q(query_id, q_text)")
+    got = sorted(map(tuple, bm25_topk(_docs(spark), _queries(spark),
+                                      "doc_id", "text", k=10).collect()))
+    want = sorted(map(tuple, duckdb.sql(
+        bm25_topk_sql(f"'{p}'", qv, "doc_id", "text", k=10)).fetchall()))
+    assert got == want
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, longer doc -> lower score (the b term working)."""
+    rows = [(0, "zebra alpha"), (1, "zebra " + "pad " * 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame([(0, "zebra")], "query_id long, q_text string")
+    out = {r["doc_id"]: r["score"]
+           for r in bm25_topk(docs, q, "doc_id", "text", k=10).collect()}
+    assert out[0] > out[1]

@@ -1,0 +1,238 @@
+"""TF-IDF keyword extraction + Okapi BM25 retrieval over documents.
+
+Why these live in a quality-filter pipeline:
+
+- **BM25 against a benchmark/eval query set** is the standard lexical
+  contamination probe (complementing the n-gram `decontaminate` and
+  embedding `semdedup` tiers): any training doc that ranks highly for
+  an eval query gets flagged for review before the n-gram overlap is
+  even computed. It is also the retrieval baseline every dense index
+  (ivf_topk / pq_topk) is measured against.
+- **Top-TF-IDF terms per document** feed dataset cards and topic
+  audits (what is this corpus *about*?) and provide cheap keyword
+  features for the quality classifier.
+
+Formulas (sklearn smooth-idf and Lucene BM25 — both public):
+
+    tfidf(t, d)  = tf(t,d) · (ln((N + 1) / (df_t + 1)) + 1)
+    bm25(q, d)   = Σ_{t ∈ q} ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
+                   · tf(t,d) / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+
+Tokenization is the shared pipeline family (lowercase, [a-z0-9]+ runs —
+same rules as operators/dsir.py and functions/text.ngram_diversity, so
+every text operator agrees with its DuckDB twin on word boundaries).
+
+Scale shape (the 100 TB contract):
+
+- ONE explode + hash aggregate builds the postings list (doc_id, term,
+  tf); word keys are high-cardinality/uniform, so map-side combine
+  absorbs repeats and the shuffle carries each (doc, distinct-term)
+  once — the trigram_counts shape that already holds at model-ETL
+  scale.
+- Document frequency is a re-aggregate of postings to |vocab| rows;
+  idf joins back on the uniform `term` key (plain shuffled hash join —
+  broadcastable when the vocab is capped, but never assumed).
+- Corpus-level scalars (N, avgdl) are 1-row aggregates crossed in via
+  broadcast — the bounded-BNLJ pattern the plan audit allowlists.
+- BM25's query side is tiny by construction (a benchmark query set) —
+  broadcast join on `term` prunes the postings scan to matching terms
+  before any shuffle; the (query, doc) score aggregate is bounded by
+  Σ_t df_t over query terms only.
+- Per-doc / per-query top-k is a window over already-aggregated rows
+  (≤ distinct terms per doc; ≤ matched docs per query), never raw text.
+
+Ranking ties: rank on (round(score, 6) DESC, id ASC) in BOTH engines —
+scores are ln/division chains whose last ulp may differ across JVM and
+DuckDB libm, so ranking on the rounded value keeps the twin order
+stable while remaining deterministic (sub-1e-6 score gaps resolve by
+the id tiebreak identically on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from tiny_lingua_spark.functions.text import _diversity_words
+
+__all__ = ["doc_postings", "tfidf_topk", "tfidf_topk_sql",
+           "bm25_topk", "bm25_topk_sql"]
+
+_DUCK_WORDS = ("list_filter(regexp_split_to_array(lower({t}),"
+               " '[^a-z0-9]+'), x -> x <> '')")
+
+
+def doc_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Postings list: (doc_id, term, tf, doc_len). Docs with zero
+    alphanumeric tokens produce no rows (they have no lexical content
+    to score). doc_len counts ALL token occurrences in the doc."""
+    words = F.expr(_diversity_words(text_col))
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(words).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # per-doc token totals: window over the postings rows of one doc
+    # (≤ distinct-terms rows each — bounded, never raw text)
+    w = Window.partitionBy("doc_id")
+    return tf.withColumn("doc_len", F.sum("tf").over(w).cast("long"))
+
+
+def _postings_sql(table: str, id_expr: str, text_expr: str) -> str:
+    words = _DUCK_WORDS.format(t=text_expr)
+    return f"""
+    WITH toks AS (
+      SELECT {id_expr} AS doc_id, unnest({words}) AS term FROM {table}
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM toks GROUP BY doc_id, term
+    )
+    SELECT doc_id, term, tf,
+           sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS doc_len
+    FROM tf
+    """
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
+               k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, tf, weight,
+    rank). N is the TOTAL document count (empty docs still count
+    toward N — they are real corpus members); smooth-idf keeps every
+    weight finite and positive."""
+    post = doc_postings(df, id_col, text_col)
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    doc_freq = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)) + 1.0)
+    )
+    scored = (
+        post.join(doc_freq.select("term", "idf"), "term")
+        .withColumn("weight", F.round(F.col("tf") * F.col("idf"), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "weight", "rank")
+    )
+
+
+def tfidf_topk_sql(table: str, id_expr: str, text_expr: str,
+                   k: int = 3) -> str:
+    """DuckDB twin of tfidf_topk (same tokenization, rounding, ties)."""
+    return f"""
+    WITH post AS ({_postings_sql(table, id_expr, text_expr)}),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM {table}),
+    df_t AS (
+      SELECT term, count(*)::BIGINT AS df_t FROM post GROUP BY term
+    ),
+    scored AS (
+      SELECT p.doc_id, p.term, p.tf,
+             round(p.tf * (ln((n.n_docs + 1.0) / (d.df_t + 1.0)) + 1.0),
+                   6) AS weight
+      FROM post p JOIN df_t d USING (term), n
+    )
+    SELECT doc_id, term, tf, weight,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY weight DESC, term)::BIGINT AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str,
+              text_col: str, qid_col: str = "query_id",
+              qtext_col: str = "q_text", k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k documents per query under Lucene BM25: (query_id, doc_id,
+    score, rank). Query term multiplicity is ignored (distinct query
+    terms), the standard short-query form. avgdl averages over docs
+    that produced postings (docs with ≥1 token)."""
+    post = doc_postings(docs, id_col, text_col)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    doc_freq = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df_t") + 0.5)
+                  / (F.col("df_t") + 0.5)))
+    )
+    avgdl = (
+        post.select("doc_id", "doc_len").distinct()
+        .agg(F.avg("doc_len").alias("avgdl"))
+    )
+    q_terms = (
+        queries.select(F.col(qid_col).alias("query_id"),
+                       F.explode(F.expr(_diversity_words(qtext_col)))
+                        .alias("term"))
+        .distinct()
+    )
+    contrib = (
+        post.join(F.broadcast(q_terms), "term")
+        .join(doc_freq.select("term", "idf"), "term")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "c",
+            F.col("idf") * F.col("tf")
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))))
+    )
+    scored = (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_topk_sql(table: str, queries_values: str, id_expr: str,
+                  text_expr: str, k: int = 10, k1: float = 1.2,
+                  b: float = 0.75) -> str:
+    """DuckDB twin of bm25_topk. `queries_values` is a SQL relation
+    with columns (query_id, q_text), e.g.
+    "(VALUES (0, 'fast hash join')) q(query_id, q_text)"."""
+    qwords = _DUCK_WORDS.format(t="q_text")
+    return f"""
+    WITH post AS ({_postings_sql(table, id_expr, text_expr)}),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM {table}),
+    df_t AS (
+      SELECT term, count(*)::BIGINT AS df_t FROM post GROUP BY term
+    ),
+    avgdl AS (
+      SELECT avg(doc_len) AS avgdl
+      FROM (SELECT DISTINCT doc_id, doc_len FROM post)
+    ),
+    q_terms AS (
+      SELECT DISTINCT query_id, unnest({qwords}) AS term
+      FROM {queries_values}
+    ),
+    contrib AS (
+      SELECT q.query_id, p.doc_id,
+             ln(1.0 + (n.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+             * p.tf / (p.tf + {k1!r} * (1.0 - {b!r}
+                       + {b!r} * p.doc_len / a.avgdl)) AS c
+      FROM post p
+      JOIN q_terms q USING (term)
+      JOIN df_t d USING (term), n, avgdl a
+    ),
+    scored AS (
+      SELECT query_id, doc_id, round(sum(c), 6) AS score
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id)::BIGINT AS rank
+    FROM scored QUALIFY rank <= {k}
+    """

@@ -102,6 +102,8 @@ PLAN_QUERIES = (
     "jaccard_bottomk",
     "validate_docs",
     "profile_docs",
+    "tfidf_topk",
+    "bm25_topk",
 )
 
 
@@ -110,6 +112,8 @@ PLAN_QUERIES = (
 # query whose plan grows a BNLJ-Cross fails regeneration — the audit
 # gate for the class of bug a CartesianProduct check can't see.
 BNLJ_CROSS_ALLOWED = {
+    "tfidf_topk": "1-row corpus-count aggregate",
+    "bm25_topk": "1-row corpus-count + 1-row avgdl aggregates",
     "keep_rate_audit": "1-row corpus-total aggregate",
     "pq_topk": "1-row query vector",
     "ivfpq_topk": "1-row query vector",
