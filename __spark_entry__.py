@@ -2142,6 +2142,62 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), q, "doc_id", "text", k=10)
 
 
+# ANN tiers measured by the ann_recall index-quality gate, with the
+# exact SAME parameters as their standalone driver queries (so the
+# recall numbers describe the shipped configurations).
+_ANN_RECALL_TIERS = ("ann_lsh", "ivf", "ivfpq", "pq")
+
+
+def _q_ann_recall(spark, sf_dir):
+    """Index-quality gate: recall@10 / precision / MRR / nDCG of every
+    ANN tier against the exact cosine top-10 for the same query vector.
+    A silent recall collapse (bad probes, degenerate centroids) is
+    invisible in row counts — this query makes it a hash-checked
+    number. Metadata scale: each side is a ≤10-row top-k table."""
+    from tiny_lingua_spark.operators.retrieval import ranked_eval
+
+    emb = _emb(spark, sf_dir)
+    tiers = {
+        "ann_lsh": similarity.ann_lsh_candidates(emb, query_id=0, k=10),
+        "ivf": similarity.ivf_topk(emb, query_id=0, k=10, nprobe=4),
+        "ivfpq": similarity.ivfpq_topk(emb, query_id=0, k=10, nprobe=4),
+        "pq": similarity.pq_topk(emb, query_id=0, k=10),
+    }
+    ranked = None
+    for tag in _ANN_RECALL_TIERS:
+        t = tiers[tag].select(
+            F.lit(tag).alias("query_id"),
+            F.col("vec_id").cast("long").alias("doc_id"),
+            F.col("rank").cast("long").alias("rank"))
+        ranked = t if ranked is None else ranked.unionByName(t)
+    exact = similarity.topk_vs_query(emb, query_id=0, k=10).select(
+        F.col("vec_id").cast("long").alias("doc_id"))
+    tags = spark.createDataFrame([(t,) for t in _ANN_RECALL_TIERS],
+                                 "query_id string")
+    truth = F.broadcast(tags).crossJoin(exact)
+    return ranked_eval(ranked, truth, k=10)
+
+
+def _ann_recall_oracle() -> str:
+    from tiny_lingua_spark.operators import retrieval
+
+    tier_sql = {
+        "ann_lsh": similarity.ann_lsh_sql("embeddings", 0, 10, 16, EMB_DIM),
+        "ivf": similarity.ivf_topk_sql("embeddings", 0, 10, 4, EMB_DIM),
+        "ivfpq": similarity.ivfpq_topk_sql("embeddings", 0, 10, 4, EMB_DIM),
+        "pq": similarity.pq_topk_sql("embeddings", 0, 10, EMB_DIM),
+    }
+    ranked = " UNION ALL ".join(
+        f"SELECT '{tag}' AS query_id, vec_id::BIGINT AS doc_id, rank "
+        f"FROM ({tier_sql[tag]})"
+        for tag in _ANN_RECALL_TIERS)
+    exact = similarity.topk_vs_query_sql("embeddings", 0, 10, EMB_DIM)
+    tags = ", ".join(f"('{t}')" for t in _ANN_RECALL_TIERS)
+    truth = (f"SELECT t.query_id, e.vec_id::BIGINT AS doc_id "
+             f"FROM (VALUES {tags}) t(query_id) CROSS JOIN ({exact}) e")
+    return retrieval.ranked_eval_sql(ranked, truth, k=10)
+
+
 def _shipped(fn: Callable) -> Callable:
     """Ensure executors can import tiny_lingua_spark (UDF closures pickle
     module references; the driver's session may lack our addPyFile)."""
@@ -2231,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_docs": _shipped(_q_profile_docs),
         "tfidf_topk": _shipped(_q_tfidf_topk),
         "bm25_topk": _shipped(_q_bm25_topk),
+        "ann_recall": _shipped(_q_ann_recall),
         "neardup_components": _shipped(_q_neardup_components),
         "dedup_keeper": _shipped(_q_dedup_keeper),
         "neardup_text": _shipped(_q_neardup_text),
@@ -2878,6 +2935,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "text", k=3),
         "bm25_topk": retrieval.bm25_topk_sql(
             "documents", _bm25_queries_values(), "doc_id", "text", k=10),
+        "ann_recall": _ann_recall_oracle(),
         "neardup_text": dedup.neardup_text_sql("documents", "doc_id", "text"),
         "winnow_fingerprints": dedup.winnow_fingerprints_sql(
             "documents", "doc_id", "text"),

@@ -156,6 +156,7 @@ BENCH_QUERIES = (
     "profile_docs",           # single-pass column profiler
     "tfidf_topk",             # top-k TF-IDF terms per doc
     "bm25_topk",              # BM25 benchmark-query contamination probe
+    "ann_recall",             # recall@10/MRR/nDCG of every ANN tier
 )
 
 

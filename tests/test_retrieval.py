@@ -85,3 +85,67 @@ def test_bm25_length_normalization(spark):
     out = {r["doc_id"]: r["score"]
            for r in bm25_topk(docs, q, "doc_id", "text", k=10).collect()}
     assert out[0] > out[1]
+
+
+# ------------------------------------------- ranked-list evaluation
+
+def _ranked(spark):
+    # q0: hits at ranks 1,3 of truth {10,11,12}; q1: no hits; q2 has
+    # truth but no ranked rows at all (missed query)
+    rows = [("q0", 10, 1), ("q0", 99, 2), ("q0", 11, 3),
+            ("q1", 98, 1), ("q1", 97, 2)]
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id long, rank long")
+
+
+def _truth(spark):
+    rows = [("q0", 10), ("q0", 11), ("q0", 12),
+            ("q1", 50), ("q2", 60), ("q2", 61)]
+    return spark.createDataFrame(rows, "query_id string, doc_id long")
+
+
+def test_ranked_eval_known_values(spark):
+    import math
+    from tiny_lingua_spark.operators.retrieval import ranked_eval
+
+    out = {r["query_id"]: r
+           for r in ranked_eval(_ranked(spark), _truth(spark),
+                                k=3).collect()}
+    q0 = out["q0"]
+    assert q0["n_truth"] == 3 and q0["n_hits"] == 2
+    assert q0["recall"] == round(2 / 3, 6)
+    assert q0["precision"] == round(2 / 3, 6)
+    assert q0["mrr"] == 1.0                       # first hit at rank 1
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    assert q0["ndcg"] == round(dcg / idcg, 6)
+    # no relevant hits -> all zeros, row still present
+    assert out["q1"]["recall"] == 0.0 and out["q1"]["mrr"] == 0.0
+    # truth-only query (ranker returned nothing) -> zeros, not missing
+    assert out["q2"]["n_truth"] == 2 and out["q2"]["ndcg"] == 0.0
+
+
+def test_ranked_eval_k_cutoff(spark):
+    """A hit beyond rank k must not count."""
+    from tiny_lingua_spark.operators.retrieval import ranked_eval
+
+    out = {r["query_id"]: r
+           for r in ranked_eval(_ranked(spark), _truth(spark),
+                                k=2).collect()}
+    assert out["q0"]["n_hits"] == 1               # rank-3 hit cut off
+
+
+def test_ranked_eval_twin(spark, tmp_path):
+    from tiny_lingua_spark.operators.retrieval import (ranked_eval,
+                                                       ranked_eval_sql)
+
+    rp = str(tmp_path / "r.parquet")
+    tp = str(tmp_path / "t.parquet")
+    _ranked(spark).toPandas().to_parquet(rp, index=False)
+    _truth(spark).toPandas().to_parquet(tp, index=False)
+    got = sorted(map(tuple, ranked_eval(_ranked(spark), _truth(spark),
+                                        k=3).collect()))
+    want = sorted(map(tuple, duckdb.sql(ranked_eval_sql(
+        f"SELECT * FROM '{rp}'", f"SELECT * FROM '{tp}'",
+        k=3)).fetchall()))
+    assert got == want

@@ -55,7 +55,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from tiny_lingua_spark.functions.text import _diversity_words
 
 __all__ = ["doc_postings", "tfidf_topk", "tfidf_topk_sql",
-           "bm25_topk", "bm25_topk_sql"]
+           "bm25_topk", "bm25_topk_sql",
+           "ranked_eval", "ranked_eval_sql"]
 
 _DUCK_WORDS = ("list_filter(regexp_split_to_array(lower({t}),"
                " '[^a-z0-9]+'), x -> x <> '')")
@@ -235,4 +236,93 @@ def bm25_topk_sql(table: str, queries_values: str, id_expr: str,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, doc_id)::BIGINT AS rank
     FROM scored QUALIFY rank <= {k}
+    """
+
+
+# ------------------------------------------- ranked-list evaluation
+#
+# The index-quality gate: every ANN tier (LSH / IVF / PQ / IVF-PQ)
+# trades recall for scan cost, and the trade must be MEASURED, not
+# assumed — a silent recall collapse (bad centroids, too few probes)
+# looks identical to success in row counts. ranked_eval scores any
+# ranked candidate table against a relevant-set table with the four
+# standard binary-relevance metrics:
+#
+#   recall@k    = |ranked∩truth, rank ≤ k| / |truth|
+#   precision@k = |ranked∩truth, rank ≤ k| / k
+#   MRR         = 1 / rank of the first relevant hit (0 if none)
+#   nDCG@k      = Σ_hits 1/log2(rank+1)  /  Σ_{i≤min(k,|truth|)} 1/log2(i+1)
+#
+# Scale shape: one equi-join of the (already tiny) top-k table against
+# the truth table on (query_id, doc_id), then per-query aggregates over
+# ≤ k rows each — metadata scale regardless of corpus size. The truth
+# table is the spine (left join), so queries the ranker missed entirely
+# still report recall 0 rather than vanishing.
+
+
+def ranked_eval(ranked: DataFrame, truth: DataFrame,
+                k: int = 10) -> DataFrame:
+    """Per-query retrieval metrics. `ranked` has (query_id, doc_id,
+    rank); `truth` has (query_id, doc_id) — binary relevance. Returns
+    (query_id, n_truth, n_hits, recall, precision, mrr, ndcg)."""
+    n_truth = (truth.groupBy("query_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_truth")))
+    hits = (
+        ranked.where(F.col("rank") <= k)
+        .join(truth.select("query_id", "doc_id"), ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+             F.sum(1.0 / F.log2(F.col("rank") + 1.0)).alias("dcg"),
+             F.min("rank").alias("first_rank"))
+    )
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least({k}, n_truth))),"
+        " cast(0 as double), (a, i) -> a + 1.0 / log2(i + 1.0))")
+    return (
+        n_truth.join(hits, "query_id", "left")
+        .select(
+            "query_id", "n_truth",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_truth"), 6)
+             .alias("recall"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6)
+             .alias("precision"),
+            F.round(F.coalesce(1.0 / F.col("first_rank"), F.lit(0.0)), 6)
+             .alias("mrr"),
+            F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6)
+             .alias("ndcg"),
+        )
+    )
+
+
+def ranked_eval_sql(ranked_sql: str, truth_sql: str, k: int = 10) -> str:
+    """DuckDB twin of ranked_eval. `ranked_sql` / `truth_sql` are
+    relations (parenthesizable SELECTs) with the same columns."""
+    return f"""
+    WITH ranked AS ({ranked_sql}),
+    truth AS ({truth_sql}),
+    n_truth AS (
+      SELECT query_id, count(*)::BIGINT AS n_truth
+      FROM truth GROUP BY query_id
+    ),
+    hits AS (
+      SELECT r.query_id, count(*)::BIGINT AS n_hits,
+             sum(1.0 / log2(r.rank + 1.0)) AS dcg,
+             min(r.rank) AS first_rank
+      FROM ranked r
+      JOIN (SELECT query_id, doc_id FROM truth) t
+        USING (query_id, doc_id)
+      WHERE r.rank <= {k}
+      GROUP BY r.query_id
+    )
+    SELECT n.query_id, n.n_truth,
+           coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(h.n_hits, 0) / n.n_truth, 6) AS recall,
+           round(coalesce(h.n_hits, 0) / {float(k)!r}, 6) AS precision,
+           round(coalesce(1.0 / h.first_rank, 0.0), 6) AS mrr,
+           round(coalesce(h.dcg, 0.0)
+                 / list_sum(list_transform(
+                     generate_series(1, least({k}, n.n_truth)::INT),
+                     i -> 1.0 / log2(i + 1.0))), 6) AS ndcg
+    FROM n_truth n LEFT JOIN hits h USING (query_id)
     """

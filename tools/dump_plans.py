@@ -104,6 +104,7 @@ PLAN_QUERIES = (
     "profile_docs",
     "tfidf_topk",
     "bm25_topk",
+    "ann_recall",
 )
 
 
@@ -114,6 +115,8 @@ PLAN_QUERIES = (
 BNLJ_CROSS_ALLOWED = {
     "tfidf_topk": "1-row corpus-count aggregate",
     "bm25_topk": "1-row corpus-count + 1-row avgdl aggregates",
+    "ann_recall": ("1-row query vectors (per ANN tier) + 4-row tier-tag "
+                   "spine x 10-row exact top-k"),
     "keep_rate_audit": "1-row corpus-total aggregate",
     "pq_topk": "1-row query vector",
     "ivfpq_topk": "1-row query vector",
