@@ -201,6 +201,73 @@ def _synth_clips_with_dups(spark: SparkSession, n: int = 120,
     return spark.createDataFrame(both)
 
 
+def _synth_clips_warp_dups(spark: SparkSession, n: int = 120,
+                           n_dups: int = 6,
+                           sf_dir: str | None = None) -> DataFrame:
+    """Synthetic clips plus planted WARPED duplicates: the first n_dups
+    clips re-enter as 250 ms-padded µ-law copies AND truncated
+    (first-60 %) µ-law copies — trim-edit and padding dup shapes the
+    block-anchored fingerprint tier cannot recover (padding shifts
+    every block item; truncation caps the rigid match fraction below
+    its threshold) and the DTW tier must. (A pitch-preserving stretch
+    dup is exercised in tests/test_audio_dtw.py on modulated material;
+    this corpus's stationary tones make 'stretch' a pure pitch shift —
+    a genuinely different sound, not a dup.) Scale curve: reads a
+    pre-materialized clips_warp.parquet from sf_dir when present (see
+    _synth_clips)."""
+    import pandas as pd
+
+    if sf_dir is not None:
+        path = os.path.join(sf_dir, "clips_warp.parquet")
+        if os.path.exists(path):
+            return spark.read.parquet(path)
+
+    import numpy as np
+
+    from tiny_lingua_spark import audio
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.session import ship_package
+
+    ship_package(spark)
+    clips_pd, _labels = generate_clips(n=n, seed=42)
+    dup_rows = []
+    for _, r in clips_pd.head(n_dups).iterrows():
+        pcm = audio.decode(bytes(r["bytes"]), r.codec)
+        sr = int(r.sr_hz)
+        padded = np.concatenate(
+            [np.zeros(sr // 4, dtype=np.float32), pcm])
+        cut = pcm[: max(1, int(len(pcm) * 0.6))]
+        dup_rows.append({
+            "clip_id": r.clip_id.replace("clip-", "duppad-"),
+            "bytes": audio.encode(padded, "mulaw"),
+            "sr_hz": sr, "dur_ms": int(r.dur_ms) + 250, "codec": "mulaw",
+            "transcript": r.transcript,
+        })
+        dup_rows.append({
+            "clip_id": r.clip_id.replace("clip-", "dupcut-"),
+            "bytes": audio.encode(cut, "mulaw"),
+            "sr_hz": sr, "dur_ms": int(int(r.dur_ms) * 0.6),
+            "codec": "mulaw",
+            "transcript": r.transcript,
+        })
+    both = pd.concat([clips_pd, pd.DataFrame(dup_rows)], ignore_index=True)
+    return spark.createDataFrame(both)
+
+
+def _q_audio_dtw_verify(spark, sf_dir):
+    """Warp-tolerant audio near-dup: time-averaged embedding-LSH
+    candidates (warp-invariant key) -> banded-cost DTW verification
+    (operators/audio_dtw.py). Recovers planted padded and
+    time-stretched copies the rigid fingerprint tier cannot surface.
+    Golden-parquet oracle; independent anchors: pure-Python reference
+    DP bit-equality + closed-form identities + planted-dup separation
+    (tests/test_audio_dtw.py)."""
+    from tiny_lingua_spark.operators.audio_dtw import audio_dtw_neardup
+
+    clips = _synth_clips_warp_dups(spark, sf_dir=sf_dir)
+    return audio_dtw_neardup(clips)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: detect language over sf0.001 documents with the full
     n-gram engine, join quality metrics, aggregate per detected lang."""
@@ -2331,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_loudness": _shipped(_q_audio_loudness),
         "audio_normalize": _shipped(_q_audio_normalize),
         "audio_neardup": _shipped(_q_audio_neardup),
+        "audio_dtw_verify": _shipped(_q_audio_dtw_verify),
         "audio_segments": _shipped(_q_audio_segments),
         "audio_trim": _shipped(_q_audio_trim),
         "align_words": _shipped(_q_align_words),
@@ -2383,6 +2451,7 @@ GOLDEN_ORACLE_QUERIES = (
     "bpe_fertility",
     "semdedup_drop_trained",
     "bitext_mine_ann_trained",
+    "audio_dtw_verify",
 )
 
 EXPECTED_DIR = os.path.join(_REPO, "expected")

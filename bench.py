@@ -44,6 +44,7 @@ BENCH_QUERIES = (
     "ivf_topk",               # IVF-Flat ANN probe (seeded quantizer, 4/16 cells)
     "repetition_metrics",     # Gopher repetition rules (shuffle-free array aggs)
     "audio_neardup",          # audio fingerprint MinHash-LSH + aligned verify
+    "audio_dtw_verify",       # warp-tolerant DTW verify (pad/stretch dups)
     "audio_segments",         # frame-energy VAD → per-utterance rows
     "audio_embed_knn",        # audio embeddings → brute KNN graph
     "audio_loudness",         # R128-style gated loudness (paired reduceat)

@@ -1,0 +1,217 @@
+"""DTW verify tier (operators/audio_dtw.py).
+
+Independent anchors for the golden-parquet driver oracle:
+(a) vectorized anti-diagonal DP == pure-Python reference DP, bit-exact;
+(b) closed-form identities (self-distance 0, symmetry, frame-repeat
+    stretch warps to 0);
+(c) planted PADDED / TRUNCATED / TIME-STRETCHED duplicates the rigid
+    block tier cannot recover but the warp-tolerant chain flags — the
+    failure modes this tier exists for.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio, audio_fp
+from tiny_lingua_spark.operators import audio_dtw as D
+
+SR = 16000
+
+
+def _speechlike(seed: int, sr: int = SR, secs: float = 2.0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = int(sr * secs)
+    t = np.arange(n) / sr
+    f = 300 + 150 * np.sin(2 * np.pi * 1.3 * t) + 37 * seed % 400
+    phase = np.cumsum(2 * np.pi * f / sr)
+    sig = 0.4 * np.sin(phase) + 0.2 * np.sin(2 * phase)
+    sig += 0.03 * rng.standard_normal(n)
+    return np.clip(sig, -0.99, 0.99).astype(np.float32)
+
+
+def _stretched(sig: np.ndarray, factor: float) -> np.ndarray:
+    """Time-stretch by resampling but KEEPING the sample-rate metadata —
+    the same recording played `factor`x slower."""
+    return audio.resample_linear(sig, SR, int(round(SR * factor)))
+
+
+# --------------------------------------------------------- DP kernels
+
+def test_vectorized_matches_reference_bitexact():
+    rng = np.random.default_rng(11)
+    for n, m in [(1, 1), (1, 7), (7, 1), (5, 5), (23, 31), (64, 50)]:
+        x = rng.normal(size=(n, D.DTW_CC))
+        y = rng.normal(size=(m, D.DTW_CC))
+        assert D.dtw_distance(x, y) == D.dtw_reference(x, y)
+
+
+def test_identities():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(20, D.DTW_CC))
+    y = rng.normal(size=(33, D.DTW_CC))
+    assert D.dtw_distance(x, x) == 0.0
+    assert D.dtw_distance(x, y) == D.dtw_distance(y, x)
+    # integer frame-repeat stretch is a perfect warp -> distance 0
+    assert D.dtw_distance(x, np.repeat(x, 3, axis=0)) == 0.0
+    # empty side -> inf sentinel
+    assert D.dtw_distance(np.empty((0, D.DTW_CC)), y) == float("inf")
+
+
+def test_constant_shift_additivity():
+    """All-equal frames vs all-equal shifted frames: every cell costs
+    the same c, the optimal path is the diagonal+edge of length
+    max(n,m), so D = max(n,m)*c / (n+m) exactly."""
+    x = np.zeros((10, D.DTW_CC))
+    y = np.full((15, D.DTW_CC), 2.0)
+    c = float(np.sqrt(D.DTW_CC * 4.0))
+    assert D.dtw_distance(x, y) == pytest.approx(15 * c / 25, abs=1e-12)
+
+
+# ---------------------------------------------------- feature batches
+
+def test_features_shapes_and_cap(spark):
+    long_sig = _speechlike(1, secs=4.0)       # 250 frames > cap
+    padded = np.concatenate([np.zeros(int(0.25 * SR), np.float32),
+                             _speechlike(0)])
+    rows = [
+        ("a", audio.encode(_speechlike(0), "pcm_s16le"), SR, 2000,
+         "pcm_s16le"),
+        ("long", audio.encode(long_sig, "pcm_s16le"), SR, 4000,
+         "pcm_s16le"),
+        ("pad", audio.encode(padded, "pcm_s16le"), SR, 2250,
+         "pcm_s16le"),
+        ("silent", audio.encode(np.zeros(SR, np.float32), "pcm_s16le"),
+         SR, 1000, "pcm_s16le"),
+        ("tiny", audio.encode(np.zeros(10, np.float32), "pcm_s16le"),
+         SR, 1, "pcm_s16le"),
+        ("bad", b"\x01\x02\x03", SR, 1, "opus"),   # undecodable codec
+    ]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    out = {r["id"]: r for r in D.dtw_features(clips).collect()}
+    assert out["a"]["n_fr"] == 125                    # 2 s / 16 ms frames
+    assert len(out["a"]["feat"]) == 125 * D.DTW_CC
+    assert out["long"]["n_fr"] == 125                 # 250 strided by 2
+    # edge-silence trim: the 250 ms pad (15 full frames) is dropped
+    assert out["pad"]["n_fr"] == out["a"]["n_fr"]
+    assert out["silent"]["n_fr"] == 0                 # all-silent clip
+    assert out["tiny"]["n_fr"] == 0 and out["tiny"]["feat"] == []
+    assert out["bad"]["n_fr"] == 0
+
+
+def test_features_partitioning_invariant(spark):
+    """Same features under any partitioning, up to batched-rfft SIMD
+    last-ulp wiggle (batch shape changes the FFT's SIMD path — the
+    same tolerance the reverb kernel's row-isolation test uses)."""
+    rows = [(f"c{i}", audio.encode(_speechlike(i), "pcm_s16le"), SR,
+             2000, "pcm_s16le") for i in range(6)]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    one = {r["id"]: r for r in D.dtw_features(clips.coalesce(1)).collect()}
+    many = {r["id"]: r
+            for r in D.dtw_features(clips.repartition(5)).collect()}
+    assert set(one) == set(many)
+    for k in one:
+        assert one[k]["n_fr"] == many[k]["n_fr"]
+        np.testing.assert_allclose(one[k]["feat"], many[k]["feat"],
+                                   rtol=0, atol=1e-12)
+
+
+# ------------------------------------------------------------ verify
+
+@pytest.fixture(scope="module")
+def dup_clips(spark):
+    """orig-0 + a padded µ-law copy + a 1.12x time-stretched µ-law copy
+    + two unrelated clips."""
+    sig = _speechlike(0)
+    padded = np.concatenate([np.zeros(int(0.25 * SR), np.float32), sig])
+    rows = [
+        ("orig-0", audio.encode(sig, "pcm_s16le"), SR, 2000, "pcm_s16le"),
+        ("pad-0", audio.encode(padded, "mulaw"), SR, 2250, "mulaw"),
+        ("stretch-0", audio.encode(_stretched(sig, 1.12), "mulaw"), SR,
+         2240, "mulaw"),
+        ("other-1", audio.encode(_speechlike(9), "pcm_s16le"), SR, 2000,
+         "pcm_s16le"),
+        ("other-2", audio.encode(_speechlike(5), "pcm_s16le"), SR, 2000,
+         "pcm_s16le"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+
+
+def test_dup_separation(spark, dup_clips):
+    """Padded and stretched copies score dup-side of the calibrated
+    threshold; every unrelated pair scores non-dup-side."""
+    cand = spark.createDataFrame(
+        [("orig-0", "pad-0"), ("orig-0", "stretch-0"),
+         ("orig-0", "other-1"), ("orig-0", "other-2"),
+         ("other-1", "other-2")],
+        "id_a string, id_b string")
+    feats = D.dtw_features(dup_clips)
+    out = {(r["id_a"], r["id_b"]): r
+           for r in D.dtw_verify(feats, cand).collect()}
+    dups = [("orig-0", "pad-0"), ("orig-0", "stretch-0")]
+    nons = [("orig-0", "other-1"), ("orig-0", "other-2"),
+            ("other-1", "other-2")]
+    for p in dups:
+        assert out[p]["dup"] and out[p]["dtw_dist"] < D.DTW_DUP_THRESHOLD
+    for p in nons:
+        assert not out[p]["dup"]
+        assert out[p]["dtw_dist"] > D.DTW_DUP_THRESHOLD
+    # the margin is real, not threshold-hugging
+    worst_dup = max(out[p]["dtw_dist"] for p in dups)
+    best_non = min(out[p]["dtw_dist"] for p in nons)
+    assert best_non > 1.5 * worst_dup
+
+
+def test_rigid_tier_misses_warp_dups_dtw_catches(spark, dup_clips):
+    """The motivating failure mode: the block-anchored fingerprint tier
+    neither surfaces nor matches padded/stretched copies; the
+    warp-tolerant chain (embedding candidates -> DTW verify) flags
+    both as dups and none of the unrelated pairs."""
+    warp_pairs = [("orig-0", "pad-0"), ("orig-0", "stretch-0")]
+    rigid = {(r["id_a"], r["id_b"]): r["match_frac"]
+             for r in audio_fp.audio_neardup(
+                 dup_clips, threshold=0.0).collect()}
+    dtw = {(r["id_a"], r["id_b"]): r
+           for r in D.audio_dtw_neardup(dup_clips).collect()}
+    for pair in warp_pairs:
+        assert pair in dtw, f"embedding candidates must surface {pair}"
+        assert dtw[pair]["dup"]
+        # rigid tier: block-grid shift -> below the 0.6 dup default
+        # (on this corpus the pair does not even surface)
+        assert rigid.get(pair, 0.0) < 0.6
+    flagged = {p for p, r in dtw.items() if r["dup"]}
+    # every flagged pair stays within the orig-0 duplicate family
+    # (pad-0 vs stretch-0 is a true dup too — same source recording)
+    family = {"orig-0", "pad-0", "stretch-0"}
+    assert set(warp_pairs) <= flagged
+    assert all(a in family and b in family for a, b in flagged)
+
+
+def test_verify_null_frames(spark):
+    feats = spark.createDataFrame(
+        [("a", 2, [0.0] * (2 * D.DTW_CC)), ("z", 0, [])],
+        "id string, n_fr int, feat array<double>")
+    cand = spark.createDataFrame([("a", "z")], "id_a string, id_b string")
+    row = D.dtw_verify(feats, cand).collect()[0]
+    assert row["dtw_dist"] is None and row["dup"] is False
+
+
+def test_driver_corpus_planted_recovery(spark):
+    """The driver query's planted pad/cut dups are all recovered —
+    the semantic anchor behind the committed golden parquet."""
+    import __spark_entry__ as e
+
+    out = {(r["id_a"], r["id_b"]): r
+           for r in e._q_audio_dtw_verify(spark, "/none").collect()}
+    for k in range(6):
+        for pre in ("duppad", "dupcut"):
+            a, b = f"clip-{k:08d}", f"{pre}-{k:08d}"
+            pair = (a, b) if (a, b) in out else (b, a)
+            assert pair in out, f"{(a, b)} not surfaced"
+            assert out[pair]["dup"], f"{(a, b)} not verified as dup"

@@ -238,18 +238,14 @@ def audio_neardup(clips: DataFrame, id_col: str = "clip_id",
         band_size=band_size, hash_fn=hash_fn)
 
 
-def neardup_from_fingerprints(fps: DataFrame, threshold: float = 0.6,
-                              bin_tol: int = 1,
-                              n_hashes: int = FP_N_HASHES,
-                              band_size: int = FP_BAND_SIZE,
-                              hash_fn: str = "xxhash64",
-                              cross_prefix_only: bool = False) -> DataFrame:
-    """The dedup chain over a precomputed (id, fp array<bigint>)
-    relation — the production entry point when fingerprints live in
-    their own table. ``cross_prefix_only`` keeps only candidate pairs
-    whose ids differ in their 1-char side prefix (see
-    audio_decontaminate) so same-side pairs never reach the
-    verification joins."""
+def lsh_candidates(fps: DataFrame, n_hashes: int = FP_N_HASHES,
+                   band_size: int = FP_BAND_SIZE,
+                   hash_fn: str = "xxhash64",
+                   cross_prefix_only: bool = False) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) from a fingerprint relation —
+    the generation stage shared by every audio verify tier (rigid
+    block matching below; DTW in operators/audio_dtw.py). Band-bucket
+    self-join, never a cross join."""
     coarse = (
         f"transform(fp, x -> shiftleft(shiftright(x, {_BLOCK_SHIFT}),"
         f" {_BIN_SHIFT}) | (x & {(1 << _BIN_SHIFT) - 1}))"
@@ -270,6 +266,24 @@ def neardup_from_fingerprints(fps: DataFrame, threshold: float = 0.6,
     if cross_prefix_only:
         cand = cand.where(F.substring("id_a", 1, 1)
                           != F.substring("id_b", 1, 1))
+    return cand
+
+
+def neardup_from_fingerprints(fps: DataFrame, threshold: float = 0.6,
+                              bin_tol: int = 1,
+                              n_hashes: int = FP_N_HASHES,
+                              band_size: int = FP_BAND_SIZE,
+                              hash_fn: str = "xxhash64",
+                              cross_prefix_only: bool = False) -> DataFrame:
+    """The dedup chain over a precomputed (id, fp array<bigint>)
+    relation — the production entry point when fingerprints live in
+    their own table. ``cross_prefix_only`` keeps only candidate pairs
+    whose ids differ in their 1-char side prefix (see
+    audio_decontaminate) so same-side pairs never reach the
+    verification joins."""
+    cand = lsh_candidates(fps, n_hashes=n_hashes, band_size=band_size,
+                          hash_fn=hash_fn,
+                          cross_prefix_only=cross_prefix_only)
     blocks = fps.select(
         "id",
         F.size("fp").alias("n_blocks"),

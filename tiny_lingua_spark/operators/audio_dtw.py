@@ -1,0 +1,340 @@
+"""DTW alignment — the time-warp-robust verify tier for audio near-dup.
+
+Why: the fingerprint tier (audio_fp.neardup_from_fingerprints) verifies
+candidate pairs by RIGID block alignment — block i of clip A against
+block i of clip B. A duplicate that is time-STRETCHED (speed-perturbed
+augmentation re-entering the corpus, sample-rate drift in a transcode
+chain) shifts the block grid cumulatively, so the rigid match fraction
+collapses even though the audio is the same recording. Dynamic Time
+Warping (Sakoe & Chiba 1978; Rabiner & Juang 1993 ch. 4) aligns the two
+frame sequences along a monotone warp path and is the classical robust
+verifier for exactly this failure mode.
+
+Pipeline shape (Spark-first, the 100 TB contract):
+
+1. ``dtw_features`` — ONE Arrow pass per clip through the shared MFCC
+   front-end (audio._mfcc_frames): keep cepstra c1..c``DTW_CC`` per
+   256-sample frame (c0 excluded — see below), energy-VAD-trim the
+   silent edges (leading/trailing padding must not enter the
+   alignment), then stride the sequence down to at most
+   ``DTW_MAX_FRAMES`` frames. The plan carries one bounded
+   array<double> per clip (≤ 128·12 doubles) — raw PCM never enters
+   the Spark plan (input-hint rule).
+2. candidates — any bounded (id_a, id_b) table. The shipped
+   composition (``audio_dtw_neardup``) generates candidates from a
+   TIME-AVERAGED pooled key computed in the SAME feature pass
+   (mean+std of the trimmed c1.. sequence, L2-normalized → sign-LSH
+   buckets): trimming makes it padding-robust, dropping c0 makes it
+   level-robust, pooling over frames makes it warp-invariant — where
+   the fingerprint tier's block-anchored items are none of these (a
+   padded or stretched copy shares almost no (block, band) items with
+   its original and never surfaces there; measured: the fingerprint
+   LSH yields zero candidates on the planted warp corpus). The
+   generator is deliberately over-inclusive (a loose cosine floor —
+   recall is its only job); DTW verification supplies the precision.
+   Pair count stays LSH-bucket-bounded, never quadratic.
+3. ``dtw_verify`` — two hash joins on clip id attach the feature
+   arrays, then a vectorized anti-diagonal DP per pair inside an Arrow
+   batch. Work per pair is ≤ DTW_MAX_FRAMES² cells — a hot-cap
+   (winnowing-postings style): constant per pair regardless of clip
+   duration, so executor work is linear in the candidate count.
+
+Distance: per-step cost is the Euclidean distance between the two
+frames' cepstral vectors; the reported ``dtw_dist`` is the accumulated
+path cost normalized by (n_a + n_b), the standard length normalization,
+so thresholds transfer across clip lengths.
+
+No SQL twin — the DP recurrence is inherently sequential and not
+expressible in DuckDB SQL. The driver oracle is a committed golden
+parquet, independently anchored by (tests/test_audio_dtw.py):
+(a) a pure-Python O(n·m) reference DP the vectorized kernel must match
+    bit-for-bit,
+(b) closed-form identities — DTW(x, x) = 0, symmetry under operand
+    swap, additivity of constant-cost paths,
+(c) planted PADDED and TIME-STRETCHED duplicates that score clear
+    dup-side of the threshold while every unrelated pair in the
+    calibration corpus scores clear non-dup-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from tiny_lingua_spark import audio
+
+__all__ = ["dtw_distance", "dtw_reference", "dtw_features",
+           "dtw_verify", "embedding_candidates", "audio_dtw_neardup",
+           "DTW_CC", "DTW_MAX_FRAMES", "DTW_DUP_THRESHOLD"]
+
+# Cepstra c1..c12 — c0 (frame energy) is EXCLUDED: level/codec gain
+# shifts (µ-law requantization, loudness normalization) move c0 without
+# changing content, and silence-vs-speech c0 gaps would dominate the
+# path cost. Dropping c0 is the standard channel-robust choice; 12
+# envelope coefficients measurably out-separate 4 on the planted-dup
+# calibration corpus (margin 2.25x vs 1.22x — tests/test_audio_dtw.py).
+DTW_CC_LO = 1
+DTW_CC = 12           # feature dims per frame (c1..c12)
+DTW_MAX_FRAMES = 128  # per-clip sequence hot-cap: DP ≤ 128² cells/pair
+# verify threshold on the normalized distance, calibrated so transcode
+# (~0.1), pad+transcode (~1.2) and 12 % speed-perturb (~2.1) dups pass
+# while the closest non-dup pair in the calibration corpus (~4.7) fails
+DTW_DUP_THRESHOLD = 3.0
+
+DTW_FEATURES_SCHEMA = "n_fr int, feat array<double>, pool array<double>"
+
+
+# --------------------------------------------------------- DP kernels
+
+def dtw_distance(x: np.ndarray, y: np.ndarray) -> float:
+    """Length-normalized DTW distance between frame sequences x (n, c)
+    and y (m, c): full DP, anti-diagonal wavefront (every cell on
+    diagonal i+j=d depends only on diagonals d-1 and d-2, so each
+    diagonal is one vectorized step). Euclidean per-step cost."""
+    n, m = len(x), len(y)
+    if n == 0 or m == 0:
+        return float("inf")
+    # accumulate the squared distance SEQUENTIALLY over coefficients
+    # (vectorized over the n×m grid): numpy's .sum() switches to
+    # pairwise order above 8 elements, which would break bit-equality
+    # with the sequential reference DP
+    cost = np.zeros((n, m), dtype=np.float64)
+    for k in range(x.shape[1]):
+        dk = x[:, None, k] - y[None, :, k]
+        cost += dk * dk
+    np.sqrt(cost, out=cost)
+    D = np.empty((n, m), dtype=np.float64)
+    # edge paths accumulate left-to-right starting at cost[0,0] — the
+    # same association order as the reference DP (bit-equality)
+    D[0, :] = np.cumsum(cost[0, :])
+    D[:, 0] = np.cumsum(cost[:, 0])
+    for d in range(2, n + m - 1):
+        i = np.arange(max(1, d - m + 1), min(n, d))
+        if i.size == 0:
+            continue
+        j = d - i
+        prev = np.minimum(np.minimum(D[i - 1, j], D[i, j - 1]),
+                          D[i - 1, j - 1])
+        D[i, j] = cost[i, j] + prev
+    return float(D[n - 1, m - 1]) / (n + m)
+
+
+def dtw_reference(x, y) -> float:
+    """Pure-Python O(n·m) reference DP (no numpy in the recurrence) —
+    the independent anchor the vectorized kernel must match bit-for-
+    bit. Same cost order: sequential sum over the c coefficients."""
+    import math
+
+    n, m = len(x), len(y)
+    if n == 0 or m == 0:
+        return float("inf")
+    c = len(x[0])
+
+    def cost(i, j):
+        s = 0.0
+        for k in range(c):
+            dlt = float(x[i][k]) - float(y[j][k])
+            s += dlt * dlt
+        return math.sqrt(s)
+
+    D = [[0.0] * m for _ in range(n)]
+    D[0][0] = cost(0, 0)
+    for j in range(1, m):
+        D[0][j] = D[0][j - 1] + cost(0, j)
+    for i in range(1, n):
+        D[i][0] = D[i - 1][0] + cost(i, 0)
+    for i in range(1, n):
+        for j in range(1, m):
+            D[i][j] = cost(i, j) + min(D[i - 1][j], D[i][j - 1],
+                                       D[i - 1][j - 1])
+    return D[n - 1][m - 1] / (n + m)
+
+
+# -------------------------------------------------- feature extraction
+
+def _dtw_features_batch(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    """Whole-batch cepstral sequences: one batched rfft over every full
+    frame (shared geometry with the MFCC kernel), per-rate mel/DCT
+    products, per-row edge-silence trim (energy VAD — leading/trailing
+    padding must not enter the alignment), then stride-downsample to
+    ≤ DTW_MAX_FRAMES. Undecodable, sub-frame or all-silent rows report
+    n_fr=0, empty feat."""
+    samples, offsets, ok = audio.decode_concat(bytes_s, codec_s)
+    n = len(ok)
+    frame_starts, row_of_frame, n_frames = audio._frame_geometry(offsets)
+    out_n = np.zeros(n, dtype=np.int32)
+    out_feat: list[list[float]] = [[] for _ in range(n)]
+    out_pool: list[list[float]] = [[] for _ in range(n)]
+    if frame_starts.size:
+        idx = frame_starts[:, None] + np.arange(audio.FRAME_SAMPLES)[None, :]
+        frames = samples[idx].astype(np.float64)
+        frame_rms = np.sqrt((frames * frames).mean(axis=1))
+        frames *= np.hanning(audio.FRAME_SAMPLES)[None, :]
+        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        sr_row = np.asarray(sr_s, dtype=np.int64)
+        cc = audio._mfcc_frames(
+            power, sr_row[row_of_frame])[:, DTW_CC_LO:DTW_CC_LO + DTW_CC]
+        voiced = frame_rms >= audio.SILENCE_RMS
+        bounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_frames, out=bounds[1:])
+        for r in range(n):
+            v = voiced[bounds[r]:bounds[r + 1]]
+            if not v.any():
+                continue
+            i0 = int(np.argmax(v))
+            i1 = len(v) - int(np.argmax(v[::-1]))
+            seq = cc[bounds[r] + i0:bounds[r] + i1]
+            if seq.shape[0] > DTW_MAX_FRAMES:
+                stride = -(-seq.shape[0] // DTW_MAX_FRAMES)  # ceil
+                seq = seq[::stride]
+            out_n[r] = seq.shape[0]
+            out_feat[r] = seq.ravel().tolist()
+            # candidate key: L2-normalized mean+std pooling of the SAME
+            # trimmed sequence — silence-robust (trimmed), level-robust
+            # (no c0), warp-invariant (time-averaged); this is what the
+            # LSH candidate generator buckets on
+            pooled = np.concatenate([seq.mean(axis=0), seq.std(axis=0)])
+            nrm = float(np.linalg.norm(pooled))
+            if nrm > 0:
+                pooled = pooled / nrm
+            out_pool[r] = pooled.tolist()
+    return pd.DataFrame({"n_fr": pd.Series(out_n),
+                         "feat": pd.Series(out_feat),
+                         "pool": pd.Series(out_pool)})
+
+
+def dtw_features_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DTW_FEATURES_SCHEMA)
+    def dtw_feats(b: pd.Series, codec: pd.Series,
+                  sr: pd.Series) -> pd.DataFrame:
+        return _dtw_features_batch(b, codec, sr)
+
+    return dtw_feats
+
+
+def dtw_features(clips: DataFrame, id_col: str = "clip_id",
+                 bytes_col: str = "bytes", codec_col: str = "codec",
+                 sr_col: str = "sr_hz") -> DataFrame:
+    """(id, n_fr, feat) — one bounded cepstral sequence per clip."""
+    udf = dtw_features_udf()
+    return (
+        clips.select(F.col(id_col).alias("id"),
+                     udf(F.col(bytes_col), F.col(codec_col),
+                         F.col(sr_col)).alias("d"))
+        .select("id", F.col("d.n_fr").alias("n_fr"),
+                F.col("d.feat").alias("feat"),
+                F.col("d.pool").alias("pool"))
+    )
+
+
+# ------------------------------------------------------------ verify
+
+def _dtw_pair_batch(na_s, fa_s, nb_s, fb_s) -> pd.Series:
+    out = np.full(len(na_s), np.nan, dtype=np.float64)
+    for i in range(len(na_s)):
+        na, nb = int(na_s.iloc[i]), int(nb_s.iloc[i])
+        if na == 0 or nb == 0:
+            continue
+        x = np.asarray(fa_s.iloc[i], dtype=np.float64).reshape(na, DTW_CC)
+        y = np.asarray(fb_s.iloc[i], dtype=np.float64).reshape(nb, DTW_CC)
+        out[i] = dtw_distance(x, y)
+    return pd.Series(np.round(out, 6))
+
+
+def dtw_pair_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dtw_pair(na: pd.Series, fa: pd.Series, nb: pd.Series,
+                 fb: pd.Series) -> pd.Series:
+        return _dtw_pair_batch(na, fa, nb, fb)
+
+    return dtw_pair
+
+
+def dtw_verify(feats: DataFrame, candidates: DataFrame,
+               threshold: float = DTW_DUP_THRESHOLD) -> DataFrame:
+    """Score candidate pairs by normalized DTW distance:
+    (id_a, id_b, n_a, n_b, dtw_dist, dup). Pairs where either side has
+    no frames report NULL distance, dup=false. Two hash joins on the
+    uniform clip-id key; the DP runs Arrow-batched over the (already
+    LSH-bounded) pair rows."""
+    fa = feats.select(F.col("id").alias("id_a"),
+                      F.col("n_fr").alias("n_a"),
+                      F.col("feat").alias("f_a"))
+    fb = feats.select(F.col("id").alias("id_b"),
+                      F.col("n_fr").alias("n_b"),
+                      F.col("feat").alias("f_b"))
+    udf = dtw_pair_udf()
+    scored = (
+        candidates.join(fa, "id_a").join(fb, "id_b")
+        .withColumn("dtw_dist", udf(F.col("n_a"), F.col("f_a"),
+                                    F.col("n_b"), F.col("f_b")))
+    )
+    return scored.select(
+        "id_a", "id_b",
+        F.col("n_a").cast("int").alias("n_a"),
+        F.col("n_b").cast("int").alias("n_b"),
+        "dtw_dist",
+        F.coalesce(F.col("dtw_dist") <= threshold, F.lit(False))
+         .alias("dup"),
+    )
+
+
+def embedding_candidates(emb: DataFrame, dim: int = 2 * DTW_CC,
+                         n_bits: int = 24, half_bits: int = 6,
+                         min_cos: float = 0.3) -> DataFrame:
+    """Warp-tolerant candidate pairs (id_a < id_b, any id type) from
+    (vec_id, embedding) rows: sign-LSH half-signature buckets
+    (pigeonhole over Hamming ≤ n_bits/2 − 1) with a LOOSE cosine floor
+    — over-inclusive by design, precision belongs to the verifier.
+    Same bucket shape as similarity.neardup_lsh but keeps string ids
+    (clip ids) instead of casting to long. Default dim matches the
+    dtw_features ``pool`` column; 4 bands × 6 bits favors recall (a
+    true dup pair at cos ≥ 0.95 flips ~1–2 of 24 sig bits, so some
+    band is almost always clean); widen half_bits as the corpus grows
+    to keep per-bucket occupancy — the quadratic verify term —
+    constant (the standard bands×width S-curve lever)."""
+    from tiny_lingua_spark.operators.similarity import (_exploded_halves,
+                                                        cosine_expr)
+
+    exploded = _exploded_halves(emb, n_bits, dim, half_bits)
+    a = exploded.select(F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("ea"), "h", "hv")
+    b = exploded.select(F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("eb"), "h", "hv")
+    return (
+        a.join(b, ["h", "hv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.round(cosine_expr("ea", "eb"), 6) >= min_cos)
+        .select("id_a", "id_b")
+    )
+
+
+def audio_dtw_neardup(clips: DataFrame, id_col: str = "clip_id",
+                      bytes_col: str = "bytes", codec_col: str = "codec",
+                      sr_col: str = "sr_hz",
+                      threshold: float = DTW_DUP_THRESHOLD,
+                      min_cos: float = 0.3) -> DataFrame:
+    """Warp-tolerant near-dup chain: candidates from the pooled
+    (trimmed, c0-free) cepstral key → DTW verification over the same
+    feature pass. Complements the rigid fingerprint tier
+    (audio_fp.audio_neardup), which is faster per pair but blind to
+    padded/truncated/stretched copies. ONE Arrow decode pass: the
+    feature relation feeds both the candidate generator and the two
+    verification joins, so it is persisted (it is ~10^3× smaller than
+    the audio). At production scale, write features to their own table
+    and call embedding_candidates + dtw_verify on that."""
+    from pyspark import StorageLevel
+
+    feats = dtw_features(clips, id_col, bytes_col, codec_col, sr_col)
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    emb = (feats.where(F.col("n_fr") > 0)
+           .select(F.col("id").alias("vec_id"),
+                   F.col("pool").alias("embedding")))
+    cand = embedding_candidates(emb, min_cos=min_cos)
+    return dtw_verify(feats, cand, threshold=threshold)

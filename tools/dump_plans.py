@@ -93,6 +93,7 @@ PLAN_QUERIES = (
     "rank_normalize",
     "joint_neardup",
     "audio_decontaminate",
+    "audio_dtw_verify",
     "dataset_card",
     "compression_ratio",
     "dedup_keeper",
