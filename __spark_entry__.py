@@ -2209,6 +2209,33 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), q, "doc_id", "text", k=10)
 
 
+# DoReMi-lite mixture pass: proxy loss = (1 - quality score) — the
+# cheap scorer stand-in; production wires perplexity/classifier losses
+# into the same columns. Constants shared by query and oracle.
+_DOREMI_REF_LOSS = 0.35
+_DOREMI_BUDGET = 20_000
+
+
+def _q_doremi_alloc(spark, sf_dir):
+    """DoReMi-lite domain reweighting (Xie 2023): per-source excess
+    loss -> softmax weights with uniform floor -> token-budget
+    allocation + keep fractions for the hash sampler. ONE hash
+    aggregate on the source key; softmax/budget math over K domain
+    rows (drift_bins-style bounded windows)."""
+    from tiny_lingua_spark.functions.quality import quality_score_col
+    from tiny_lingua_spark.operators.mixing import doremi_allocation
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", *quality_metrics_cols("text"))
+    scored = docs.select(
+        "source",
+        (1.0 - quality_score_col()).alias("p_loss"),
+        F.lit(_DOREMI_REF_LOSS).alias("r_loss"),
+        F.col("n_tokens").alias("toks"))
+    return doremi_allocation(scored, "source", "p_loss", "r_loss",
+                             "toks", token_budget=_DOREMI_BUDGET)
+
+
 # ANN tiers measured by the ann_recall index-quality gate, with the
 # exact SAME parameters as their standalone driver queries (so the
 # recall numbers describe the shipped configurations).
@@ -2355,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _shipped(_q_tfidf_topk),
         "bm25_topk": _shipped(_q_bm25_topk),
         "ann_recall": _shipped(_q_ann_recall),
+        "doremi_alloc": _shipped(_q_doremi_alloc),
         "neardup_components": _shipped(_q_neardup_components),
         "dedup_keeper": _shipped(_q_dedup_keeper),
         "neardup_text": _shipped(_q_neardup_text),
@@ -3005,6 +3033,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": retrieval.bm25_topk_sql(
             "documents", _bm25_queries_values(), "doc_id", "text", k=10),
         "ann_recall": _ann_recall_oracle(),
+        "doremi_alloc": __import__(
+            "tiny_lingua_spark.operators.mixing", fromlist=["mixing"]
+        ).doremi_allocation_sql(
+            "(SELECT source, 1.0 - ({qs}) AS p_loss, "
+            "{r!r} AS r_loss, n_tokens AS toks FROM "
+            "(SELECT doc_id, source, {m} FROM documents))".format(
+                qs=qscore, r=_DOREMI_REF_LOSS,
+                m=", ".join(
+                    f"({expr})::DOUBLE AS {name}"
+                    if name not in ("n_chars", "n_tokens")
+                    else f"({expr})::BIGINT AS {name}"
+                    for name, expr in qm.items())),
+            "source", "p_loss", "r_loss", "toks",
+            token_budget=_DOREMI_BUDGET),
         "neardup_text": dedup.neardup_text_sql("documents", "doc_id", "text"),
         "winnow_fingerprints": dedup.winnow_fingerprints_sql(
             "documents", "doc_id", "text"),

@@ -158,6 +158,7 @@ BENCH_QUERIES = (
     "tfidf_topk",             # top-k TF-IDF terms per doc
     "bm25_topk",              # BM25 benchmark-query contamination probe
     "ann_recall",             # recall@10/MRR/nDCG of every ANN tier
+    "doremi_alloc",           # DoReMi-lite mixture reweighting
 )
 
 

@@ -1,0 +1,80 @@
+"""DoReMi-lite mixture reweighting (operators/mixing.py)."""
+
+import math
+
+import duckdb
+
+from tiny_lingua_spark.operators.mixing import (doremi_allocation,
+                                                doremi_allocation_sql,
+                                                excess_loss_weights,
+                                                excess_loss_weights_sql)
+
+
+def _df(spark):
+    # webA: big headroom; webB: at the floor; books: small headroom
+    rows = [("webA", 2.0, 1.0, 100), ("webA", 3.0, 1.0, 300),
+            ("webB", 1.0, 1.5, 200),          # below ref -> clamps to 0
+            ("books", 1.2, 1.0, 50), ("books", 1.0, 1.0, 150)]
+    return spark.createDataFrame(
+        rows, "source string, loss double, ref double, toks long")
+
+
+def test_known_weights(spark):
+    out = {r["domain"]: r
+           for r in excess_loss_weights(_df(spark), "source", "loss",
+                                        "ref", step=1.0,
+                                        smoothing=0.1).collect()}
+    assert out["webA"]["mean_excess"] == 1.5
+    assert out["webB"]["mean_excess"] == 0.0      # clamped, not negative
+    assert out["books"]["mean_excess"] == 0.1
+    es = {"webA": 1.5, "webB": 0.0, "books": 0.1}
+    zmax = max(es.values())
+    den = sum(math.exp(v - zmax) for v in es.values())
+    for d, e in es.items():
+        want = round(0.9 * math.exp(e - zmax) / den + 0.1 / 3, 6)
+        assert out[d]["weight"] == want
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 2e-6
+
+
+def test_smoothing_floor(spark):
+    """smoothing=1 -> uniform regardless of losses; smoothing=0 ->
+    pure softmax; a zero-headroom domain never starves below floor/K."""
+    uni = {r["domain"]: r["weight"]
+           for r in excess_loss_weights(_df(spark), "source", "loss",
+                                        "ref", smoothing=1.0).collect()}
+    assert all(w == round(1 / 3, 6) for w in uni.values())
+    lo = {r["domain"]: r["weight"]
+          for r in excess_loss_weights(_df(spark), "source", "loss",
+                                       "ref", smoothing=0.1).collect()}
+    assert lo["webB"] >= round(0.1 / 3, 6)
+
+
+def test_allocation_saturation(spark):
+    out = {r["domain"]: r
+           for r in doremi_allocation(_df(spark), "source", "loss",
+                                      "ref", "toks", token_budget=1000,
+                                      smoothing=0.1).collect()}
+    assert out["webA"]["domain_tokens"] == 400
+    # webA gets the largest share; 1000 * w_webA > 400 -> saturates at 1
+    assert out["webA"]["fraction"] == 1.0
+    for d, r in out.items():
+        # alloc uses the UNROUNDED weight; the printed weight is 6 dp
+        assert abs(r["alloc_tokens"] - r["weight"] * 1000) <= 0.5e-3
+        assert r["fraction"] <= 1.0
+
+
+def test_twins(spark, tmp_path):
+    p = str(tmp_path / "d.parquet")
+    _df(spark).toPandas().to_parquet(p, index=False)
+    got = sorted(map(tuple, excess_loss_weights(
+        _df(spark), "source", "loss", "ref").collect()))
+    want = sorted(map(tuple, duckdb.sql(excess_loss_weights_sql(
+        f"'{p}'", "source", "loss", "ref")).fetchall()))
+    assert got == want
+    got = sorted(map(tuple, doremi_allocation(
+        _df(spark), "source", "loss", "ref", "toks",
+        token_budget=1000).collect()))
+    want = sorted(map(tuple, duckdb.sql(doremi_allocation_sql(
+        f"'{p}'", "source", "loss", "ref", "toks",
+        token_budget=1000)).fetchall()))
+    assert got == want

@@ -1,0 +1,151 @@
+"""DoReMi-lite domain mixture reweighting (Xie et al. 2023, public).
+
+DoReMi tunes the per-domain sampling weights of a training mixture by
+EXCESS LOSS: domains where the proxy model still loses more than a
+reference model get upweighted (there is headroom to learn), domains
+already at the reference floor get downweighted. The full algorithm is
+an exponentiated-gradient loop over proxy-training steps; the one-shot
+("lite") update this operator implements is its single step — the
+standard re-mix pass a data pipeline runs between training rounds:
+
+    e_d    = mean_d( max(loss − ref_loss, 0) )          per domain
+    w_d    ∝ exp(step · e_d)                            (softmax)
+    weight = (1 − smoothing) · w_d + smoothing / K      (uniform mix)
+
+then allocates a token budget: alloc_d = budget · weight_d, keep
+fraction = min(1, alloc_d / tokens_d) — the same single-pass,
+no-redistribution convention as sampling.mixture_fractions, whose
+hash-threshold filter consumes these fractions downstream.
+
+Inputs are COLUMNS, not models: loss/ref_loss per document come from
+whatever scorers the pipeline already runs (functions/perplexity for
+LM losses, quality scores as cheap proxies). The operator is the
+aggregation + reweighting math.
+
+Scale shape: ONE hash aggregate on the (low-cardinality) domain key —
+map-side combine reduces each task to ≤ K rows; everything after
+(softmax windows, budget math) runs on K domain rows. Zero Python,
+zero collect; the softmax max-subtraction is a window over the K-row
+aggregate, the same bounded-window pattern as drift_bins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["excess_loss_weights", "excess_loss_weights_sql",
+           "doremi_allocation", "doremi_allocation_sql"]
+
+
+def _domain_agg(df: DataFrame, domain_col: str, loss_col: str,
+                ref_loss_col: str, tokens_col: str | None) -> DataFrame:
+    excess = F.greatest(F.col(loss_col) - F.col(ref_loss_col), F.lit(0.0))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg(excess).alias("mean_excess")]
+    if tokens_col is not None:
+        aggs.append(F.sum(tokens_col).cast("long").alias("domain_tokens"))
+    return df.groupBy(F.col(domain_col).alias("domain")).agg(*aggs)
+
+
+def _with_weights(agg: DataFrame, step: float, smoothing: float) -> DataFrame:
+    w = Window.partitionBy()
+    z = F.lit(step) * F.col("mean_excess")
+    ez = F.exp(z - F.max(z).over(w))          # max-shifted for stability
+    k = F.count(F.lit(1)).over(w)
+    soft = ez / F.sum(ez).over(w)
+    return agg.withColumn(
+        "weight",
+        F.lit(1.0 - smoothing) * soft + F.lit(smoothing) / k)
+
+
+def excess_loss_weights(df: DataFrame, domain_col: str, loss_col: str,
+                        ref_loss_col: str, step: float = 1.0,
+                        smoothing: float = 0.1) -> DataFrame:
+    """Per-domain mixture weights: (domain, n_docs, mean_excess,
+    weight). Weights sum to 1; smoothing is DoReMi's uniform-mixture
+    floor (no domain starves to zero)."""
+    agg = _domain_agg(df, domain_col, loss_col, ref_loss_col, None)
+    return _with_weights(agg, step, smoothing).select(
+        "domain", "n_docs",
+        F.round("mean_excess", 6).alias("mean_excess"),
+        F.round("weight", 6).alias("weight"))
+
+
+def doremi_allocation(df: DataFrame, domain_col: str, loss_col: str,
+                      ref_loss_col: str, tokens_col: str,
+                      token_budget: int, step: float = 1.0,
+                      smoothing: float = 0.1) -> DataFrame:
+    """excess_loss_weights + token-budget allocation: adds
+    (domain_tokens, alloc_tokens, fraction). fraction feeds the
+    deterministic hash sampler (sampling.mixture_sample); a saturated
+    domain (fraction = 1) keeps everything, excess budget is not
+    redistributed — single-pass convention."""
+    agg = _domain_agg(df, domain_col, loss_col, ref_loss_col, tokens_col)
+    alloc = F.col("weight") * token_budget
+    return _with_weights(agg, step, smoothing).select(
+        "domain", "n_docs",
+        F.round("mean_excess", 6).alias("mean_excess"),
+        F.round("weight", 6).alias("weight"),
+        "domain_tokens",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(F.least(F.lit(1.0),
+                        alloc / F.greatest(F.col("domain_tokens"),
+                                           F.lit(1))), 6)
+         .alias("fraction"))
+
+
+def _sql_core(table: str, domain_expr: str, loss_expr: str,
+              ref_loss_expr: str, tokens_sel: str, step: float,
+              smoothing: float) -> str:
+    return f"""
+    WITH agg AS (
+      SELECT {domain_expr} AS domain,
+             count(*)::BIGINT AS n_docs,
+             avg(greatest(({loss_expr}) - ({ref_loss_expr}), 0.0))
+               AS mean_excess{tokens_sel}
+      FROM {table} GROUP BY {domain_expr}
+    ),
+    sm AS (
+      SELECT *,
+             exp({step!r} * mean_excess
+                 - max({step!r} * mean_excess) OVER ()) AS ez,
+             count(*) OVER () AS k
+      FROM agg
+    ),
+    wt AS (
+      SELECT *, {1.0 - smoothing!r} * ez / sum(ez) OVER ()
+                + {smoothing!r} / k AS weight
+      FROM sm
+    )
+    """
+
+
+def excess_loss_weights_sql(table: str, domain_expr: str, loss_expr: str,
+                            ref_loss_expr: str, step: float = 1.0,
+                            smoothing: float = 0.1) -> str:
+    """DuckDB twin of excess_loss_weights."""
+    core = _sql_core(table, domain_expr, loss_expr, ref_loss_expr, "",
+                     step, smoothing)
+    return f"""{core}
+    SELECT domain, n_docs, round(mean_excess, 6) AS mean_excess,
+           round(weight, 6) AS weight
+    FROM wt
+    """
+
+
+def doremi_allocation_sql(table: str, domain_expr: str, loss_expr: str,
+                          ref_loss_expr: str, tokens_expr: str,
+                          token_budget: int, step: float = 1.0,
+                          smoothing: float = 0.1) -> str:
+    """DuckDB twin of doremi_allocation."""
+    tokens_sel = f",\n             sum({tokens_expr})::BIGINT AS domain_tokens"
+    core = _sql_core(table, domain_expr, loss_expr, ref_loss_expr,
+                     tokens_sel, step, smoothing)
+    return f"""{core}
+    SELECT domain, n_docs, round(mean_excess, 6) AS mean_excess,
+           round(weight, 6) AS weight, domain_tokens,
+           round(weight * {token_budget}, 6) AS alloc_tokens,
+           round(least(1.0, weight * {token_budget}
+                 / greatest(domain_tokens, 1)), 6) AS fraction
+    FROM wt
+    """

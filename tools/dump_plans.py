@@ -106,6 +106,7 @@ PLAN_QUERIES = (
     "tfidf_topk",
     "bm25_topk",
     "ann_recall",
+    "doremi_alloc",
 )
 
 
