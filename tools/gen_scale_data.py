@@ -152,6 +152,34 @@ def write_clips(out_dir: str, k: int) -> None:
     both = pd.concat([base, pd.DataFrame(dup_rows)], ignore_index=True)
     both.to_parquet(os.path.join(out_dir, "clips_dups.parquet"), index=False)
 
+    import numpy as np
+
+    # warp-dup corpus for audio_dtw_verify: K*6 padded + K*6 truncated
+    # mu-law copies, spread across the corpus (same plan as above)
+    base_w, _ = generate_clips(n=k * CLIPS_DUPS_BASE, seed=42)
+    warp_rows = []
+    step = max(1, len(base_w) // (k * 6))
+    for _, row in base_w.iloc[::step].head(k * 6).iterrows():
+        pcm = audio.decode(bytes(row["bytes"]), row.codec)
+        sr = int(row.sr_hz)
+        padded = np.concatenate([np.zeros(sr // 4, dtype=np.float32), pcm])
+        cut = pcm[: max(1, int(len(pcm) * 0.6))]
+        warp_rows.append({
+            "clip_id": row.clip_id.replace("clip-", "duppad-"),
+            "bytes": audio.encode(padded, "mulaw"),
+            "sr_hz": sr, "dur_ms": int(row.dur_ms) + 250, "codec": "mulaw",
+            "transcript": row.transcript,
+        })
+        warp_rows.append({
+            "clip_id": row.clip_id.replace("clip-", "dupcut-"),
+            "bytes": audio.encode(cut, "mulaw"),
+            "sr_hz": sr, "dur_ms": int(int(row.dur_ms) * 0.6),
+            "codec": "mulaw",
+            "transcript": row.transcript,
+        })
+    warp = pd.concat([base_w, pd.DataFrame(warp_rows)], ignore_index=True)
+    warp.to_parquet(os.path.join(out_dir, "clips_warp.parquet"), index=False)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -184,7 +212,7 @@ def main() -> None:
         print(f"  events: {len(ev)} -> {len(sv)}")
 
         write_clips(out_dir, k)
-        print("  clips + clips_dups written")
+        print("  clips + clips_dups + clips_warp written")
 
 
 if __name__ == "__main__":
