@@ -542,6 +542,31 @@ def _q_source_stats(spark, sf_dir):
     return decontam.source_stats(_docs(spark, sf_dir), "source", "text")
 
 
+# Semantic-decontamination driver query: the same deterministic tenth
+# split, over EMBEDDINGS — the paraphrase-robust third modality next to
+# the k-gram text probe and the audio-fingerprint tier. tau=0.33 because
+# the synthetic vectors are near-orthogonal random points (bulk cosine
+# ~0.25-0.45); production embedding decontam runs tau ~0.9+.
+_SEMDECON_TAU = 0.33
+
+
+def _q_semantic_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination: corpus rows are
+    assigned ONE IVF cell in pure codegen (no shuffle), the tiny
+    benchmark side multi-probes its top-4 cells and is broadcast —
+    cosine only on within-cell pairs, one hash aggregate on the
+    matching sliver. The corpus never shuffles."""
+    from tiny_lingua_spark.operators import decontam
+
+    emb = _emb(spark, sf_dir)
+    bench = emb.where(F.expr(_DECONTAM_BENCH_PRED.replace("doc_id",
+                                                          "vec_id")))
+    corpus = emb.where(~F.expr(_DECONTAM_BENCH_PRED.replace("doc_id",
+                                                            "vec_id")))
+    return decontam.semantic_contamination(
+        corpus, bench, tau=_SEMDECON_TAU, nprobe=4, dim=EMB_DIM)
+
+
 _SAMPLE_FRACTIONS = {"en": 0.25, "zh": 1.0}
 
 
@@ -2335,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_split": _shipped(_q_component_split),
         "split_stats": _shipped(_q_split_stats),
         "decontaminate": _shipped(_q_decontaminate),
+        "semantic_decontam": _shipped(_q_semantic_decontam),
         "source_stats": _shipped(_q_source_stats),
         "temperature_sample": _shipped(_q_temperature_sample),
         "unimax_alloc": _shipped(_q_unimax_alloc),
@@ -2687,6 +2713,11 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": __import__(
             "tiny_lingua_spark.operators.decontam", fromlist=["decontam"]
         ).source_stats_sql("documents", "source", "text"),
+        "semantic_decontam": __import__(
+            "tiny_lingua_spark.operators.decontam", fromlist=["decontam"]
+        ).semantic_contamination_sql(
+            "embeddings", _DECONTAM_BENCH_PRED.replace("doc_id", "vec_id"),
+            EMB_DIM, tau=_SEMDECON_TAU, nprobe=4),
         "temperature_sample": (
             "SELECT doc_id, lang, source FROM ("
             + __import__("tiny_lingua_spark.operators.sampling",

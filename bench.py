@@ -159,6 +159,7 @@ BENCH_QUERIES = (
     "bm25_topk",              # BM25 benchmark-query contamination probe
     "ann_recall",             # recall@10/MRR/nDCG of every ANN tier
     "doremi_alloc",           # DoReMi-lite mixture reweighting
+    "semantic_decontam",      # embedding-space benchmark decontamination
 )
 
 

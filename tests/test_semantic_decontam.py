@@ -1,0 +1,138 @@
+"""Semantic (embedding-space) decontamination: planted-copy recall,
+brute-filter equivalence at full probe, probe-monotone recall, the
+broadcast/no-cartesian plan shape, and the DuckDB twin hash."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators import decontam
+from tiny_lingua_spark.operators.similarity import ivf_seed_centroids
+from tiny_lingua_spark.plans.audit import explain_str as plan_of
+
+DIM = 16
+N_CELLS = 8
+
+
+def _unit(v):
+    return v / np.linalg.norm(v)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """20 bench vectors; a corpus of 200 random rows plus a slightly
+    perturbed copy of every bench vector (the contamination)."""
+    rng = np.random.default_rng(7)
+    bench_rows = [(int(1000 + i), _unit(rng.normal(size=DIM)).astype(float).tolist())
+                  for i in range(20)]
+    corpus_rows = [(int(i), _unit(rng.normal(size=DIM)).astype(float).tolist())
+                   for i in range(200)]
+    copies = [(int(2000 + i),
+               _unit(np.asarray(e) + 0.01 * rng.normal(size=DIM))
+               .astype(float).tolist())
+              for i, (_, e) in enumerate(bench_rows)]
+    schema = "vec_id long, embedding array<float>"
+    return (spark.createDataFrame(corpus_rows + copies, schema),
+            spark.createDataFrame(bench_rows, schema))
+
+
+def test_planted_copies_all_flagged(planted):
+    corpus, bench = planted
+    cents = ivf_seed_centroids(DIM, n_cells=N_CELLS)
+    flagged = decontam.semantic_contamination(
+        corpus, bench, tau=0.95, nprobe=4, dim=DIM, centroids=cents
+    ).toPandas()
+    got = set(flagged.vec_id)
+    assert set(range(2000, 2020)) <= got
+    # random corpus rows sit near-orthogonal — none reach tau=0.95
+    assert got == set(range(2000, 2020))
+    # every planted copy's nearest_bench is its own source vector
+    near = dict(zip(flagged.vec_id, flagged.nearest_bench))
+    assert all(near[2000 + i] == 1000 + i for i in range(20))
+
+
+def test_full_probe_equals_brute_filter(planted):
+    """nprobe = n_cells degenerates to the exact brute cosine filter."""
+    corpus, bench = planted
+    cents = ivf_seed_centroids(DIM, n_cells=N_CELLS)
+    full = decontam.semantic_contamination(
+        corpus, bench, tau=0.2, nprobe=N_CELLS, dim=DIM, centroids=cents
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+
+    c = corpus.toPandas()
+    b = bench.toPandas()
+    cm = np.stack(c.embedding.map(np.asarray))
+    bm = np.stack(b.embedding.map(np.asarray))
+    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+    sims = np.round(cm @ bm.T, 6)
+    rows = []
+    for i, vid in enumerate(c.vec_id):
+        mask = sims[i] >= 0.2
+        if mask.any():
+            mx = sims[i][mask].max()
+            nearest = int(b.vec_id[(sims[i] == mx)].min())
+            rows.append((int(vid), int(mask.sum()), float(mx), nearest))
+    ref = (pd.DataFrame(rows, columns=["vec_id", "n_bench_hits",
+                                       "max_sim", "nearest_bench"])
+           .sort_values("vec_id").reset_index(drop=True))
+    assert len(full) == len(ref)
+    assert (full.vec_id.values == ref.vec_id.values).all()
+    assert (full.n_bench_hits.values == ref.n_bench_hits.values).all()
+    assert np.allclose(full.max_sim.values, ref.max_sim.values)
+    assert (full.nearest_bench.values == ref.nearest_bench.values).all()
+
+
+def test_probe_recall_is_monotone(planted):
+    corpus, bench = planted
+    cents = ivf_seed_centroids(DIM, n_cells=N_CELLS)
+    small = decontam.semantic_contamination(
+        corpus, bench, tau=0.2, nprobe=2, dim=DIM, centroids=cents
+    ).toPandas()
+    big = decontam.semantic_contamination(
+        corpus, bench, tau=0.2, nprobe=N_CELLS, dim=DIM, centroids=cents
+    ).toPandas()
+    assert set(small.vec_id) <= set(big.vec_id)
+    # hit counts can only grow with more probes
+    s = dict(zip(small.vec_id, small.n_bench_hits))
+    g = dict(zip(big.vec_id, big.n_bench_hits))
+    assert all(s[k] <= g[k] for k in s)
+
+
+def test_decontaminate_drops_flagged_keeps_rest(planted):
+    corpus, bench = planted
+    cents = ivf_seed_centroids(DIM, n_cells=N_CELLS)
+    clean = decontam.semantic_decontaminate(
+        corpus, bench, tau=0.95, nprobe=4, dim=DIM, centroids=cents)
+    ids = {r.vec_id for r in clean.select("vec_id").collect()}
+    assert ids == set(range(200))
+
+
+def test_plan_broadcasts_bench_no_cartesian(planted):
+    corpus, bench = planted
+    cents = ivf_seed_centroids(DIM, n_cells=N_CELLS)
+    plan = plan_of(decontam.semantic_contamination(
+        corpus, bench, tau=0.4, nprobe=4, dim=DIM, centroids=cents))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_duckdb_twin_hash(spark):
+    import duckdb
+
+    from tools.check_oracles import value_hash
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pred = "vec_id % 10 = 0"
+    res = decontam.semantic_contamination(
+        emb.where(~F.expr(pred)), emb.where(F.expr(pred)), tau=0.3
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                "'/root/testdata/sf0.001/embeddings.parquet'")
+    ora = con.execute(decontam.semantic_contamination_sql(
+        "embeddings", pred, 64, tau=0.3)).df()
+    assert value_hash(res) == value_hash(ora)

@@ -162,3 +162,139 @@ def source_stats_sql(table: str, source_col: str = "source",
     FROM scored
     GROUP BY 1
     """
+
+
+# ------------------------------------------- semantic decontamination
+#
+# Third decontamination modality, alongside the k-gram text probe above
+# and the audio-fingerprint tier (audio_fp.decontaminate): drop corpus
+# rows whose EMBEDDING is near a held-out benchmark embedding. Lexical
+# probes miss paraphrases and re-encodes; the embedding tier catches
+# them (the "semantic contamination" setting of Yang et al. 2023,
+# arXiv:2311.04850 "Rethinking Benchmark and Contamination ...").
+#
+# Scale shape mirrors the gram probe, not SemDeDup: the BENCHMARK side
+# is tiny (eval suites are 10^3..10^6 rows against a 10^12-row corpus),
+# so it is the side that gets replicated and broadcast. The corpus is
+# assigned ONE IVF cell per row in a pure-codegen projection (the same
+# literal-centroid argmax the IVF index build uses — no shuffle); the
+# benchmark multi-probes its top-`nprobe` cells (FAISS-style
+# replication, the recall lever for boundary pairs) and is broadcast.
+# The corpus therefore NEVER shuffles: one scan, one broadcast-hash
+# join on `cell`, cosine only on within-cell pairs, one hash aggregate
+# over the (tiny) matching sliver. Recall contract: a contaminated
+# corpus row misses only if its cell is outside the benchmark copy's
+# top-nprobe cells — planted-copy recall is pinned by test at the
+# defaults, and nprobe = n_cells degenerates to the exact brute filter
+# (equivalence also pinned by test).
+
+
+def semantic_contamination(corpus: DataFrame, bench: DataFrame,
+                           id_col: str = "vec_id",
+                           emb_col: str = "embedding",
+                           tau: float = 0.4, nprobe: int = 4,
+                           n_cells: int = 16, dim: int = 64,
+                           centroids: list | None = None) -> DataFrame:
+    """(vec_id, n_bench_hits, max_sim, nearest_bench) for every corpus
+    row with a probed-cell benchmark neighbor at round(cos, 6) >= tau.
+
+    nearest_bench is the max-sim benchmark id (ties -> lowest id), so
+    the output is deterministic row-for-row under any partitioning."""
+    from .bitext import _probe_cells_expr
+    from .similarity import cosine_expr, ivf_cell_col, ivf_seed_centroids
+
+    if centroids is None:
+        centroids = ivf_seed_centroids(dim, n_cells=n_cells)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("c_emb"),
+        ivf_cell_col(emb_col, centroids).alias("cell"),
+    )
+    b = bench.select(
+        F.col(id_col).cast("long").alias("bench_id"),
+        F.col(emb_col).alias("b_emb"),
+        F.explode(F.expr(_probe_cells_expr(emb_col, centroids, nprobe)))
+        .alias("cell"),
+    )
+    # corpus rows live in exactly one cell, so a (vec_id, bench_id)
+    # pair can surface at most once — no dedup step needed.
+    hits = (
+        c.join(F.broadcast(b), "cell")
+        .select("vec_id",
+                "bench_id",
+                F.round(cosine_expr("c_emb", "b_emb"), 6).alias("sim"))
+        .where(F.col("sim") >= tau)
+    )
+    best = F.max(F.struct(F.col("sim").alias("s"),
+                          (-F.col("bench_id")).alias("nb")))
+    return (
+        hits.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+             F.max("sim").alias("max_sim"),
+             (-best["nb"]).cast("long").alias("nearest_bench"))
+    )
+
+
+def semantic_decontaminate(corpus: DataFrame, bench: DataFrame,
+                           id_col: str = "vec_id",
+                           emb_col: str = "embedding",
+                           tau: float = 0.4, nprobe: int = 4,
+                           n_cells: int = 16, dim: int = 64,
+                           centroids: list | None = None) -> DataFrame:
+    """Corpus minus semantically contaminated rows — anti-join against
+    the (tiny) flagged-id set; AQE broadcasts it."""
+    flagged = semantic_contamination(
+        corpus, bench, id_col, emb_col, tau=tau, nprobe=nprobe,
+        n_cells=n_cells, dim=dim, centroids=centroids,
+    ).select(F.col("vec_id").alias(id_col))
+    return corpus.join(flagged, id_col, "left_anti")
+
+
+def semantic_contamination_sql(table: str, bench_pred: str, dim: int,
+                               tau: float = 0.4, nprobe: int = 4,
+                               n_cells: int = 16,
+                               centroids: list | None = None) -> str:
+    """DuckDB twin: same literal centroids, same single-cell corpus
+    assignment (list argmax, first-max-wins tie), same top-nprobe
+    benchmark probe (d DESC, cell asc tie), same 6-dp cosine."""
+    from .similarity import (_centroid_dots_sql, cosine_sql,
+                             ivf_seed_centroids)
+
+    if centroids is None:
+        centroids = ivf_seed_centroids(dim, n_cells=n_cells)
+    d = _centroid_dots_sql("embedding", centroids, dim)
+    cos = cosine_sql("c.c_emb", "b.b_emb", dim)
+    return f"""
+    WITH cd AS (
+      SELECT vec_id::BIGINT AS vec_id, embedding AS c_emb, {d} AS d
+      FROM {table} WHERE NOT ({bench_pred})
+    ),
+    c AS (
+      SELECT vec_id, c_emb,
+             (list_position(d, list_max(d)) - 1)::BIGINT AS cell
+      FROM cd
+    ),
+    bd AS (
+      SELECT vec_id::BIGINT AS bench_id, embedding AS b_emb, {d} AS d
+      FROM {table} WHERE ({bench_pred})
+    ),
+    b AS (
+      SELECT bench_id, b_emb, t.i::BIGINT AS cell
+      FROM bd, range(0, {n_cells}) t(i)
+      QUALIFY row_number() OVER (PARTITION BY bench_id
+                                 ORDER BY d[t.i + 1] DESC, t.i) <= {nprobe}
+    ),
+    hits AS (
+      SELECT c.vec_id, b.bench_id, round({cos}, 6) AS sim
+      FROM c JOIN b USING (cell)
+      WHERE round({cos}, 6) >= {tau}
+    )
+    SELECT vec_id,
+           count(*)::BIGINT AS n_bench_hits,
+           max(sim) AS max_sim,
+           (min(bench_id) FILTER (WHERE sim = max_sim2))::BIGINT
+             AS nearest_bench
+    FROM (SELECT *, max(sim) OVER (PARTITION BY vec_id) AS max_sim2
+          FROM hits) h
+    GROUP BY vec_id
+    """

@@ -107,6 +107,7 @@ PLAN_QUERIES = (
     "bm25_topk",
     "ann_recall",
     "doremi_alloc",
+    "semantic_decontam",
 )
 
 
