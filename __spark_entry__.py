@@ -925,6 +925,78 @@ def _q_bpe_tokens(spark, sf_dir):
                           _bpe_merges_df(spark, sf_dir))
 
 
+_UNIGRAM_VOCAB = 400
+
+
+def _unigram_vocab_df(spark, sf_dir):
+    from tiny_lingua_spark.operators import unigram
+
+    return unigram.unigram_train(_docs(spark, sf_dir), "text",
+                                 vocab_size=_UNIGRAM_VOCAB,
+                                 top_words=_BPE_TOP_WORDS)
+
+
+def _q_unigram_vocab(spark, sf_dir):
+    """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece): the
+    distributed pass is the same capped word table BPE uses; substring
+    seeding + forward-backward EM + pruning run on that bounded table
+    (golden-parquet oracle — the EM loop is not SQL-expressible; the
+    independent anchor is the Viterbi-vs-exhaustive and EM-monotone
+    tests in tests/test_unigram.py)."""
+    return _unigram_vocab_df(spark, sf_dir)
+
+
+def _q_unigram_tokens(spark, sf_dir):
+    """Viterbi encoding under the learned unigram LM: broadcast
+    {piece: logp}, one Arrow stage, per-batch unique-word cache
+    (golden-parquet oracle; anchor = Viterbi-vs-brute test)."""
+    from tiny_lingua_spark.operators import unigram
+
+    return unigram.unigram_encode(_docs(spark, sf_dir), "doc_id", "text",
+                                  _unigram_vocab_df(spark, sf_dir))
+
+
+def _q_unigram_fertility(spark, sf_dir):
+    """Tokenizer-fertility A/B: per-language tokens/100-chars and
+    tokens/word under BPE vs unigram-LM on the SAME corpus — the
+    standard comparison a pipeline runs before committing a tokenizer
+    (golden-parquet oracle)."""
+    from tiny_lingua_spark.operators import bpe, unigram
+
+    docs = _docs(spark, sf_dir)
+    uni = unigram.unigram_encode(docs, "doc_id", "text",
+                                 _unigram_vocab_df(spark, sf_dir))
+    bp = bpe.bpe_encode(docs, "doc_id", "text",
+                        _bpe_merges_df(spark, sf_dir))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.when(F.length(F.trim(F.col("text"))) > 0,
+                     F.size(toks)).otherwise(F.lit(0))
+    per_doc = (
+        docs.select("doc_id", "lang", F.length("text").alias("n_chars"),
+                    n_words.alias("n_words"))
+        .join(uni.select("doc_id", F.col("n_pieces").alias("uni_tokens")),
+              "doc_id")
+        .join(bp.select("doc_id", F.col("n_tokens").alias("bpe_tokens")),
+              "doc_id")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.round(F.sum("bpe_tokens") / F.sum("n_words"), 4)
+             .alias("bpe_tokens_per_word"),
+            F.round(F.sum("uni_tokens") / F.sum("n_words"), 4)
+             .alias("uni_tokens_per_word"),
+            F.round(F.sum("bpe_tokens") * 100.0 / F.sum("n_chars"), 4)
+             .alias("bpe_tokens_per_100_chars"),
+            F.round(F.sum("uni_tokens") * 100.0 / F.sum("n_chars"), 4)
+             .alias("uni_tokens_per_100_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_c4_clean(spark, sf_dir):
     """C4-style line/page cleaning over deterministic multi-line pages
     (documents are single-line, so a page per source is assembled by
@@ -2379,6 +2451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration": _shipped(_q_classifier_calibration),
         "bpe_merges": _shipped(_q_bpe_merges),
         "bpe_tokens": _shipped(_q_bpe_tokens),
+        "unigram_vocab": _shipped(_q_unigram_vocab),
+        "unigram_tokens": _shipped(_q_unigram_tokens),
+        "unigram_fertility": _shipped(_q_unigram_fertility),
         "bpe_fertility": _shipped(_q_bpe_fertility),
         "scrub_cc": _shipped(_q_scrub_cc),
         "scrub_secrets": _shipped(_q_scrub_secrets),
@@ -2503,6 +2578,9 @@ GOLDEN_ORACLE_QUERIES = (
     "bpe_merges",
     "bpe_tokens",
     "bpe_fertility",
+    "unigram_vocab",
+    "unigram_tokens",
+    "unigram_fertility",
     "semdedup_drop_trained",
     "bitext_mine_ann_trained",
     "audio_dtw_verify",

@@ -160,6 +160,9 @@ BENCH_QUERIES = (
     "ann_recall",             # recall@10/MRR/nDCG of every ANN tier
     "doremi_alloc",           # DoReMi-lite mixture reweighting
     "semantic_decontam",      # embedding-space benchmark decontamination
+    "unigram_vocab",          # unigram-LM EM training over the capped word table
+    "unigram_tokens",         # unigram-LM train (EM on capped table) + Viterbi encode
+    "unigram_fertility",      # BPE-vs-unigram fertility A/B per language
 )
 
 

@@ -1,0 +1,121 @@
+"""Unigram-LM tokenizer (Kudo 2018): Viterbi optimality vs exhaustive
+enumeration (the independent anchor for the golden oracles), EM
+monotonicity, char-closure, determinism under repartitioning, and the
+Arrow encode stage."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators import unigram as U
+
+COUNTS = [
+    ("internationalization", 50), ("international", 80), ("nation", 120),
+    ("the", 500), ("nationalization", 30), ("intern", 40), ("ize", 60),
+    ("organization", 45), ("organ", 35), ("national", 70),
+]
+
+
+@pytest.fixture(scope="module")
+def model():
+    return dict(U.learn_unigram(COUNTS, vocab_size=40, n_em=2))
+
+
+def _brute(word, logp, max_len):
+    n = len(word)
+
+    def segs(i):
+        if i == n:
+            yield []
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            p = word[i:j]
+            if logp.get(p) is None and len(p) != 1:
+                continue
+            for rest in segs(j):
+                yield [p] + rest
+
+    best = None
+    for seg in segs(0):
+        score = sum(logp.get(p, U.UNK_LOGP) for p in seg)
+        if best is None or (score, -len(seg)) > best[0]:
+            best = ((score, -len(seg)), seg)
+    return best[0][0]
+
+
+@pytest.mark.parametrize("word", [
+    "internationalization", "organization", "nationalize", "theize",
+    "qqq", "denationalization", "a", "zzinternzz",
+])
+def test_viterbi_matches_bruteforce(model, word):
+    seg = U.viterbi_encode(word, model, 8)
+    assert "".join(seg) == word
+    got = sum(model.get(p, U.UNK_LOGP) for p in seg)
+    assert abs(got - _brute(word, model, 8)) < 1e-9
+
+
+def test_em_nll_nonincreasing():
+    seed = U.seed_vocab(COUNTS, 8, 2000)
+    z = sum(seed.values())
+    logp = {p: math.log(f / z) for p, f in sorted(seed.items())}
+    nlls = []
+    for _ in range(5):
+        logp, nll = U._em_round(COUNTS, logp, 8)
+        nlls.append(nll)
+    assert all(b <= a + 1e-6 for a, b in zip(nlls, nlls[1:]))
+
+
+def test_single_chars_survive_pruning(model):
+    chars = {c for w, _ in COUNTS for c in w}
+    assert chars <= set(model)
+
+
+def test_vocab_size_respected(model):
+    assert len(model) <= 40
+
+
+def test_learned_pieces_are_real_subwords(model):
+    # the EM+prune loop should keep the morphemes the corpus repeats
+    assert "ization" in model or "ation" in model
+    assert "the" in model
+
+
+def test_train_deterministic_under_repartition(spark):
+    rows = [(i, ("international nation the organization " * 3))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = U.unigram_train(df.repartition(1), "text", vocab_size=60,
+                        top_words=100).collect()
+    b = U.unigram_train(df.repartition(7), "text", vocab_size=60,
+                        top_words=100).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_encode_spark_roundtrip(spark):
+    rows = [(1, "internationalization the nation"),
+            (2, ""), (3, None), (4, "QQQ unseenword")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [(p, lp) for p, lp in
+         U.learn_unigram(COUNTS, vocab_size=40, n_em=2)],
+        "piece string, logp double")
+    out = {r.doc_id: r for r in
+           U.unigram_encode(df, "doc_id", "text", vocab).collect()}
+    assert out[1].pieces.split() == U.viterbi_encode(
+        "internationalization", {r.piece: r.logp for r in vocab.collect()},
+        8) + ["the", "nation"]
+    assert out[2].n_pieces == 0 and out[3].n_pieces == 0
+    # unseen text still encodes (char fallback), lowercased
+    assert "".join(out[4].pieces.split()) == "qqqunseenword"
+
+
+def test_encode_is_single_arrow_stage(spark):
+    from tiny_lingua_spark.plans.audit import audit
+
+    df = spark.createDataFrame([(1, "the nation")],
+                               "doc_id long, text string")
+    vocab = spark.createDataFrame([("the", -0.5), ("nation", -1.0)],
+                                  "piece string, logp double")
+    a = audit(U.unigram_encode(df, "doc_id", "text", vocab))
+    assert a["exchanges"] == 0
+    assert a["python_eval_nodes"] == 1

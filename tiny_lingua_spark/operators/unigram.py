@@ -1,0 +1,278 @@
+"""Unigram-LM subword tokenizer (Kudo 2018, arXiv:1804.10959 — the
+SentencePiece `--model_type=unigram` algorithm), the standard
+alternative to BPE and the second tokenizer family a training-data
+pipeline A/Bs fertility against.
+
+Target-spec component (no reference counterpart — tiny-lingua is a
+language-ID library). Same distributed/driver split as operators/bpe.py:
+
+- the DISTRIBUTED pass is the capped word-frequency table (reused from
+  bpe.word_counts: one explode + map-side-combined aggregation, top-V
+  via TakeOrderedAndProject — the corpus is scanned once and never
+  shuffles beyond that one agg);
+- seeding, EM, and pruning run on that bounded table on the driver —
+  the published recipe (SentencePiece does exactly this on its
+  make_seed_sentencepieces suffix-array output): every pass is
+  O(top_words x word_len^2 x rounds), exact for the capped table and
+  tiny next to the corpus;
+- ENCODING broadcasts the {piece: logp} table and Viterbi-segments
+  each word in an Arrow-batched UDF with a per-batch unique-word cache
+  (Zipf: a 10k-doc batch holds far fewer unique words than tokens).
+
+Algorithm (the public recipe):
+  1. seed vocabulary = all substrings of the top-V words up to
+     `max_piece_len` chars, scored by occurrence frequency, capped to
+     `seed_size` by (freq desc, piece asc); single chars always kept.
+  2. EM rounds: E-step accumulates expected piece counts with
+     forward-backward over ALL segmentations of each word (true
+     posterior marginals, not 1-best); M-step re-normalizes to
+     log-probabilities.
+  3. prune the lowest-expected-count `prune_frac` of multi-char pieces
+     and re-run EM, until the vocabulary fits `vocab_size`.
+  4. inference = Viterbi best segmentation under the final logps;
+     characters outside the vocabulary fall back to single-char
+     pieces at `UNK_LOGP`.
+
+Determinism: the word table is a deterministic top-V; every driver
+loop iterates pieces in sorted order and breaks ties lexicographically,
+so the learned vocabulary is identical under any partitioning/retry —
+the regen-expected double-run gate relies on this.
+"""
+
+# NOTE: no `from __future__ import annotations` — stringified hints break
+# pandas_udf's Series->DataFrame signature inference.
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from .bpe import word_counts
+
+UNK_LOGP = -20.0  # per-char fallback score for out-of-vocab characters
+
+
+def seed_vocab(counts: list, max_piece_len: int = 8,
+               seed_size: int = 2000) -> dict:
+    """{piece: freq} — all substrings up to max_piece_len of the capped
+    word table, weighted by word frequency, capped to seed_size by
+    (freq desc, piece asc). Single characters are always retained (the
+    closure property Viterbi needs)."""
+    freqs: dict = {}
+    for word, freq in counts:
+        n = len(word)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + max_piece_len) + 1):
+                piece = word[i:j]
+                freqs[piece] = freqs.get(piece, 0) + freq
+    chars = {p: f for p, f in freqs.items() if len(p) == 1}
+    multi = sorted(((p, f) for p, f in freqs.items() if len(p) > 1),
+                   key=lambda kv: (-kv[1], kv[0]))
+    keep = dict(chars)
+    for p, f in multi[:max(0, seed_size - len(chars))]:
+        keep[p] = f
+    return keep
+
+
+def _forward_backward(word: str, logp: dict, max_len: int):
+    """Posterior expected counts of each piece over ALL segmentations
+    of `word` (log-domain forward-backward on the segmentation
+    lattice). Returns ({piece: expected_count}, total_log_prob)."""
+    n = len(word)
+    NEG = float("-inf")
+    fwd = [NEG] * (n + 1)
+    fwd[0] = 0.0
+    for j in range(1, n + 1):
+        acc = NEG
+        for i in range(max(0, j - max_len), j):
+            lp = logp.get(word[i:j])
+            if lp is None or fwd[i] == NEG:
+                continue
+            v = fwd[i] + lp
+            acc = v if acc == NEG else (
+                max(acc, v) + math.log1p(math.exp(-abs(acc - v))))
+        fwd[j] = acc
+    if fwd[n] == NEG:
+        return {}, NEG
+    bwd = [NEG] * (n + 1)
+    bwd[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        acc = NEG
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            lp = logp.get(word[i:j])
+            if lp is None or bwd[j] == NEG:
+                continue
+            v = lp + bwd[j]
+            acc = v if acc == NEG else (
+                max(acc, v) + math.log1p(math.exp(-abs(acc - v))))
+        bwd[i] = acc
+    total = fwd[n]
+    exp: dict = {}
+    for i in range(n):
+        if fwd[i] == NEG:
+            continue
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None or bwd[j] == NEG:
+                continue
+            post = math.exp(fwd[i] + lp + bwd[j] - total)
+            exp[piece] = exp.get(piece, 0.0) + post
+    return exp, total
+
+
+def _em_round(counts: list, logp: dict, max_len: int):
+    """One EM pass over the word table; returns (new_logp,
+    corpus_neg_log_likelihood). Pieces with zero expected count keep a
+    floor so single-char closure never breaks."""
+    expected: dict = {}
+    nll = 0.0
+    for word, freq in counts:
+        exp, total = _forward_backward(word, logp, max_len)
+        if total == float("-inf"):
+            continue
+        nll -= freq * total
+        for piece, c in exp.items():
+            expected[piece] = expected.get(piece, 0.0) + freq * c
+    floor = 1e-6
+    z = sum(expected.values()) + floor * (len(logp) - len(expected))
+    new = {}
+    for piece in sorted(logp):
+        e = expected.get(piece, floor)
+        new[piece] = math.log(e / z)
+    return new, nll
+
+
+def _prune(logp: dict, vocab_size: int, prune_frac: float) -> dict:
+    """Drop the weakest multi-char pieces (lowest logp first, ties
+    piece desc so shorter/lexicographically-earlier pieces survive);
+    single chars are never dropped."""
+    multi = sorted(((p, lp) for p, lp in logp.items() if len(p) > 1),
+                   key=lambda kv: (kv[1], kv[0]))
+    n_chars = sum(1 for p in logp if len(p) == 1)
+    target_multi = max(0, vocab_size - n_chars)
+    n_drop = max(int(len(multi) * prune_frac),
+                 len(multi) - target_multi if len(multi) > target_multi
+                 else 0)
+    n_drop = min(n_drop, max(0, len(multi) - target_multi))
+    dropped = {p for p, _ in multi[:n_drop]}
+    return {p: lp for p, lp in logp.items() if p not in dropped}
+
+
+def learn_unigram(counts: list, vocab_size: int = 400,
+                  max_piece_len: int = 8, seed_size: int = 2000,
+                  n_em: int = 2, prune_frac: float = 0.25) -> list:
+    """Kudo's iterative EM+prune loop over a (word, count) table.
+    Returns [(piece, logp)] sorted by (logp desc, piece) — the final
+    model, re-normalized with one last EM pass."""
+    seed = seed_vocab(counts, max_piece_len, seed_size)
+    z = sum(seed.values())
+    logp = {p: math.log(f / z) for p, f in sorted(seed.items())}
+    while True:
+        for _ in range(n_em):
+            logp, _nll = _em_round(counts, logp, max_piece_len)
+        n_multi = sum(1 for p in logp if len(p) > 1)
+        n_chars = len(logp) - n_multi
+        if len(logp) <= vocab_size or n_multi <= max(
+                0, vocab_size - n_chars):
+            break
+        logp = _prune(logp, vocab_size, prune_frac)
+    logp, _ = _em_round(counts, logp, max_piece_len)
+    return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def unigram_train(df: DataFrame, text_col: str, vocab_size: int = 400,
+                  top_words: int = 1000, max_piece_len: int = 8,
+                  seed_size: int = 2000, n_em: int = 2) -> DataFrame:
+    """Train a unigram-LM vocabulary on a corpus; returns (piece, logp
+    rounded to 10 dp) as a DataFrame — tiny, broadcast-ready."""
+    spark = df.sparkSession
+    pieces = learn_unigram(
+        word_counts(df, text_col, top_words), vocab_size=vocab_size,
+        max_piece_len=max_piece_len, seed_size=seed_size, n_em=n_em)
+    rows = [(p, round(lp, 10)) for p, lp in pieces]
+    return spark.createDataFrame(rows, "piece string, logp double")
+
+
+def viterbi_encode(word: str, logp: dict, max_len: int) -> list:
+    """Best segmentation under the unigram LM; out-of-vocab characters
+    become single-char pieces at UNK_LOGP (SentencePiece's byte/char
+    fallback semantics). Ties break toward the FEWER-piece path, then
+    lexicographically earlier final piece (deterministic)."""
+    n = len(word)
+    NEG = float("-inf")
+    # best[j] = (score, n_pieces, back_i); deterministic tie-break
+    best = [(NEG, 0, -1)] * (n + 1)
+    best[0] = (0.0, 0, -1)
+    for j in range(1, n + 1):
+        cand = None
+        for i in range(max(0, j - max_len), j):
+            if best[i][0] == NEG:
+                continue
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None:
+                if len(piece) != 1:
+                    continue
+                lp = UNK_LOGP
+            score = best[i][0] + lp
+            key = (score, -(best[i][1] + 1), word[i:j])
+            if cand is None or key > cand[0]:
+                cand = (key, (score, best[i][1] + 1, i))
+        if cand is not None:
+            best[j] = cand[1]
+    if best[n][0] == NEG:  # unreachable given single-char fallback
+        return list(word)
+    out = []
+    j = n
+    while j > 0:
+        i = best[j][2]
+        out.append(word[i:j])
+        j = i
+    return out[::-1]
+
+
+def unigram_encode_udf(spark, vocab: DataFrame, max_piece_len: int = 8):
+    """Arrow-batched Viterbi encoder: broadcast {piece: logp}, cache
+    segmentations per unique word within each batch."""
+    import pandas as pd
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    logp = {r["piece"]: r["logp"] for r in vocab.collect()}
+    bc = spark.sparkContext.broadcast(logp)
+    schema = StructType([
+        StructField("pieces", StringType()),
+        StructField("n_pieces", LongType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def enc(texts: pd.Series) -> pd.DataFrame:
+        lp = bc.value
+        cache: dict = {}
+        out_p, out_n = [], []
+        for t in texts:
+            words = (t or "").lower().split()
+            toks: list = []
+            for w in words:
+                got = cache.get(w)
+                if got is None:
+                    got = viterbi_encode(w, lp, max_piece_len)
+                    cache[w] = got
+                toks.extend(got)
+            out_p.append(" ".join(toks))
+            out_n.append(len(toks))
+        return pd.DataFrame({"pieces": out_p, "n_pieces": out_n})
+
+    return enc
+
+
+def unigram_encode(df: DataFrame, id_col: str, text_col: str,
+                   vocab: DataFrame, max_piece_len: int = 8) -> DataFrame:
+    """Encode a corpus with a learned unigram vocabulary → one row per
+    doc with the piece stream and its exact length (single Arrow
+    stage, no shuffle)."""
+    enc = unigram_encode_udf(df.sparkSession, vocab, max_piece_len)
+    return df.select(
+        F.col(id_col),
+        enc(F.col(text_col)).alias("e"),
+    ).select(id_col, F.col("e.pieces").alias("pieces"),
+             F.col("e.n_pieces").alias("n_pieces"))

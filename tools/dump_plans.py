@@ -108,6 +108,8 @@ PLAN_QUERIES = (
     "ann_recall",
     "doremi_alloc",
     "semantic_decontam",
+    "unigram_tokens",
+    "unigram_fertility",
 )
 
 
