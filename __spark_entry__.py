@@ -2132,6 +2132,29 @@ def _q_audio_artifacts(spark, sf_dir):
     )
 
 
+def _q_audio_snr(spark, sf_dir):
+    """Blind segmental-SNR estimate (NIST STNR-style frame-energy
+    percentiles): signal = mean of the top-20% frame powers, noise
+    floor = mean of the bottom-20%, active_ratio = frames above 4x the
+    floor. Golden-parquet oracle (frame-percentile math over decoded
+    PCM is not SQL-expressible); the independent anchor is planted-SNR
+    recovery within 2 dB in tests/test_snr.py."""
+    from tiny_lingua_spark.audio import snr_udf
+
+    clips = _synth_clips(spark, sf_dir=sf_dir)
+    u = snr_udf()
+    return clips.select(
+        "clip_id", "codec",
+        u(F.col("bytes"), F.col("codec")).alias("s"),
+    ).select(
+        "clip_id", "codec",
+        F.col("s.decode_ok").alias("decode_ok"),
+        F.round(F.col("s.snr_db"), 4).alias("snr_db"),
+        F.round(F.col("s.noise_floor_db"), 4).alias("noise_floor_db"),
+        F.round(F.col("s.active_ratio"), 6).alias("active_ratio"),
+    )
+
+
 def _q_audio_true_peak(spark, sf_dir):
     """Inter-sample true peak (BS.1770-style 4x windowed-sinc
     polyphase) next to the raw sample peak, with the R128 -1 dBTP
@@ -2522,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mfcc": _shipped(_q_audio_mfcc),
         "audio_pitch": _shipped(_q_audio_pitch),
         "audio_artifacts": _shipped(_q_audio_artifacts),
+        "audio_snr": _shipped(_q_audio_snr),
         "audio_true_peak": _shipped(_q_audio_true_peak),
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
@@ -2562,6 +2586,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_mfcc",
     "audio_pitch",
     "audio_artifacts",
+    "audio_snr",
     "audio_trim_apply",
     "audio_resample",
     "audio_loudness",

@@ -163,6 +163,7 @@ BENCH_QUERIES = (
     "unigram_vocab",          # unigram-LM EM training over the capped word table
     "unigram_tokens",         # unigram-LM train (EM on capped table) + Viterbi encode
     "unigram_fertility",      # BPE-vs-unigram fertility A/B per language
+    "audio_snr",              # blind segmental-SNR quality screen
 )
 
 

@@ -1,0 +1,105 @@
+"""Blind segmental-SNR kernel (NIST STNR-style energy percentiles):
+planted-SNR recovery within tolerance, monotonicity, batch≡rowloop
+equivalence, degenerate inputs, chunking invariance, Spark end-to-end."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio as A
+
+SR = 16000
+
+
+def _gated_speech(target_snr_db, seed=3, dur_s=1.0):
+    """Alternating 100 ms tone bursts + pauses over noise at a known
+    long-run SNR (tone RMS vs noise RMS)."""
+    rng = np.random.default_rng(seed)
+    n = int(SR * dur_s)
+    t = np.arange(n) / SR
+    sig = 0.5 * np.sin(2 * np.pi * 220 * t)
+    gate = (np.floor(t / 0.1) % 2 == 0).astype(np.float64)
+    noise_rms = (0.5 / np.sqrt(2)) / (10 ** (target_snr_db / 20))
+    return (sig * gate + rng.normal(0, noise_rms, n)).astype(np.float32)
+
+
+def _batch(rows):
+    return (pd.Series([r[0] for r in rows]), pd.Series([r[1] for r in rows]))
+
+
+def test_planted_snr_recovered_within_2db():
+    for target in (30.0, 20.0, 10.0):
+        x = _gated_speech(target)
+        out = A._snr_batch(*_batch([(A.encode(x, "pcm_s16le"),
+                                     "pcm_s16le")]))
+        assert abs(out.snr_db[0] - target) < 2.0, (target, out.snr_db[0])
+        # gate is half on half off -> active ratio near 0.5
+        assert 0.3 < out.active_ratio[0] < 0.7
+
+
+def test_snr_monotone_in_noise_level():
+    ests = []
+    for target in (5.0, 15.0, 25.0, 35.0):
+        x = _gated_speech(target)
+        out = A._snr_batch(*_batch([(A.encode(x, "pcm_s16le"),
+                                     "pcm_s16le")]))
+        ests.append(out.snr_db[0])
+    assert all(a < b for a, b in zip(ests, ests[1:]))
+
+
+def test_pure_noise_snr_near_zero():
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 0.1, SR).astype(np.float32)
+    out = A._snr_batch(*_batch([(A.encode(x, "pcm_s16le"), "pcm_s16le")]))
+    assert out.snr_db[0] < 3.0
+    assert out.active_ratio[0] < 0.1
+
+
+def test_degenerate_inputs():
+    rows = [(None, "pcm_s16le"), (b"xyz", "no_such_codec"),
+            (A.encode(np.zeros(100, np.float32), "pcm_s16le"), "pcm_s16le"),
+            (b"", "pcm_s16le")]
+    out = A._snr_batch(*_batch(rows))
+    assert list(out.decode_ok) == [False, False, True, True]
+    assert (out.snr_db == 0.0).all()
+    assert (out.active_ratio == 0.0).all()
+
+
+def test_batch_equals_rowloop_fuzzed():
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(0, 4 * A.FRAME_SAMPLES * 8))
+        x = rng.normal(0, 0.2, n).astype(np.float32)
+        codec = ["pcm_s16le", "pcm_f32le", "mulaw", "alaw"][i % 4]
+        rows.append((A.encode(x, codec), codec))
+    rows += [(None, "pcm_s16le"), (b"q", "pcm_s16le")]
+    b, c = _batch(rows)
+    got = A._snr_batch(b, c)
+    ref = A._snr_rowloop(b, c)
+    assert (got.decode_ok.values == ref.decode_ok.values).all()
+    assert np.allclose(got.snr_db, ref.snr_db, atol=1e-9)
+    assert np.allclose(got.noise_floor_db, ref.noise_floor_db, atol=1e-9)
+    assert np.allclose(got.active_ratio, ref.active_ratio, atol=1e-12)
+
+
+def test_chunking_invariance(monkeypatch):
+    rng = np.random.default_rng(13)
+    rows = [(A.encode(rng.normal(0, 0.2, 3000).astype(np.float32),
+                      "pcm_s16le"), "pcm_s16le") for _ in range(12)]
+    b, c = _batch(rows)
+    full = A._chunked_frame_apply(A._snr_batch, b, c)
+    monkeypatch.setattr(A, "_CHUNK_SAMPLE_BUDGET", 4000)
+    small = A._chunked_frame_apply(A._snr_batch, b, c)
+    assert np.allclose(full.snr_db, small.snr_db)
+    assert np.allclose(full.active_ratio, small.active_ratio)
+
+
+def test_spark_end_to_end(spark):
+    x = _gated_speech(20.0)
+    df = spark.createDataFrame(
+        [(1, bytearray(A.encode(x, "pcm_s16le")), "pcm_s16le")],
+        "clip_id long, bytes binary, codec string")
+    u = A.snr_udf()
+    row = df.select(u(F.col("bytes"), F.col("codec")).alias("s")).collect()[0]
+    assert row.s.decode_ok and abs(row.s.snr_db - 20.0) < 2.0

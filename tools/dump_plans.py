@@ -110,6 +110,7 @@ PLAN_QUERIES = (
     "semantic_decontam",
     "unigram_tokens",
     "unigram_fertility",
+    "audio_snr",
 )
 
 
