@@ -1195,6 +1195,37 @@ def _q_ivf_cells(spark, sf_dir):
     return similarity.ivf_cells(_emb(spark, sf_dir))
 
 
+def _pca_model(spark, sf_dir):
+    from tiny_lingua_spark.operators import pca
+
+    return pca.pca_train(_emb(spark, sf_dir), dim=EMB_DIM, d_out=8)
+
+
+def _q_pca_components(spark, sf_dir):
+    """Distributed PCA training (FAISS PCAMatrix / OPQ-prerotation
+    preprocessing): one mapInPandas scan emits fixed-point moment
+    partials (one row per Arrow batch), the driver sums exact integers
+    and runs the dim x dim eigh — bit-deterministic under any
+    partitioning (golden-parquet oracle; anchors: numpy replication
+    bit-equal + repartition bit-equality + orthonormality in
+    tests/test_pca.py)."""
+    from tiny_lingua_spark.operators import pca
+
+    mean, comps, evals = _pca_model(spark, sf_dir)
+    return pca.pca_components_df(spark, mean, comps, evals)
+
+
+def _q_pca_whiten(spark, sf_dir):
+    """Whitened projection onto the trained components: literal-matrix
+    codegen dot products, zero shuffle, zero Python (golden-parquet
+    oracle; anchor = projection-vs-numpy equivalence test)."""
+    from tiny_lingua_spark.operators import pca
+
+    mean, comps, evals = _pca_model(spark, sf_dir)
+    return pca.pca_project(_emb(spark, sf_dir), mean, comps, evals,
+                           whiten=True)
+
+
 def _q_pq_codes(spark, sf_dir):
     """Product-quantization index build (Jégou et al. 2011): 64-dim
     float vectors compress to 8 subspace codes in one zero-shuffle
@@ -2518,6 +2549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": _shipped(_q_embedding_neardup_exact),
         "ivf_topk": _shipped(_q_ivf_topk),
         "ivf_cells": _shipped(_q_ivf_cells),
+        "pca_components": _shipped(_q_pca_components),
+        "pca_whiten": _shipped(_q_pca_whiten),
         "pq_codes": _shipped(_q_pq_codes),
         "pq_topk": _shipped(_q_pq_topk),
         "ivfpq_topk": _shipped(_q_ivfpq_topk),
@@ -2609,6 +2642,8 @@ GOLDEN_ORACLE_QUERIES = (
     "semdedup_drop_trained",
     "bitext_mine_ann_trained",
     "audio_dtw_verify",
+    "pca_components",
+    "pca_whiten",
 )
 
 EXPECTED_DIR = os.path.join(_REPO, "expected")

@@ -1,0 +1,102 @@
+"""Distributed PCA/whitening: fixed-point moment accumulation is
+bit-deterministic under partitioning and bit-equal to a numpy
+replication (the ivf_train-style anchor); components are orthonormal
+with the svd_flip sign convention; a planted anisotropic direction is
+recovered; whitening flattens the spectrum; projection is a
+zero-shuffle codegen stage matching numpy."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators import pca
+
+DIM = 12
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """300 points stretched 6x along a fixed direction u."""
+    rng = np.random.default_rng(21)
+    u = rng.normal(size=DIM)
+    u /= np.linalg.norm(u)
+    base = rng.normal(size=(300, DIM))
+    pts = base + 5.0 * np.outer(base @ u, u) + 0.3  # anisotropy + offset
+    df = spark.createDataFrame(
+        [(i, row.astype(float).tolist()) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>")
+    return df, pts.astype(np.float32).astype(np.float64), u
+
+
+def test_train_bit_deterministic_under_repartition(planted):
+    df, _, _ = planted
+    m1, c1, e1 = pca.pca_train(df, dim=DIM, d_out=4)
+    m2, c2, e2 = pca.pca_train(df.repartition(11), dim=DIM, d_out=4)
+    assert (m1 == m2).all() and (c1 == c2).all() and (e1 == e2).all()
+
+
+def test_train_equals_numpy_replication(planted):
+    df, mat, _ = planted
+    mean, comps, evals = pca.pca_train(df, dim=DIM, d_out=4)
+    S = pca._FP_SCALE
+    n = len(mat)
+    s = np.rint(mat * S).astype(np.int64).sum(axis=0)
+    o = (np.rint(np.einsum("ni,nj->nij", mat, mat).reshape(n, -1) * S)
+         .astype(np.int64).sum(axis=0))
+    mean_r = s / n / S
+    cov = (o / n / S).reshape(DIM, DIM) - np.outer(mean_r, mean_r)
+    cov = (cov + cov.T) / 2
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:4]
+    comps_r = evec[:, order].T
+    for k in range(4):
+        j = int(np.argmax(np.abs(comps_r[k])))
+        if comps_r[k, j] < 0:
+            comps_r[k] = -comps_r[k]
+    assert (mean == mean_r).all()
+    assert (comps == comps_r).all()
+
+
+def test_components_orthonormal_descending_signfixed(planted):
+    df, _, _ = planted
+    _, comps, evals = pca.pca_train(df, dim=DIM, d_out=4)
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-10)
+    assert (np.diff(evals) <= 1e-15).all()
+    for k in range(4):
+        j = int(np.argmax(np.abs(comps[k])))
+        assert comps[k, j] > 0
+
+
+def test_planted_direction_recovered(planted):
+    df, _, u = planted
+    _, comps, evals = pca.pca_train(df, dim=DIM, d_out=2)
+    assert abs(float(comps[0] @ u)) > 0.99
+    assert evals[0] > 5 * evals[1]
+
+
+def test_whitened_covariance_is_identity(planted):
+    df, mat, _ = planted
+    mean, comps, evals = pca.pca_train(df, dim=DIM, d_out=4)
+    y = (mat - mean) @ (comps / np.sqrt(evals + 1e-9)[:, None]).T
+    cov = np.cov(y.T, bias=True)
+    assert np.allclose(cov, np.eye(4), atol=0.05)
+
+
+def test_projection_matches_numpy_and_is_codegen(planted):
+    from tiny_lingua_spark.plans.audit import audit
+
+    df, mat, _ = planted
+    mean, comps, evals = pca.pca_train(df, dim=DIM, d_out=3)
+    out = pca.pca_project(df, mean, comps, evals, whiten=True)
+    a = audit(out)
+    assert a["exchanges"] == 0 and a["python_eval_nodes"] == 0
+    got = (out.toPandas().sort_values("vec_id")
+           [["y0", "y1", "y2"]].values)
+    ref = (mat - mean) @ (comps / np.sqrt(evals + 1e-9)[:, None]).T
+    assert np.allclose(got, np.round(ref, 6), atol=1e-6)
+
+
+def test_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        pca.pca_train(df, dim=DIM, d_out=2)

@@ -1,0 +1,148 @@
+"""Distributed PCA / whitening over embedding columns.
+
+Target-spec component (no reference counterpart): the standard
+preprocessing stage in front of quantized ANN indexes — FAISS's
+PCAMatrix / OPQ prerotation (Ge et al. 2014) — and the usual embedding
+hygiene step (mean-centering + variance whitening) before cosine
+thresholds are tuned. Composes with similarity.pq_* / ivf_*: whiten
+first, then quantize.
+
+Scale shape:
+- TRAINING is one corpus scan: an Arrow-batched `mapInPandas` stage
+  emits ONE partial row per batch — (n, sum_x scaled to int64,
+  sum_outer scaled to int64, dim*dim) — and the driver adds up the
+  bounded partial set (one row per Arrow batch) with arbitrary-
+  precision Python ints. Per-row products are ROUNDED to fixed point
+  BEFORE summation, so the accumulated second moments are exact
+  integers: bit-identical under any partitioning, any batch split,
+  any retry (the ivf_train precedent, test-pinned here the same way).
+  Driver work is the dim x dim eigendecomposition — microseconds.
+- PROJECTION is a pure-codegen literal-matrix expression (the
+  _centroid_dots_expr pattern): no shuffle, no Python, whole-stage
+  codegen; at 10^12 rows it is a map-only pass.
+
+Determinism beyond the integer sums: numpy's eigh is deterministic for
+bit-identical input, and the remaining sign ambiguity is fixed by
+forcing each component's largest-|value| entry positive (first index
+on ties) — the convention scikit-learn's svd_flip uses.
+"""
+
+# NOTE: no `from __future__ import annotations` — stringified hints break
+# pandas_udf signature inference.
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_FP_SCALE = float(1 << 24)  # fixed-point scale for moment accumulation
+
+
+def _partial_schema(dim: int) -> str:
+    return "n long, s array<long>, o array<long>"
+
+
+def moment_partials(emb: DataFrame, emb_col: str, dim: int) -> DataFrame:
+    """One partial-moment row per Arrow batch: count, scaled first
+    moments (dim), scaled second moments (dim*dim, row-major)."""
+
+    def gen(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            s = np.rint(mat * _FP_SCALE).astype(np.int64).sum(axis=0)
+            outer = np.einsum("ni,nj->nij", mat, mat).reshape(len(mat), -1)
+            o = np.rint(outer * _FP_SCALE).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame({
+                "n": [len(mat)],
+                "s": [s.tolist()],
+                "o": [o.tolist()],
+            })
+
+    return emb.select(emb_col).mapInPandas(gen, _partial_schema(dim))
+
+
+def pca_train(emb: DataFrame, emb_col: str = "embedding", dim: int = 64,
+              d_out: int = 8):
+    """Exact fixed-point moment accumulation → driver eigh.
+
+    Returns (mean, components, eigenvalues): mean is the corpus mean
+    (dim,), components is (d_out, dim) row-orthonormal with the
+    svd_flip sign convention, eigenvalues the matching top variances
+    (descending). Bit-deterministic under any partitioning."""
+    rows = moment_partials(emb, emb_col, dim).collect()
+    n = sum(int(r["n"]) for r in rows)
+    if n == 0:
+        raise ValueError("pca_train: empty input")
+    # arbitrary-precision integer sums: no overflow at any corpus size
+    s = [0] * dim
+    o = [0] * (dim * dim)
+    for r in rows:
+        for i, v in enumerate(r["s"]):
+            s[i] += int(v)
+        for i, v in enumerate(r["o"]):
+            o[i] += int(v)
+    mean = np.array([v / n / _FP_SCALE for v in s])
+    second = np.array([v / n / _FP_SCALE for v in o]).reshape(dim, dim)
+    cov = second - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:d_out]
+    evals = evals[order]
+    comps = evecs[:, order].T
+    # svd_flip: largest-|v| entry positive, first index on ties
+    for k in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[k])))
+        if comps[k, j] < 0:
+            comps[k] = -comps[k]
+    return mean, comps, np.maximum(evals, 0.0)
+
+
+def pca_components_df(spark, mean, comps, evals) -> DataFrame:
+    """The trained transform as a tiny DataFrame (component, pos,
+    weight, eigenvalue, mean_pos) — broadcast/commit-ready."""
+    rows = []
+    for k in range(comps.shape[0]):
+        for j in range(comps.shape[1]):
+            rows.append((k, j, float(comps[k, j]), float(evals[k]),
+                         float(mean[j])))
+    return spark.createDataFrame(
+        rows, "component int, pos int, weight double, eigenvalue double,"
+              " mean_pos double")
+
+
+def _project_exprs(emb_col: str, mean, comps, evals,
+                   whiten: bool, eps: float = 1e-9) -> list:
+    """One codegen dot-product expression per output dimension, the
+    literal-matrix pattern of similarity._centroid_dots_expr; whitening
+    folds 1/sqrt(eigenvalue) into the literals."""
+    exprs = []
+    for k in range(comps.shape[0]):
+        w = comps[k]
+        scale = 1.0 / np.sqrt(evals[k] + eps) if whiten else 1.0
+        wl = w * scale
+        c = float(np.dot(mean, wl))
+        arr = ", ".join(f"cast({v!r} as double)" for v in wl)
+        exprs.append(
+            f"aggregate(zip_with(transform({emb_col}, x -> cast(x as"
+            f" double)), array({arr}), (x, y) -> x * y),"
+            f" cast(0.0 as double), (acc, v) -> acc + v) - cast({c!r} as"
+            " double)"
+        )
+    return exprs
+
+
+def pca_project(emb: DataFrame, mean, comps, evals,
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                whiten: bool = False, round_dp: int = 6) -> DataFrame:
+    """(id, y0..y{k-1}) — mean-centered projection onto the components
+    (optionally whitened), as a zero-shuffle codegen projection."""
+    exprs = _project_exprs(emb_col, mean, comps, evals, whiten)
+    cols = [F.col(id_col)]
+    for k, e in enumerate(exprs):
+        cols.append(F.round(F.expr(e), round_dp).alias(f"y{k}"))
+    return emb.select(*cols)
+
+
+def explained_variance_df(spark, evals, total_var: float) -> DataFrame:
+    rows = [(k, float(v), round(float(v / total_var), 6))
+            for k, v in enumerate(evals)]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_frac double")

@@ -111,6 +111,7 @@ PLAN_QUERIES = (
     "unigram_tokens",
     "unigram_fertility",
     "audio_snr",
+    "pca_whiten",
 )
 
 
