@@ -426,6 +426,22 @@ def _q_shard_plan(spark, sf_dir):
     return shard_plan(_synth_clips(spark, sf_dir=sf_dir), shard_bytes=_SHARD_BYTES)
 
 
+def _q_webdataset_manifest(spark, sf_dir):
+    """The ACTUAL WebDataset sink behind shard_plan: one shuffle keyed
+    on shard_id, each task streams one tar (zeroed tar metadata →
+    byte-deterministic shards) and emits a manifest row. Golden-parquet
+    oracle pins shard membership, sizes AND the sha256 of every tar's
+    bytes; anchors: byte-exact round-trip through read_webdataset +
+    double-write sha equality (tests/test_webdataset.py)."""
+    import tempfile
+
+    from tiny_lingua_spark.sources import webdataset as wd
+
+    out = os.path.join(tempfile.gettempdir(), "tls_wds_sink")
+    return wd.write_webdataset(_synth_clips(spark, sf_dir=sf_dir), out,
+                               shard_bytes=_SHARD_BYTES)
+
+
 def _q_shard_stats(spark, sf_dir):
     """Per-shard yield of the placement plan (fill ratio vs budget;
     >1.0 marks the single straddling member)."""
@@ -2469,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize": _shipped(_q_rank_normalize),
         "rate_outliers": _shipped(_q_rate_outliers),
         "shard_plan": _shipped(_q_shard_plan),
+        "webdataset_manifest": _shipped(_q_webdataset_manifest),
         "length_batches": _shipped(_q_length_batches),
         "batch_padding": _shipped(_q_batch_padding),
         "speed_perturb": _shipped(_q_speed_perturb),
@@ -2644,6 +2661,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_dtw_verify",
     "pca_components",
     "pca_whiten",
+    "webdataset_manifest",
 )
 
 EXPECTED_DIR = os.path.join(_REPO, "expected")

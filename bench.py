@@ -166,6 +166,7 @@ BENCH_QUERIES = (
     "audio_snr",              # blind segmental-SNR quality screen
     "pca_components",         # fixed-point moment PCA training
     "pca_whiten",             # whitened projection (codegen literals)
+    "webdataset_manifest",    # tar shard sink (write + manifest)
 )
 
 

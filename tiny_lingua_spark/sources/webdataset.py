@@ -1,0 +1,150 @@
+"""WebDataset tar shard sink + source (the actual writer/reader behind
+operators/sharding.py's placement plan).
+
+WebDataset (github.com/webdataset/webdataset, the PyTorch-blessed
+streaming format) stores a corpus as numbered `shard-%06d.tar` files;
+each sample is a group of adjacent tar members sharing a basename key
+(`{key}.pcm` payload, `{key}.txt` transcript, `{key}.json` metadata).
+Training jobs stream shards sequentially — the layout IS the shuffle.
+
+Scale shape:
+- WRITE: one shuffle keyed on shard_id (`groupBy(shard_id).
+  applyInPandas`) — each task streams ONE tar to the output directory
+  and emits a single manifest row (shard_id, n_clips, tar_bytes,
+  sha256). Shard byte budgets bound task memory; payload bytes cross
+  the shuffle exactly once, the unavoidable minimum for a re-bucketing
+  sink. Out_dir must be executor-visible (local FS here; HDFS/S3 via
+  fsspec in a real deployment — the task structure is identical).
+- READ: `binaryFile` scan of the tars → one Arrow pass parsing
+  members back to rows. Shards are independent splits, so the read
+  parallelizes per tar exactly like the training loader it mirrors.
+
+Determinism: members are written in (clip_id) order with zeroed tar
+metadata (mtime/uid/gid/uname, USTAR format) and sort_keys JSON, so a
+shard's bytes — and therefore its manifest sha256 — are a pure
+function of its member set. The regen-expected double-run gate and the
+round-trip tests rely on this.
+"""
+
+# NOTE: no `from __future__ import annotations` — breaks pandas_udf
+# signature inference in this package's UDF modules.
+import hashlib
+import io
+import json
+import os
+import tarfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MANIFEST_SCHEMA = ("shard_id long, n_clips long, n_members long,"
+                   " tar_bytes long, sha256 string")
+
+READ_SCHEMA = ("shard_id long, clip_id string, bytes binary,"
+               " transcript string, codec string, sr_hz int,"
+               " dur_ms int")
+
+
+def _tarinfo(name: str, size: int) -> tarfile.TarInfo:
+    ti = tarfile.TarInfo(name=name)
+    ti.size = size
+    ti.mtime = 0
+    ti.uid = ti.gid = 0
+    ti.uname = ti.gname = ""
+    ti.mode = 0o644
+    return ti
+
+
+def _write_shard(pdf: pd.DataFrame, out_dir: str) -> pd.DataFrame:
+    shard_id = int(pdf["shard_id"].iloc[0])
+    pdf = pdf.sort_values("clip_id", kind="stable")
+    buf = io.BytesIO()
+    n_members = 0
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tar:
+        for r in pdf.itertuples(index=False):
+            key = str(r.clip_id)
+            payload = bytes(r.bytes) if r.bytes is not None else b""
+            tar.addfile(_tarinfo(f"{key}.pcm", len(payload)),
+                        io.BytesIO(payload))
+            txt = (r.transcript or "").encode("utf-8")
+            tar.addfile(_tarinfo(f"{key}.txt", len(txt)), io.BytesIO(txt))
+            meta = json.dumps(
+                {"codec": r.codec, "sr_hz": int(r.sr_hz),
+                 "dur_ms": int(r.dur_ms)},
+                sort_keys=True).encode("utf-8")
+            tar.addfile(_tarinfo(f"{key}.json", len(meta)),
+                        io.BytesIO(meta))
+            n_members += 3
+    data = buf.getvalue()
+    path = os.path.join(out_dir, f"shard-{shard_id:06d}.tar")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic publish (resume-safe rewrite)
+    return pd.DataFrame({
+        "shard_id": [shard_id],
+        "n_clips": [len(pdf)],
+        "n_members": [n_members],
+        "tar_bytes": [len(data)],
+        "sha256": [hashlib.sha256(data).hexdigest()],
+    })
+
+
+def write_webdataset(clips: DataFrame, out_dir: str,
+                     shard_bytes: int = 1 << 30,
+                     n_buckets: int = 256) -> DataFrame:
+    """Materialize the corpus as WebDataset tar shards under the
+    sharding.shard_plan placement; returns the manifest DataFrame
+    (one row per shard written). The write happens when the manifest
+    is evaluated."""
+    from ..operators.sharding import shard_plan
+
+    os.makedirs(out_dir, exist_ok=True)
+    plan = shard_plan(clips, shard_bytes=shard_bytes,
+                      n_buckets=n_buckets).select("clip_id", "shard_id")
+    assigned = clips.join(plan, "clip_id").select(
+        "shard_id", "clip_id", "bytes", "transcript", "codec", "sr_hz",
+        "dur_ms")
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _write_shard(pdf, out_dir)
+
+    return assigned.groupBy("shard_id").applyInPandas(
+        write_group, MANIFEST_SCHEMA)
+
+
+def read_webdataset(spark, out_dir: str) -> DataFrame:
+    """Parse tar shards back to clip rows — one Arrow pass per tar,
+    shards are independent read splits."""
+    files = spark.read.format("binaryFile").load(
+        os.path.join(out_dir, "*.tar"))
+
+    def parse(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("shard_id", "clip_id", "bytes",
+                                   "transcript", "codec", "sr_hz",
+                                   "dur_ms")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = os.path.basename(path)
+                shard_id = int(base[len("shard-"):-len(".tar")])
+                groups: dict = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(content)),
+                                  mode="r") as tar:
+                    for m in tar.getmembers():
+                        key, ext = m.name.rsplit(".", 1)
+                        groups.setdefault(key, {})[ext] = (
+                            tar.extractfile(m).read())
+                for key in sorted(groups):
+                    g = groups[key]
+                    meta = json.loads(g["json"].decode("utf-8"))
+                    out["shard_id"].append(shard_id)
+                    out["clip_id"].append(key)
+                    out["bytes"].append(g["pcm"])
+                    out["transcript"].append(g["txt"].decode("utf-8"))
+                    out["codec"].append(meta["codec"])
+                    out["sr_hz"].append(meta["sr_hz"])
+                    out["dur_ms"].append(meta["dur_ms"])
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(parse, READ_SCHEMA)

@@ -112,6 +112,7 @@ PLAN_QUERIES = (
     "unigram_fertility",
     "audio_snr",
     "pca_whiten",
+    "webdataset_manifest",
 )
 
 
