@@ -859,6 +859,67 @@ def _q_classifier_auc(spark, sf_dir):
                        "margin", "label", "hq")
 
 
+def _q_auc_bootstrap(spark, sf_dir):
+    """Poisson(1)-bootstrap confidence interval for the held-out
+    classifier AUC (Chamandy et al. 2012's massive-data bootstrap):
+    every eval row draws deterministic md5 Poisson weights per
+    replicate, each replicate's tie-averaged weighted Mann-Whitney runs
+    as one (b, score) aggregate + one per-b window — no global count,
+    no RNG state. Full DuckDB twin (same draws, same thresholds)."""
+    from tiny_lingua_spark.eval.report import auc_bootstrap
+    from tiny_lingua_spark.functions.quality import (quality_metrics_cols,
+                                                     quality_score_col)
+    from tiny_lingua_spark.models import quality_clf
+    from tiny_lingua_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    cond = (sampling.hash_bucket_col(F.col("doc_id"), _CLF_SPLIT_SEED)
+            < F.lit(sampling._threshold(_CLF_TRAIN_FRAC)))
+    train, ev = docs.where(cond), docs.where(~cond)
+    w, p = quality_clf.train_quality_classifier(train)
+    margins = quality_clf.quality_margin(ev, w, p)
+    labels = ev.select("doc_id", *quality_metrics_cols("text")).select(
+        "doc_id",
+        F.when(quality_score_col() >= quality_clf.HQ_THRESHOLD,
+               F.lit("hq")).otherwise(F.lit("lq")).alias("label"))
+    return auc_bootstrap(margins.join(labels, "doc_id"),
+                         "doc_id", "margin", "label", "hq",
+                         n_boot=_BOOT_N, seed=_BOOT_SEED)
+
+
+_BOOT_N = 32
+_BOOT_SEED = 7
+
+
+def _auc_bootstrap_oracle_sql() -> str:
+    """Self-contained twin: the classifier_auc scored chain with doc_id
+    retained, fed to the bootstrap twin (identical md5 Poisson draws)."""
+    from tiny_lingua_spark.eval.report import auc_bootstrap_sql
+    from tiny_lingua_spark.functions.quality import (quality_metrics_sql,
+                                                     quality_score_sql)
+    from tiny_lingua_spark.models import quality_clf
+    from tiny_lingua_spark.operators import sampling
+
+    hb = sampling.hash_bucket_sql("doc_id", _CLF_SPLIT_SEED)
+    thr = sampling._threshold(_CLF_TRAIN_FRAC)
+    train_tbl = f"(SELECT * FROM documents WHERE {hb} < {thr})"
+    ev_tbl = f"(SELECT * FROM documents WHERE NOT ({hb} < {thr}))"
+    qm = quality_metrics_sql("text")
+    metric_cols = ", ".join(
+        f"{qm[k]} AS {k}" for k in ("alpha_ratio", "digit_ratio",
+                                    "mean_token_len", "n_chars"))
+    scored = f"""
+    SELECT doc_id, m.margin, l.label
+    FROM ({quality_clf.quality_margin_sql(train_tbl, ev_tbl)}) m
+    JOIN (SELECT doc_id,
+                 CASE WHEN {quality_score_sql()} >= {quality_clf.HQ_THRESHOLD}
+                      THEN 'hq' ELSE 'lq' END AS label
+          FROM (SELECT doc_id, {metric_cols} FROM {ev_tbl} AS e)) l
+      USING (doc_id)"""
+    return auc_bootstrap_sql(scored, "doc_id", "margin", "label", "hq",
+                             n_boot=_BOOT_N, seed=_BOOT_SEED)
+
+
 def _q_classifier_calibration(spark, sf_dir):
     """Reliability table for the learned quality filter on the held-out
     split: P(hq) = sigmoid(margin) is the model's exact posterior, so
@@ -2519,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _shipped(_q_mixture_sample),
         "quality_classifier": _shipped(_q_quality_classifier),
         "classifier_auc": _shipped(_q_classifier_auc),
+        "auc_bootstrap": _shipped(_q_auc_bootstrap),
         "classifier_calibration": _shipped(_q_classifier_calibration),
         "bpe_merges": _shipped(_q_bpe_merges),
         "bpe_tokens": _shipped(_q_bpe_tokens),
@@ -3087,6 +3149,7 @@ def oracle_sql() -> dict[str, str]:
             "tiny_lingua_spark.models.quality_clf", fromlist=["quality_clf"]
         ).quality_classifier_sql("documents"),
         "classifier_auc": _classifier_auc_oracle_sql(),
+        "auc_bootstrap": _auc_bootstrap_oracle_sql(),
         "classifier_calibration": _classifier_calibration_oracle_sql(),
         "mixture_sample": (
             "SELECT doc_id, source, lang, toks::BIGINT AS toks FROM ("

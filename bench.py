@@ -167,6 +167,7 @@ BENCH_QUERIES = (
     "pca_components",         # fixed-point moment PCA training
     "pca_whiten",             # whitened projection (codegen literals)
     "webdataset_manifest",    # tar shard sink (write + manifest)
+    "auc_bootstrap",          # Poisson-bootstrap AUC confidence interval
 )
 
 

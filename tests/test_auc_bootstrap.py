@@ -1,0 +1,91 @@
+"""Poisson(1)-bootstrap AUC CI: weight-law sanity against the closed
+Poisson CDF, coverage of the point estimate, repartition determinism,
+degenerate inputs, and the DuckDB twin hash."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.eval import report as R
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rng = np.random.default_rng(5)
+    n = 400
+    lab = np.where(rng.random(n) < 0.4, "hq", "lq")
+    score = np.round(rng.normal(0, 1, n) + (lab == "hq") * 1.2, 1)  # ties
+    pdf = pd.DataFrame({"doc_id": np.arange(n), "margin": score,
+                        "label": lab})
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_poisson_thresholds_match_closed_form():
+    ths = R._poisson1_thresholds()
+    cum, p = 0.0, math.exp(-1.0)
+    for k, t in enumerate(ths):
+        cum += p
+        assert t == int(cum * (1 << 48))
+        p /= (k + 1)
+    # CDF at max_k-1 covers essentially all mass
+    assert ths[-1] > 0.9999999 * (1 << 48)
+
+
+def test_weight_mean_near_one(scored):
+    """The realized md5 Poisson weights must average ~1 with ~unit
+    variance (law sanity over n x B draws)."""
+    df, _ = scored
+    key = "concat('7:', cast(doc_id as string), '#', cast(b as string))"
+    bucket = f"cast(conv(substring(md5({key}), 1, 12), 16, 10) as bigint)"
+    w = (df.select("doc_id",
+                   F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+         .select(F.expr(R._poisson_weight_case(bucket)).alias("w"))
+         .agg(F.avg("w").alias("m"), F.var_samp("w").alias("v"))
+         .collect()[0])
+    assert abs(w.m - 1.0) < 0.02
+    assert abs(w.v - 1.0) < 0.05
+
+
+def test_ci_brackets_point_estimate(scored):
+    df, _ = scored
+    point = R.ranking_auc(df, "margin", "label", "hq").collect()[0].auc
+    row = R.auc_bootstrap(df, "doc_id", "margin", "label", "hq",
+                          n_boot=32).collect()[0]
+    assert row.n_boot == 32
+    assert row.ci_lo < point < row.ci_hi
+    assert abs(row.auc_mean - point) < 3 * row.auc_se
+    assert 0 < row.auc_se < 0.1
+
+
+def test_deterministic_under_repartition(scored):
+    df, _ = scored
+    a = R.auc_bootstrap(df, "doc_id", "margin", "label", "hq").collect()[0]
+    b = R.auc_bootstrap(df.repartition(9), "doc_id", "margin", "label",
+                        "hq").collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_single_class_is_null_safe(spark):
+    df = spark.createDataFrame(
+        [(i, float(i), "hq") for i in range(10)],
+        "doc_id long, margin double, label string")
+    row = R.auc_bootstrap(df, "doc_id", "margin", "label", "hq").collect()[0]
+    assert row.n_boot == 32 and row.auc_mean is None
+
+
+def test_duckdb_twin_hash(scored):
+    import duckdb
+
+    from tools.check_oracles import value_hash
+
+    df, pdf = scored
+    res = R.auc_bootstrap(df, "doc_id", "margin", "label", "hq").toPandas()
+    con = duckdb.connect()
+    con.register("scored_tbl", pdf)
+    ora = con.execute(R.auc_bootstrap_sql(
+        "SELECT * FROM scored_tbl", "doc_id", "margin", "label",
+        "hq")).df()
+    assert value_hash(res) == value_hash(ora)

@@ -285,3 +285,139 @@ def calibration_bins_sql(scored_sql: str, margin_expr: str,
       FROM j GROUP BY bin
     ) ORDER BY bin
     """
+
+
+# ------------------------------------------- bootstrap AUC confidence
+#
+# Poisson(1) bootstrap (the streaming-friendly bootstrap: Oza & Russell
+# 2001; Chamandy et al. 2012 "Estimating Uncertainty for Massive Data
+# Streams" use exactly this at Google scale): multinomial resampling is
+# approximated by giving every row an independent Poisson(1) weight per
+# replicate, which needs NO global count and distributes trivially —
+# each row draws its B weights from a deterministic md5 hash, so both
+# engines (and any retry/partitioning) see the identical resample.
+#
+# Per replicate the tie-averaged Mann-Whitney AUC generalizes to
+# weights: U_b = sum_pos w_i * (W_neg_below(s_i) + W_neg_tied(s_i)/2),
+# computed with one (b, score) aggregation and one per-b ordered window
+# over the aggregated table — the same two-step shape as ranking_auc.
+# Eval sets are bounded (this bootstraps the classifier's EVAL split,
+# not the corpus), so the B-fold explode is a bounded blowup by
+# construction; at 10^12-corpus scale the eval set is still ~10^5 rows.
+
+_POISSON_MAX_K = 12
+
+
+def _poisson1_thresholds() -> list:
+    """Cumulative Poisson(1) CDF as exact integer thresholds in the
+    48-bit md5 hash space (same space as sampling.hash_bucket_col)."""
+    import math
+
+    out, p, cum = [], math.exp(-1.0), 0.0
+    for k in range(_POISSON_MAX_K):
+        cum += p
+        out.append(int(cum * (1 << 48)))
+        p /= (k + 1)
+    return out
+
+
+def _poisson_weight_case(bucket_expr: str) -> str:
+    ths = _poisson1_thresholds()
+    branches = " ".join(
+        f"WHEN {bucket_expr} < {t} THEN {k}" for k, t in enumerate(ths))
+    return f"(CASE {branches} ELSE {_POISSON_MAX_K} END)"
+
+
+def auc_bootstrap(scored, id_col: str, score_col: str, label_col: str,
+                  positive: str, n_boot: int = 32, seed: int = 7):
+    """One row: (n_boot, auc_mean, auc_se, ci_lo, ci_hi) — the Poisson
+    bootstrap distribution of the tie-averaged ranking AUC, with the
+    2.5/97.5 percentile interval."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    key = (f"concat('{seed}:', cast({id_col} as string), '#',"
+           " cast(b as string))")
+    bucket = f"cast(conv(substring(md5({key}), 1, 12), 16, 10) as bigint)"
+    w = F.expr(_poisson_weight_case(bucket)).cast("double")
+    rep = (
+        scored.select(
+            F.col(id_col),
+            (F.col(label_col) == positive).cast("double").alias("pos"),
+            F.col(score_col).alias("s"),
+        )
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1)))
+                .alias("b"))
+        .select("b", "s", "pos", w.alias("w"))
+    )
+    per_score = rep.groupBy("b", "s").agg(
+        F.sum(F.col("w") * F.col("pos")).alias("pos_w"),
+        F.sum(F.col("w") * (1.0 - F.col("pos"))).alias("neg_w"),
+    )
+    win = (Window.partitionBy("b").orderBy("s")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    per_b = (
+        per_score
+        .withColumn("neg_below",
+                    F.coalesce(F.sum("neg_w").over(win), F.lit(0.0)))
+        .groupBy("b")
+        .agg(F.sum("pos_w").alias("np"),
+             F.sum("neg_w").alias("nn"),
+             F.sum(F.col("pos_w")
+                   * (F.col("neg_below") + F.col("neg_w") / 2.0))
+             .alias("u"))
+        .select((F.col("u")
+                 / F.nullif(F.col("np") * F.col("nn"), F.lit(0.0)))
+                .alias("auc_b"))
+    )
+    return per_b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+        F.round(F.avg("auc_b"), 6).alias("auc_mean"),
+        F.round(F.stddev_samp("auc_b"), 6).alias("auc_se"),
+        F.round(F.expr("percentile(auc_b, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(auc_b, 0.975)"), 6).alias("ci_hi"),
+    )
+
+
+def auc_bootstrap_sql(scored_sql: str, id_expr: str, score_expr: str,
+                      label_expr: str, positive: str, n_boot: int = 32,
+                      seed: int = 7) -> str:
+    """DuckDB twin: identical md5 draws, integer Poisson thresholds,
+    weighted tie-averaged U, linear-interpolated percentiles."""
+    bucket = (f"(('0x' || substr(md5('{seed}:' || CAST(id AS VARCHAR)"
+              " || '#' || CAST(t.b AS VARCHAR)), 1, 12))::BIGINT)")
+    wcase = _poisson_weight_case(bucket)
+    return f"""
+    WITH base AS (
+      SELECT {id_expr} AS id,
+             ({label_expr} = '{positive}')::INT AS pos,
+             {score_expr} AS s
+      FROM ({scored_sql})
+    ),
+    rep AS (
+      SELECT t.b, s, pos, ({wcase})::DOUBLE AS w
+      FROM base, range(0, {n_boot}) t(b)
+    ),
+    per_score AS (
+      SELECT b, s, sum(w * pos) AS pos_w, sum(w * (1 - pos)) AS neg_w
+      FROM rep GROUP BY b, s
+    ),
+    cum AS (
+      SELECT *, coalesce(sum(neg_w) OVER (
+               PARTITION BY b ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS neg_below
+      FROM per_score
+    ),
+    per_b AS (
+      SELECT sum(pos_w * (neg_below + neg_w / 2.0))
+               / nullif(sum(pos_w) * sum(neg_w), 0) AS auc_b
+      FROM cum GROUP BY b
+    )
+    SELECT count(*)::BIGINT AS n_boot,
+           round(avg(auc_b), 6) AS auc_mean,
+           round(stddev_samp(auc_b), 6) AS auc_se,
+           round(quantile_cont(auc_b, 0.025), 6) AS ci_lo,
+           round(quantile_cont(auc_b, 0.975), 6) AS ci_hi
+    FROM per_b
+    """

@@ -113,6 +113,7 @@ PLAN_QUERIES = (
     "audio_snr",
     "pca_whiten",
     "webdataset_manifest",
+    "auc_bootstrap",
 )
 
 
@@ -133,6 +134,9 @@ BNLJ_CROSS_ALLOWED = {
     "batch_padding": "1-row corpus aggregate",
     "dataset_card": "single-row summary aggregates",
     "classifier_auc": "1-row pos/neg count aggregate",
+    "auc_bootstrap": ("1-row trained-weights/priors aggregate "
+                      "(quality_margin), same bounded build as "
+                      "classifier_auc"),
     "classifier_calibration": "1-row count aggregate",
     "rank_normalize": "1-row corpus-size aggregate",
     "source_stats": "1-row corpus aggregate",
