@@ -1219,6 +1219,17 @@ def _q_jaccard_bottomk(spark, sf_dir):
                                        "text", "source", k_sketch=64)
 
 
+def _q_edit_pairs(spark, sf_dir):
+    """Fuzzy transcript dedup: MinHash-LSH candidates verified by
+    normalized byte-level Levenshtein similarity (sequence-level, the
+    right verify for short ASR transcripts where 3-shingle Jaccard
+    saturates). Pure codegen verify — length prefilter + Spark's
+    bounded levenshtein(a, b, maxd) early-abort DP; byte-level via the
+    ISO-8859-1 reinterpretation keeps the DuckDB twin bit-identical."""
+    return dedup.edit_verified_pairs(_docs(spark, sf_dir),
+                                     "doc_id", "text")
+
+
 def _q_neardup_text(spark, sf_dir):
     """Production near-dup chain: 128-hash / 16-band MinHash-LSH
     candidates verified by exact shingle-Jaccard (dedup.neardup_text)."""
@@ -2314,6 +2325,36 @@ def _q_audio_normalize(spark, sf_dir):
     )
 
 
+def _q_noise_mix(spark, sf_dir):
+    """SNR-targeted additive-noise augmentation (the third leg of the
+    Kaldi/ESPnet augmentation triple next to speed perturb and
+    SpecAugment): counter-based hash noise keyed on clip_id (identical
+    under any partitioning — pinned by test), scaled so the realized
+    SNR equals the 20 dB target exactly pre-quantization, mixed and
+    re-encoded to canonical pcm_s16le in one whole-batch Arrow pass.
+    Golden-parquet oracle on bytes md5 + achieved SNR."""
+    from tiny_lingua_spark.audio import noise_mix_udf
+
+    clips = _synth_clips(spark, sf_dir=sf_dir)
+    mx = noise_mix_udf(20.0)
+    return (
+        clips
+        .withColumn("m", mx(F.col("bytes"), F.col("codec"),
+                            F.col("clip_id")))
+        .select(
+            "clip_id", "codec",
+            F.col("m.ok").alias("ok"),
+            F.col("m.n_samples").alias("n_samples"),
+            F.round(F.col("m.noise_gain"), 9).alias("noise_gain"),
+            F.round(F.col("m.achieved_snr_db"), 5)
+             .alias("achieved_snr_db"),
+            F.round(F.col("m.clipped_ratio"), 9).alias("clipped_ratio"),
+            F.md5(F.coalesce(F.col("m.bytes_out"), F.lit(b"")))
+             .alias("bytes_md5"),
+        )
+    )
+
+
 def _q_audio_loudness(spark, sf_dir):
     """R128-style gated integrated loudness + normalization gain per
     clip (overlapping 400 ms blocks, absolute + relative gates) — one
@@ -2611,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _shipped(_q_minhash_pairs),
         "jaccard_pairs": _shipped(_q_jaccard_pairs),
         "jaccard_bottomk": _shipped(_q_jaccard_bottomk),
+        "edit_pairs": _shipped(_q_edit_pairs),
         "validate_docs": _shipped(_q_validate_docs),
         "profile_docs": _shipped(_q_profile_docs),
         "tfidf_topk": _shipped(_q_tfidf_topk),
@@ -2662,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
         "audio_normalize": _shipped(_q_audio_normalize),
+        "noise_mix": _shipped(_q_noise_mix),
         "audio_neardup": _shipped(_q_audio_neardup),
         "audio_dtw_verify": _shipped(_q_audio_dtw_verify),
         "audio_segments": _shipped(_q_audio_segments),
@@ -2711,6 +2754,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_segments",
     "audio_embed_knn",
     "audio_normalize",
+    "noise_mix",
     "clip_speech_rate",
     "bpe_merges",
     "bpe_tokens",
@@ -3273,6 +3317,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jaccard_bottomk": dedup.jaccard_pairs_bottomk_sql(
             "documents", "doc_id", "text", "source", k_sketch=64
+        ),
+        "edit_pairs": dedup.edit_verified_pairs_sql(
+            "documents", "doc_id", "text"
         ),
         "validate_docs": validate.check_sql("documents",
                                             _documents_suite()),

@@ -168,6 +168,8 @@ BENCH_QUERIES = (
     "pca_whiten",             # whitened projection (codegen literals)
     "webdataset_manifest",    # tar shard sink (write + manifest)
     "auc_bootstrap",          # Poisson-bootstrap AUC confidence interval
+    "edit_pairs",             # LSH candidates + bounded-Levenshtein verify
+    "noise_mix",              # SNR-targeted hash-noise augmentation (PCM apply)
 )
 
 

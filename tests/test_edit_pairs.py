@@ -1,0 +1,110 @@
+"""Edit-distance verify tier: byte-level Levenshtein semantics pinned
+against a pure-Python DP (independent anchor), bounded-DP == full-DP
+equivalence, candidate-subset property, and the DuckDB twin hash."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators import dedup
+
+
+def _lev_bytes(a: str, b: str) -> int:
+    """Reference byte-level Levenshtein (full O(n*m) DP on UTF-8)."""
+    xa, xb = a.encode("utf-8"), b.encode("utf-8")
+    prev = list(range(len(xb) + 1))
+    for i, ca in enumerate(xa, 1):
+        cur = [i]
+        for j, cb in enumerate(xb, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet woods tonight")
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup
+        (2, base.replace("quick", "quicker")),       # tiny edit
+        (3, base.replace("dog", "dóg") + " extra"),  # unicode edit
+        (4, "  " + base.upper() + "  "),             # normalization dup
+        (5, "completely different words entirely unrelated to anything "
+            "else in this corpus of tiny documents"),
+        (6, base[: len(base) // 2]),                 # half-length: len gate
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_latin1_projection_is_byte_level(spark):
+    df = spark.createDataFrame([("café x", "cafe y")], "a string, b string")
+    d = df.select(F.levenshtein(
+        dedup._latin1_bytes_col(F.col("a")),
+        dedup._latin1_bytes_col(F.col("b"))).alias("d")).collect()[0].d
+    assert d == _lev_bytes("café x", "cafe y") == 3
+
+
+def test_matches_python_dp_anchor(docs):
+    out = dedup.edit_verified_pairs(docs, "doc_id", "text",
+                                    min_sim=0.5).toPandas()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def norm(s):
+        return " ".join(s.lower().split())
+
+    assert len(out) > 0
+    for r in out.itertuples():
+        a, b = norm(texts[r.id_a]), norm(texts[r.id_b])
+        dist = _lev_bytes(a, b)
+        ml = max(len(a.encode()), len(b.encode()))
+        assert r.dist == dist
+        assert r.edit_sim == round(1.0 - dist / ml, 6)
+        assert r.edit_sim >= 0.5
+    # the exact dup and the normalization dup must both survive
+    kept = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert (0, 1) in kept and (0, 4) in kept
+
+
+def test_bounded_dp_equals_full_dp(docs):
+    """The levenshtein(a, b, maxd) early abort must keep exactly the
+    pairs a full-distance filter keeps."""
+    out = dedup.edit_verified_pairs(docs, "doc_id", "text",
+                                    min_sim=0.6).toPandas()
+    cand = dedup.minhash_pairs(docs, "doc_id", "text").toPandas()
+    texts = {r.doc_id: " ".join(r.text.lower().split())
+             for r in docs.collect()}
+    expect = set()
+    for r in cand.itertuples():
+        a, b = texts[r.id_a], texts[r.id_b]
+        ml = max(len(a.encode()), len(b.encode()))
+        if ml and 1.0 - _lev_bytes(a, b) / ml >= 0.6:
+            expect.add((r.id_a, r.id_b))
+    assert {(r.id_a, r.id_b) for r in out.itertuples()} == expect
+
+
+def test_pairs_subset_of_candidates(docs):
+    out = dedup.edit_verified_pairs(docs, "doc_id", "text",
+                                    min_sim=0.0).toPandas()
+    cand = dedup.minhash_pairs(docs, "doc_id", "text").toPandas()
+    assert {(r.id_a, r.id_b) for r in out.itertuples()} <= \
+        {(r.id_a, r.id_b) for r in cand.itertuples()}
+
+
+def test_duckdb_twin_hash(spark):
+    import duckdb
+
+    from tools.check_oracles import value_hash
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(sf)
+    res = dedup.edit_verified_pairs(docs, "doc_id", "text",
+                                    min_sim=0.5).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    ora = con.execute(dedup.edit_verified_pairs_sql(
+        "documents", "doc_id", "text", min_sim=0.5)).df()
+    assert value_hash(res) == value_hash(ora)

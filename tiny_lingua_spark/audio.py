@@ -1214,6 +1214,160 @@ def transcode_udf(codec_to: str = "pcm_s16le", max_gain_db: float = 20.0):
     return audio_transcode
 
 
+# ---------- SNR-targeted noise-mix augmentation ----------
+
+# Additive-noise augmentation at a controlled SNR is the third leg of
+# the standard ASR augmentation triple next to speed perturbation and
+# SpecAugment (Ko et al. 2017 "A study on data augmentation of
+# reverberant speech"; Kaldi/ESPnet multi-condition recipes). The noise
+# is synthesized per clip from a counter-based hash (splitmix64 of
+# md5(clip_id) + sample index) — no RNG state, so the draw is identical
+# under any partitioning, retry, or batch boundary, and the whole arena
+# is one vectorized uint64 pipeline (no per-sample Python, no per-row
+# Generator objects).
+
+NOISE_MIX_SCHEMA = (
+    "ok boolean, n_samples long, noise_gain double, "
+    "achieved_snr_db double, clipped_ratio double, bytes_out binary"
+)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain, Vigna 2015)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _clip_seed_u64(ids) -> np.ndarray:
+    """First 8 md5 bytes of each clip id as uint64 — the per-clip noise
+    key (same digest family as the repo's deterministic sampling)."""
+    import hashlib
+
+    return np.array(
+        [int.from_bytes(hashlib.md5(str(s).encode()).digest()[:8], "big")
+         for s in ids],
+        dtype=np.uint64)
+
+
+def _hash_noise(seeds: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Unit-variance white noise for the whole concatenated arena:
+    noise[k] = scaled uniform from splitmix64(seed_row(k) + idx_in_row(k)).
+    Uniform on [-0.5, 0.5) scaled by sqrt(12) → E=0, Var=1 exactly in
+    expectation; the realized per-clip power is measured, not assumed."""
+    total = int(offsets[-1])
+    lens = np.diff(offsets)
+    idx = np.arange(total, dtype=np.uint64) - np.repeat(
+        offsets[:-1].astype(np.uint64), lens)
+    z = _splitmix64(np.repeat(seeds, lens) + idx)
+    u = (z >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)  # [0,1)
+    return ((u - 0.5) * np.sqrt(12.0)).astype(np.float32)
+
+
+def _noise_mix_chunk(bytes_s, codec_s, id_s, target_snr_db: float,
+                     codec_to: str) -> pd.DataFrame:
+    with np.errstate(over="ignore"):  # uint64 hash arithmetic wraps
+        samples, offsets, ok = decode_concat(bytes_s, codec_s)
+        n = len(ok)
+        lens = np.diff(offsets)
+        noise = _hash_noise(_clip_seed_u64(list(id_s)), offsets)
+    p_sig = _segment_sums(samples.astype(np.float64) ** 2, offsets)
+    p_noise = _segment_sums(noise.astype(np.float64) ** 2, offsets)
+    # gain_c realizes the target SNR against the REALIZED noise power:
+    # 10·log10(p_sig / (gain²·p_noise)) == target, exactly, pre-clip.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gain = np.sqrt(
+            p_sig / np.maximum(p_noise, 1e-30)
+            / (10.0 ** (target_snr_db / 10.0)))
+    gain = np.where((p_sig > 0) & (p_noise > 0) & ok, gain, 0.0)
+    mixed = samples + noise * np.repeat(gain, lens).astype(np.float32)
+    over = (np.abs(mixed) > 1.0).astype(np.float64)
+    clipped = _segment_sums(over, offsets) / np.maximum(lens, 1)
+    np.clip(mixed, -1.0, 1.0, out=mixed)
+    # achieved SNR from the post-clip residual (quantization excluded;
+    # the golden pins the quantized bytes, the test decodes them)
+    resid = (mixed - samples).astype(np.float64) ** 2
+    p_res = _segment_sums(resid, offsets)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        achieved = 10.0 * np.log10(p_sig / np.maximum(p_res, 1e-30))
+    width = _SAMPLE_WIDTH[codec_to]
+    encoded = _encode_concat(mixed, codec_to)
+    bytes_out: list = [None] * n
+    for i in range(n):  # row-level tobytes memcpy loop, not per-sample
+        if not ok[i]:
+            continue
+        a, b = int(offsets[i]) * width, int(offsets[i + 1]) * width
+        bytes_out[i] = encoded[a:b].tobytes()
+    silent = ~((p_sig > 0) & (p_noise > 0))
+    return pd.DataFrame({
+        "ok": pd.Series(ok, dtype=bool),
+        "n_samples": np.where(ok, lens, 0).astype(np.int64),
+        "noise_gain": np.where(ok, gain, np.nan),
+        "achieved_snr_db": np.where(ok & ~silent, achieved, np.nan),
+        "clipped_ratio": np.where(ok, clipped, np.nan),
+        "bytes_out": bytes_out,
+    })
+
+
+def _noise_mix_rowloop(bytes_s, codec_s, id_s, target_snr_db: float,
+                       codec_to: str) -> pd.DataFrame:
+    """Per-row reference implementation (equivalence twin for tests)."""
+    rows = []
+    for b, c, cid in zip(bytes_s, codec_s, id_s):
+        try:
+            pcm = decode(b, c)
+            ok = True
+        except Exception:
+            pcm, ok = np.zeros(0, np.float32), False
+        if not ok:
+            rows.append((False, 0, np.nan, np.nan, np.nan, None))
+            continue
+        off = np.array([0, len(pcm)], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            noise = _hash_noise(_clip_seed_u64([cid]), off)
+        p_sig = float(np.sum(pcm.astype(np.float64) ** 2))
+        p_noise = float(np.sum(noise.astype(np.float64) ** 2))
+        if p_sig > 0 and p_noise > 0:
+            gain = float(np.sqrt(
+                p_sig / p_noise / (10.0 ** (target_snr_db / 10.0))))
+        else:
+            gain = 0.0
+        mixed = np.clip(pcm + noise * np.float32(gain), -1.0, 1.0)
+        p_res = float(np.sum((mixed - pcm).astype(np.float64) ** 2))
+        ach = (10.0 * np.log10(p_sig / max(p_res, 1e-30))
+               if (p_sig > 0 and p_noise > 0) else np.nan)
+        clipped = float(np.mean(np.abs(pcm + noise * np.float32(gain)) > 1.0)
+                        if len(pcm) else np.nan)
+        rows.append((True, len(pcm), gain, ach, clipped,
+                     _encode_concat(mixed, codec_to).tobytes()))
+    return pd.DataFrame(rows, columns=[
+        "ok", "n_samples", "noise_gain", "achieved_snr_db",
+        "clipped_ratio", "bytes_out"])
+
+
+def noise_mix_udf(target_snr_db: float = 20.0,
+                  codec_to: str = "pcm_s16le"):
+    """Arrow-batched (bytes, codec, clip_id) → noise-augmented clip at
+    target_snr_db, re-encoded to codec_to. Whole-batch decode, one
+    vectorized hash-noise + mix + encode pass; deterministic per clip
+    id under any partitioning. Silent or decode-failed clips pass
+    through unmixed (gain 0) / null respectively."""
+    if codec_to not in _SAMPLE_WIDTH:
+        raise ValueError(f"unsupported codec: {codec_to}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(NOISE_MIX_SCHEMA)
+    def audio_noise_mix(b: pd.Series, codec: pd.Series,
+                        cid: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(
+            lambda bb, cc, ii: _noise_mix_chunk(
+                bb, cc, ii, target_snr_db, codec_to),
+            b, codec, cid)
+
+    return audio_noise_mix
+
+
 # ---------- MFCC (mel-frequency cepstral coefficients) ----------
 
 # Standard HTK-convention MFCC front-end (public: Davis & Mermelstein

@@ -418,6 +418,107 @@ def jaccard_pairs_sql(table: str, id_col: str, text_col: str, group_col: str,
     """
 
 
+# ----------------------------------------- edit-distance verify tier
+
+EDIT_MIN_SIM = 0.8
+
+
+def _latin1_bytes_col(c: Column) -> Column:
+    """Reinterpret the UTF-8 bytes of a string as one-char-per-byte
+    ISO-8859-1, so Spark's codepoint-level levenshtein computes the
+    BYTE-level distance — the same quantity DuckDB's levenshtein
+    returns on the raw string (verified: 'café'→'cafe' = 2 in both)."""
+    return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+
+
+# DuckDB-side normalization twin of normalized_col (needs the 'g' flag;
+# Spark's regexp_replace is global by default and has no flag arg).
+_NORM_SQL_FMT = "regexp_replace(lower(trim({})), '\\s+', ' ', 'g')"
+
+
+def edit_verified_pairs(df: DataFrame, id_col: str, text_col: str,
+                        min_sim: float = EDIT_MIN_SIM,
+                        **lsh_kw) -> DataFrame:
+    """Fuzzy dedup: MinHash-LSH candidate pairs verified by normalized
+    byte-level Levenshtein similarity
+
+        edit_sim = 1 - dist / max(|a|, |b|)   (byte lengths),
+
+    keeping pairs with edit_sim >= min_sim. Texts are whitespace/case
+    normalized (same normalization as exact_dedup_groups), so the tier
+    sits between exact dedup (dist 0) and shingle-Jaccard (order-free):
+    it certifies SEQUENCE-level similarity — the right verify for short
+    transcripts where Jaccard over 3-shingles saturates.
+
+    Scale: candidates come from the banded LSH join (never all pairs);
+    the verify is pure codegen — a length prefilter |la-lb| <= maxd
+    discards most candidates without running a DP, then Spark's bounded
+    levenshtein(a, b, maxd) abandons the DP once the distance provably
+    exceeds maxd (cost O(len·maxd), not O(len²); returns -1 past the
+    bound, which IS the drop decision). Byte-level via the ISO-8859-1
+    reinterpretation keeps the DuckDB twin bit-identical on unicode.
+    """
+    cand = minhash_pairs(df, id_col, text_col, **lsh_kw)
+    texts = df.select(
+        F.col(id_col).alias("id"),
+        _latin1_bytes_col(normalized_col(F.col(text_col))).alias("t"),
+    )
+    j = (
+        cand
+        .join(texts.select(F.col("id").alias("id_a"),
+                           F.col("t").alias("ta")), "id_a")
+        .join(texts.select(F.col("id").alias("id_b"),
+                           F.col("t").alias("tb")), "id_b")
+        .withColumn("ml", F.greatest(F.length("ta"), F.length("tb")))
+        .withColumn("maxd", F.floor((1.0 - min_sim) * F.col("ml"))
+                    .cast("int"))
+        .where(F.abs(F.length("ta") - F.length("tb")) <= F.col("maxd"))
+        .withColumn("dist",
+                    F.expr("levenshtein(ta, tb, maxd)").cast("bigint"))
+        .where(F.col("dist") >= 0)
+    )
+    sim = F.when(F.col("ml") == 0, F.lit(1.0)).otherwise(
+        1.0 - F.col("dist").cast("double") / F.col("ml").cast("double"))
+    return j.select("id_a", "id_b", "dist",
+                    F.round(sim, 6).alias("edit_sim"))
+
+
+def edit_verified_pairs_sql(table: str, id_col: str, text_col: str,
+                            min_sim: float = EDIT_MIN_SIM,
+                            **lsh_kw) -> str:
+    """DuckDB twin: DuckDB's levenshtein is already byte-level and has
+    no bounded form — compute the full distance and filter; identical
+    kept rows (strlen = UTF-8 byte count = Spark's projected length)."""
+    cand = minhash_pairs_sql(table, id_col, text_col, **lsh_kw)
+    norm = _NORM_SQL_FMT.format(text_col)
+    return f"""
+    WITH cand AS ({cand}),
+    t AS (SELECT {id_col} AS id, {norm} AS t FROM {table}),
+    j AS (
+      SELECT c.id_a, c.id_b,
+             a.t AS ta, b.t AS tb,
+             greatest(strlen(a.t), strlen(b.t)) AS ml,
+             floor((1.0 - {min_sim!r}) *
+                   greatest(strlen(a.t), strlen(b.t)))::INT AS maxd
+      FROM cand c
+      JOIN t a ON c.id_a = a.id
+      JOIN t b ON c.id_b = b.id
+      WHERE abs(strlen(a.t) - strlen(b.t)) <=
+            floor((1.0 - {min_sim!r}) *
+                  greatest(strlen(a.t), strlen(b.t)))
+    ),
+    d AS (
+      SELECT id_a, id_b, levenshtein(ta, tb)::BIGINT AS dist, ml, maxd
+      FROM j
+    )
+    SELECT id_a, id_b, dist,
+           round(CASE WHEN ml = 0 THEN 1.0
+                      ELSE 1.0 - dist::DOUBLE / ml::DOUBLE END, 6)
+             AS edit_sim
+    FROM d WHERE dist <= maxd
+    """
+
+
 # ----------------------------------------------------------- simhash
 
 def simhash64_udf():

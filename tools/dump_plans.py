@@ -114,6 +114,8 @@ PLAN_QUERIES = (
     "pca_whiten",
     "webdataset_manifest",
     "auc_bootstrap",
+    "edit_pairs",
+    "noise_mix",
 )
 
 
