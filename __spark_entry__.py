@@ -2274,6 +2274,33 @@ def _q_audio_snr(spark, sf_dir):
     )
 
 
+def _q_audio_music(spark, sf_dir):
+    """Music/speech discrimination (Scheirer & Slaney 1997 envelope
+    features): syllabic 2-8 Hz modulation energy, low-energy frame
+    ratio, envelope flatness, and a fixed-weight speech score — the
+    drop-music-beds gate of an ASR corpus quality filter.
+    Golden-parquet oracle (envelope DFTs over decoded PCM are not
+    SQL-expressible); independent anchors are the synthetic-class
+    separation + planted-modulation recovery tests in
+    tests/test_music.py."""
+    from tiny_lingua_spark.audio import music_udf
+
+    clips = _synth_clips(spark, sf_dir=sf_dir)
+    u = music_udf()
+    return clips.select(
+        "clip_id", "codec", "sr_hz",
+        u(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("m"),
+    ).select(
+        "clip_id", "codec", "sr_hz",
+        F.col("m.decode_ok").alias("decode_ok"),
+        F.col("m.n_frames").cast("int").alias("n_frames"),
+        F.round(F.col("m.mod_energy_ratio"), 6).alias("mod_energy_ratio"),
+        F.round(F.col("m.low_energy_ratio"), 6).alias("low_energy_ratio"),
+        F.round(F.col("m.env_flatness"), 6).alias("env_flatness"),
+        F.round(F.col("m.speech_score"), 6).alias("speech_score"),
+    )
+
+
 def _q_audio_true_peak(spark, sf_dir):
     """Inter-sample true peak (BS.1770-style 4x windowed-sinc
     polyphase) next to the raw sample peak, with the R128 -1 dBTP
@@ -2700,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pitch": _shipped(_q_audio_pitch),
         "audio_artifacts": _shipped(_q_audio_artifacts),
         "audio_snr": _shipped(_q_audio_snr),
+        "audio_music": _shipped(_q_audio_music),
         "audio_true_peak": _shipped(_q_audio_true_peak),
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
@@ -2742,6 +2770,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_pitch",
     "audio_artifacts",
     "audio_snr",
+    "audio_music",
     "audio_trim_apply",
     "audio_resample",
     "audio_loudness",

@@ -164,6 +164,7 @@ BENCH_QUERIES = (
     "unigram_tokens",         # unigram-LM train (EM on capped table) + Viterbi encode
     "unigram_fertility",      # BPE-vs-unigram fertility A/B per language
     "audio_snr",              # blind segmental-SNR quality screen
+    "audio_music",            # music/speech envelope discriminator
     "pca_components",         # fixed-point moment PCA training
     "pca_whiten",             # whitened projection (codegen literals)
     "webdataset_manifest",    # tar shard sink (write + manifest)

@@ -1,0 +1,147 @@
+"""Music/speech discrimination kernel (Scheirer & Slaney 1997 envelope
+features): synthetic-class separation, planted-modulation recovery,
+low-energy-ratio recovery, batch≡rowloop equivalence, degenerate inputs,
+chunking invariance, Spark end-to-end."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio as A
+
+SR = 16000
+
+
+def _batch(rows):
+    return (pd.Series([r[0] for r in rows]),
+            pd.Series([r[1] for r in rows]),
+            pd.Series([r[2] for r in rows]))
+
+
+def _run1(x, sr=SR):
+    out = A._music_batch(*_batch([(A.encode(x.astype(np.float32),
+                                            "pcm_s16le"), "pcm_s16le", sr)]))
+    return out.iloc[0]
+
+
+def _speech_like(seed=5, dur_s=2.0):
+    """4 Hz amplitude-modulated tone with a pause — syllabic rhythm."""
+    rng = np.random.default_rng(seed)
+    n = int(SR * dur_s)
+    t = np.arange(n) / SR
+    x = 0.5 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 4 * t))
+    x[int(n * 0.7):int(n * 0.85)] = 0.0
+    return x + 0.01 * rng.standard_normal(n)
+
+
+def test_class_separation():
+    n = SR * 2
+    t = np.arange(n) / SR
+    rng = np.random.default_rng(5)
+    speech = _run1(_speech_like())
+    burst = _run1(0.5 * np.sin(2 * np.pi * 220 * t)
+                  * (np.floor(t / 0.1) % 2 == 0)
+                  + 0.005 * rng.standard_normal(n))
+    tone = _run1(0.5 * np.sin(2 * np.pi * 440 * t))
+    chord = _run1(0.2 * (np.sin(2 * np.pi * 262 * t)
+                         + np.sin(2 * np.pi * 330 * t)
+                         + np.sin(2 * np.pi * 392 * t))
+                  * (1 + 0.05 * np.sin(2 * np.pi * 0.5 * t)))
+    noise = _run1(0.1 * rng.standard_normal(n))
+    for s in (speech, burst):
+        assert s.speech_score > 0.7, dict(s)
+    for m in (tone, chord, noise):
+        assert m.speech_score < 0.3, dict(m)
+
+
+def test_planted_modulation_recovered():
+    """An envelope modulated exactly in the syllabic band concentrates
+    the envelope variance there; one modulated outside the band does
+    not."""
+    n = SR * 2
+    t = np.arange(n) / SR
+    for fmod in (2.5, 4.0, 7.5):
+        x = 0.5 * np.sin(2 * np.pi * 300 * t) \
+            * (0.6 + 0.4 * np.sin(2 * np.pi * fmod * t))
+        assert _run1(x).mod_energy_ratio > 0.8, fmod
+    out_band = 0.5 * np.sin(2 * np.pi * 300 * t) \
+        * (0.6 + 0.4 * np.sin(2 * np.pi * 16.0 * t))
+    assert _run1(out_band).mod_energy_ratio < 0.2
+
+
+def test_low_energy_ratio_recovery():
+    """A signal silent for a known fraction of its frames reports that
+    fraction (silent frames sit far below 0.25x the mean power)."""
+    f = 50  # frames
+    n = f * A.FRAME_SAMPLES
+    t = np.arange(n) / SR
+    x = 0.5 * np.sin(2 * np.pi * 250 * t)
+    cut = int(0.3 * f) * A.FRAME_SAMPLES
+    x[:cut] = 0.001 * np.sin(2 * np.pi * 250 * t[:cut])
+    got = _run1(x).low_energy_ratio
+    assert abs(got - 0.3) < 0.03, got
+
+
+def test_steady_tone_mod_guard():
+    """A steady tone's framing ripple must not register as modulation
+    (the cv^2 guard)."""
+    t = np.arange(SR * 2) / SR
+    r = _run1(0.5 * np.sin(2 * np.pi * 440 * t))
+    assert r.mod_energy_ratio == 0.0
+    assert r.env_flatness > 0.99
+
+
+def test_degenerate_inputs():
+    rows = [(None, "pcm_s16le", SR), (b"xyz", "no_such_codec", SR),
+            (A.encode(np.zeros(100, np.float32), "pcm_s16le"),
+             "pcm_s16le", SR),
+            (b"", "pcm_s16le", SR)]
+    out = A._music_batch(*_batch(rows))
+    assert list(out.decode_ok) == [False, False, True, True]
+    assert (out.speech_score[~out.decode_ok.values] == 0.0).all()
+    assert (out.n_frames == 0).all()  # all too short for a single frame
+
+
+def test_batch_equals_rowloop_fuzzed():
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(0, 4 * A.FRAME_SAMPLES * 8))
+        x = rng.normal(0, 0.2, n).astype(np.float32)
+        codec = ["pcm_s16le", "pcm_f32le", "mulaw", "alaw"][i % 4]
+        rows.append((A.encode(x, codec), codec, [8000, 16000, 44100][i % 3]))
+    rows += [(None, "pcm_s16le", SR), (b"q", "pcm_s16le", SR)]
+    b, c, s = _batch(rows)
+    got = A._music_batch(b, c, s)
+    ref = A._music_rowloop(b, c, s)
+    assert (got.decode_ok.values == ref.decode_ok.values).all()
+    assert (got.n_frames.values == ref.n_frames.values).all()
+    for col in ("mod_energy_ratio", "low_energy_ratio", "env_flatness",
+                "speech_score"):
+        assert np.allclose(got[col], ref[col], atol=1e-9), col
+
+
+def test_chunking_invariance(monkeypatch):
+    rng = np.random.default_rng(13)
+    rows = [(A.encode(rng.normal(0, 0.2, 3000).astype(np.float32),
+                      "pcm_s16le"), "pcm_s16le", SR) for _ in range(12)]
+    b, c, s = _batch(rows)
+    full = A._chunked_frame_apply(A._music_batch, b, c, s)
+    monkeypatch.setattr(A, "_CHUNK_SAMPLE_BUDGET", 4000)
+    small = A._chunked_frame_apply(A._music_batch, b, c, s)
+    for col in ("mod_energy_ratio", "low_energy_ratio", "env_flatness",
+                "speech_score"):
+        assert np.allclose(full[col], small[col]), col
+
+
+def test_spark_end_to_end(spark):
+    x = _speech_like()
+    df = spark.createDataFrame(
+        [(1, bytearray(A.encode(x.astype(np.float32), "pcm_s16le")),
+          "pcm_s16le", SR)],
+        "clip_id long, bytes binary, codec string, sr_hz int")
+    u = A.music_udf()
+    row = df.select(
+        u(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("m")
+    ).collect()[0]
+    assert row.m.decode_ok and row.m.speech_score > 0.7

@@ -2439,3 +2439,195 @@ def snr_udf():
         return _chunked_frame_apply(_snr_batch, b, codec)
 
     return audio_snr
+
+
+# ---------------------------------------------------------------------------
+# Music/speech discrimination (Scheirer & Slaney 1997, ICASSP: "Construction
+# and evaluation of a robust multifeature speech/music discriminator").
+#
+# A speech corpus harvested at web scale is full of music beds, jingles and
+# sustained tones; an ASR quality filter wants to drop music-dominant clips
+# before transcription-based gates ever run. The three cheapest and
+# best-studied discriminating features all live on the FRAME-ENERGY ENVELOPE,
+# not the raw samples:
+#
+#   * 4 Hz modulation energy — speech carries a syllabic amplitude
+#     modulation peaked near 4 Hz (Houtgast & Steeneken's modulation
+#     transfer function work); music envelopes are flatter or modulate at
+#     beat rates outside the 2-8 Hz syllabic band.
+#   * low-energy frame ratio — speech alternates bursts and pauses, so a
+#     large fraction of frames sit well below the mean power; sustained
+#     music keeps most frames near the mean.
+#   * envelope flatness — geometric/arithmetic mean ratio of frame powers
+#     (a spectral-flatness analog applied to the envelope distribution):
+#     bursty speech → low, steady tones/music → near 1.
+#
+# Scale shape: identical to the SNR kernel — one chunked Arrow pass, frame
+# powers via the shared paired-reduceat machinery, per-row modulation bins
+# via single-bin DFTs over the envelope (the _hum_ratios pattern lifted from
+# sample domain to frame domain). PCM never enters the Spark plan.
+
+MUSIC_SCHEMA = ("decode_ok boolean, n_frames int, mod_energy_ratio double,"
+                " low_energy_ratio double, env_flatness double,"
+                " speech_score double")
+# syllabic-band probe frequencies (Hz) for the envelope single-bin DFTs:
+# 2..8 Hz at 0.5 Hz steps — the 0.5 Hz pitch matches the orthogonal-DFT
+# bin spacing of a 2 s envelope window, so periodic envelopes anywhere in
+# the band land on (or between, with bounded leakage) a probe instead of
+# falling into an inter-bin null (a 5 Hz burst gate scored ~0 under a
+# sparse {2,3,4,6,8} comb during calibration).
+MOD_PROBE_HZ = tuple(2.0 + 0.5 * i for i in range(13))
+LOW_ENERGY_FACTOR = 0.25  # frame power below 0.25x row mean = "low energy"
+_MUSIC_MIN_FRAMES = 8  # below this the modulation DFT is meaningless
+# minimum squared coefficient of variation of the envelope for the
+# modulation ratio to mean anything: a steady tone's envelope has a tiny
+# framing ripple whose "variance fraction" is numerically arbitrary —
+# require the envelope to actually vary (cv > 1%) before scoring it.
+_MUSIC_MIN_CV2 = 1e-4
+_MUSIC_EPS = 1e-12
+
+
+def _speech_score(mod_ratio, low_ratio, flatness):
+    """Fixed interpretable combination of the three envelope features,
+    each mapped to [0, 1] with speech-high polarity. Weights favor the
+    modulation feature (the strongest single discriminator in Scheirer &
+    Slaney's ablation). Works on scalars and arrays."""
+    low_n = np.minimum(np.asarray(low_ratio, dtype=np.float64) / 0.5, 1.0)
+    return (0.45 * np.asarray(mod_ratio, dtype=np.float64)
+            + 0.35 * low_n
+            + 0.20 * (1.0 - np.asarray(flatness, dtype=np.float64)))
+
+
+def _music_from_decoded(samples, offsets, ok, sr_row) -> pd.DataFrame:
+    n = len(offsets) - 1
+    mod_ratio = np.zeros(n, dtype=np.float64)
+    low_ratio = np.zeros(n, dtype=np.float64)
+    flat = np.zeros(n, dtype=np.float64)
+    frame_starts, row_of_frame, n_frames = _frame_geometry(offsets)
+    if len(frame_starts):
+        x64 = samples.astype(np.float64)
+        pw = _frame_sums(x64 * x64, frame_starts) / FRAME_SAMPLES
+        nf = np.maximum(n_frames, 1).astype(np.float64)
+        mean_p = np.bincount(row_of_frame, weights=pw, minlength=n) / nf
+        has = n_frames > 0
+        # low-energy frame ratio
+        low = pw < (LOW_ENERGY_FACTOR * mean_p)[row_of_frame]
+        low_ratio = np.where(
+            has,
+            np.bincount(row_of_frame, weights=low, minlength=n) / nf, 0.0)
+        # envelope flatness: exp(mean log p) / mean p
+        logs = np.bincount(row_of_frame, weights=np.log(pw + _MUSIC_EPS),
+                           minlength=n) / nf
+        flat = np.where(has & (mean_p > _MUSIC_EPS),
+                        np.exp(logs) / (mean_p + _MUSIC_EPS), 0.0)
+        flat = np.minimum(flat, 1.0)
+        # syllabic-band modulation energy: single-bin DFTs of the
+        # mean-removed envelope at each probe frequency. Frame k of a row
+        # sits at t = k * FRAME_SAMPLES / sr.
+        e = pw - mean_p[row_of_frame]
+        var = np.bincount(row_of_frame, weights=e * e, minlength=n) / nf
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_frames, out=cum[1:])
+        k_in_row = (np.arange(len(pw), dtype=np.float64)
+                    - cum[:-1][row_of_frame])
+        t = k_in_row * (float(FRAME_SAMPLES)
+                        / np.asarray(sr_row, dtype=np.float64)[row_of_frame])
+        acc = np.zeros(n, dtype=np.float64)
+        for fmod in MOD_PROBE_HZ:
+            theta = (2.0 * np.pi * fmod) * t
+            c = np.bincount(row_of_frame, weights=e * np.cos(theta),
+                            minlength=n)
+            s = np.bincount(row_of_frame, weights=e * np.sin(theta),
+                            minlength=n)
+            acc += 2.0 * (c * c + s * s) / (nf * nf)
+        cv2 = var / np.maximum(mean_p * mean_p, _MUSIC_EPS)
+        enough = (has & (n_frames >= _MUSIC_MIN_FRAMES)
+                  & (var > _MUSIC_EPS) & (cv2 > _MUSIC_MIN_CV2))
+        mod_ratio = np.where(enough,
+                             np.minimum(acc / np.maximum(var, _MUSIC_EPS),
+                                        1.0), 0.0)
+    bad = ~ok
+    if bad.any():
+        mod_ratio[bad] = 0.0
+        low_ratio = np.where(bad, 0.0, low_ratio)
+        flat = np.where(bad, 0.0, flat)
+    score = np.where(ok, _speech_score(mod_ratio, low_ratio, flat), 0.0)
+    return pd.DataFrame({
+        "decode_ok": pd.Series(ok, dtype=bool),
+        "n_frames": pd.Series(np.where(ok, n_frames, 0).astype(np.int32)),
+        "mod_energy_ratio": mod_ratio,
+        "low_energy_ratio": low_ratio,
+        "env_flatness": flat,
+        "speech_score": score,
+    })
+
+
+def _music_batch(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    return _music_from_decoded(samples, offsets, ok,
+                               np.asarray(sr_s, dtype=np.int64))
+
+
+def _music_rowloop(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    """Per-row reference implementation (equivalence oracle)."""
+    rows = []
+    for b, c, sr in zip(bytes_s, codec_s, sr_s):
+        ok = True
+        try:
+            pcm = decode(b, c) if b is not None else np.zeros(0, np.float32)
+            if b is None:
+                ok = False
+        except Exception:
+            pcm, ok = np.zeros(0, dtype=np.float32), False
+        f = len(pcm) // FRAME_SAMPLES
+        if not ok or f == 0:
+            rows.append((ok, 0, 0.0, 0.0, 0.0))
+            continue
+        x = pcm[:f * FRAME_SAMPLES].astype(np.float64)
+        pw = (x * x).reshape(f, FRAME_SAMPLES).mean(axis=1)
+        mean_p = float(pw.mean())
+        low = float((pw < LOW_ENERGY_FACTOR * mean_p).mean())
+        flat = 0.0
+        if mean_p > _MUSIC_EPS:
+            flat = min(float(np.exp(np.log(pw + _MUSIC_EPS).mean())
+                             / (mean_p + _MUSIC_EPS)), 1.0)
+        e = pw - mean_p
+        var = float((e * e).mean())
+        mod = 0.0
+        cv2 = var / max(mean_p * mean_p, _MUSIC_EPS)
+        if f >= _MUSIC_MIN_FRAMES and var > _MUSIC_EPS and cv2 > _MUSIC_MIN_CV2:
+            t = np.arange(f, dtype=np.float64) * (FRAME_SAMPLES / float(sr))
+            acc = 0.0
+            for fmod in MOD_PROBE_HZ:
+                theta = 2.0 * np.pi * fmod * t
+                cc = float((e * np.cos(theta)).sum())
+                ss = float((e * np.sin(theta)).sum())
+                acc += 2.0 * (cc * cc + ss * ss) / (f * f)
+            mod = min(acc / max(var, _MUSIC_EPS), 1.0)
+        rows.append((ok, f, mod, low, flat))
+    score = [
+        float(_speech_score(m, lo, fl)) if ok_ else 0.0
+        for ok_, _f, m, lo, fl in rows
+    ]
+    return pd.DataFrame({
+        "decode_ok": pd.Series([r[0] for r in rows], dtype=bool),
+        "n_frames": pd.Series([r[1] for r in rows], dtype=np.int32),
+        "mod_energy_ratio": [r[2] for r in rows],
+        "low_energy_ratio": [r[3] for r in rows],
+        "env_flatness": [r[4] for r in rows],
+        "speech_score": score,
+    })
+
+
+def music_udf():
+    """Arrow-batched (bytes, codec, sr_hz) → music/speech envelope
+    features + combined speech score. Narrow projection, no shuffle
+    (same scale shape as decode_features_udf)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(MUSIC_SCHEMA)
+    def audio_music(b: pd.Series, codec: pd.Series,
+                    sr: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(_music_batch, b, codec, sr)
+
+    return audio_music

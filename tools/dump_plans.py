@@ -36,6 +36,7 @@ PLAN_QUERIES = (
     "audio_mfcc",
     "audio_pitch",
     "audio_artifacts",
+    "audio_music",
     "audio_trim_apply",
     "audio_resample",
     "audio_loudness",
