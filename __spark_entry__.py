@@ -201,6 +201,27 @@ def _synth_clips_with_dups(spark: SparkSession, n: int = 120,
     return spark.createDataFrame(both)
 
 
+def _synth_clips_speakers(spark: SparkSession, n: int = 60,
+                          sf_dir: str | None = None) -> DataFrame:
+    """Planted multi-speaker corpus (data.clips.generate_speaker_clips):
+    up to three synthetic voices alternating in 1 s turns — the
+    audio_diarize query must recover the generation-time turn/speaker
+    counts (pinned exactly by tests/test_diarize.py). Scale curve:
+    reads a pre-materialized clips_speakers.parquet from sf_dir when
+    present (see _synth_clips)."""
+    if sf_dir is not None:
+        path = os.path.join(sf_dir, "clips_speakers.parquet")
+        if os.path.exists(path):
+            return spark.read.parquet(path)
+
+    from tiny_lingua_spark.data.clips import generate_speaker_clips
+    from tiny_lingua_spark.session import ship_package
+
+    ship_package(spark)
+    clips_pd, _labels = generate_speaker_clips(n=n, seed=42)
+    return spark.createDataFrame(clips_pd)
+
+
 def _synth_clips_warp_dups(spark: SparkSession, n: int = 120,
                            n_dups: int = 6,
                            sf_dir: str | None = None) -> DataFrame:
@@ -2301,6 +2322,31 @@ def _q_audio_music(spark, sf_dir):
     )
 
 
+def _q_audio_diarize(spark, sf_dir):
+    """Diarization-lite over the planted multi-speaker corpus:
+    voiced-block cepstral segmentation (turn runs) + greedy
+    nearest-centroid clustering (speaker estimate). Golden-parquet
+    oracle (frame MFCC math is not SQL-expressible); the independent
+    anchor is exact planted turn/speaker recovery in
+    tests/test_diarize.py::test_planted_recovery_exact."""
+    from tiny_lingua_spark.operators.diarize import diarize_udf
+
+    clips = _synth_clips_speakers(spark, sf_dir=sf_dir)
+    u = diarize_udf()
+    return clips.select(
+        "clip_id", "codec", "sr_hz",
+        u(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("d"),
+    ).select(
+        "clip_id", "codec", "sr_hz",
+        F.col("d.decode_ok").alias("decode_ok"),
+        F.col("d.n_frames").cast("int").alias("n_frames"),
+        F.col("d.n_voiced").cast("int").alias("n_voiced"),
+        F.col("d.n_blocks").cast("int").alias("n_blocks"),
+        F.col("d.turn_count").cast("int").alias("turn_count"),
+        F.col("d.n_speakers_est").cast("int").alias("n_speakers_est"),
+    )
+
+
 def _q_audio_true_peak(spark, sf_dir):
     """Inter-sample true peak (BS.1770-style 4x windowed-sinc
     polyphase) next to the raw sample peak, with the R128 -1 dBTP
@@ -2728,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_artifacts": _shipped(_q_audio_artifacts),
         "audio_snr": _shipped(_q_audio_snr),
         "audio_music": _shipped(_q_audio_music),
+        "audio_diarize": _shipped(_q_audio_diarize),
         "audio_true_peak": _shipped(_q_audio_true_peak),
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
@@ -2771,6 +2818,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_artifacts",
     "audio_snr",
     "audio_music",
+    "audio_diarize",
     "audio_trim_apply",
     "audio_resample",
     "audio_loudness",

@@ -165,6 +165,7 @@ BENCH_QUERIES = (
     "unigram_fertility",      # BPE-vs-unigram fertility A/B per language
     "audio_snr",              # blind segmental-SNR quality screen
     "audio_music",            # music/speech envelope discriminator
+    "audio_diarize",          # speaker-turn structure (diarization-lite)
     "pca_components",         # fixed-point moment PCA training
     "pca_whiten",             # whitened projection (codegen literals)
     "webdataset_manifest",    # tar shard sink (write + manifest)

@@ -1,0 +1,118 @@
+"""Diarization-lite kernel: planted turn/speaker recovery on the
+generated multi-speaker corpus, rate invariance of the fixed-time
+blocks, batch≡rowloop equivalence, degenerate inputs, chunking
+invariance, Spark end-to-end."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio as A
+from tiny_lingua_spark.data.clips import (
+    _speaker_clip,
+    generate_speaker_clips,
+)
+from tiny_lingua_spark.operators import diarize as D
+
+
+def _batch(rows):
+    return (pd.Series([r[0] for r in rows]),
+            pd.Series([r[1] for r in rows]),
+            pd.Series([r[2] for r in rows]))
+
+
+def test_planted_recovery_exact():
+    """The kernel recovers the generation-time ground truth (turn count
+    AND speaker count) on every clip of the planted corpus — the
+    independent anchor for the audio_diarize golden oracle."""
+    clips, labels = generate_speaker_clips(n=60, seed=42)
+    out = D._diarize_batch(clips["bytes"], clips["codec"], clips["sr_hz"])
+    assert (out.turn_count.values == labels.n_turns.values).all()
+    assert (out.n_speakers_est.values == labels.n_speakers.values).all()
+
+
+def test_rate_invariant_blocks():
+    """The same turn pattern synthesized at 8 kHz and 16 kHz must yield
+    the same structure (fixed-TIME blocks; a fixed frame count would
+    halve the resolution at 8 kHz)."""
+    pattern = (0, 1, 0, 1)
+    rows = []
+    for sr in (8000, 16000):
+        pcm = _speaker_clip(pattern, sr, seed=777)
+        rows.append((A.encode(pcm, "pcm_s16le"), "pcm_s16le", sr))
+    out = D._diarize_batch(*_batch(rows))
+    assert list(out.turn_count) == [3, 3]
+    assert list(out.n_speakers_est) == [2, 2]
+
+
+def test_single_speaker_and_nonspeech():
+    t = np.arange(16000 * 2) / 16000
+    rng = np.random.default_rng(3)
+    rows = [
+        (A.encode(_speaker_clip((1,), 16000, seed=5), "pcm_s16le"),
+         "pcm_s16le", 16000),
+        (A.encode((0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32),
+                  "pcm_s16le"), "pcm_s16le", 16000),
+        (A.encode(rng.normal(0, 0.1, 32000).astype(np.float32),
+                  "pcm_s16le"), "pcm_s16le", 16000),
+    ]
+    out = D._diarize_batch(*_batch(rows))
+    assert (out.turn_count == 0).all()
+    assert (out.n_speakers_est == 1).all()
+
+
+def test_degenerate_inputs():
+    rows = [(None, "pcm_s16le", 16000), (b"xyz", "no_such_codec", 16000),
+            (A.encode(np.zeros(100, np.float32), "pcm_s16le"),
+             "pcm_s16le", 16000),
+            (b"", "pcm_s16le", 16000)]
+    out = D._diarize_batch(*_batch(rows))
+    assert list(out.decode_ok) == [False, False, True, True]
+    assert (out.n_blocks == 0).all()
+    assert (out.turn_count == 0).all()
+    assert (out.n_speakers_est == 0).all()
+
+
+def test_batch_equals_rowloop_fuzzed():
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(30):
+        n = int(rng.integers(0, 4 * A.FRAME_SAMPLES * 20))
+        x = rng.normal(0, 0.2, n).astype(np.float32)
+        codec = ["pcm_s16le", "pcm_f32le", "mulaw", "alaw"][i % 4]
+        rows.append((A.encode(x, codec), codec, [8000, 16000, 44100][i % 3]))
+    # plus real multi-speaker content at mixed rates/codecs
+    clips, _ = generate_speaker_clips(n=20, seed=7)
+    rows += list(zip(clips["bytes"], clips["codec"], clips["sr_hz"]))
+    rows += [(None, "pcm_s16le", 16000), (b"q", "pcm_s16le", 16000)]
+    b, c, s = _batch(rows)
+    got = D._diarize_batch(b, c, s)
+    ref = D._diarize_rowloop(b, c, s)
+    for col in got.columns:
+        assert (got[col].values == ref[col].values).all(), col
+
+
+def test_chunking_invariance(monkeypatch):
+    clips, _ = generate_speaker_clips(n=12, seed=9)
+    b = pd.Series(list(clips["bytes"]))
+    c = pd.Series(list(clips["codec"]))
+    s = pd.Series(list(clips["sr_hz"]))
+    full = A._chunked_frame_apply(D._diarize_batch, b, c, s)
+    monkeypatch.setattr(A, "_CHUNK_SAMPLE_BUDGET", 8000)
+    small = A._chunked_frame_apply(D._diarize_batch, b, c, s)
+    for col in full.columns:
+        assert (full[col].values == small[col].values).all(), col
+
+
+def test_spark_end_to_end(spark):
+    pcm = _speaker_clip((0, 1, 0), 16000, seed=321)
+    df = spark.createDataFrame(
+        [(1, bytearray(A.encode(pcm, "pcm_s16le")), "pcm_s16le", 16000)],
+        "clip_id long, bytes binary, codec string, sr_hz int")
+    u = D.diarize_udf()
+    row = df.select(
+        u(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("d")
+    ).collect()[0]
+    assert row.d.decode_ok
+    assert row.d.turn_count == 2
+    assert row.d.n_speakers_est == 2

@@ -125,3 +125,73 @@ def clips_dataframes(spark, n: int = 500, seed: int = 42):
         spark.createDataFrame(clips, CLIPS_SCHEMA),
         spark.createDataFrame(labels, LABELS_SCHEMA),
     )
+
+
+# --- multi-speaker corpus for the diarization-lite operator ---------------
+#
+# Clips alternate between up to three synthetic "voices" (harmonic stacks
+# with speaker-specific f0 and spectral tilt, 3.5 Hz syllabic AM) in 1 s
+# turns separated by 120 ms gaps. Labels carry the planted ground truth
+# (n_speakers, n_turns) so the diarize kernel's recovery is testable
+# against generation knowledge, not against the kernel itself.
+
+_SPEAKER_SPECS = {0: (120.0, 1.0), 1: (215.0, 0.3), 2: (165.0, 0.65)}
+# turn patterns sampled per clip: (speaker sequence)
+_TURN_PATTERNS = (
+    (0,), (1,), (2,), (0, 0, 0, 0), (1, 1, 1),
+    (0, 1), (0, 1, 0, 1), (0, 0, 1, 1), (1, 2), (2, 0, 2),
+    (0, 1, 2), (0, 1, 2, 0), (2, 1, 0, 2), (0, 1, 0, 1, 0, 1),
+)
+
+
+def _speaker_voice(f0: float, tilt: float, n: int, sr: int,
+                   seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float64) / sr
+    x = np.zeros(n)
+    for h in range(1, 9):
+        x += (h ** -tilt) * np.sin(2 * np.pi * h * f0 * t
+                                   + rng.uniform(0, 2 * np.pi))
+    x /= np.abs(x).max()
+    am = 0.6 + 0.4 * np.sin(2 * np.pi * 3.5 * t + rng.uniform(0, 2 * np.pi))
+    return 0.5 * x * am + 0.005 * rng.standard_normal(n)
+
+
+def _speaker_clip(turns: tuple, sr: int, seed: int,
+                  dur_seg_s: float = 1.0, gap_s: float = 0.12) -> np.ndarray:
+    segs = []
+    for i, s in enumerate(turns):
+        f0, tilt = _SPEAKER_SPECS[s]
+        n = int(sr * dur_seg_s)
+        segs.append(_speaker_voice(f0, tilt, n, sr, seed + i * 7 + s))
+        segs.append(np.zeros(int(sr * gap_s)))
+    return np.clip(np.concatenate(segs), -0.99, 0.99).astype(np.float32)
+
+
+def generate_speaker_clips(n: int = 60, seed: int = 42
+                           ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(clips_df, labels_df): clips in the BASELINE input shape; labels
+    (clip_id, n_speakers, n_turns) from generation knowledge."""
+    rng = random.Random(seed)
+    clip_rows, label_rows = [], []
+    for i in range(n):
+        clip_id = f"spkclip-{i:06d}"
+        pattern = _TURN_PATTERNS[rng.randrange(len(_TURN_PATTERNS))]
+        sr = 16000 if rng.random() < 0.8 else 8000
+        codec = "pcm_s16le" if rng.random() < 0.7 else "mulaw"
+        pcm = _speaker_clip(pattern, sr, seed=9000 + i * 101)
+        clip_rows.append({
+            "clip_id": clip_id,
+            "bytes": audio.encode(pcm, codec),
+            "sr_hz": sr,
+            "dur_ms": int(1000 * len(pcm) / sr),
+            "codec": codec,
+            "transcript": "",
+        })
+        label_rows.append({
+            "clip_id": clip_id,
+            "n_speakers": len(set(pattern)),
+            "n_turns": sum(1 for a, b in zip(pattern, pattern[1:])
+                           if a != b),
+        })
+    return pd.DataFrame(clip_rows), pd.DataFrame(label_rows)

@@ -1,0 +1,236 @@
+"""Diarization-lite: speaker-turn detection + speaker-count estimate.
+
+A conversational-speech corpus wants per-clip speaker structure before
+any transcript-level gate: single-speaker read speech, two-way dialog
+and multi-speaker meetings are different training distributions, and a
+keep/drop or routing decision at 10^12-clip scale can only afford a
+cheap signal. This is the classic segmentation-then-clustering recipe
+(Chen & Gopalakrishnan 1998 BIC segmentation; Siegler et al. 1997
+cepstral-distance clustering) collapsed to its deterministic core:
+
+1. frame MFCCs (the shared batched front-end from tiny_lingua_spark.audio),
+2. voiced-frame gate (frame power > VOICED_REL x row mean power),
+3. fixed-duration blocks (DIA_BLOCK_SEC of consecutive voiced frames,
+   frame count derived from each row's sample rate); block mean of
+   cepstra c1..c12 (c0 dropped for level invariance),
+4. consecutive-block Euclidean distances; a TURN is a maximal run of
+   distances above DIA_TAU (a block straddling a speaker change exceeds
+   the threshold on both sides — counting runs, not exceedances, keeps
+   one turn from registering twice),
+5. SPEAKERS: segments between turn runs (run-interior straddle blocks
+   dropped), segment mean cepstra, greedy nearest-centroid clustering
+   with the same DIA_TAU threshold — cluster count = speaker estimate.
+
+The per-row sequential pass in steps 4-5 runs over BLOCK MEANS (one
+12-vector per ~0.26 s of voiced audio), not samples: a 1-hour clip is
+~14k blocks, and the pass is O(n_blocks x n_speakers). All sample- and
+frame-level math is whole-batch vectorized; PCM never enters the plan.
+
+Scale shape: narrow projection, no shuffle — identical to the other
+audio kernels (one chunked Arrow pass per partition).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..audio import (
+    FRAME_SAMPLES,
+    _chunked_frame_apply,
+    _frame_geometry,
+    _mfcc_frames,
+    decode,
+    decode_concat,
+)
+
+DIARIZE_SCHEMA = ("decode_ok boolean, n_frames int, n_voiced int,"
+                  " n_blocks int, turn_count int, n_speakers_est int")
+
+DIA_BLOCK_SEC = 0.256  # block = this much VOICED audio, regardless of rate
+# (16 frames at 16 kHz / 256-sample frames; 8 frames at 8 kHz — a fixed
+# frame count would double the block duration at 8 kHz and merge turn
+# runs of 1 s segments into one)
+DIA_TAU = 4.0  # cepstral-mean Euclidean threshold: turn + cluster radius
+VOICED_REL = 0.1  # frame is voiced above this fraction of row mean power
+_N_CEPS = 12  # c1..c12
+
+
+def _block_frames(sr) -> np.ndarray:
+    """Frames per block for a given sample rate: DIA_BLOCK_SEC of audio
+    in FRAME_SAMPLES-wide frames, at least 1."""
+    return np.maximum(
+        np.rint(DIA_BLOCK_SEC * np.asarray(sr, dtype=np.float64)
+                / FRAME_SAMPLES).astype(np.int64), 1)
+
+
+def _turns_and_speakers(bm: np.ndarray) -> tuple[int, int]:
+    """Sequential pass over one row's (n_blocks, 12) block means:
+    (turn_count, n_speakers_est). Deterministic; order = time order."""
+    nb = len(bm)
+    if nb == 0:
+        return 0, 0
+    if nb == 1:
+        return 0, 1
+    d = np.linalg.norm(np.diff(bm, axis=0), axis=1)
+    ex = d > DIA_TAU
+    # maximal runs of exceedances; run interiors are straddle blocks
+    runs = []
+    i = 0
+    while i < len(ex):
+        if ex[i]:
+            j = i
+            while j + 1 < len(ex) and ex[j + 1]:
+                j += 1
+            runs.append((i, j))
+            i = j + 1
+        else:
+            i += 1
+    turns = len(runs)
+    drop = np.zeros(nb, dtype=bool)
+    for a, b in runs:
+        drop[a + 1:b + 1] = True  # interior blocks of a multi-distance run
+    # segments between runs -> mean cepstra
+    seg_means = []
+    prev = 0
+    for k, (a, b) in enumerate(runs + [(nb - 1, nb - 1)]):
+        hi = a if k < len(runs) else nb - 1
+        sel = [x for x in range(prev, hi + 1) if not drop[x]]
+        if sel:
+            seg_means.append(bm[sel].mean(axis=0))
+        prev = b + 1
+    # greedy nearest-centroid clustering (running-mean centroids)
+    sums: list[np.ndarray] = []
+    counts: list[int] = []
+    for m in seg_means:
+        best, bi = None, -1
+        for j in range(len(sums)):
+            dd = float(np.linalg.norm(m - sums[j] / counts[j]))
+            if best is None or dd < best:
+                best, bi = dd, j
+        if best is not None and best < DIA_TAU:
+            sums[bi] = sums[bi] + m
+            counts[bi] += 1
+        else:
+            sums.append(m.copy())
+            counts.append(1)
+    return turns, max(len(sums), 1)
+
+
+def _diarize_from_decoded(samples, offsets, ok, sr_row) -> pd.DataFrame:
+    n = len(offsets) - 1
+    frame_starts, row_of_frame, n_frames = _frame_geometry(offsets)
+    n_voiced = np.zeros(n, dtype=np.int64)
+    n_blocks = np.zeros(n, dtype=np.int64)
+    turn_count = np.zeros(n, dtype=np.int64)
+    n_speakers = np.zeros(n, dtype=np.int64)
+    if len(frame_starts):
+        idx = frame_starts[:, None] + np.arange(FRAME_SAMPLES)[None, :]
+        frames = samples[idx].astype(np.float64)
+        pw = (frames * frames).mean(axis=1)
+        win = np.hanning(FRAME_SAMPLES)
+        power = np.abs(np.fft.rfft(frames * win[None, :], axis=1)) ** 2
+        sr_arr = np.asarray(sr_row, dtype=np.int64)
+        cc = _mfcc_frames(power, sr_arr[row_of_frame])[:, 1:1 + _N_CEPS]
+        nf = np.maximum(n_frames, 1).astype(np.float64)
+        mean_p = np.bincount(row_of_frame, weights=pw, minlength=n) / nf
+        voiced = pw > (VOICED_REL * mean_p)[row_of_frame]
+        n_voiced = np.bincount(row_of_frame[voiced], minlength=n)
+        # voiced-block geometry over the concatenated batch
+        vrow = row_of_frame[voiced]  # nondecreasing
+        vcc = cc[voiced]
+        vcounts = np.bincount(vrow, minlength=n)
+        first = np.zeros(n, dtype=np.int64)
+        np.cumsum(vcounts[:-1], out=first[1:])
+        vidx = np.arange(len(vrow), dtype=np.int64) - first[vrow]
+        b_row = _block_frames(sr_arr)  # per-row block size (fixed time)
+        n_blocks = vcounts // b_row
+        block_in_row = vidx // b_row[vrow]
+        keep = block_in_row < n_blocks[vrow]  # drop partial tail blocks
+        boff = np.zeros(n, dtype=np.int64)
+        np.cumsum(n_blocks[:-1], out=boff[1:])
+        gb = boff[vrow[keep]] + block_in_row[keep]
+        total_blocks = int(n_blocks.sum())
+        bmeans = np.zeros((total_blocks, _N_CEPS), dtype=np.float64)
+        if total_blocks:
+            block_row = np.repeat(np.arange(n, dtype=np.int64), n_blocks)
+            for c in range(_N_CEPS):
+                bmeans[:, c] = np.bincount(
+                    gb, weights=vcc[keep, c], minlength=total_blocks)
+            bmeans /= b_row[block_row].astype(np.float64)[:, None]
+        for r in np.flatnonzero(n_blocks > 0):
+            t, s = _turns_and_speakers(bmeans[boff[r]:boff[r] + n_blocks[r]])
+            turn_count[r] = t
+            n_speakers[r] = s
+    bad = ~ok
+    if bad.any():
+        for arr in (n_voiced, n_blocks, turn_count, n_speakers):
+            arr[bad] = 0
+    return pd.DataFrame({
+        "decode_ok": pd.Series(ok, dtype=bool),
+        "n_frames": pd.Series(np.where(ok, n_frames, 0).astype(np.int32)),
+        "n_voiced": pd.Series(np.where(ok, n_voiced, 0).astype(np.int32)),
+        "n_blocks": pd.Series(n_blocks.astype(np.int32)),
+        "turn_count": pd.Series(turn_count.astype(np.int32)),
+        "n_speakers_est": pd.Series(n_speakers.astype(np.int32)),
+    })
+
+
+def _diarize_batch(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    return _diarize_from_decoded(samples, offsets, ok,
+                                 np.asarray(sr_s, dtype=np.int64))
+
+
+def _diarize_rowloop(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    """Per-row reference implementation (equivalence oracle for the
+    batched block-mean plumbing; never runs inside a Spark plan)."""
+    win = np.hanning(FRAME_SAMPLES)
+    rows = []
+    for b, c, sr in zip(bytes_s, codec_s, sr_s):
+        ok = True
+        try:
+            pcm = decode(b, c) if b is not None else np.zeros(0, np.float32)
+            if b is None:
+                ok = False
+        except Exception:
+            pcm, ok = np.zeros(0, dtype=np.float32), False
+        f = len(pcm) // FRAME_SAMPLES
+        if not ok or f == 0:
+            rows.append((ok, 0, 0, 0, 0, 0))
+            continue
+        fr = pcm[:f * FRAME_SAMPLES].astype(np.float64).reshape(
+            f, FRAME_SAMPLES)
+        pw = (fr * fr).mean(axis=1)
+        power = np.abs(np.fft.rfft(fr * win[None, :], axis=1)) ** 2
+        cc = _mfcc_frames(power, np.full(f, int(sr), dtype=np.int64))
+        voiced = pw > VOICED_REL * pw.mean()
+        v = cc[voiced][:, 1:1 + _N_CEPS]
+        bf = int(_block_frames(int(sr))[()])
+        nb = len(v) // bf
+        bm = (v[:nb * bf].reshape(nb, bf, _N_CEPS).mean(axis=1)
+              if nb else np.zeros((0, _N_CEPS)))
+        t, s = _turns_and_speakers(bm)
+        rows.append((ok, f, int(voiced.sum()), nb, t, s))
+    return pd.DataFrame({
+        "decode_ok": pd.Series([r[0] for r in rows], dtype=bool),
+        "n_frames": pd.Series([r[1] for r in rows], dtype=np.int32),
+        "n_voiced": pd.Series([r[2] for r in rows], dtype=np.int32),
+        "n_blocks": pd.Series([r[3] for r in rows], dtype=np.int32),
+        "turn_count": pd.Series([r[4] for r in rows], dtype=np.int32),
+        "n_speakers_est": pd.Series([r[5] for r in rows], dtype=np.int32),
+    })
+
+
+def diarize_udf():
+    """Arrow-batched (bytes, codec, sr_hz) → per-clip speaker-turn
+    structure. Narrow projection, no shuffle (same scale shape as
+    decode_features_udf)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DIARIZE_SCHEMA)
+    def audio_diarize(b: pd.Series, codec: pd.Series,
+                      sr: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(_diarize_batch, b, codec, sr)
+
+    return audio_diarize

@@ -37,6 +37,7 @@ PLAN_QUERIES = (
     "audio_pitch",
     "audio_artifacts",
     "audio_music",
+    "audio_diarize",
     "audio_trim_apply",
     "audio_resample",
     "audio_loudness",

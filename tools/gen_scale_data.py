@@ -52,6 +52,7 @@ ID_STRIDE = 10_000_000
 SALT_EVERY = 8
 CLIPS_BASE = 300
 CLIPS_DUPS_BASE, CLIPS_DUPS_PLANT = 120, 8
+CLIPS_SPEAKERS_BASE = 60
 EMB_DIM = 64
 
 
@@ -180,6 +181,14 @@ def write_clips(out_dir: str, k: int) -> None:
     warp = pd.concat([base_w, pd.DataFrame(warp_rows)], ignore_index=True)
     warp.to_parquet(os.path.join(out_dir, "clips_warp.parquet"), index=False)
 
+    # multi-speaker corpus for audio_diarize: K-fold replica of the
+    # planted-turn corpus (seed folds the replica in so waveforms differ)
+    from tiny_lingua_spark.data.clips import generate_speaker_clips
+
+    spk, _ = generate_speaker_clips(n=k * CLIPS_SPEAKERS_BASE, seed=42)
+    spk.to_parquet(os.path.join(out_dir, "clips_speakers.parquet"),
+                   index=False)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -212,7 +221,7 @@ def main() -> None:
         print(f"  events: {len(ev)} -> {len(sv)}")
 
         write_clips(out_dir, k)
-        print("  clips + clips_dups + clips_warp written")
+        print("  clips + clips_dups + clips_warp + clips_speakers written")
 
 
 if __name__ == "__main__":
