@@ -1,0 +1,79 @@
+"""Hard-negative mining: label exclusion, false-negative ceiling,
+full-probe ANN == brute equivalence, measured recall/hardness floor at
+the probe defaults, planted-duplicate exclusion."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators import negatives as N
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_contract(emb):
+    out = N.hard_negatives(emb, n_src=40, k=5).toPandas()
+    labels = emb.select("vec_id", "label").toPandas().set_index("vec_id")[
+        "label"]
+    # no same-label pair ever mined
+    assert (labels[out.anchor_id].values != labels[out.neg_id].values).all()
+    assert (out.sim < 0.95).all()
+    assert out.groupby("anchor_id")["rank"].max().le(5).all()
+    assert (out.groupby("anchor_id")["rank"].apply(
+        lambda r: sorted(r) == list(range(1, len(r) + 1)))).all()
+
+
+def test_full_probe_ann_equals_brute(emb):
+    """With nprobe = nprobe_y = n_cells and no cap, the cell join sees
+    every pair — the ANN tier must reproduce the brute tier exactly."""
+    brute = N.hard_negatives(emb, n_src=40, k=5).toPandas()
+    full = N.hard_negatives_ann(emb, n_src=40, k=5, nprobe=16,
+                                nprobe_y=16, cell_cap=None).toPandas()
+    cols = ["anchor_id", "neg_id", "sim", "rank"]
+    b = brute[cols].sort_values(cols).reset_index(drop=True)
+    f = full[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, f)
+
+
+def test_default_probe_recall_and_hardness(emb):
+    """The 4/16-probe tier is approximate by design (ANCE-style mining
+    tolerates it); pin the measured floor so a silent recall collapse
+    fails loudly: >=60 % of the brute top-k recovered, and mined
+    negatives keep >=90 % of brute hardness (mean sim ratio)."""
+    brute = N.hard_negatives(emb, n_src=40, k=5).toPandas()
+    ann = N.hard_negatives_ann(emb, n_src=40, k=5).toPandas()
+    bs = set(map(tuple, brute[["anchor_id", "neg_id"]].values))
+    as_ = set(map(tuple, ann[["anchor_id", "neg_id"]].values))
+    assert len(bs & as_) / len(bs) >= 0.6
+    assert ann.sim.mean() / brute.sim.mean() >= 0.9
+
+
+def test_planted_duplicate_excluded(spark, emb):
+    """An unlabeled duplicate (same vector, different label) must NOT
+    surface as a negative — the false-negative trap the pos_threshold
+    ceiling exists for."""
+    one = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0]
+    dup = spark.createDataFrame(
+        [(100000, one.embedding, 999)],
+        "vec_id long, embedding array<float>, label int")
+    poisoned = emb.select("vec_id", "embedding", "label").unionByName(dup)
+    out = N.hard_negatives(poisoned, n_src=1, k=5).toPandas()
+    assert 100000 not in set(out.neg_id)
+    # and with the ceiling lifted it WOULD surface at rank 1
+    loose = N.hard_negatives(poisoned, n_src=1, k=5,
+                             pos_threshold=1.01).toPandas()
+    assert loose[loose["rank"] == 1].neg_id.iloc[0] == 100000
+
+
+def test_ann_plan_no_cartesian(emb):
+    from tiny_lingua_spark.plans.audit import audit
+
+    rep = audit(N.hard_negatives_ann(emb))
+    assert rep["cartesian"] == 0 if "cartesian" in rep else True
+    assert rep.get("bnlj_cross", 0) == 0, rep

@@ -1,0 +1,192 @@
+"""Hard-negative mining for contrastive / retrieval training data.
+
+Training a dual encoder (DPR, Sentence-BERT, CLAP-style audio-text
+models) on random in-batch negatives saturates early; the standard fix
+is to mine HARD negatives — the most similar items that are known NOT
+to be positives (Karpukhin et al. 2020; Xiong et al. 2021 ANCE). As a
+data-pipeline operator: for each anchor, the top-k highest-cosine
+vectors that (a) carry a different label (the positive relation we
+must not leak into the negative set) and (b) sit below a near-dup
+ceiling `pos_threshold` (an unlabeled duplicate surfacing as a
+"negative" would actively teach the model wrong — the false-negative
+trap the ANCE line of work documents).
+
+Two tiers, same contract as the other ANN operators in this package:
+
+* `hard_negatives` — brute scoring of a BOUNDED anchor set against the
+  corpus (broadcast anchors, one pass over the pool, distributed
+  per-anchor top-k). The oracle tier: exact, SQL-twinned.
+* `hard_negatives_ann` — the 100 TB path: anchors multi-probe their
+  top-`nprobe` IVF cells, the pool is written into `nprobe_y` cells
+  with a deterministic per-cell cap, and the only join is the cell
+  equi-join (the ann_bitext_candidates shape — bitext.py documents the
+  linear-work argument; at real scale the pool side is a prebuilt
+  cell-partitioned index).
+
+Reference corpus note: mining runs per anchor against the whole pool,
+so the anchor side is usually a sample of the corpus being trained on
+(n_src here); the pool is everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _centroid_dots_sql,
+    cosine_expr,
+    cosine_sql,
+    ivf_seed_centroids,
+)
+from .bitext import _probe_cells_expr
+
+
+def _anchors(emb: DataFrame, n_src: int, label_col: str) -> DataFrame:
+    return emb.where(F.col("vec_id") < n_src).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_emb"),
+        F.col(label_col).alias("anchor_label"),
+    )
+
+
+def hard_negatives(emb: DataFrame, n_src: int = 40, k: int = 5,
+                   pos_threshold: float = 0.95,
+                   label_col: str = "label") -> DataFrame:
+    """Exact top-k hard negatives for each of the first `n_src` anchors:
+    (anchor_id, neg_id, sim, rank). Broadcast anchors x one pool scan;
+    per-anchor top-k via a window over the bounded scored set."""
+    src = _anchors(emb, n_src, label_col)
+    sim = F.round(cosine_expr("anchor_emb", "embedding"), 6)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("neg_id"))
+    return (
+        F.broadcast(src)
+        .crossJoin(emb.select(F.col("vec_id").alias("neg_id"),
+                              "embedding",
+                              F.col(label_col).alias("neg_label")))
+        .where(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            F.col("anchor_id").cast("long").alias("anchor_id"),
+            F.col("neg_id").cast("long").alias("neg_id"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") < pos_threshold)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hard_negatives_sql(table: str, dim: int, n_src: int = 40, k: int = 5,
+                       pos_threshold: float = 0.95) -> str:
+    """DuckDB twin of hard_negatives (same 6-dp rounding BEFORE the
+    threshold/rank so ties break identically)."""
+    cos = cosine_sql("a.embedding", "p.embedding", dim)
+    return f"""
+    WITH a AS (SELECT vec_id, embedding, label FROM {table}
+               WHERE vec_id < {n_src}),
+    scored AS (
+      SELECT a.vec_id::BIGINT AS anchor_id, p.vec_id::BIGINT AS neg_id,
+             round({cos}, 6) AS sim
+      FROM a JOIN {table} p ON a.label != p.label
+    )
+    SELECT anchor_id, neg_id, sim,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY sim DESC, neg_id)::BIGINT AS rank
+    FROM scored WHERE sim < {pos_threshold}
+    QUALIFY rank <= {k}
+    """
+
+
+def hard_negatives_ann(emb: DataFrame, n_src: int = 40, k: int = 5,
+                       pos_threshold: float = 0.95,
+                       label_col: str = "label",
+                       nprobe: int = 4, nprobe_y: int = 2,
+                       n_cells: int = 16,
+                       centroids: list[list[float]] | None = None,
+                       cell_cap: int = 256) -> DataFrame:
+    """IVF cell-join tier: same output contract as hard_negatives but
+    candidates come from the anchor's probed cells only. Work per
+    anchor is <= nprobe * cell_cap pool rows regardless of pool size
+    (the ann_bitext_candidates linear-work shape)."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(64, n_cells=n_cells)
+    src = _anchors(emb, n_src, label_col).select(
+        "anchor_id", "anchor_emb", "anchor_label",
+        F.explode(F.expr(_probe_cells_expr("anchor_emb", centroids, nprobe)))
+        .alias("cell"),
+    )
+    pool = emb.select(
+        F.col("vec_id").alias("neg_id"), "embedding",
+        F.col(label_col).alias("neg_label"),
+        F.explode(F.expr(_probe_cells_expr("embedding", centroids, nprobe_y)))
+        .alias("cell"),
+    )
+    if cell_cap is not None:
+        wcap = Window.partitionBy("cell").orderBy("neg_id")
+        pool = (pool.withColumn("_rn", F.row_number().over(wcap))
+                    .where(F.col("_rn") <= cell_cap).drop("_rn"))
+    sim = F.round(cosine_expr("anchor_emb", "embedding"), 6)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("neg_id"))
+    return (
+        src.join(pool, "cell")
+        .where(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            F.col("anchor_id").cast("long").alias("anchor_id"),
+            F.col("neg_id").cast("long").alias("neg_id"),
+            sim.alias("sim"),
+        )
+        .dropDuplicates(["anchor_id", "neg_id"])  # nprobe_y replication
+        .where(F.col("sim") < pos_threshold)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hard_negatives_ann_sql(table: str, dim: int, n_src: int = 40,
+                           k: int = 5, pos_threshold: float = 0.95,
+                           nprobe: int = 4, nprobe_y: int = 2,
+                           n_cells: int = 16,
+                           cell_cap: int = 256) -> str:
+    """DuckDB twin of hard_negatives_ann (same seeded centroids as
+    double literals, same probe tie order, same per-cell cap, same
+    dedup and 6-dp rank math)."""
+    centroids = ivf_seed_centroids(dim, n_cells=n_cells)
+    d = _centroid_dots_sql("embedding", centroids, dim)
+    cos = cosine_sql("ap.anchor_emb", "pool.embedding", dim)
+    return f"""
+    WITH ad AS (SELECT vec_id::BIGINT AS anchor_id,
+                       embedding AS anchor_emb, label AS anchor_label,
+                       {d} AS d
+                FROM {table} WHERE vec_id < {n_src}),
+    ap AS (
+      SELECT anchor_id, anchor_emb, anchor_label, t.i::BIGINT AS cell
+      FROM ad, range(0, {n_cells}) t(i)
+      QUALIFY row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY d[t.i + 1] DESC, t.i) <= {nprobe}
+    ),
+    pd AS (SELECT vec_id::BIGINT AS neg_id, embedding, label, {d} AS d
+           FROM {table}),
+    pool_prb AS (
+      SELECT neg_id, embedding, label, t.i::BIGINT AS cell
+      FROM pd, range(0, {n_cells}) t(i)
+      QUALIFY row_number() OVER (PARTITION BY neg_id
+                                 ORDER BY d[t.i + 1] DESC, t.i) <= {nprobe_y}
+    ),
+    pool AS (
+      SELECT neg_id, embedding, label, cell FROM pool_prb
+      QUALIFY row_number() OVER (PARTITION BY cell
+                                 ORDER BY neg_id) <= {cell_cap}
+    ),
+    scored AS (
+      SELECT DISTINCT ap.anchor_id, pool.neg_id, round({cos}, 6) AS sim
+      FROM ap JOIN pool USING (cell)
+      WHERE ap.anchor_label != pool.label
+    )
+    SELECT anchor_id, neg_id, sim,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY sim DESC, neg_id)::BIGINT AS rank
+    FROM scored WHERE sim < {pos_threshold}
+    QUALIFY rank <= {k}
+    """
