@@ -1265,6 +1265,29 @@ def _q_knn_graph(spark, sf_dir):
     return similarity.knn_graph(_emb(spark, sf_dir), n_src=20, k=3)
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining, exact tier (Karpukhin/ANCE recipe): top-5
+    highest-cosine different-label vectors per anchor, below the 0.95
+    false-negative ceiling. Bounded 40-anchor broadcast (oracle tier;
+    hard_negatives_ann is the scale path)."""
+    from tiny_lingua_spark.operators import negatives
+
+    return negatives.hard_negatives(_emb(spark, sf_dir))
+
+
+def _q_hard_negatives_ann(spark, sf_dir):
+    """Hard-negative mining, IVF cell-join tier: anchors probe 4/16
+    cells, pool written x2 with a 256-row deterministic cell cap — the
+    ann_bitext_candidates linear-work shape. Measured on this corpus:
+    full-probe (nprobe=16) recall of the brute top-k is 1.0; at the
+    4/16 defaults mined negatives keep >=95 % of brute hardness (mean
+    sim ratio) — the approximation ANCE-style mining tolerates by
+    design (tests/test_negatives.py pins both)."""
+    from tiny_lingua_spark.operators import negatives
+
+    return negatives.hard_negatives_ann(_emb(spark, sf_dir))
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """The 10^12-row plan: LSH-bucketed candidates + exact in-bucket
     cosine. Its DuckDB oracle computes the SAME literal-plane signatures,
@@ -2347,6 +2370,33 @@ def _q_audio_diarize(spark, sf_dir):
     )
 
 
+def _q_audio_syllables(spark, sf_dir):
+    """Syllable-nuclei prosody (de Jong & Wempe 2009 reduced to a
+    deterministic kernel) over the planted multi-speaker corpus: the
+    3.5 Hz AM voices must articulate at speech-plausible rates — the
+    audio-side speech-rate signal the transcript-based
+    clip_speech_rate query cannot provide. Golden-parquet oracle;
+    independent anchors: exact planted-rate recovery + pause
+    invariance in tests/test_prosody.py."""
+    from tiny_lingua_spark.operators.prosody import syllable_udf
+
+    clips = _synth_clips_speakers(spark, sf_dir=sf_dir)
+    u = syllable_udf()
+    return clips.select(
+        "clip_id", "codec", "sr_hz",
+        u(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("p"),
+    ).select(
+        "clip_id", "codec", "sr_hz",
+        F.col("p.decode_ok").alias("decode_ok"),
+        F.col("p.n_frames").cast("int").alias("n_frames"),
+        F.col("p.n_syllables").cast("int").alias("n_syllables"),
+        F.round(F.col("p.syllable_rate_hz"), 6).alias("syllable_rate_hz"),
+        F.round(F.col("p.articulation_rate_hz"), 6)
+         .alias("articulation_rate_hz"),
+        F.round(F.col("p.voiced_ratio"), 6).alias("voiced_ratio"),
+    )
+
+
 def _q_audio_true_peak(spark, sf_dir):
     """Inter-sample true peak (BS.1770-style 4x windowed-sinc
     polyphase) next to the raw sample peak, with the R128 -1 dBTP
@@ -2739,6 +2789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _shipped(_q_winnow_pairs),
         "cosine_topk": _shipped(_q_cosine_topk),
         "knn_graph": _shipped(_q_knn_graph),
+        "hard_negatives": _shipped(_q_hard_negatives),
+        "hard_negatives_ann": _shipped(_q_hard_negatives_ann),
         "embedding_neardup": _shipped(_q_embedding_neardup),
         "embedding_neardup_exact": _shipped(_q_embedding_neardup_exact),
         "ivf_topk": _shipped(_q_ivf_topk),
@@ -2775,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_snr": _shipped(_q_audio_snr),
         "audio_music": _shipped(_q_audio_music),
         "audio_diarize": _shipped(_q_audio_diarize),
+        "audio_syllables": _shipped(_q_audio_syllables),
         "audio_true_peak": _shipped(_q_audio_true_peak),
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
@@ -2819,6 +2872,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_snr",
     "audio_music",
     "audio_diarize",
+    "audio_syllables",
     "audio_trim_apply",
     "audio_resample",
     "audio_loudness",
@@ -3428,6 +3482,12 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "text"),
         "cosine_topk": similarity.topk_vs_query_sql("embeddings", 0, 10, EMB_DIM),
         "knn_graph": similarity.knn_graph_sql("embeddings", 20, 3, EMB_DIM),
+        "hard_negatives": __import__(
+            "tiny_lingua_spark.operators.negatives", fromlist=["negatives"]
+        ).hard_negatives_sql("embeddings", EMB_DIM),
+        "hard_negatives_ann": __import__(
+            "tiny_lingua_spark.operators.negatives", fromlist=["negatives"]
+        ).hard_negatives_ann_sql("embeddings", EMB_DIM),
         "embedding_neardup": similarity.neardup_lsh_sql("embeddings", 0.4, EMB_DIM),
         "embedding_neardup_exact": similarity.neardup_pairs_sql(
             "embeddings", 0.4, EMB_DIM, n_cap=500

@@ -32,6 +32,8 @@ BENCH_QUERIES = (
     "minhash_pairs",          # shingle → minhash → LSH band join
     "trigram_counts",         # model-ETL style explode + agg + top-k window
     "knn_graph",              # brute-force cosine top-k (zip_with/aggregate)
+    "hard_negatives",         # exact contrastive-negative tier
+    "hard_negatives_ann",     # IVF cell-join negative mining (scale tier)
     "fasttext_lang",          # hashed-feature linear scoring (broadcast join)
     "events_sessions",        # gap sessionization (lag + cumulative windows)
     "multilang_sections",     # per-doc multi-language segmentation UDF
@@ -166,6 +168,7 @@ BENCH_QUERIES = (
     "audio_snr",              # blind segmental-SNR quality screen
     "audio_music",            # music/speech envelope discriminator
     "audio_diarize",          # speaker-turn structure (diarization-lite)
+    "audio_syllables",        # syllable-nuclei prosody (audio-side speech rate)
     "pca_components",         # fixed-point moment PCA training
     "pca_whiten",             # whitened projection (codegen literals)
     "webdataset_manifest",    # tar shard sink (write + manifest)

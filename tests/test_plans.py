@@ -401,7 +401,8 @@ def test_audio_feature_plans_are_single_arrow_stage(spark):
     qs = e.queries()
     for name in ("audio_decode_features", "audio_spectral",
                  "audio_mfcc", "audio_pitch", "audio_artifacts",
-                 "audio_music", "audio_resample"):
+                 "audio_music", "audio_diarize", "audio_syllables",
+                 "audio_resample"):
         a = audit(qs[name](spark, "/root/testdata/sf0.001"))
         assert a["python_eval_nodes"] == 1, (name, a)
         assert a["exchanges"] == 0, (name, a)

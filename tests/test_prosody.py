@@ -1,0 +1,137 @@
+"""Syllable-nuclei prosody kernel: planted-rate recovery, pause
+invariance of articulation rate, dip-merge semantics, batch≡rowloop,
+degenerate inputs, chunking invariance, Spark end-to-end."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio as A
+from tiny_lingua_spark.data.clips import generate_speaker_clips
+from tiny_lingua_spark.operators import prosody as P
+
+SR = 16000
+
+
+def _batch(rows):
+    return (pd.Series([r[0] for r in rows]),
+            pd.Series([r[1] for r in rows]),
+            pd.Series([r[2] for r in rows]))
+
+
+def _bursts(f_hz, dur_s=2.0, carrier=250.0):
+    t = np.arange(int(SR * dur_s)) / SR
+    return (0.5 * np.sin(2 * np.pi * carrier * t)
+            * np.clip(np.sin(2 * np.pi * f_hz * t), 0, None)
+            ).astype(np.float32)
+
+
+def test_planted_rate_recovered_exactly():
+    """f Hz of half-wave burst gating = f syllable nuclei per second."""
+    for f in (2.0, 3.0, 4.0, 6.0):
+        out = P._syllables_batch(*_batch(
+            [(A.encode(_bursts(f), "pcm_s16le"), "pcm_s16le", SR)]))
+        assert abs(out.syllable_rate_hz[0] - f) < 0.26, f
+
+
+def test_articulation_rate_pause_invariant():
+    """Appending silence halves the per-total-second rate but leaves the
+    per-voiced-second articulation rate (nearly) unchanged."""
+    x = _bursts(4.0)
+    padded = np.concatenate([x, np.zeros(len(x), np.float32)])
+    a = P._syllables_batch(*_batch(
+        [(A.encode(x, "pcm_s16le"), "pcm_s16le", SR)])).iloc[0]
+    b = P._syllables_batch(*_batch(
+        [(A.encode(padded, "pcm_s16le"), "pcm_s16le", SR)])).iloc[0]
+    assert b.syllable_rate_hz < 0.6 * a.syllable_rate_hz
+    assert abs(b.articulation_rate_hz - a.articulation_rate_hz) \
+        < 0.15 * a.articulation_rate_hz
+
+
+def test_tone_and_noise_are_rateless():
+    t = np.arange(SR * 2) / SR
+    rng = np.random.default_rng(9)
+    for x in (0.5 * np.sin(2 * np.pi * 440 * t),
+              rng.normal(0, 0.1, SR * 2)):
+        out = P._syllables_batch(*_batch(
+            [(A.encode(x.astype(np.float32), "pcm_s16le"),
+              "pcm_s16le", SR)]))
+        assert out.n_syllables[0] <= 1
+
+
+def test_dip_merge_semantics():
+    """Two peaks without a -3 dB dip between them count once; with a
+    dip they count twice (synthetic envelopes, no audio)."""
+    no_dip = np.array([0.1, 1.0, 0.8, 1.0, 0.1])
+    with_dip = np.array([0.1, 1.0, 0.3, 1.0, 0.1])
+    assert P._count_nuclei(no_dip, 0.2) == 1
+    assert P._count_nuclei(with_dip, 0.2) == 2
+    # and the reference implementation agrees
+    assert P._count_nuclei_ref(no_dip, 0.2) == 1
+    assert P._count_nuclei_ref(with_dip, 0.2) == 2
+
+
+def test_degenerate_inputs():
+    rows = [(None, "pcm_s16le", SR), (b"xyz", "no_such_codec", SR),
+            (A.encode(np.zeros(100, np.float32), "pcm_s16le"),
+             "pcm_s16le", SR),
+            (b"", "pcm_s16le", SR)]
+    out = P._syllables_batch(*_batch(rows))
+    assert list(out.decode_ok) == [False, False, True, True]
+    assert (out.n_syllables == 0).all()
+    assert (out.syllable_rate_hz == 0.0).all()
+
+
+def test_batch_equals_rowloop_fuzzed():
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(30):
+        n = int(rng.integers(0, 4 * A.FRAME_SAMPLES * 10))
+        x = rng.normal(0, 0.2, n).astype(np.float32)
+        codec = ["pcm_s16le", "pcm_f32le", "mulaw", "alaw"][i % 4]
+        rows.append((A.encode(x, codec), codec, [8000, 16000, 44100][i % 3]))
+    clips, _ = generate_speaker_clips(n=15, seed=7)
+    rows += list(zip(clips["bytes"], clips["codec"], clips["sr_hz"]))
+    rows += [(None, "pcm_s16le", SR), (b"q", "pcm_s16le", SR)]
+    b, c, s = _batch(rows)
+    got = P._syllables_batch(b, c, s)
+    ref = P._syllables_rowloop(b, c, s)
+    assert (got.decode_ok.values == ref.decode_ok.values).all()
+    assert (got.n_syllables.values == ref.n_syllables.values).all()
+    for col in ("syllable_rate_hz", "articulation_rate_hz",
+                "voiced_ratio"):
+        assert np.allclose(got[col], ref[col], atol=1e-9), col
+
+
+def test_speaker_corpus_rates_plausible():
+    """The planted voices are 3.5 Hz AM — articulation rates across the
+    multi-speaker corpus must sit in the speech-plausible band."""
+    clips, _ = generate_speaker_clips(n=30, seed=42)
+    out = P._syllables_batch(clips["bytes"], clips["codec"],
+                             clips["sr_hz"])
+    assert out.articulation_rate_hz.between(2.0, 6.0).all(), \
+        out.articulation_rate_hz.describe()
+
+
+def test_chunking_invariance(monkeypatch):
+    clips, _ = generate_speaker_clips(n=10, seed=13)
+    b = pd.Series(list(clips["bytes"]))
+    c = pd.Series(list(clips["codec"]))
+    s = pd.Series(list(clips["sr_hz"]))
+    full = A._chunked_frame_apply(P._syllables_batch, b, c, s)
+    monkeypatch.setattr(A, "_CHUNK_SAMPLE_BUDGET", 8000)
+    small = A._chunked_frame_apply(P._syllables_batch, b, c, s)
+    for col in full.columns:
+        assert (full[col].values == small[col].values).all(), col
+
+
+def test_spark_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(A.encode(_bursts(4.0), "pcm_s16le")),
+          "pcm_s16le", SR)],
+        "clip_id long, bytes binary, codec string, sr_hz int")
+    u = P.syllable_udf()
+    row = df.select(
+        u(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("p")
+    ).collect()[0]
+    assert row.p.decode_ok and abs(row.p.syllable_rate_hz - 4.0) < 0.3

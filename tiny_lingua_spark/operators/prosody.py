@@ -1,0 +1,240 @@
+"""Prosody: syllable-nuclei counting + speech/articulation rate.
+
+An ASR corpus quality filter wants a speech-rate estimate FROM THE
+AUDIO, independent of the transcript: transcript-based rates (chars
+per speech second — the clip_speech_rate query) cannot tell a garbled
+transcript from garbled audio, but an audio-side syllable rate can
+(normal speech sits at 3-8 syllables/s; a clip whose audio says
+5 syl/s under a transcript claiming 40 chars/s is a misalignment).
+
+Method: the de Jong & Wempe (2009, Behavior Research Methods) Praat
+recipe reduced to a deterministic kernel — syllable nuclei are
+intensity-envelope peaks that (a) clear a voicing threshold and
+(b) are separated from the previous accepted peak by a dip (envelope
+falling below half the smaller peak's power, i.e. -3 dB):
+
+1. frame power envelope (shared paired-reduceat machinery), smoothed
+   with a 3-frame moving average (row-boundary aware),
+2. candidate peaks: strict local maxima above VOICED_REL x row mean
+   power (the same voicing gate the diarize kernel uses),
+3. sequential dip-merge over CANDIDATES only (~syllable-rate x
+   duration items per row, not frames): a candidate is accepted if the
+   envelope dipped below 0.5 x min(previous peak, candidate) between
+   them; otherwise the taller of the two survives.
+
+Outputs per clip: n_syllables, syllable_rate_hz (per total sampled
+second), articulation_rate_hz (per VOICED second — the pause-invariant
+number), voiced_ratio.
+
+Scale shape: one chunked Arrow pass, no shuffle; the only sequential
+work is over candidate peaks. PCM never enters the plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..audio import (
+    FRAME_SAMPLES,
+    _chunked_frame_apply,
+    _frame_geometry,
+    _frame_sums,
+    decode,
+    decode_concat,
+)
+
+SYLLABLE_SCHEMA = ("decode_ok boolean, n_frames int, n_syllables int,"
+                   " syllable_rate_hz double, articulation_rate_hz double,"
+                   " voiced_ratio double")
+
+VOICED_REL = 0.1  # peak must clear this fraction of row mean power
+DIP_FACTOR = 0.5  # envelope must fall below this x the smaller peak (-3 dB)
+_SMOOTH = 3  # moving-average width (frames), odd
+
+
+def _smooth_env(pw: np.ndarray, row_of_frame: np.ndarray) -> np.ndarray:
+    """3-frame moving average that never crosses row boundaries: plain
+    convolution, then boundary frames fall back to shorter windows."""
+    if len(pw) == 0:
+        return pw
+    k = np.ones(_SMOOTH) / _SMOOTH
+    sm = np.convolve(pw, k, mode="same")
+    # frames whose window crossed a row boundary: recompute edge-aware
+    bad = np.zeros(len(pw), dtype=bool)
+    change = np.flatnonzero(np.diff(row_of_frame) != 0)
+    for off in (0, 1):
+        idx = change + off
+        bad[idx[(idx >= 0) & (idx < len(pw))]] = True
+    bad[0] = bad[-1] = True
+    for i in np.flatnonzero(bad):
+        lo = i - 1
+        hi = i + 1
+        if lo < 0 or row_of_frame[lo] != row_of_frame[i]:
+            lo = i
+        if hi >= len(pw) or row_of_frame[hi] != row_of_frame[i]:
+            hi = i
+        sm[i] = pw[lo:hi + 1].mean()
+    return sm
+
+
+def _merge_candidates(env: np.ndarray, cand: np.ndarray) -> int:
+    """Sequential dip-merge over candidate peaks (sparse: ~syllable
+    rate x duration items, not frames)."""
+    count = 0
+    prev_peak_i = None
+    for i in cand:
+        if prev_peak_i is None:
+            count += 1
+            prev_peak_i = i
+            continue
+        dip = env[prev_peak_i:i + 1].min()
+        if dip < DIP_FACTOR * min(env[prev_peak_i], env[i]):
+            count += 1
+            prev_peak_i = i
+        elif env[i] > env[prev_peak_i]:
+            prev_peak_i = i  # taller peak survives, count unchanged
+    return count
+
+
+def _count_nuclei(env: np.ndarray, thresh: float) -> int:
+    """Vectorized candidate detection (strict-left local maxima above
+    the voicing threshold, plateau-safe) + sequential dip-merge."""
+    n = len(env)
+    if n == 0:
+        return 0
+    left = np.concatenate(([-np.inf], env[:-1]))
+    right = np.concatenate((env[1:], [-np.inf]))
+    cand = np.flatnonzero((env > thresh) & (env > left) & (env >= right))
+    return _merge_candidates(env, cand)
+
+
+def _count_nuclei_ref(env: np.ndarray, thresh: float) -> int:
+    """Pure-python reference for the rowloop twin (independent candidate
+    scan so the equivalence test checks the vectorized path)."""
+    n = len(env)
+    if n == 0:
+        return 0
+    cand = []
+    for i in range(n):
+        left = env[i - 1] if i > 0 else -np.inf
+        right = env[i + 1] if i < n - 1 else -np.inf
+        if env[i] > thresh and env[i] > left and env[i] >= right:
+            cand.append(i)
+    count = 0
+    prev = None
+    for i in cand:
+        if prev is None:
+            count += 1
+            prev = i
+            continue
+        dip = min(env[prev:i + 1])
+        if dip < DIP_FACTOR * min(env[prev], env[i]):
+            count += 1
+            prev = i
+        elif env[i] > env[prev]:
+            prev = i
+    return count
+
+
+def _syllables_from_decoded(samples, offsets, ok, sr_row) -> pd.DataFrame:
+    n = len(offsets) - 1
+    n_syl = np.zeros(n, dtype=np.int64)
+    voiced_ratio = np.zeros(n, dtype=np.float64)
+    frame_starts, row_of_frame, n_frames = _frame_geometry(offsets)
+    if len(frame_starts):
+        x64 = samples.astype(np.float64)
+        pw = _frame_sums(x64 * x64, frame_starts) / FRAME_SAMPLES
+        nf = np.maximum(n_frames, 1).astype(np.float64)
+        mean_p = np.bincount(row_of_frame, weights=pw, minlength=n) / nf
+        env = _smooth_env(pw, row_of_frame)
+        voiced = pw > (VOICED_REL * mean_p)[row_of_frame]
+        voiced_ratio = np.bincount(row_of_frame, weights=voiced,
+                                   minlength=n) / nf
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_frames, out=cum[1:])
+        for r in np.flatnonzero(n_frames > 0):
+            n_syl[r] = _count_nuclei(env[cum[r]:cum[r + 1]],
+                                     VOICED_REL * mean_p[r])
+    sr = np.maximum(np.asarray(sr_row, dtype=np.float64), 1.0)
+    lens = np.diff(offsets).astype(np.float64)
+    audio_s = lens / sr
+    voiced_s = audio_s * voiced_ratio
+    rate = np.where(audio_s > 0, n_syl / np.maximum(audio_s, 1e-9), 0.0)
+    artic = np.where(voiced_s > 1e-9, n_syl / np.maximum(voiced_s, 1e-9),
+                     0.0)
+    bad = ~ok
+    if bad.any():
+        n_syl[bad] = 0
+        rate = np.where(bad, 0.0, rate)
+        artic = np.where(bad, 0.0, artic)
+        voiced_ratio = np.where(bad, 0.0, voiced_ratio)
+    return pd.DataFrame({
+        "decode_ok": pd.Series(ok, dtype=bool),
+        "n_frames": pd.Series(np.where(ok, n_frames, 0).astype(np.int32)),
+        "n_syllables": pd.Series(n_syl.astype(np.int32)),
+        "syllable_rate_hz": rate,
+        "articulation_rate_hz": artic,
+        "voiced_ratio": voiced_ratio,
+    })
+
+
+def _syllables_batch(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    return _syllables_from_decoded(samples, offsets, ok,
+                                   np.asarray(sr_s, dtype=np.int64))
+
+
+def _syllables_rowloop(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    """Per-row reference implementation (equivalence oracle)."""
+    rows = []
+    for b, c, sr in zip(bytes_s, codec_s, sr_s):
+        ok = True
+        try:
+            pcm = decode(b, c) if b is not None else np.zeros(0, np.float32)
+            if b is None:
+                ok = False
+        except Exception:
+            pcm, ok = np.zeros(0, dtype=np.float32), False
+        f = len(pcm) // FRAME_SAMPLES
+        n_samp = len(pcm)
+        if not ok or f == 0:
+            rows.append((ok, 0, 0, 0.0, 0.0, 0.0))
+            continue
+        x = pcm[:f * FRAME_SAMPLES].astype(np.float64)
+        pw = (x * x).reshape(f, FRAME_SAMPLES).mean(axis=1)
+        mean_p = pw.mean()
+        # row-local smoothing (same edge-aware rule as the batch path)
+        env = np.convolve(pw, np.ones(_SMOOTH) / _SMOOTH, mode="same")
+        if f >= 1:
+            env[0] = pw[0:min(2, f)].mean()
+            env[-1] = pw[max(0, f - 2):].mean()
+        syl = _count_nuclei_ref(env, VOICED_REL * mean_p)
+        voiced = float((pw > VOICED_REL * mean_p).mean())
+        audio_s = n_samp / max(float(sr), 1.0)
+        voiced_s = audio_s * voiced
+        rate = syl / max(audio_s, 1e-9) if audio_s > 0 else 0.0
+        artic = syl / max(voiced_s, 1e-9) if voiced_s > 1e-9 else 0.0
+        rows.append((ok, f, syl, rate, artic, voiced))
+    return pd.DataFrame({
+        "decode_ok": pd.Series([r[0] for r in rows], dtype=bool),
+        "n_frames": pd.Series([r[1] for r in rows], dtype=np.int32),
+        "n_syllables": pd.Series([r[2] for r in rows], dtype=np.int32),
+        "syllable_rate_hz": [r[3] for r in rows],
+        "articulation_rate_hz": [r[4] for r in rows],
+        "voiced_ratio": [r[5] for r in rows],
+    })
+
+
+def syllable_udf():
+    """Arrow-batched (bytes, codec, sr_hz) → per-clip syllable-nuclei
+    prosody. Narrow projection, no shuffle (same scale shape as
+    decode_features_udf)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(SYLLABLE_SCHEMA)
+    def audio_syllables(b: pd.Series, codec: pd.Series,
+                        sr: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(_syllables_batch, b, codec, sr)
+
+    return audio_syllables

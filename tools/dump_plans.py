@@ -38,6 +38,7 @@ PLAN_QUERIES = (
     "audio_artifacts",
     "audio_music",
     "audio_diarize",
+    "audio_syllables",
     "audio_trim_apply",
     "audio_resample",
     "audio_loudness",
@@ -79,6 +80,8 @@ PLAN_QUERIES = (
     "drift_summary",
     "bitext_mine",
     "bitext_mine_ann",
+    "hard_negatives",
+    "hard_negatives_ann",
     "audio_true_peak",
     "rate_outliers",
     "shard_plan",
@@ -153,6 +156,9 @@ BNLJ_CROSS_ALLOWED = {
     "bitext_mine": (
         "n_side-row brute tier (bounded oracle; bitext_mine_ann is the "
         "scale path)"),
+    "hard_negatives": (
+        "n_src-row anchor set (bounded brute oracle tier; "
+        "hard_negatives_ann is the scale path)"),
 }
 
 
