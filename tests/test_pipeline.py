@@ -320,3 +320,95 @@ def test_reverb_diagnostics_opt_in(spark, registry):
     assert not strict.loc[planted, "keep"]
     others = strict.index != planted
     assert (strict.loc[others, "keep"] == base[others]).all()
+
+
+def test_music_screen_diagnostics_opt_in(spark, registry):
+    """music_screen=True adds the envelope features and a music_ok
+    flag; at the non-binding default keep is unchanged, and raising
+    min_speech_score drops a planted steady-tone (music-like) clip
+    only. (The synthetic corpus is steady-tone audio throughout, so the
+    planted clip is distinguished by a threshold BETWEEN its score and
+    the speech-modulated plant's.)"""
+    import numpy as np
+
+    from tiny_lingua_spark import audio as A
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    clips_pd, _ = generate_clips(n=16, seed=13)
+    # plant speech-like AM audio into one otherwise-kept clip
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    rng = np.random.default_rng(1)
+    speech = (0.5 * np.sin(2 * np.pi * 220 * t)
+              * (0.5 + 0.5 * np.sin(2 * np.pi * 4 * t))
+              + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+    i = 0
+    clips_pd.loc[i, "bytes"] = A.encode(speech, "pcm_s16le")
+    clips_pd.loc[i, "codec"] = "pcm_s16le"
+    clips_pd.loc[i, "sr_hz"] = sr
+    planted = clips_pd.loc[i, "clip_id"]
+    clips = spark.createDataFrame(clips_pd)
+
+    base = quality_filter(clips, registry, n_partitions=4).select(
+        "clip_id", "keep").toPandas().set_index("clip_id")["keep"]
+    diag = quality_filter(
+        clips, registry, n_partitions=4, music_screen=True
+    ).toPandas().set_index("clip_id")
+    for col in ("mod_energy_ratio", "low_energy_ratio", "env_flatness",
+                "speech_score", "music_ok"):
+        assert col in diag.columns, col
+    assert diag["music_ok"].all()
+    assert (diag["keep"] == base).all()
+    assert diag.loc[planted, "speech_score"] > 0.7
+
+    strict = quality_filter(
+        clips, registry, n_partitions=4, music_screen=True,
+        thresholds={"min_speech_score": 0.5},
+    ).toPandas().set_index("clip_id")
+    # the speech plant passes the music screen; every steady-tone clip
+    # fails it
+    assert strict.loc[planted, "music_ok"]
+    others = strict.index != planted
+    assert not strict.loc[others, "music_ok"].any()
+
+
+def test_prosody_and_diarization_gates_opt_in(spark, registry):
+    """prosody=True / diarization=True add their columns and flags;
+    non-binding at defaults; max_speakers=1 drops a planted two-speaker
+    clip only."""
+    from tiny_lingua_spark import audio as A
+    from tiny_lingua_spark.data.clips import _speaker_clip, generate_clips
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    clips_pd, _ = generate_clips(n=12, seed=13)
+    i = 0
+    pcm = _speaker_clip((0, 1, 0), 16000, seed=55)
+    clips_pd.loc[i, "bytes"] = A.encode(pcm, "pcm_s16le")
+    clips_pd.loc[i, "codec"] = "pcm_s16le"
+    clips_pd.loc[i, "sr_hz"] = 16000
+    planted = clips_pd.loc[i, "clip_id"]
+    clips = spark.createDataFrame(clips_pd)
+
+    base = quality_filter(clips, registry, n_partitions=4).select(
+        "clip_id", "keep").toPandas().set_index("clip_id")["keep"]
+    diag = quality_filter(
+        clips, registry, n_partitions=4, prosody=True, diarization=True
+    ).toPandas().set_index("clip_id")
+    for col in ("n_syllables", "syllable_rate_hz", "articulation_rate_hz",
+                "prosody_ok", "turn_count", "n_speakers_est",
+                "speakers_ok"):
+        assert col in diag.columns, col
+    assert diag["prosody_ok"].all() and diag["speakers_ok"].all()
+    assert (diag["keep"] == base).all()
+    assert diag.loc[planted, "n_speakers_est"] == 2
+    assert diag.loc[planted, "turn_count"] == 2
+
+    strict = quality_filter(
+        clips, registry, n_partitions=4, diarization=True,
+        thresholds={"max_speakers": 1},
+    ).toPandas().set_index("clip_id")
+    assert not strict.loc[planted, "speakers_ok"]
+    assert not strict.loc[planted, "keep"]
+    others = strict.index != planted
+    assert (strict.loc[others, "keep"] == base[others]).all()

@@ -74,6 +74,18 @@ AUDIO_THRESHOLDS = {
     # reverberation proxy ceiling (only computed with reverb=True);
     # inf = non-binding default — far-field screens use ~1.0 s
     "max_rt60_proxy_s": float("inf"),
+    # music/speech screen (only computed with music_screen=True);
+    # -inf = non-binding default — speech_score lives in [0, 1], music
+    # beds score < ~0.3, speech > ~0.7 on the calibration classes
+    "min_speech_score": float("-inf"),
+    # syllable-prosody band (only computed with prosody=True);
+    # 0/inf = non-binding defaults — natural speech articulates at
+    # roughly 2-10 nuclei per voiced second
+    "min_articulation_hz": 0.0,
+    "max_articulation_hz": float("inf"),
+    # speaker-structure cap (only computed with diarization=True);
+    # inf = non-binding default — read-speech corpora set 1
+    "max_speakers": float("inf"),
 }
 
 
@@ -155,6 +167,9 @@ def quality_filter(
     audio_artifacts: bool = False,
     true_peak: bool = False,
     reverb: bool = False,
+    music_screen: bool = False,
+    prosody: bool = False,
+    diarization: bool = False,
 ) -> DataFrame:
     """Full pipeline → one row per clip with decision + diagnostics.
 
@@ -190,6 +205,25 @@ def quality_filter(
     (`decay_db_per_s`, `rt60_proxy_s`) plus a `reverb_ok` flag AND-ed
     into `keep` — non-binding at the default inf ceiling; far-field
     screens set max_rt60_proxy_s ≈ 1.0 s.
+
+    ``music_screen=True`` adds the Scheirer-Slaney envelope features
+    (`mod_energy_ratio`, `low_energy_ratio`, `env_flatness`,
+    `speech_score`) plus a `music_ok` flag AND-ed into `keep` —
+    non-binding at the default -inf floor; drop-music-beds screens set
+    min_speech_score ≈ 0.5.
+
+    ``prosody=True`` adds the syllable-nuclei columns (`n_syllables`,
+    `syllable_rate_hz`, `articulation_rate_hz`) plus a `prosody_ok`
+    flag AND-ed into `keep` — non-binding at the default 0/inf band;
+    natural speech articulates at ~2-10 nuclei per voiced second.
+
+    ``diarization=True`` adds the speaker-structure columns
+    (`turn_count`, `n_speakers_est`) plus a `speakers_ok` flag AND-ed
+    into `keep` — non-binding at the default inf cap; read-speech
+    corpora set max_speakers = 1. Each of these three is the same
+    second-Arrow-stage shape as the artifact screen (one extra decode
+    pass; a deployment wanting them always-on would fold them into the
+    fused enrich kernel).
     """
     th = {**DEFAULT_THRESHOLDS, **AUDIO_THRESHOLDS, **(thresholds or {})}
     enrich = make_enrich_udf(registry, params)
@@ -239,6 +273,42 @@ def quality_filter(
             F.col("rvb.decay_db_per_s").alias("decay_db_per_s"),
             F.col("rvb.rt60_proxy_s").alias("rt60_proxy_s"),
         ]
+    music_cols = []
+    if music_screen:
+        from .audio import music_udf
+
+        mu = music_udf()
+        df = df.withColumn("mus", mu(F.col("bytes"), F.col("codec"),
+                                     F.col("sr_hz")))
+        music_cols = [
+            F.col("mus.mod_energy_ratio").alias("mod_energy_ratio"),
+            F.col("mus.low_energy_ratio").alias("low_energy_ratio"),
+            F.col("mus.env_flatness").alias("env_flatness"),
+            F.col("mus.speech_score").alias("speech_score"),
+        ]
+    pro_cols = []
+    if prosody:
+        from .operators.prosody import syllable_udf
+
+        syu = syllable_udf()
+        df = df.withColumn("pro", syu(F.col("bytes"), F.col("codec"),
+                                      F.col("sr_hz")))
+        pro_cols = [
+            F.col("pro.n_syllables").alias("n_syllables"),
+            F.col("pro.syllable_rate_hz").alias("syllable_rate_hz"),
+            F.col("pro.articulation_rate_hz").alias("articulation_rate_hz"),
+        ]
+    dia_cols = []
+    if diarization:
+        from .operators.diarize import diarize_udf
+
+        diu = diarize_udf()
+        df = df.withColumn("dia", diu(F.col("bytes"), F.col("codec"),
+                                      F.col("sr_hz")))
+        dia_cols = [
+            F.col("dia.turn_count").alias("turn_count"),
+            F.col("dia.n_speakers_est").alias("n_speakers_est"),
+        ]
     tp_cols = []
     if true_peak:
         from .audio import true_peak_udf
@@ -262,6 +332,9 @@ def quality_filter(
             *artifact_cols,
             *tp_cols,
             *rv_cols,
+            *music_cols,
+            *pro_cols,
+            *dia_cols,
             "clip_id",
             "sr_hz",
             "dur_ms",
@@ -347,6 +420,21 @@ def quality_filter(
         reverb_ok = F.col("rt60_proxy_s") <= th["max_rt60_proxy_s"]
         df = df.withColumn("reverb_ok", reverb_ok)
         keep = keep & reverb_ok
+    if music_screen:
+        music_ok = F.col("speech_score") >= th["min_speech_score"]
+        df = df.withColumn("music_ok", music_ok)
+        keep = keep & music_ok
+    if prosody:
+        prosody_ok = (
+            (F.col("articulation_rate_hz") >= th["min_articulation_hz"])
+            & (F.col("articulation_rate_hz") <= th["max_articulation_hz"])
+        )
+        df = df.withColumn("prosody_ok", prosody_ok)
+        keep = keep & prosody_ok
+    if diarization:
+        speakers_ok = F.col("n_speakers_est") <= th["max_speakers"]
+        df = df.withColumn("speakers_ok", speakers_ok)
+        keep = keep & speakers_ok
     return df.withColumn("keep", keep)
 
 
