@@ -2397,6 +2397,25 @@ def _q_audio_syllables(spark, sf_dir):
     )
 
 
+def _q_contrastive_pairs(spark, sf_dir):
+    """CLAP-style contrastive training pairs over the dup-planted
+    corpus: per sampled anchor clip, the top-4 hardest acoustically
+    similar negative transcripts below the 0.95 near-dup ceiling — the
+    planted µ-law re-encodes are false negatives the ceiling must
+    exclude (pinned exactly in tests/test_contrastive.py).
+    Golden-parquet oracle (audio-embedding UDF is not
+    SQL-expressible)."""
+    from tiny_lingua_spark.operators.contrastive import contrastive_pairs
+
+    clips = _synth_clips_with_dups(spark, sf_dir=sf_dir)
+    return contrastive_pairs(clips).select(
+        "anchor_id", "neg_id", F.col("sim"),
+        F.col("rank").cast("long").alias("rank"),
+        F.md5(F.col("pos_text")).alias("pos_text_md5"),
+        F.md5(F.col("neg_text")).alias("neg_text_md5"),
+    )
+
+
 def _q_audio_true_peak(spark, sf_dir):
     """Inter-sample true peak (BS.1770-style 4x windowed-sinc
     polyphase) next to the raw sample peak, with the R128 -1 dBTP
@@ -2828,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_music": _shipped(_q_audio_music),
         "audio_diarize": _shipped(_q_audio_diarize),
         "audio_syllables": _shipped(_q_audio_syllables),
+        "contrastive_pairs": _shipped(_q_contrastive_pairs),
         "audio_true_peak": _shipped(_q_audio_true_peak),
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
@@ -2873,6 +2893,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_music",
     "audio_diarize",
     "audio_syllables",
+    "contrastive_pairs",
     "audio_trim_apply",
     "audio_resample",
     "audio_loudness",

@@ -1,0 +1,54 @@
+"""CLAP-style contrastive pairs: near-dup false-negative exclusion
+(planted µ-law re-encodes), self exclusion, hardest-first ranking,
+deterministic anchor sampling, transcript join integrity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators.contrastive import contrastive_pairs
+
+
+@pytest.fixture(scope="module")
+def dup_clips(spark):
+    import __spark_entry__ as e
+
+    return e._synth_clips_with_dups(spark, n=60, n_dups=6).cache()
+
+
+def test_planted_neardups_never_negatives(dup_clips):
+    """A µ-law re-encode of clip X (cos ~1 to X) must not surface as a
+    negative for X — its transcript describes X's audio."""
+    out = contrastive_pairs(dup_clips, sample_mod=1).toPandas()
+    for _, r in out.iterrows():
+        a, n = r.anchor_id, r.neg_id
+        assert a.split("-")[-1] != n.split("-")[-1], (a, n)
+    assert (out.sim < 0.95).all()
+
+
+def test_self_excluded_and_ranked(dup_clips):
+    out = contrastive_pairs(dup_clips, sample_mod=1).toPandas()
+    assert (out.anchor_id != out.neg_id).all()
+    g = out.groupby("anchor_id")
+    assert g["rank"].apply(
+        lambda r: sorted(r) == list(range(1, len(r) + 1))).all()
+    # hardest first: sim non-increasing in rank per anchor
+    assert g.apply(
+        lambda d: (d.sort_values("rank").sim.diff().dropna() <= 0).all(),
+        include_groups=False).all()
+
+
+def test_anchor_sampling_deterministic(dup_clips):
+    a1 = set(contrastive_pairs(dup_clips, sample_mod=4)
+             .select("anchor_id").distinct().toPandas().anchor_id)
+    a2 = set(contrastive_pairs(dup_clips.repartition(7), sample_mod=4)
+             .select("anchor_id").distinct().toPandas().anchor_id)
+    assert a1 == a2 and 0 < len(a1) < 66
+
+
+def test_transcripts_joined_correctly(dup_clips):
+    out = contrastive_pairs(dup_clips, sample_mod=1, k=2).toPandas()
+    truth = {r.clip_id: r.transcript
+             for r in dup_clips.select("clip_id", "transcript").collect()}
+    for _, r in out.iterrows():
+        assert r.pos_text == truth[r.anchor_id]
+        assert r.neg_text == truth[r.neg_id]

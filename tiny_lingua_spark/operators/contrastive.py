@@ -1,0 +1,82 @@
+"""CLAP-style contrastive training-pair construction (audio x text).
+
+A contrastive audio-text model (CLAP — Elizalde et al. 2023; the
+audio-side analog of CLIP) trains on (clip, transcript) positives with
+other clips' transcripts as negatives. Building those pairs from a
+harvested corpus has two failure modes this operator closes:
+
+* RANDOM negatives saturate the loss early — negatives should be the
+  most acoustically similar OTHER clips (hard negatives; same ANCE
+  argument as operators/negatives.py, applied cross-modally), and
+* NEAR-DUPLICATE clips (re-encodes, pads — the audio_neardup corpus
+  is full of them by construction) make each other's transcripts FALSE
+  negatives: the "negative" transcript actually describes the anchor's
+  audio. A cosine ceiling on the audio embedding excludes them.
+
+Pipeline shape:
+
+1. embed every clip (audio_fp.embedding_udf — one Arrow pass, unit-norm
+   log-band statistics, cosine = dot),
+2. anchors = a deterministic hash sample of clip ids (every clip is a
+   training row; the ANCHOR side of the mining join is sampled the same
+   way the negatives operator bounds its anchor set — xxhash64 mod
+   `sample_mod`, partition-independent),
+3. broadcast anchors x pool scan, drop self + cos >= `neardup_ceiling`,
+   per-anchor top-k by (cos desc, neg id) — hardest safe negatives,
+4. join the pool side's transcripts back on (one broadcast of the
+   bounded pair table against the clips relation).
+
+Output: (anchor_id, pos_text, neg_id, neg_text, sim, rank). At real
+scale the brute step 3 swaps for the IVF cell-join tier exactly as in
+operators/negatives.py (same join key, same cap argument); the brute
+tier here is the bounded-anchor oracle the golden pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..audio_fp import embedding_udf
+from .similarity import cosine_expr
+
+
+def contrastive_pairs(clips: DataFrame, k: int = 4,
+                      neardup_ceiling: float = 0.95,
+                      sample_mod: int = 4,
+                      id_col: str = "clip_id",
+                      text_col: str = "transcript") -> DataFrame:
+    """(anchor_id, pos_text, neg_id, neg_text, sim, rank) per sampled
+    anchor clip: top-k hardest acoustically-similar negatives below the
+    near-dup ceiling, with transcripts joined on."""
+    emb = embedding_udf()
+    embedded = clips.select(
+        F.col(id_col).alias("cid"),
+        F.col(text_col).alias("text"),
+        emb(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("emb"),
+    )
+    anchors = embedded.where(
+        F.pmod(F.xxhash64(F.col("cid")), F.lit(sample_mod)) == 0
+    ).select(
+        F.col("cid").alias("anchor_id"),
+        F.col("text").alias("pos_text"),
+        F.col("emb").alias("anchor_emb"),
+    )
+    pool = embedded.select(
+        F.col("cid").alias("neg_id"),
+        F.col("text").alias("neg_text"),
+        F.col("emb").alias("pool_emb"),
+    )
+    sim = F.round(cosine_expr("anchor_emb", "pool_emb"), 6)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("neg_id"))
+    return (
+        F.broadcast(anchors)
+        .crossJoin(pool)
+        .where(F.col("anchor_id") != F.col("neg_id"))
+        .select("anchor_id", "pos_text", "neg_id", "neg_text",
+                sim.alias("sim"))
+        .where(F.col("sim") < neardup_ceiling)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -39,6 +39,7 @@ PLAN_QUERIES = (
     "audio_music",
     "audio_diarize",
     "audio_syllables",
+    "contrastive_pairs",
     "audio_trim_apply",
     "audio_resample",
     "audio_loudness",
@@ -159,6 +160,9 @@ BNLJ_CROSS_ALLOWED = {
     "hard_negatives": (
         "n_src-row anchor set (bounded brute oracle tier; "
         "hard_negatives_ann is the scale path)"),
+    "contrastive_pairs": (
+        "hash-sampled anchor side (bounded oracle tier; the IVF "
+        "cell-join shape of operators/negatives.py is the scale path)"),
 }
 
 
