@@ -2416,6 +2416,24 @@ def _q_contrastive_pairs(spark, sf_dir):
     )
 
 
+def _q_audio_split(spark, sf_dir):
+    """Leakage-safe train/val split for the AUDIO corpus: near-dup
+    pairs from the fingerprint chain → connected components →
+    component-keyed hash split, so a re-encoded copy can never land in
+    val while its original trains (the text component_split applied to
+    the audio dup graph; planted-dup straddle = 0 is pinned in
+    tests/test_audio_split.py). Golden-parquet oracle (fingerprint UDF
+    is not SQL-expressible)."""
+    from tiny_lingua_spark import audio_fp
+    from tiny_lingua_spark.operators import dedup, sampling
+
+    clips = _synth_clips_with_dups(spark, sf_dir=sf_dir)
+    pairs = audio_fp.audio_neardup(clips, bin_tol=0, threshold=0.8)
+    comps = dedup.connected_components(pairs)
+    return sampling.component_split(
+        clips.select("clip_id"), comps, "clip_id", cast_long=False)
+
+
 def _q_audio_true_peak(spark, sf_dir):
     """Inter-sample true peak (BS.1770-style 4x windowed-sinc
     polyphase) next to the raw sample peak, with the R128 -1 dBTP
@@ -2848,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_diarize": _shipped(_q_audio_diarize),
         "audio_syllables": _shipped(_q_audio_syllables),
         "contrastive_pairs": _shipped(_q_contrastive_pairs),
+        "audio_split": _shipped(_q_audio_split),
         "audio_true_peak": _shipped(_q_audio_true_peak),
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
@@ -2894,6 +2913,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_diarize",
     "audio_syllables",
     "contrastive_pairs",
+    "audio_split",
     "audio_trim_apply",
     "audio_resample",
     "audio_loudness",

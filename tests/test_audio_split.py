@@ -1,0 +1,58 @@
+"""Leakage-safe audio train/val split: planted near-dup pairs never
+straddle splits; singletons split by their own id; deterministic under
+repartitioning; string ids survive un-cast."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio_fp
+from tiny_lingua_spark.operators import dedup, sampling
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import __spark_entry__ as e
+
+    clips = e._synth_clips_with_dups(spark, n=60, n_dups=8).cache()
+    pairs = audio_fp.audio_neardup(clips, bin_tol=0, threshold=0.8).cache()
+    return clips, pairs
+
+
+def test_planted_pairs_never_straddle(corpus):
+    clips, pairs = corpus
+    comps = dedup.connected_components(pairs)
+    split = sampling.component_split(
+        clips.select("clip_id"), comps, "clip_id", cast_long=False
+    ).toPandas().set_index("clip_id")["split"]
+    pp = pairs.toPandas()
+    assert len(pp) >= 8  # the planted mu-law dups were recovered
+    for _, r in pp.iterrows():
+        assert split[r.id_a] == split[r.id_b], (r.id_a, r.id_b)
+
+
+def test_string_ids_preserved_and_deterministic(corpus):
+    clips, pairs = corpus
+    comps = dedup.connected_components(pairs)
+    a = sampling.component_split(
+        clips.select("clip_id"), comps, "clip_id", cast_long=False
+    ).toPandas()
+    b = sampling.component_split(
+        clips.select("clip_id").repartition(13), comps, "clip_id",
+        cast_long=False
+    ).toPandas()
+    assert a.clip_id.str.startswith(("clip-", "dupmu-")).all()
+    assert a.sort_values("clip_id").reset_index(drop=True).equals(
+        b.sort_values("clip_id").reset_index(drop=True))
+    # both splits populated at 0.9
+    assert set(a.split.unique()) == {"train", "val"}
+
+
+def test_singletons_keyed_on_own_id(corpus):
+    clips, pairs = corpus
+    comps = dedup.connected_components(pairs)
+    out = sampling.component_split(
+        clips.select("clip_id"), comps, "clip_id", cast_long=False
+    ).toPandas()
+    in_comp = set(comps.toPandas().id)
+    singles = out[~out.clip_id.isin(in_comp)]
+    assert (singles.comp == singles.clip_id).all()

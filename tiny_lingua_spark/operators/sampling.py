@@ -227,15 +227,20 @@ def mixture_sample_sql(table: str, id_expr: str, strata_expr: str,
 
 def component_split(docs: DataFrame, components: DataFrame, id_col: str,
                     train_fraction: float = 0.9, seed: int = 42,
-                    comp_id: str = "id", comp_col: str = "comp") -> DataFrame:
+                    comp_id: str = "id", comp_col: str = "comp",
+                    cast_long: bool = True) -> DataFrame:
     """(id, comp, split): split ∈ {train, val} keyed on the near-dup
     component id (from `dedup.connected_components`), own id for
-    singletons. No near-dup pair can straddle splits."""
+    singletons. No near-dup pair can straddle splits. cast_long=False
+    keeps string ids as-is (audio clip ids); the md5 sampling key casts
+    to string either way, so the split hash is type-agnostic."""
     thr = _threshold(train_fraction)
     comps = components.select(F.col(comp_id).alias("__cid"),
                               F.col(comp_col).alias("__comp"))
+    id_expr = (F.col(id_col).cast("long") if cast_long
+               else F.col(id_col)).alias(id_col)
     labeled = (
-        docs.select(F.col(id_col).cast("long").alias(id_col))
+        docs.select(id_expr)
         .join(F.broadcast(comps), F.col(id_col) == F.col("__cid"), "left")
         .select(
             id_col,
