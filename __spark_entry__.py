@@ -2434,6 +2434,21 @@ def _q_audio_split(spark, sf_dir):
         clips.select("clip_id"), comps, "clip_id", cast_long=False)
 
 
+def _q_wer_normalization(spark, sf_dir):
+    """Word-level WER between each clip's raw transcript and its
+    cleaned form — word-level normalization churn (the char-level CER
+    of scrub_impact can't distinguish one whole-word edit from many
+    one-char edits). Pure codegen: per-row word->codepoint encoding +
+    JVM levenshtein, zero shuffles. Full-logic DuckDB twin over the
+    committed clips_meta input fixture."""
+    from tiny_lingua_spark.operators.wer import wer_cols
+
+    clips = _synth_clips(spark, sf_dir=sf_dir)
+    return clips.withColumn(
+        "cleaned", cleaned_text_col(F.col("transcript"))
+    ).select("clip_id", *wer_cols("transcript", "cleaned"))
+
+
 def _q_audio_true_peak(spark, sf_dir):
     """Inter-sample true peak (BS.1770-style 4x windowed-sinc
     polyphase) next to the raw sample peak, with the R128 -1 dBTP
@@ -2867,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_syllables": _shipped(_q_audio_syllables),
         "contrastive_pairs": _shipped(_q_contrastive_pairs),
         "audio_split": _shipped(_q_audio_split),
+        "wer_normalization": _shipped(_q_wer_normalization),
         "audio_true_peak": _shipped(_q_audio_true_peak),
         "audio_resample": _shipped(_q_audio_resample),
         "audio_loudness": _shipped(_q_audio_loudness),
@@ -3548,5 +3564,12 @@ def oracle_sql() -> dict[str, str]:
             "tiny_lingua_spark.operators.bitext", fromlist=["bitext"]
         ).mine_bitext_ann_sql("embeddings", EMB_DIM, nprobe=4, nprobe_y=2,
                               k=4),
+        "wer_normalization": (
+            "SELECT clip_id, "
+            + __import__(
+                "tiny_lingua_spark.operators.wer", fromlist=["wer"]
+            ).wer_sql("transcript", cleaned_text_sql("transcript"))
+            + f" FROM '{os.path.join(EXPECTED_DIR, 'clips_meta.parquet')}'"
+        ),
         **_golden_oracles(),
     }

@@ -171,6 +171,7 @@ BENCH_QUERIES = (
     "audio_syllables",        # syllable-nuclei prosody (audio-side speech rate)
     "contrastive_pairs",      # CLAP-style audio-text training pairs
     "audio_split",            # leakage-safe split over the audio dup graph
+    "wer_normalization",      # word-level WER (codegen word->codepoint encoding)
     "pca_components",         # fixed-point moment PCA training
     "pca_whiten",             # whitened projection (codegen literals)
     "webdataset_manifest",    # tar shard sink (write + manifest)

@@ -1,0 +1,101 @@
+"""Word-level WER columns: hand-computed S/I/D cases, fuzzed DP
+equivalence vs a pure-python reference, unicode words, empty sides,
+the 126-word alphabet boundary (both engines), zero-shuffle plan."""
+
+import random
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.operators.wer import (
+    WER_MAX_VOCAB,
+    wer_cols,
+    wer_sql,
+)
+
+
+def _run(spark, cases):
+    df = spark.createDataFrame(cases, "ref string, hyp string")
+    return df.select("ref", "hyp", *wer_cols("ref", "hyp")).toPandas()
+
+
+def _wer_ref(r, h):
+    r, h = r.split(), h.split()
+    D = np.zeros((len(r) + 1, len(h) + 1), int)
+    D[:, 0] = range(len(r) + 1)
+    D[0, :] = range(len(h) + 1)
+    for i in range(1, len(r) + 1):
+        for j in range(1, len(h) + 1):
+            D[i, j] = min(D[i - 1, j] + 1, D[i, j - 1] + 1,
+                          D[i - 1, j - 1] + (r[i - 1] != h[j - 1]))
+    return int(D[-1, -1])
+
+
+def test_hand_cases(spark):
+    out = _run(spark, [
+        ("the cat sat on the mat", "the cat sat on the mat"),
+        ("the cat sat on the mat", "the dog sat on the mat"),  # 1 sub
+        ("the cat sat", "the cat quickly sat"),                # 1 ins
+        ("hello world foo", "hello foo"),                      # 1 del
+        ("a b c", "x y z"),
+        ("καλημέρα κόσμε", "καλημέρα κοσμε"),                  # unicode sub
+    ])
+    assert list(out.word_dist) == [0, 1, 1, 1, 3, 1]
+    assert out.wer.round(6).tolist() == pytest.approx(
+        [0.0, 1 / 6, 1 / 3, 1 / 3, 1.0, 0.5], abs=1e-6)
+
+
+def test_whole_word_edit_vs_cer():
+    """The motivating case: replacing one long word is 1 word edit but
+    many char edits — WER and CER disagree by design."""
+    r, h = "the extraordinarily long word", "the xyz long word"
+    assert _wer_ref(r, h) == 1  # documented contrast with levenshtein(r,h)
+
+
+def test_empty_sides(spark):
+    out = _run(spark, [("", "a b"), ("a b", ""), ("", "")])
+    assert list(out.word_dist) == [2, 2, 0]
+    assert np.isnan(out.wer[0]) and out.wer[1] == 1.0 and np.isnan(
+        out.wer[2])
+
+
+def test_fuzzed_matches_reference_dp(spark):
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(25)] + ["日本", "ü", "a-b"]
+    cases = []
+    for _ in range(60):
+        r = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        h = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        cases.append((r, h))
+    out = _run(spark, cases)
+    for _, row in out.iterrows():
+        assert int(row.word_dist) == _wer_ref(row.ref, row.hyp)
+
+
+def test_vocab_boundary_both_engines(spark):
+    """126 distinct words encodes identically in Spark (codepoint
+    levenshtein) and DuckDB (byte levenshtein, all codepoints <= 127 =
+    single-byte); 127 overflows in BOTH rather than silently
+    disagreeing (chr(128) would be two UTF-8 bytes)."""
+    ref126 = " ".join(f"w{i}" for i in range(WER_MAX_VOCAB))
+    cases = [(ref126, "w0"), (ref126 + " extra", "w0")]
+    sp = _run(spark, cases)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(ref VARCHAR, hyp VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", cases)
+    du = con.execute(f"SELECT {wer_sql('ref', 'hyp')} FROM t").df()
+    assert sp.word_dist[0] == du.word_dist[0] == WER_MAX_VOCAB - 1
+    assert not sp.vocab_overflow[0] and not bool(du.vocab_overflow[0])
+    assert sp.vocab_overflow[1] and bool(du.vocab_overflow[1])
+    assert np.isnan(sp.word_dist[1]) and np.isnan(du.word_dist[1])
+
+
+def test_zero_shuffle_plan(spark):
+    from tiny_lingua_spark.plans.audit import audit
+
+    df = spark.createDataFrame([("a b", "a c")], "ref string, hyp string")
+    rep = audit(df.select(*wer_cols("ref", "hyp")))
+    assert rep["exchanges"] == 0
+    assert rep["python_eval_nodes"] == 0

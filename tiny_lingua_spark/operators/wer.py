@@ -1,0 +1,107 @@
+"""Word-level WER (word error rate) as a pure-codegen column set.
+
+The standard ASR evaluation primitive: word-level Levenshtein distance
+between a reference and a hypothesis transcript, normalized by the
+reference word count. In a data pipeline it measures transcript CHURN
+at the word level — normalization impact, scrub aggressiveness, dual
+transcription disagreement — where the char-level CER (scrub.py) over-
+or under-counts whole-word edits.
+
+No UDF: words are encoded one-codepoint-per-word and the distance runs
+through the JVM's codegen `levenshtein`. Per row:
+
+1. tokenize both sides (whitespace split, empties dropped),
+2. vocab = array_distinct(ref_words ++ hyp_words) — per-row, ordered,
+3. encode each word as char(1 + its vocab position): the word sequence
+   becomes a string whose CODEPOINT-level Levenshtein distance equals
+   the word-level distance,
+4. wer = distance / |ref_words|.
+
+Alphabet bound: encoded codepoints stay at 2..127 — strictly single-
+byte UTF-8, so DuckDB's byte-level `levenshtein` computes the same
+number as Spark's codepoint-level one (the dedup.py ISO-8859-1 lesson;
+a 127-word vocab would already emit chr(128), a TWO-byte UTF-8
+sequence that double-counts byte-level substitutions — hence the 126
+bound). Rows whose JOINT vocabulary exceeds 126 distinct words report `vocab_overflow = true` and a NULL wer instead
+of a silently-wrong encoding; ASR transcript pairs essentially never
+hit this (a 127-distinct-word utterance is a paragraph), and a caller
+that does can chunk first (packing.asr_chunk_plan).
+
+Scale shape: zero shuffles, one codegen stage — the same WER math at
+10^12 rows costs exactly a projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WER_MAX_VOCAB = 126
+
+
+def _words_expr(col: str) -> str:
+    return f"filter(split({col}, '\\\\s+'), w -> w != '')"
+
+
+def _encode_expr(words: str, vocab: str) -> str:
+    return (f"array_join(transform({words},"
+            f" w -> char(1 + array_position({vocab}, w))), '')")
+
+
+def wer_cols(ref_col: str, hyp_col: str) -> list[Column]:
+    """Columns: n_ref_words, n_hyp_words, word_dist, wer,
+    vocab_overflow. NULL word_dist/wer when the joint vocab exceeds
+    WER_MAX_VOCAB (see module docstring) or the reference is empty
+    (wer only)."""
+    rw, hw = _words_expr(ref_col), _words_expr(hyp_col)
+    vocab = f"array_distinct(concat({rw}, {hw}))"
+    overflow = F.expr(f"size({vocab}) > {WER_MAX_VOCAB}")
+    dist = F.when(
+        ~overflow,
+        F.levenshtein(F.expr(_encode_expr(rw, vocab)),
+                      F.expr(_encode_expr(hw, vocab))).cast("long"),
+    )
+    n_ref = F.expr(f"size({rw})").cast("long")
+    wer = F.when(n_ref > 0, F.round(dist / n_ref, 6))
+    return [
+        n_ref.alias("n_ref_words"),
+        F.expr(f"size({hw})").cast("long").alias("n_hyp_words"),
+        dist.alias("word_dist"),
+        wer.alias("wer"),
+        overflow.alias("vocab_overflow"),
+    ]
+
+
+def _words_sql(expr: str) -> str:
+    return (f"list_filter(regexp_split_to_array({expr}, '\\s+'),"
+            f" w -> w != '')")
+
+
+def _encode_sql(words: str, vocab: str) -> str:
+    # coalesce: string_agg over an EMPTY list is NULL in DuckDB, but
+    # Spark's array_join gives '' — an empty side must stay comparable
+    return (f"coalesce(list_aggregate(list_transform({words},"
+            f" w -> chr(1 + list_position({vocab}, w))), 'string_agg', '')"
+            f", '')")
+
+
+def wer_sql(ref_expr: str, hyp_expr: str) -> str:
+    """DuckDB twin fragment (select items), same names and NULL rules.
+    Codepoints stay <= 128 so DuckDB's byte-level levenshtein equals
+    Spark's codepoint-level one."""
+    rw, hw = _words_sql(ref_expr), _words_sql(hyp_expr)
+    vocab = f"list_distinct(list_concat({rw}, {hw}))"
+    # engines may order the distinct vocab differently — irrelevant:
+    # Levenshtein distance is invariant under any per-row word->char
+    # bijection (substitution cost depends on equality only)
+    dist = (f"CASE WHEN len({vocab}) <= {WER_MAX_VOCAB} THEN "
+            f"levenshtein({_encode_sql(rw, vocab)},"
+            f" {_encode_sql(hw, vocab)}) END")
+    return (
+        f"len({rw})::BIGINT AS n_ref_words, "
+        f"len({hw})::BIGINT AS n_hyp_words, "
+        f"({dist})::BIGINT AS word_dist, "
+        f"CASE WHEN len({rw}) > 0 THEN round(({dist}) / len({rw}), 6) END"
+        f" AS wer, "
+        f"len({vocab}) > {WER_MAX_VOCAB} AS vocab_overflow"
+    )

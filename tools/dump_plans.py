@@ -40,6 +40,8 @@ PLAN_QUERIES = (
     "audio_diarize",
     "audio_syllables",
     "contrastive_pairs",
+    "audio_split",
+    "wer_normalization",
     "audio_trim_apply",
     "audio_resample",
     "audio_loudness",
