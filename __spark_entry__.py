@@ -2530,6 +2530,37 @@ def _q_noise_mix(spark, sf_dir):
     )
 
 
+def _q_reverb_augment(spark, sf_dir):
+    """Synthetic-RIR reverberation augmentation (Ko et al. 2017 recipe,
+    fourth leg of the augmentation family): per-clip deterministic
+    exponential-decay RIR (hash-drawn RT60 in [0.15, 0.6) s, exact 3 dB
+    direct-to-reverb ratio), FFT convolution batched by per-row
+    transform size, re-encoded pcm_s16le — one whole-batch Arrow pass,
+    identical bytes under any partitioning (pinned by test). The blind
+    decay estimator recovers the planted RT60 (closed-loop anchor in
+    tests/test_reverb_mix.py). Golden-parquet oracle on bytes md5 +
+    planted parameters."""
+    from tiny_lingua_spark.audio import reverb_mix_udf
+
+    clips = _synth_clips(spark, sf_dir=sf_dir)
+    rv = reverb_mix_udf()
+    return (
+        clips
+        .withColumn("m", rv(F.col("bytes"), F.col("codec"),
+                            F.col("sr_hz"), F.col("clip_id")))
+        .select(
+            "clip_id", "codec",
+            F.col("m.ok").alias("ok"),
+            F.col("m.n_samples").alias("n_samples"),
+            F.col("m.rt60_ms").alias("rt60_ms"),
+            F.col("m.rir_len").alias("rir_len"),
+            F.round(F.col("m.peak_scale"), 9).alias("peak_scale"),
+            F.md5(F.coalesce(F.col("m.bytes_out"), F.lit(b"")))
+             .alias("bytes_md5"),
+        )
+    )
+
+
 def _q_audio_loudness(spark, sf_dir):
     """R128-style gated integrated loudness + normalization gain per
     clip (overlapping 400 ms blocks, absolute + relative gates) — one
@@ -2888,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_loudness": _shipped(_q_audio_loudness),
         "audio_normalize": _shipped(_q_audio_normalize),
         "noise_mix": _shipped(_q_noise_mix),
+        "reverb_augment": _shipped(_q_reverb_augment),
         "audio_neardup": _shipped(_q_audio_neardup),
         "audio_dtw_verify": _shipped(_q_audio_dtw_verify),
         "audio_segments": _shipped(_q_audio_segments),
@@ -2943,6 +2975,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_embed_knn",
     "audio_normalize",
     "noise_mix",
+    "reverb_augment",
     "clip_speech_rate",
     "bpe_merges",
     "bpe_tokens",

@@ -178,6 +178,7 @@ BENCH_QUERIES = (
     "auc_bootstrap",          # Poisson-bootstrap AUC confidence interval
     "edit_pairs",             # LSH candidates + bounded-Levenshtein verify
     "noise_mix",              # SNR-targeted hash-noise augmentation (PCM apply)
+    "reverb_augment",         # synthetic-RIR reverb augmentation (FFT convolve)
 )
 
 

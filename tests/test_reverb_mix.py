@@ -1,0 +1,126 @@
+"""Synthetic-RIR reverberation augmentation: batch == rowloop bit
+equivalence, rebatch/partitioning determinism, an exact direct-to-reverb
+ratio invariant on the constructed RIR, and the closed-loop anchor — the
+repo's INDEPENDENT blind reverb estimator must recover the planted RT60
+on a burst-train clip (dry ≈ instant decay, wet ≈ planted tail)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio
+from tiny_lingua_spark.data.clips import generate_clips
+
+DRR = audio.REVERB_MIX_DRR_DB
+RTMIN, RTMAX = audio.REVERB_MIX_RT60_MIN_S, audio.REVERB_MIX_RT60_MAX_S
+
+
+@pytest.fixture(scope="module")
+def clips_pd():
+    pdf, _ = generate_clips(n=30, seed=42)
+    return pdf
+
+
+def _chunk(b, c, sr, i):
+    return audio._reverb_mix_chunk(b, c, sr, i, DRR, RTMIN, RTMAX,
+                                   "pcm_s16le")
+
+
+def test_batch_equals_rowloop(clips_pd):
+    b, c = clips_pd["bytes"], clips_pd["codec"]
+    sr, i = clips_pd["sr_hz"], clips_pd["clip_id"]
+    out = _chunk(b, c, sr, i)
+    rl = audio._reverb_mix_rowloop(b, c, sr, i, DRR, RTMIN, RTMAX,
+                                   "pcm_s16le")
+    assert list(out.ok) == list(rl.ok)
+    assert all(x == y for x, y in zip(out.bytes_out, rl.bytes_out))
+    assert list(out.rt60_ms) == list(rl.rt60_ms)
+    assert list(out.rir_len) == list(rl.rir_len)
+    assert np.allclose(out.peak_scale, rl.peak_scale, atol=1e-12)
+
+
+def test_rebatch_and_permutation_invariance(clips_pd):
+    """Output bytes are a function of the row alone: splitting the batch
+    or permuting rows never changes any clip's augmented bytes."""
+    b, c = clips_pd["bytes"], clips_pd["codec"]
+    sr, i = clips_pd["sr_hz"], clips_pd["clip_id"]
+    out = _chunk(b, c, sr, i)
+    half = _chunk(b[:11], c[:11], sr[:11], i[:11])
+    assert all(x == y for x, y in zip(half.bytes_out, out.bytes_out[:11]))
+    perm = np.random.default_rng(5).permutation(len(b))
+    rs = lambda s: s.iloc[perm].reset_index(drop=True)  # noqa: E731
+    out_p = _chunk(rs(b), rs(c), rs(sr), rs(i))
+    by_id = dict(zip(rs(i), out_p.bytes_out))
+    assert all(by_id[cid] == bo for cid, bo in zip(i, out.bytes_out))
+
+
+def test_rir_direct_to_reverb_ratio_exact():
+    """The constructed RIR realizes the target DRR exactly:
+    10*log10(h0² / Σ h[1:]²) == drr_db to float precision."""
+    seeds = audio._clip_seed_u64([f"c-{k}" for k in range(50)])
+    sr = np.full(50, 16000.0)
+    rt60, rir_len = audio._rir_params(seeds, sr, RTMIN, RTMAX)
+    h, off = audio._rir_build(seeds, sr, rt60, rir_len, DRR)
+    for k in range(50):
+        seg = h[off[k]:off[k + 1]]
+        assert seg[0] == 1.0
+        drr = 10.0 * np.log10(1.0 / np.sum(seg[1:] ** 2))
+        assert abs(drr - DRR) < 1e-9
+    # rt60 draws cover the configured range and differ per clip
+    assert rt60.min() >= RTMIN and rt60.max() < RTMAX
+    assert len(np.unique(rt60)) == 50
+
+
+def test_blind_estimator_recovers_planted_rt60():
+    """Closed loop with the independent decay-slope estimator: a tone-
+    burst train (sharp offsets) measures near-instant decay dry; after
+    augmentation the measured RT60 proxy must land within 40% of the
+    planted RT60 and order three differently-reverberant copies."""
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    x = np.zeros(3 * sr, dtype=np.float32)
+    for k in range(6):
+        s = k * sr // 2
+        x[s:s + sr // 10] = 0.5 * np.sin(
+            2 * np.pi * 440 * t[s:s + sr // 10]).astype(np.float32)
+    raw = audio.encode(x, "pcm_s16le")
+    ids = ["burst-a", "burst-b", "burst-c"]
+    b = pd.Series([raw] * 3)
+    c = pd.Series(["pcm_s16le"] * 3)
+    srs = pd.Series([sr] * 3)
+    out = _chunk(b, c, srs, pd.Series(ids))
+    dry = audio._reverb_rowloop(b, c, srs)
+    wet = audio._reverb_rowloop(out.bytes_out,
+                                pd.Series(["pcm_s16le"] * 3), srs)
+    planted = out.rt60_ms.to_numpy() / 1000.0
+    measured = wet.rt60_proxy_s.to_numpy()
+    assert dry.rt60_proxy_s.max() < 0.1
+    assert np.all(np.abs(measured - planted) / planted < 0.4)
+    assert list(np.argsort(measured)) == list(np.argsort(planted))
+
+
+def test_length_preserved_and_failed_rows(clips_pd):
+    out = _chunk(clips_pd["bytes"][:5], clips_pd["codec"][:5],
+                 clips_pd["sr_hz"][:5], clips_pd["clip_id"][:5])
+    for k in range(5):
+        pcm0 = audio.decode(clips_pd["bytes"].iloc[k],
+                            clips_pd["codec"].iloc[k])
+        assert len(out.bytes_out[k]) == 2 * len(pcm0)
+    bad = _chunk(pd.Series([b"xx"]), pd.Series(["opus"]),
+                 pd.Series([16000]), pd.Series(["bad-1"]))
+    assert not bool(bad.ok[0]) and bad.bytes_out[0] is None
+
+
+def test_udf_partitioning_invariance(spark, clips_pd):
+    sdf = spark.createDataFrame(
+        clips_pd[["clip_id", "bytes", "codec", "sr_hz"]])
+    rv = audio.reverb_mix_udf()
+    sel = lambda df: (df.withColumn(  # noqa: E731
+        "m", rv(F.col("bytes"), F.col("codec"), F.col("sr_hz"),
+                F.col("clip_id")))
+        .select("clip_id", F.md5(F.col("m.bytes_out")).alias("h"))
+        .toPandas().sort_values("clip_id").reset_index(drop=True))
+    a = sel(sdf.coalesce(1))
+    b = sel(sdf.repartition(7))
+    assert a.equals(b)

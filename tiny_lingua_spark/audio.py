@@ -2631,3 +2631,200 @@ def music_udf():
         return _chunked_frame_apply(_music_batch, b, codec, sr)
 
     return audio_music
+
+
+# ---------------------------------------------------------------------------
+# Synthetic-RIR reverberation augmentation (room simulation for ASR
+# training data)
+#
+# The fourth leg of the Kaldi/ESPnet augmentation family next to speed
+# perturbation, SpecAugment and additive noise (Ko et al. 2017, "A study
+# on data augmentation of reverberant speech for robust speech
+# recognition": convolving training clips with room impulse responses is
+# the standard far-field robustness recipe; synthetic exponential-decay
+# RIRs perform within noise of measured ones for augmentation purposes).
+#
+# Each clip gets its OWN deterministic synthetic RIR, keyed on clip_id
+# with the same splitmix64/md5 machinery as the noise-mix kernel, so the
+# augmented bytes are identical under any partitioning or batching:
+#
+#   rt60_i ~ U[RT60_MIN, RT60_MAX)      (hash-drawn per clip)
+#   L_i    = clip(rt60_i * sr_i, 2, RIR_MAX_SAMPLES)
+#   h_i[0] = 1                          (direct path)
+#   h_i[k] = g_i * w_k * exp(-ln(1000) * k / (rt60_i * sr_i)),  k >= 1
+#            (unit-variance hash noise w shaped by the 60 dB amplitude
+#             envelope; ln(1000) because RT60 is the time to -60 dB)
+#   g_i    chosen so the direct-to-reverb ratio is exactly drr_db:
+#            10*log10(h0^2 / sum(h[1:]^2)) == drr_db
+#
+# Convolution is FFT-based with a PER-ROW transform size
+# nfft_i = next_pow2(n_i + L_i - 1) — a function of the row alone, never
+# of the batch — then rows sharing an nfft are stacked and transformed in
+# one 2D rfft/irfft pair, so the kernel stays a handful of matrix ops per
+# chunk while remaining bit-deterministic under re-batching. Output keeps
+# the clip length (tail truncated, standard augmentation convention) and
+# is peak-normalized only when the wet mix would clip. The waveform never
+# enters the Spark plan: the UDF emits metrics + re-encoded bytes, same
+# scale shape as the noise-mix kernel.
+
+REVERB_MIX_RT60_MIN_S = 0.15
+REVERB_MIX_RT60_MAX_S = 0.60
+RIR_MAX_SAMPLES = 8192
+REVERB_MIX_DRR_DB = 3.0
+_REVERB_MIX_SEED_TAG = np.uint64(0xA5C1E2D300000001)
+_LN_1000 = 6.907755278982137
+
+REVERB_MIX_SCHEMA = (
+    "ok boolean, n_samples long, rt60_ms int, rir_len int,"
+    " peak_scale double, bytes_out binary"
+)
+
+
+def _rir_params(seeds: np.ndarray, sr_row: np.ndarray,
+                rt60_min: float, rt60_max: float):
+    """Per-clip (rt60_s, rir_len) from the clip-id hash: one splitmix64
+    draw mapped to the RT60 range, length capped at RIR_MAX_SAMPLES."""
+    with np.errstate(over="ignore"):
+        z = _splitmix64(seeds + _REVERB_MIX_SEED_TAG)
+    u = (z >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+    rt60 = rt60_min + u * (rt60_max - rt60_min)
+    rir_len = np.clip((rt60 * sr_row).astype(np.int64), 2, RIR_MAX_SAMPLES)
+    return rt60, rir_len
+
+
+def _rir_build(seeds: np.ndarray, sr_row: np.ndarray, rt60: np.ndarray,
+               rir_len: np.ndarray, drr_db: float):
+    """Concatenated RIR arena (one _hash_noise pass over all tails) →
+    (rir_values, rir_offsets). h[0]=1 direct path; tail scaled to the
+    exact target direct-to-reverb ratio."""
+    rir_offsets = np.concatenate([[0], np.cumsum(rir_len)]).astype(np.int64)
+    with np.errstate(over="ignore"):
+        noise = _hash_noise(
+            _splitmix64(seeds + _REVERB_MIX_SEED_TAG) | np.uint64(1),
+            rir_offsets).astype(np.float64)
+    total = int(rir_offsets[-1])
+    lens = np.diff(rir_offsets)
+    k = np.arange(total, dtype=np.int64) - np.repeat(
+        rir_offsets[:-1], lens)
+    tau = np.repeat(rt60 * sr_row, lens)  # samples to -60 dB
+    h = noise * np.exp(-_LN_1000 * k / np.maximum(tau, 1.0))
+    h[rir_offsets[:-1]] = 0.0  # k=0 slot becomes the direct path below
+    p_tail = _segment_sums(h * h, rir_offsets)
+    g = np.sqrt(1.0 / np.maximum(p_tail * 10.0 ** (drr_db / 10.0), 1e-30))
+    h *= np.repeat(g, lens)
+    h[rir_offsets[:-1]] = 1.0  # unit direct path
+    return h, rir_offsets
+
+
+def _reverb_mix_chunk(bytes_s, codec_s, sr_s, id_s, drr_db: float,
+                      rt60_min: float, rt60_max: float,
+                      codec_to: str) -> pd.DataFrame:
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    n = len(ok)
+    lens = np.diff(offsets)
+    sr_row = np.asarray(sr_s, dtype=np.float64)
+    seeds = _clip_seed_u64(list(id_s))
+    rt60, rir_len = _rir_params(seeds, sr_row, rt60_min, rt60_max)
+    h, rir_offsets = _rir_build(seeds, sr_row, rt60, rir_len, drr_db)
+    out = np.zeros(int(offsets[-1]), dtype=np.float64)
+    # per-row transform size (row-only → deterministic under re-batching)
+    conv_len = lens + rir_len - 1
+    nfft = np.ones(n, dtype=np.int64)
+    pos = conv_len > 0
+    nfft[pos] = 1 << np.ceil(
+        np.log2(np.maximum(conv_len[pos], 1))).astype(np.int64)
+    do = ok & (lens > 0)
+    for size in np.unique(nfft[do]):
+        rows = np.flatnonzero(do & (nfft == size))
+        size = int(size)
+        x_pad = np.zeros((len(rows), size), dtype=np.float64)
+        h_pad = np.zeros((len(rows), size), dtype=np.float64)
+        for j, i in enumerate(rows):  # row-level memcpy loop only
+            x_pad[j, :lens[i]] = samples[offsets[i]:offsets[i + 1]]
+            h_pad[j, :rir_len[i]] = h[rir_offsets[i]:rir_offsets[i + 1]]
+        y = np.fft.irfft(np.fft.rfft(x_pad, axis=1)
+                         * np.fft.rfft(h_pad, axis=1), n=size, axis=1)
+        for j, i in enumerate(rows):
+            out[offsets[i]:offsets[i + 1]] = y[j, :lens[i]]
+    peak = _segment_max(np.abs(out), offsets)
+    scale = np.where(peak > 1.0, 1.0 / np.maximum(peak, 1e-30), 1.0)
+    out *= np.repeat(scale, lens)
+    width = _SAMPLE_WIDTH[codec_to]
+    encoded = _encode_concat(out.astype(np.float32), codec_to)
+    bytes_out: list = [None] * n
+    for i in range(n):
+        if not ok[i]:
+            continue
+        a, b = int(offsets[i]) * width, int(offsets[i + 1]) * width
+        bytes_out[i] = encoded[a:b].tobytes()
+    return pd.DataFrame({
+        "ok": pd.Series(ok, dtype=bool),
+        "n_samples": np.where(ok, lens, 0).astype(np.int64),
+        "rt60_ms": np.where(ok, np.round(rt60 * 1000.0), 0).astype(np.int32),
+        "rir_len": np.where(ok, rir_len, 0).astype(np.int32),
+        "peak_scale": np.where(ok, scale, np.nan),
+        "bytes_out": bytes_out,
+    })
+
+
+def _reverb_mix_rowloop(bytes_s, codec_s, sr_s, id_s, drr_db: float,
+                        rt60_min: float, rt60_max: float,
+                        codec_to: str) -> pd.DataFrame:
+    """Per-row reference implementation (equivalence twin for tests):
+    same per-row nfft, 1D FFTs."""
+    rows = []
+    for b, c, sr, cid in zip(bytes_s, codec_s, sr_s, id_s):
+        try:
+            pcm = decode(b, c)
+            ok = True
+        except Exception:
+            pcm, ok = np.zeros(0, np.float32), False
+        if not ok:
+            rows.append((False, 0, 0, 0, np.nan, None))
+            continue
+        seed = _clip_seed_u64([cid])
+        rt60, rir_len = _rir_params(seed, np.array([float(sr)]),
+                                    rt60_min, rt60_max)
+        h, _off = _rir_build(seed, np.array([float(sr)]), rt60, rir_len,
+                             drr_db)
+        x = pcm.astype(np.float64)
+        if len(x):
+            size = 1 << int(np.ceil(np.log2(len(x) + int(rir_len[0]) - 1)))
+            spec = (np.fft.rfft(x, n=size)
+                    * np.fft.rfft(h, n=size))
+            y = np.fft.irfft(spec, n=size)[:len(x)]
+        else:
+            y = x
+        peak = float(np.max(np.abs(y))) if len(y) else 0.0
+        scale = 1.0 / max(peak, 1e-30) if peak > 1.0 else 1.0
+        y = y * scale
+        enc = _encode_concat(y.astype(np.float32), codec_to).tobytes()
+        rows.append((True, len(x), int(round(float(rt60[0]) * 1000.0)),
+                     int(rir_len[0]), scale, enc))
+    return pd.DataFrame(rows, columns=[
+        "ok", "n_samples", "rt60_ms", "rir_len", "peak_scale",
+        "bytes_out"])
+
+
+def reverb_mix_udf(drr_db: float = REVERB_MIX_DRR_DB,
+                   rt60_min: float = REVERB_MIX_RT60_MIN_S,
+                   rt60_max: float = REVERB_MIX_RT60_MAX_S,
+                   codec_to: str = "pcm_s16le"):
+    """Arrow-batched (bytes, codec, sr_hz, clip_id) → reverberation-
+    augmented clip: per-clip deterministic synthetic RIR (hash-drawn
+    RT60, exponential-decay noise tail at exactly drr_db direct-to-
+    reverb), FFT convolution grouped by per-row transform size,
+    re-encoded to codec_to. Identical under any partitioning."""
+    if codec_to not in _SAMPLE_WIDTH:
+        raise ValueError(f"unsupported codec: {codec_to}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(REVERB_MIX_SCHEMA)
+    def audio_reverb_mix(b: pd.Series, codec: pd.Series, sr: pd.Series,
+                         cid: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(
+            lambda bb, cc, ss, ii: _reverb_mix_chunk(
+                bb, cc, ss, ii, drr_db, rt60_min, rt60_max, codec_to),
+            b, codec, sr, cid)
+
+    return audio_reverb_mix
