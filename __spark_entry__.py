@@ -275,6 +275,97 @@ def _synth_clips_warp_dups(spark: SparkSession, n: int = 120,
     return spark.createDataFrame(both)
 
 
+def _synth_clips_melody_dups(spark: SparkSession, n: int = 120,
+                             sf_dir: str | None = None) -> DataFrame:
+    """Melody clips (temporal note sequences — data/clips.py) plus
+    planted duplicates for the acoustic-token bridge: 3 µ-law
+    re-encodes and 3 half-gain copies of the first 6 melodies. Gain
+    copies are EXACT token-space duplicates (c0 dropped + spherical
+    assignment → level invariance); µ-law copies differ only by
+    quantization-flipped borderline tokens. Scale curve: reads a
+    pre-materialized clips_melody.parquet from sf_dir when present."""
+    import pandas as pd
+
+    if sf_dir is not None:
+        path = os.path.join(sf_dir, "clips_melody.parquet")
+        if os.path.exists(path):
+            return spark.read.parquet(path)
+
+    from tiny_lingua_spark import audio
+    from tiny_lingua_spark.data.clips import generate_melody_clips
+    from tiny_lingua_spark.session import ship_package
+
+    ship_package(spark)
+    mel = generate_melody_clips(n=n, seed=42)
+    dup_rows = []
+    for _, r in mel.head(3).iterrows():
+        pcm = audio.decode(bytes(r["bytes"]), r.codec)
+        dup_rows.append({
+            "clip_id": r.clip_id.replace("mel-", "dupmu-"),
+            "bytes": audio.encode(pcm, "mulaw"),
+            "sr_hz": r.sr_hz, "dur_ms": r.dur_ms, "codec": "mulaw",
+            "transcript": "",
+        })
+    for _, r in mel.iloc[3:6].iterrows():
+        pcm = 0.5 * audio.decode(bytes(r["bytes"]), r.codec)
+        dup_rows.append({
+            "clip_id": r.clip_id.replace("mel-", "dupgain-"),
+            "bytes": audio.encode(pcm, "pcm_s16le"),
+            "sr_hz": r.sr_hz, "dur_ms": r.dur_ms, "codec": "pcm_s16le",
+            "transcript": "",
+        })
+    both = pd.concat([mel, pd.DataFrame(dup_rows)], ignore_index=True)
+    return spark.createDataFrame(both)
+
+
+def _q_audio_vq_tokens(spark, sf_dir):
+    """Discrete acoustic tokens (HuBERT first-iteration pseudo-labels:
+    k-means over MFCC frames — Hsu et al. 2021): codebook trained on a
+    hash-sampled clip subset via the exact fixed-point spherical
+    k-means (bit-deterministic under any partitioning), then one
+    Arrow pass tokenizes every clip — only token sequences enter the
+    plan. Golden-parquet oracle (trained centroids are not SQL
+    literals); independent anchors: rowloop bit-equality + exact
+    level-invariance in tests/test_vq.py."""
+    from tiny_lingua_spark.operators.vq import vq_tokens_udf, vq_train
+
+    clips = _synth_clips_melody_dups(spark, sf_dir=sf_dir)
+    cents = vq_train(clips, k=32, n_iter=3, sample_mod=2)
+    tk = vq_tokens_udf(cents)
+    return (
+        clips
+        .withColumn("m", tk(F.col("bytes"), F.col("codec"),
+                            F.col("sr_hz")))
+        .select(
+            "clip_id",
+            F.col("m.n_frames").alias("n_frames"),
+            F.col("m.n_distinct").alias("n_distinct"),
+            F.round(F.col("m.token_entropy"), 6).alias("token_entropy"),
+            F.col("m.max_run").alias("max_run"),
+            F.md5(F.to_json(F.col("m.tokens"))).alias("tokens_md5"),
+        )
+    )
+
+
+def _q_audio_token_neardup(spark, sf_dir):
+    """Audio near-dup through the token bridge: tokenize (no shuffle),
+    token-3-gram MinHash-LSH candidates, exact token-Jaccard verify —
+    the text dedup machinery running unchanged on audio. Recovers
+    exactly the planted µ-law and half-gain melody copies (gain copies
+    at Jaccard 1.0 — exact level invariance); arbitrary-offset padding
+    dups are OUT of this tier's reach (frame quantization) and belong
+    to the DTW tier. Golden-parquet oracle."""
+    from tiny_lingua_spark.operators.vq import vq_token_neardup, vq_train
+
+    clips = _synth_clips_melody_dups(spark, sf_dir=sf_dir)
+    cents = vq_train(clips, k=32, n_iter=3, sample_mod=2)
+    return (
+        vq_token_neardup(clips, cents, threshold=0.3)
+        .select("id_a", "id_b",
+                F.round("token_jaccard", 6).alias("token_jaccard"))
+    )
+
+
 def _q_audio_dtw_verify(spark, sf_dir):
     """Warp-tolerant audio near-dup: time-averaged embedding-LSH
     candidates (warp-invariant key) -> banded-cost DTW verification
@@ -2922,6 +3013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverb_augment": _shipped(_q_reverb_augment),
         "audio_neardup": _shipped(_q_audio_neardup),
         "audio_dtw_verify": _shipped(_q_audio_dtw_verify),
+        "audio_vq_tokens": _shipped(_q_audio_vq_tokens),
+        "audio_token_neardup": _shipped(_q_audio_token_neardup),
         "audio_segments": _shipped(_q_audio_segments),
         "audio_trim": _shipped(_q_audio_trim),
         "align_words": _shipped(_q_align_words),
@@ -2986,6 +3079,8 @@ GOLDEN_ORACLE_QUERIES = (
     "semdedup_drop_trained",
     "bitext_mine_ann_trained",
     "audio_dtw_verify",
+    "audio_vq_tokens",
+    "audio_token_neardup",
     "pca_components",
     "pca_whiten",
     "webdataset_manifest",

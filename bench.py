@@ -179,6 +179,8 @@ BENCH_QUERIES = (
     "edit_pairs",             # LSH candidates + bounded-Levenshtein verify
     "noise_mix",              # SNR-targeted hash-noise augmentation (PCM apply)
     "reverb_augment",         # synthetic-RIR reverb augmentation (FFT convolve)
+    "audio_vq_tokens",        # k-means acoustic tokens (HuBERT-style units)
+    "audio_token_neardup",    # token-bridge MinHash near-dup over audio
 )
 
 

@@ -1,0 +1,131 @@
+"""Acoustic VQ tokens (operators/vq.py + audio.vq_tokens_udf): batch ==
+rowloop bit-equality, exact level invariance (the closed-form anchor:
+c0 is dropped and assignment is spherical, so a gain change cannot move
+any token), codebook determinism under repartitioning, codegen n-gram
+items vs a python reference, and planted-dup recovery through the
+token bridge."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio
+from tiny_lingua_spark.data.clips import generate_clips, generate_melody_clips
+from tiny_lingua_spark.operators import vq
+
+K = 16
+
+
+@pytest.fixture(scope="module")
+def clips_pd():
+    pdf, _ = generate_clips(n=20, seed=42)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def centroids():
+    """Small deterministic unit codebook (training is pinned separately)."""
+    rng = np.random.default_rng(11)
+    c = rng.standard_normal((K, audio.VQ_DIM))
+    return (c / np.linalg.norm(c, axis=1, keepdims=True)).tolist()
+
+
+def test_batch_equals_rowloop(clips_pd, centroids):
+    b, c, sr = clips_pd["bytes"], clips_pd["codec"], clips_pd["sr_hz"]
+    out = audio._vq_tokens_chunk(b, c, sr, np.asarray(centroids))
+    rl = audio._vq_tokens_rowloop(b, c, sr, centroids)
+    assert list(out.n_frames) == list(rl.n_frames)
+    assert all(x == y for x, y in zip(out.tokens, rl.tokens))
+    assert list(out.n_distinct) == list(rl.n_distinct)
+    assert np.allclose(out.token_entropy, rl.token_entropy, atol=1e-12)
+    assert list(out.max_run) == list(rl.max_run)
+
+
+def test_tokens_exactly_level_invariant(clips_pd, centroids):
+    """Scaling PCM by any gain shifts every log-mel band by the same
+    constant; the DCT maps a constant to c0 only, and c0 is dropped —
+    so the token sequence is bit-identical at half gain."""
+    rows = []
+    for _, r in clips_pd.head(8).iterrows():
+        pcm = audio.decode(bytes(r["bytes"]), r.codec)
+        rows.append(audio.encode(0.5 * pcm, "pcm_s16le"))
+    base = audio._vq_tokens_chunk(
+        clips_pd["bytes"].head(8).map(bytes),
+        pd.Series(["pcm_s16le"] * 0 + list(clips_pd["codec"].head(8))),
+        clips_pd["sr_hz"].head(8), np.asarray(centroids))
+    half = audio._vq_tokens_chunk(
+        pd.Series(rows), pd.Series(["pcm_s16le"] * 8),
+        clips_pd["sr_hz"].head(8), np.asarray(centroids))
+    for t0, t1, cod in zip(base.tokens, half.tokens, clips_pd["codec"]):
+        if cod in ("pcm_s16le", "pcm_f32le"):
+            assert t0 == t1
+        else:  # µ-law/a-law decode is already quantized; near-identical
+            t0a, t1a = np.asarray(t0), np.asarray(t1)
+            assert np.mean(t0a == t1a) > 0.9
+
+
+def test_rebatch_invariance(clips_pd, centroids):
+    b, c, sr = clips_pd["bytes"], clips_pd["codec"], clips_pd["sr_hz"]
+    out = audio._vq_tokens_chunk(b, c, sr, np.asarray(centroids))
+    half = audio._vq_tokens_chunk(b[:7], c[:7], sr[:7],
+                                  np.asarray(centroids))
+    assert all(x == y for x, y in zip(half.tokens, out.tokens[:7]))
+
+
+def test_codebook_deterministic_under_repartition(spark):
+    mel = generate_melody_clips(24)
+    sdf = spark.createDataFrame(mel)
+    a = vq.vq_train(sdf, k=8, n_iter=2, sample_mod=None)
+    b = vq.vq_train(sdf.repartition(7), k=8, n_iter=2, sample_mod=None)
+    assert a == b
+
+
+def test_token_gram_items_matches_python(spark):
+    toks = spark.createDataFrame(
+        [("a", [1, 2, 3, 4]), ("b", [5, 5, 5]), ("c", [7]), ("d", [])],
+        "clip_id string, tokens array<int>")
+    got = (vq.token_gram_items(toks, n=3).toPandas()
+           .sort_values(["id", "shingle"]).reset_index(drop=True))
+    exp = []
+    for cid, tk in [("a", [1, 2, 3, 4]), ("b", [5, 5, 5]),
+                    ("c", [7]), ("d", [])]:
+        grams = {" ".join(map(str, tk[i:i + 3]))
+                 for i in range(len(tk) - 2)}
+        exp += [(cid, g) for g in sorted(grams)]
+    exp_df = pd.DataFrame(exp, columns=["id", "shingle"])
+    assert got.equals(exp_df.sort_values(["id", "shingle"])
+                      .reset_index(drop=True))
+
+
+def test_planted_dups_recovered_exactly(spark):
+    """The committed golden's semantics, re-derived live: the 6 planted
+    copies (3 µ-law, 3 half-gain) are EXACTLY the pairs at threshold
+    0.3, with gain copies at Jaccard 1.0."""
+    import __spark_entry__ as e
+
+    clips = e._synth_clips_melody_dups(spark)
+    cents = vq.vq_train(clips, k=32, n_iter=3, sample_mod=2)
+    nd = vq.vq_token_neardup(clips, cents, threshold=0.3).toPandas()
+    pairs = {tuple(sorted(p)) for p in zip(nd.id_a, nd.id_b)}
+    want = {tuple(sorted((f"mel-{i:06d}", f"dupmu-{i:06d}")))
+            for i in range(3)}
+    want |= {tuple(sorted((f"mel-{i:06d}", f"dupgain-{i:06d}")))
+             for i in range(3, 6)}
+    assert pairs == want
+    gain = nd[nd.id_a.str.startswith("dupgain")
+              | nd.id_b.str.startswith("dupgain")]
+    assert (gain.token_jaccard == 1.0).all()
+
+
+def test_udf_partitioning_invariance(spark, clips_pd, centroids):
+    sdf = spark.createDataFrame(
+        clips_pd[["clip_id", "bytes", "codec", "sr_hz"]])
+    tk = audio.vq_tokens_udf(centroids)
+    sel = lambda df: (df.withColumn(  # noqa: E731
+        "m", tk(F.col("bytes"), F.col("codec"), F.col("sr_hz")))
+        .select("clip_id", F.md5(F.to_json(F.col("m.tokens"))).alias("h"))
+        .toPandas().sort_values("clip_id").reset_index(drop=True))
+    a = sel(sdf.coalesce(1))
+    b = sel(sdf.repartition(5))
+    assert a.equals(b)

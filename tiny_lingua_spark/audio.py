@@ -2828,3 +2828,161 @@ def reverb_mix_udf(drr_db: float = REVERB_MIX_DRR_DB,
             b, codec, sr, cid)
 
     return audio_reverb_mix
+
+
+# ---------------------------------------------------------------------------
+# Discrete acoustic tokens (k-means vector quantization of MFCC frames)
+#
+# HuBERT-style pseudo-labels (Hsu et al. 2021, "HuBERT: Self-Supervised
+# Speech Representation Learning by Masked Prediction of Hidden Units":
+# its first-iteration targets are literally k-means clusters of MFCC
+# frames): quantizing frame-level cepstra against a small trained
+# codebook turns every clip into a SHORT DISCRETE TOKEN SEQUENCE — the
+# representation speech LMs train on, and a bridge that lets every
+# text-side operator (n-gram MinHash dedup, token stats, fertility)
+# run unchanged on audio.
+#
+# Tokens use c1..c12 (c0 dropped — it is frame log-energy, so tokens
+# become level-invariant; same calibration result as the DTW kernel) and
+# spherical assignment (argmax dot against unit centroids — scale-free,
+# matching similarity.ivf_train's quantizer so the exact fixed-point
+# training there can be reused verbatim). Scale shape: the codebook is
+# a k×12 literal broadcast inside the UDF closure; decode → MFCC →
+# assign is ONE Arrow pass per chunk and only the token sequence
+# (~1 int per 16 ms) enters the Spark plan — frames never do.
+
+VQ_DIM = N_MFCC - 1  # c1..c12
+VQ_TOKENS_SCHEMA = ("n_frames int, tokens array<int>, n_distinct int,"
+                    " token_entropy double, max_run int")
+MFCC_FRAMES_SCHEMA = "n_frames int, frames array<array<double>>"
+
+
+def _cc_for_batch(bytes_s, codec_s, sr_s):
+    """Shared frame-cepstra front half: decode → framed power spectra →
+    per-rate mel/DCT. Returns (cc (F, N_MFCC), row_of_frame, n_frames,
+    n_rows)."""
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    n = len(ok)
+    frame_starts, row_of_frame, n_frames = _frame_geometry(offsets)
+    if not frame_starts.size:
+        return np.zeros((0, N_MFCC)), row_of_frame, n_frames, n
+    idx = frame_starts[:, None] + np.arange(FRAME_SAMPLES)[None, :]
+    frames = samples[idx].astype(np.float64)
+    frames *= np.hanning(FRAME_SAMPLES)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    sr_row = np.asarray(sr_s, dtype=np.int64)
+    cc = _mfcc_frames(power, sr_row[row_of_frame])
+    return cc, row_of_frame, n_frames, n
+
+
+def _mfcc_frames_batch(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    """Frame-level c1..c12 vectors per clip (training-path only — the
+    assignment path never materializes frames in the plan)."""
+    cc, row_of_frame, n_frames, n = _cc_for_batch(bytes_s, codec_s, sr_s)
+    bounds = np.concatenate([[0], np.cumsum(n_frames)])
+    vecs = cc[:, 1:]
+    frames_col = [
+        [vecs[j] for j in range(bounds[i], bounds[i + 1])] for i in range(n)
+    ]
+    return pd.DataFrame({
+        "n_frames": pd.Series(n_frames.astype(np.int32)),
+        "frames": frames_col,
+    })
+
+
+def mfcc_frames_udf():
+    """Arrow-batched (bytes, codec, sr_hz) → per-clip frame cepstra
+    c1..c12 as array<array<double>>. ONLY for bounded training samples
+    (the codebook-fit path hash-samples clips first); the scale path is
+    vq_tokens_udf, which assigns inside the kernel."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(MFCC_FRAMES_SCHEMA)
+    def audio_mfcc_frames(b: pd.Series, codec: pd.Series,
+                          sr: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(_mfcc_frames_batch, b, codec, sr)
+
+    return audio_mfcc_frames
+
+
+def _token_stats(tok: np.ndarray):
+    """(n_distinct, entropy_bits, max_run) of one token sequence."""
+    if not len(tok):
+        return 0, 0.0, 0
+    _, counts = np.unique(tok, return_counts=True)
+    p = counts / counts.sum()
+    ent = float(-(p * np.log2(p)).sum())
+    change = np.flatnonzero(np.diff(tok) != 0)
+    run_bounds = np.concatenate([[-1], change, [len(tok) - 1]])
+    max_run = int(np.max(np.diff(run_bounds)))
+    return int(len(counts)), ent, max_run
+
+
+def _vq_tokens_chunk(bytes_s, codec_s, sr_s,
+                     normed: np.ndarray) -> pd.DataFrame:
+    cc, row_of_frame, n_frames, n = _cc_for_batch(bytes_s, codec_s, sr_s)
+    tok = (np.argmax(cc[:, 1:] @ normed.T, axis=1).astype(np.int32)
+           if len(cc) else np.zeros(0, np.int32))
+    bounds = np.concatenate([[0], np.cumsum(n_frames)])
+    tokens_col, nd, ent, mr = [], [], [], []
+    for i in range(n):  # row-level slicing loop only
+        t = tok[bounds[i]:bounds[i + 1]]
+        tokens_col.append(t.tolist())
+        d, e, m = _token_stats(t)
+        nd.append(d); ent.append(e); mr.append(m)
+    return pd.DataFrame({
+        "n_frames": pd.Series(n_frames.astype(np.int32)),
+        "tokens": tokens_col,
+        "n_distinct": pd.Series(nd, dtype=np.int32),
+        "token_entropy": pd.Series(ent, dtype=np.float64),
+        "max_run": pd.Series(mr, dtype=np.int32),
+    })
+
+
+def _vq_tokens_rowloop(bytes_s, codec_s, sr_s,
+                       centroids) -> pd.DataFrame:
+    """Per-row/per-frame reference (equivalence twin for tests)."""
+    normed = np.asarray(centroids, dtype=np.float64)
+    win = np.hanning(FRAME_SAMPLES)
+    dct = _dct_matrix()
+    rows = []
+    for b, c, sr in zip(bytes_s, codec_s, sr_s):
+        try:
+            pcm = decode(b, c) if b is not None else np.zeros(0, np.float32)
+        except Exception:
+            pcm = np.zeros(0, dtype=np.float32)
+        k = len(pcm) // FRAME_SAMPLES
+        fb = mel_filterbank(int(sr))
+        toks = []
+        for f in range(k):
+            fr = pcm[f * FRAME_SAMPLES:(f + 1) * FRAME_SAMPLES].astype(
+                np.float64) * win
+            ccf = dct @ np.log(fb @ (np.abs(np.fft.rfft(fr)) ** 2)
+                               + _MFCC_EPS)
+            toks.append(int(np.argmax(ccf[1:] @ normed.T)))
+        t = np.asarray(toks, dtype=np.int32)
+        d, e, m = _token_stats(t)
+        rows.append((k, t.tolist(), d, e, m))
+    return pd.DataFrame(rows, columns=[
+        "n_frames", "tokens", "n_distinct", "token_entropy", "max_run"])
+
+
+def vq_tokens_udf(centroids):
+    """Arrow-batched (bytes, codec, sr_hz) → discrete acoustic token
+    sequence + per-clip token stats. `centroids` is the k×VQ_DIM
+    codebook from operators.vq.vq_train (unit rows); assignment is
+    argmax-dot (≡ cosine), so tokens are level-invariant. One chunked
+    pass; frame matrices never enter the plan."""
+    normed = np.asarray(centroids, dtype=np.float64)
+    if normed.ndim != 2 or normed.shape[1] != VQ_DIM:
+        raise ValueError(f"centroids must be (k, {VQ_DIM})")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(VQ_TOKENS_SCHEMA)
+    def audio_vq_tokens(b: pd.Series, codec: pd.Series,
+                        sr: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(
+            lambda bb, cc, ss: _vq_tokens_chunk(bb, cc, ss, normed),
+            b, codec, sr)
+
+    return audio_vq_tokens

@@ -195,3 +195,50 @@ def generate_speaker_clips(n: int = 60, seed: int = 42
                            if a != b),
         })
     return pd.DataFrame(clip_rows), pd.DataFrame(label_rows)
+
+
+# ---------------------------------------------------------------- melodies
+
+_MELODY_F0_GRID = tuple(220.0 * 2.0 ** (k / 12.0) for k in range(0, 25, 2))
+
+
+def _melody_pcm(i: int, sr: int, n_segments: int = 10,
+                seg_ms: int = 200) -> np.ndarray:
+    """Deterministic tone SEQUENCE (a 'melody'): n_segments segments of
+    seg_ms, each a hash-random note from a 13-note grid or a rest.
+    Unlike the stationary _waveform clips, two different melodies are
+    genuinely different sounds frame-by-frame — the temporal structure
+    the acoustic-token operators need to resolve clip identity."""
+    rng = np.random.default_rng(7000 + i)
+    seg = int(sr * seg_ms / 1000)
+    out = np.zeros(seg * n_segments, dtype=np.float64)
+    t = np.arange(seg) / sr
+    env = np.minimum(1.0, np.minimum(np.arange(seg), np.arange(seg)[::-1])
+                     / max(seg // 20, 1))
+    for s in range(n_segments):
+        if rng.random() < 0.2:
+            continue  # rest
+        f0 = _MELODY_F0_GRID[rng.integers(len(_MELODY_F0_GRID))]
+        tone = 0.5 * np.sin(2 * np.pi * f0 * t) * env
+        out[s * seg:(s + 1) * seg] = tone
+    out += 0.01 * rng.standard_normal(len(out))
+    return np.clip(out, -0.99, 0.99).astype(np.float32)
+
+
+def generate_melody_clips(n: int = 120, seed: int = 42) -> pd.DataFrame:
+    """Melody clip corpus for the token-bridge operators: per-clip
+    deterministic note sequences at 16 kHz, mixed codecs."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        codec = ("pcm_s16le", "mulaw", "alaw")[rng.randrange(3)]
+        pcm = _melody_pcm(i, 16000)
+        rows.append({
+            "clip_id": f"mel-{i:06d}",
+            "bytes": audio.encode(pcm, codec),
+            "sr_hz": 16000,
+            "dur_ms": int(1000 * len(pcm) / 16000),
+            "codec": codec,
+            "transcript": "",
+        })
+    return pd.DataFrame(rows)

@@ -1,0 +1,128 @@
+"""Acoustic vector-quantization: codebook training + token-space ops.
+
+HuBERT first-iteration pseudo-labels (Hsu et al. 2021) are k-means
+clusters of MFCC frames; this module trains that codebook on a
+hash-sampled bounded subset of clips and then treats the resulting
+token sequences as TEXT — the token near-dup operator below runs the
+repo's production MinHash-LSH chain over token n-grams unchanged.
+
+Scale shape:
+- training: hash-sample clips (partition-independent xxhash gate) →
+  ONE Arrow pass extracts frame cepstra for the sample only →
+  similarity.ivf_train's exact fixed-point spherical k-means (bit-
+  deterministic under any partitioning, already pinned by its numpy
+  Lloyd replication test). Driver traffic is k×12 floats.
+- assignment: audio.vq_tokens_udf with the k×12 codebook as a closure
+  literal — no join, no shuffle; only token sequences enter the plan.
+- token near-dup: token arrays → n-gram items via codegen transform
+  (no Python), then dedup.minhash_bands_from_items → banded bucket
+  join → exact token-n-gram Jaccard verify. Identical plan shape to
+  neardup_text; every shuffle key is bounded (band hash / id).
+
+No reference counterpart (SURVEY.md §2.6 — the reference is a text-only
+langid library); public spec: the HuBERT paper's unit-discovery recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark.audio import VQ_DIM, mfcc_frames_udf, vq_tokens_udf
+from tiny_lingua_spark.operators.dedup import minhash_bands_from_items
+from tiny_lingua_spark.operators.similarity import ivf_train
+
+VQ_K = 32
+VQ_NGRAM = 3
+
+
+def frame_vectors(clips: DataFrame, sample_mod: int | None = 4,
+                  id_col: str = "clip_id") -> DataFrame:
+    """(vec_id, embedding) frame-cepstra rows for codebook training.
+
+    vec_id = xxhash64(clip_id, ':', pos): unique w.h.p., deterministic,
+    and hash-ordered — so ivf_train's "first k by vec_id" init draws a
+    pseudo-random spread of frames rather than the first clip's opening
+    frames. sample_mod=None keeps every clip (tests); m keeps ~1/m of
+    clips — the bounded training sample at corpus scale."""
+    src = clips
+    if sample_mod is not None:
+        src = src.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    fr = mfcc_frames_udf()
+    return (
+        src.select(F.col(id_col).alias("cid"),
+                   fr(F.col("bytes"), F.col("codec"),
+                      F.col("sr_hz")).alias("m"))
+        .select("cid", F.posexplode(F.col("m.frames")).alias("pos", "vec"))
+        .select(
+            F.xxhash64(F.col("cid"), F.lit(":"), F.col("pos"))
+             .alias("vec_id"),
+            F.col("vec").alias("embedding"),
+        )
+    )
+
+
+def vq_train(clips: DataFrame, k: int = VQ_K, n_iter: int = 5,
+             sample_mod: int | None = 4) -> list[list[float]]:
+    """Train the k×VQ_DIM acoustic codebook (unit rows). Exact
+    fixed-point means via similarity.ivf_train → bit-deterministic
+    under any partitioning of the clip table."""
+    return ivf_train(frame_vectors(clips, sample_mod),
+                     n_cells=k, n_iter=n_iter, dim=VQ_DIM)
+
+
+def token_gram_items(tokens_df: DataFrame, id_col: str = "clip_id",
+                     tokens_col: str = "tokens",
+                     n: int = VQ_NGRAM) -> DataFrame:
+    """(id, shingle) distinct token n-grams per clip — pure codegen
+    (transform + slice + array_join), no Python. The shared item relation
+    for the MinHash chain."""
+    grams = (
+        f"CASE WHEN size({tokens_col}) < {n}"
+        f" THEN cast(array() AS array<string>)"
+        f" ELSE transform(sequence(1, size({tokens_col}) - {n - 1}),"
+        f"      i -> array_join(slice({tokens_col}, i, {n}), ' ')) END")
+    return (
+        tokens_df.select(F.col(id_col).alias("id"),
+                         F.explode(F.array_distinct(F.expr(grams)))
+                          .alias("shingle"))
+    )
+
+
+def vq_token_neardup(clips: DataFrame, centroids, threshold: float = 0.5,
+                     n: int = VQ_NGRAM, id_col: str = "clip_id",
+                     n_hashes: int = 32, band_size: int = 4) -> DataFrame:
+    """Audio near-dup through the TOKEN bridge: tokenize (no shuffle),
+    token-n-gram MinHash-LSH candidates (banded bucket join), exact
+    token-n-gram Jaccard verify on the candidate pairs only. A µ-law
+    re-encode keeps ~identical token sequences, so planted copies
+    surface at high Jaccard (pinned by test + golden)."""
+    tk = vq_tokens_udf(centroids)
+    toks = clips.select(
+        F.col(id_col).alias("clip_id"),
+        tk(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+            .alias("m"),
+    ).select("clip_id", F.col("m.tokens").alias("tokens"))
+    items = token_gram_items(toks, "clip_id", "tokens", n)
+    bands = minhash_bands_from_items(items, n_hashes, band_size)
+    a = bands.hint("shuffle_hash").alias("a")
+    b = bands.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = items.groupBy("id").agg(
+        F.collect_set("shingle").alias("sh"))
+    av = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    bv = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        pairs.join(av, "id_a").join(bv, "id_b")
+        .select("id_a", "id_b", jac.alias("token_jaccard"))
+        .where(F.col("token_jaccard") >= threshold)
+    )
