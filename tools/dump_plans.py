@@ -124,6 +124,9 @@ PLAN_QUERIES = (
     "auc_bootstrap",
     "edit_pairs",
     "noise_mix",
+    "reverb_augment",
+    "audio_vq_tokens",
+    "audio_token_neardup",
 )
 
 

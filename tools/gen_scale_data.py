@@ -53,6 +53,7 @@ SALT_EVERY = 8
 CLIPS_BASE = 300
 CLIPS_DUPS_BASE, CLIPS_DUPS_PLANT = 120, 8
 CLIPS_SPEAKERS_BASE = 60
+CLIPS_MELODY_BASE, CLIPS_MELODY_PLANT = 120, 3  # K*3 mu-law + K*3 gain
 EMB_DIM = 64
 
 
@@ -181,6 +182,34 @@ def write_clips(out_dir: str, k: int) -> None:
     warp = pd.concat([base_w, pd.DataFrame(warp_rows)], ignore_index=True)
     warp.to_parquet(os.path.join(out_dir, "clips_warp.parquet"), index=False)
 
+    # melody corpus for the acoustic-token queries: K-fold replica with
+    # K*3 mu-law + K*3 half-gain planted copies, spread like the others
+    from tiny_lingua_spark.data.clips import generate_melody_clips
+
+    mel = generate_melody_clips(n=k * CLIPS_MELODY_BASE, seed=42)
+    mel_rows = []
+    step_m = max(1, len(mel) // (2 * k * CLIPS_MELODY_PLANT))
+    picked_m = mel.iloc[::step_m].head(2 * k * CLIPS_MELODY_PLANT)
+    for j, (_, row) in enumerate(picked_m.iterrows()):
+        pcm = audio.decode(bytes(row["bytes"]), row.codec)
+        if j % 2 == 0:
+            mel_rows.append({
+                "clip_id": row.clip_id.replace("mel-", "dupmu-"),
+                "bytes": audio.encode(pcm, "mulaw"),
+                "sr_hz": row.sr_hz, "dur_ms": row.dur_ms, "codec": "mulaw",
+                "transcript": "",
+            })
+        else:
+            mel_rows.append({
+                "clip_id": row.clip_id.replace("mel-", "dupgain-"),
+                "bytes": audio.encode(0.5 * pcm, "pcm_s16le"),
+                "sr_hz": row.sr_hz, "dur_ms": row.dur_ms,
+                "codec": "pcm_s16le", "transcript": "",
+            })
+    mel_both = pd.concat([mel, pd.DataFrame(mel_rows)], ignore_index=True)
+    mel_both.to_parquet(os.path.join(out_dir, "clips_melody.parquet"),
+                        index=False)
+
     # multi-speaker corpus for audio_diarize: K-fold replica of the
     # planted-turn corpus (seed folds the replica in so waveforms differ)
     from tiny_lingua_spark.data.clips import generate_speaker_clips
@@ -221,7 +250,8 @@ def main() -> None:
         print(f"  events: {len(ev)} -> {len(sv)}")
 
         write_clips(out_dir, k)
-        print("  clips + clips_dups + clips_warp + clips_speakers written")
+        print("  clips + clips_dups + clips_warp + clips_melody"
+              " + clips_speakers written")
 
 
 if __name__ == "__main__":
