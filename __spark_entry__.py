@@ -318,6 +318,71 @@ def _synth_clips_melody_dups(spark: SparkSession, n: int = 120,
     return spark.createDataFrame(both)
 
 
+def _synth_clips_fakewide(spark: SparkSession,
+                          sf_dir: str | None = None) -> DataFrame:
+    """Standard clip corpus plus planted FAKE-WIDEBAND clips: the first
+    6 8-kHz clips linearly upsampled into a 44.1 kHz container with the
+    metadata claiming 44100 — the information bandwidth lies the
+    occupancy screen must catch. Scale curve: reads clips_fakewide.
+    parquet from sf_dir when present."""
+    import pandas as pd
+
+    if sf_dir is not None:
+        path = os.path.join(sf_dir, "clips_fakewide.parquet")
+        if os.path.exists(path):
+            return spark.read.parquet(path)
+
+    from tiny_lingua_spark import audio
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.session import ship_package
+
+    ship_package(spark)
+    clips_pd, _ = generate_clips(n=300, seed=42)
+    fake_rows = []
+    for _, r in clips_pd[clips_pd.sr_hz == 8000].head(6).iterrows():
+        pcm = audio.decode(bytes(r["bytes"]), r.codec)
+        up = audio.resample_linear(pcm, 8000, 44100)
+        fake_rows.append({
+            "clip_id": r.clip_id.replace("clip-", "fakewb-"),
+            "bytes": audio.encode(up, "pcm_s16le"),
+            "sr_hz": 44100, "dur_ms": r.dur_ms, "codec": "pcm_s16le",
+            "transcript": r.transcript,
+        })
+    both = pd.concat([clips_pd, pd.DataFrame(fake_rows)],
+                     ignore_index=True)
+    return spark.createDataFrame(both)
+
+
+def _q_audio_bandwidth(spark, sf_dir):
+    """Fake-wideband screen: per-clip spectral occupancy (highest mean-
+    spectrum bin above peak −50 dB — the noise-floor cliff an upsample
+    leaves, which energy-rolloff measures cannot see) + a DECLARATIVE
+    flag over the kernel columns: occupancy < 0.8 at a declared rate
+    ≥ 32 kHz. Planted 8 kHz→44.1 kHz upsamples measure 0.22–0.42 and
+    flag; every genuine clip measures 1.0 (interp images cap fakes at
+    0.65 corpus-wide — margin on both sides of the threshold). Golden-parquet oracle;
+    batch≡rowloop + planted-separation anchors in tests."""
+    from tiny_lingua_spark.audio import bandwidth_udf
+
+    clips = _synth_clips_fakewide(spark, sf_dir=sf_dir)
+    bw = bandwidth_udf()
+    return (
+        clips
+        .withColumn("m", bw(F.col("bytes"), F.col("codec"),
+                            F.col("sr_hz")))
+        .select(
+            "clip_id", "sr_hz",
+            F.col("m.n_frames").alias("n_frames"),
+            F.round(F.col("m.occupied_hz"), 3).alias("occupied_hz"),
+            F.round(F.col("m.occupancy_ratio"), 6)
+             .alias("occupancy_ratio"),
+            ((F.col("sr_hz") >= 32000)
+             & (F.col("m.occupancy_ratio") < 0.8))
+            .alias("fake_wideband"),
+        )
+    )
+
+
 def _q_audio_vq_tokens(spark, sf_dir):
     """Discrete acoustic tokens (HuBERT first-iteration pseudo-labels:
     k-means over MFCC frames — Hsu et al. 2021): codebook trained on a
@@ -3014,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": _shipped(_q_audio_neardup),
         "audio_dtw_verify": _shipped(_q_audio_dtw_verify),
         "audio_vq_tokens": _shipped(_q_audio_vq_tokens),
+        "audio_bandwidth": _shipped(_q_audio_bandwidth),
         "audio_token_neardup": _shipped(_q_audio_token_neardup),
         "audio_segments": _shipped(_q_audio_segments),
         "audio_trim": _shipped(_q_audio_trim),
@@ -3081,6 +3147,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_dtw_verify",
     "audio_vq_tokens",
     "audio_token_neardup",
+    "audio_bandwidth",
     "pca_components",
     "pca_whiten",
     "webdataset_manifest",

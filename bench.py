@@ -181,6 +181,7 @@ BENCH_QUERIES = (
     "reverb_augment",         # synthetic-RIR reverb augmentation (FFT convolve)
     "audio_vq_tokens",        # k-means acoustic tokens (HuBERT-style units)
     "audio_token_neardup",    # token-bridge MinHash near-dup over audio
+    "audio_bandwidth",        # fake-wideband spectral-occupancy screen
 )
 
 

@@ -1,0 +1,89 @@
+"""Spectral-occupancy fake-wideband screen (audio.bandwidth_udf):
+batch == rowloop equivalence, closed-form genuine-vs-upsample
+separation (every genuine corpus clip carries its broadband noise floor
+to Nyquist → occupancy 1.0; an 8→44.1 kHz linear upsample collapses
+past the source band → ≤ 0.65 incl. interp images), rebatch invariance, and the declarative
+flag semantics of the driver query."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio
+from tiny_lingua_spark.data.clips import generate_clips
+
+
+@pytest.fixture(scope="module")
+def clips_pd():
+    pdf, _ = generate_clips(n=40, seed=42)
+    return pdf
+
+
+def _fakes(clips_pd, n=4):
+    rows = []
+    for _, r in clips_pd[clips_pd.sr_hz == 8000].head(n).iterrows():
+        pcm = audio.decode(bytes(r["bytes"]), r.codec)
+        rows.append(audio.encode(
+            audio.resample_linear(pcm, 8000, 44100), "pcm_s16le"))
+    return rows
+
+
+def test_batch_equals_rowloop(clips_pd):
+    b, c, sr = clips_pd["bytes"], clips_pd["codec"], clips_pd["sr_hz"]
+    out = audio._bandwidth_batch(b, c, sr)
+    rl = audio._bandwidth_rowloop(b, c, sr)
+    assert list(out.n_frames) == list(rl.n_frames)
+    assert np.allclose(out.occupied_hz, rl.occupied_hz, atol=1e-9)
+    assert np.allclose(out.occupancy_ratio, rl.occupancy_ratio,
+                       atol=1e-12)
+
+
+def test_genuine_full_occupancy_fakes_collapse(clips_pd):
+    out = audio._bandwidth_batch(clips_pd["bytes"], clips_pd["codec"],
+                                 clips_pd["sr_hz"])
+    assert (out.occupancy_ratio > 0.95).all()
+    fakes = _fakes(clips_pd)
+    fo = audio._bandwidth_batch(
+        pd.Series(fakes), pd.Series(["pcm_s16le"] * len(fakes)),
+        pd.Series([44100] * len(fakes)))
+    assert (fo.occupancy_ratio < 0.8).all()
+    # and the occupancy tracks the true source band: ≈ 8k/44.1k with
+    # interp skirt, never below the source Nyquist fraction itself
+    assert (fo.occupancy_ratio > 8000.0 / 44100.0 * 0.9).all()
+
+
+def test_rebatch_invariance_and_empty(clips_pd):
+    b, c, sr = clips_pd["bytes"], clips_pd["codec"], clips_pd["sr_hz"]
+    out = audio._bandwidth_batch(b, c, sr)
+    half = audio._bandwidth_batch(b[:9], c[:9], sr[:9])
+    assert np.allclose(half.occupied_hz, out.occupied_hz[:9])
+    bad = audio._bandwidth_batch(
+        pd.Series([b"xx", None]), pd.Series(["opus", "pcm_s16le"]),
+        pd.Series([16000, 16000]))
+    assert list(bad.n_frames) == [0, 0]
+    assert list(bad.occupancy_ratio) == [0.0, 0.0]
+
+
+def test_driver_query_flags_exactly_the_planted(spark):
+    import __spark_entry__ as e
+
+    got = e._q_audio_bandwidth(spark, "/nonexistent").toPandas()
+    flagged = set(got[got.fake_wideband].clip_id)
+    assert flagged == set(
+        got[got.clip_id.str.startswith("fakewb-")].clip_id)
+    assert len(flagged) == 6
+
+
+def test_udf_partitioning_invariance(spark, clips_pd):
+    sdf = spark.createDataFrame(
+        clips_pd[["clip_id", "bytes", "codec", "sr_hz"]])
+    bw = audio.bandwidth_udf()
+    sel = lambda df: (df.withColumn(  # noqa: E731
+        "m", bw(F.col("bytes"), F.col("codec"), F.col("sr_hz")))
+        .select("clip_id", F.round(F.col("m.occupancy_ratio"), 9)
+                .alias("r"))
+        .toPandas().sort_values("clip_id").reset_index(drop=True))
+    a = sel(sdf.coalesce(1))
+    b = sel(sdf.repartition(7))
+    assert a.equals(b)

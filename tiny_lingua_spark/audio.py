@@ -2986,3 +2986,106 @@ def vq_tokens_udf(centroids):
             b, codec, sr)
 
     return audio_vq_tokens
+
+
+# ---------------------------------------------------------------------------
+# Spectral occupancy / fake-wideband screen
+#
+# Web-harvested "wideband" audio is frequently narrowband content
+# upsampled into a high-rate container (8 kHz telephone speech in a
+# 44.1 kHz file): the sample rate metadata lies about the information
+# bandwidth, ASR front-ends waste mel bins on empty spectrum, and
+# bandwidth-extension training data gets poisoned. The 95 %-energy
+# rolloff in the spectral kernel does NOT detect this — a clean tone
+# or bass-heavy music also concentrates energy low. What betrays an
+# upsample is the NOISE-FLOOR CLIFF: genuine recordings carry their
+# noise floor out to Nyquist (measured: flat at ≈ −43 dB on the
+# synthetic corpus), while interpolation collapses everything above
+# the source Nyquist. The floor sits at −50 dB: interpolation images
+# (spectrum replicas around multiples of the source rate, sinc²-
+# attenuated) can poke above a −60 dB floor for content near the source
+# Nyquist (measured 0.78 occupancy on two corpus upsamples), while the
+# genuine noise floor is ≈ −43 dB — at −50 dB every genuine corpus clip
+# measures exactly 1.0 and every planted upsample ≤ 0.65.
+#
+#   occupied_hz  = highest frequency bin of the per-clip MEAN power
+#                  spectrum still above (peak − OCC_FLOOR_DB)
+#   occupancy    = occupied_hz / (sr/2): ≈1 genuine, ≈ sr_src/sr fake
+#
+# Scale shape: same single batched rfft as the spectral kernel; the
+# (rows × 129) mean-spectrum accumulate is one np.add.at scatter; only
+# three numbers per clip enter the plan.
+
+OCC_FLOOR_DB = 50.0
+BANDWIDTH_SCHEMA = ("n_frames int, occupied_hz double,"
+                    " occupancy_ratio double")
+
+
+def _bandwidth_batch(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    n = len(ok)
+    frame_starts, row_of_frame, n_frames = _frame_geometry(offsets)
+    occupied = np.zeros(n, dtype=np.float64)
+    ratio = np.zeros(n, dtype=np.float64)
+    if frame_starts.size:
+        idx = frame_starts[:, None] + np.arange(FRAME_SAMPLES)[None, :]
+        frames = samples[idx].astype(np.float64)
+        frames *= np.hanning(FRAME_SAMPLES)[None, :]
+        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (F, 129)
+        n_bins = power.shape[1]
+        acc = np.zeros((n, n_bins), dtype=np.float64)
+        np.add.at(acc, row_of_frame, power)
+        framed = n_frames > 0
+        mean = acc[framed] / n_frames[framed, None]
+        peak = mean.max(axis=1, keepdims=True)
+        above = mean > peak * 10.0 ** (-OCC_FLOOR_DB / 10.0)
+        # highest occupied bin per row (bin 0 is always occupied via peak)
+        hi_bin = np.max(np.where(above, np.arange(n_bins)[None, :], 0),
+                        axis=1)
+        sr_row = np.asarray(sr_s, dtype=np.float64)[framed]
+        occupied[framed] = hi_bin * sr_row / FRAME_SAMPLES
+        ratio[framed] = occupied[framed] / (sr_row / 2.0)
+    return pd.DataFrame({
+        "n_frames": pd.Series(n_frames.astype(np.int32)),
+        "occupied_hz": occupied,
+        "occupancy_ratio": ratio,
+    })
+
+
+def _bandwidth_rowloop(bytes_s, codec_s, sr_s) -> pd.DataFrame:
+    """Per-row reference (equivalence twin for tests)."""
+    win = np.hanning(FRAME_SAMPLES)
+    rows = []
+    for b, c, sr in zip(bytes_s, codec_s, sr_s):
+        try:
+            pcm = decode(b, c) if b is not None else np.zeros(0, np.float32)
+        except Exception:
+            pcm = np.zeros(0, dtype=np.float32)
+        k = len(pcm) // FRAME_SAMPLES
+        if k == 0:
+            rows.append((0, 0.0, 0.0))
+            continue
+        fr = pcm[:k * FRAME_SAMPLES].astype(np.float64).reshape(
+            k, FRAME_SAMPLES) * win
+        mean = (np.abs(np.fft.rfft(fr, axis=1)) ** 2).mean(axis=0)
+        above = mean > mean.max() * 10.0 ** (-OCC_FLOOR_DB / 10.0)
+        hi = int(np.flatnonzero(above)[-1])
+        occ = hi * float(sr) / FRAME_SAMPLES
+        rows.append((k, occ, occ / (float(sr) / 2.0)))
+    return pd.DataFrame(rows, columns=[
+        "n_frames", "occupied_hz", "occupancy_ratio"])
+
+
+def bandwidth_udf():
+    """Arrow-batched (bytes, codec, sr_hz) → spectral occupancy. The
+    fake-wideband decision itself stays declarative in the query
+    (occupancy < 0.5 at a declared rate ≥ 32 kHz) so the threshold is
+    oracle-checkable SQL over the kernel columns."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BANDWIDTH_SCHEMA)
+    def audio_bandwidth(b: pd.Series, codec: pd.Series,
+                        sr: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(_bandwidth_batch, b, codec, sr)
+
+    return audio_bandwidth

@@ -127,6 +127,7 @@ PLAN_QUERIES = (
     "reverb_augment",
     "audio_vq_tokens",
     "audio_token_neardup",
+    "audio_bandwidth",
 )
 
 

@@ -182,6 +182,24 @@ def write_clips(out_dir: str, k: int) -> None:
     warp = pd.concat([base_w, pd.DataFrame(warp_rows)], ignore_index=True)
     warp.to_parquet(os.path.join(out_dir, "clips_warp.parquet"), index=False)
 
+    # fake-wideband corpus for audio_bandwidth: the clip corpus plus
+    # K*6 8kHz->44.1kHz upsamples claiming 44100, spread like the others
+    fw_rows = []
+    narrow = clips[clips.sr_hz == 8000]
+    step_f = max(1, len(narrow) // (k * 6))
+    for _, row in narrow.iloc[::step_f].head(k * 6).iterrows():
+        pcm = audio.decode(bytes(row["bytes"]), row.codec)
+        up = audio.resample_linear(pcm, 8000, 44100)
+        fw_rows.append({
+            "clip_id": row.clip_id.replace("clip-", "fakewb-"),
+            "bytes": audio.encode(up, "pcm_s16le"),
+            "sr_hz": 44100, "dur_ms": row.dur_ms, "codec": "pcm_s16le",
+            "transcript": row.transcript,
+        })
+    fw = pd.concat([clips, pd.DataFrame(fw_rows)], ignore_index=True)
+    fw.to_parquet(os.path.join(out_dir, "clips_fakewide.parquet"),
+                  index=False)
+
     # melody corpus for the acoustic-token queries: K-fold replica with
     # K*3 mu-law + K*3 half-gain planted copies, spread like the others
     from tiny_lingua_spark.data.clips import generate_melody_clips
