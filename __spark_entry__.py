@@ -431,6 +431,33 @@ def _q_audio_token_neardup(spark, sf_dir):
     )
 
 
+def _q_audio_token_ppl(spark, sf_dir):
+    """Acoustic token-LM perplexity screen (the CCNet filter's audio
+    analog, over HuBERT-style units): token-bigram LM trained in one
+    bounded aggregation (≤ k² rows collected), scoring is a pure-
+    codegen higher-order aggregate against the k²-double literal — no
+    Python, no joins in the scoring plan. Degenerate (stuck/looping)
+    audio scores near 1, structured melodies in the corpus band.
+    Golden-parquet oracle; python-reference equivalence + planted
+    degenerate/random bounds in tests/test_vq.py."""
+    from tiny_lingua_spark.operators.vq import (
+        token_ppl_col, train_token_lm, vq_tokens_udf, vq_train)
+
+    clips = _synth_clips_melody_dups(spark, sf_dir=sf_dir)
+    cents = vq_train(clips, k=32, n_iter=3, sample_mod=2)
+    tk = vq_tokens_udf(cents)
+    toks = clips.select(
+        "clip_id",
+        tk(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("m"),
+    ).select("clip_id", F.col("m.n_frames").alias("n_frames"),
+             F.col("m.tokens").alias("tokens"))
+    lm = train_token_lm(toks, k=32)
+    return toks.select(
+        "clip_id", "n_frames",
+        F.round(token_ppl_col("tokens", lm, k=32), 6).alias("token_ppl"),
+    )
+
+
 def _q_audio_dtw_verify(spark, sf_dir):
     """Warp-tolerant audio near-dup: time-averaged embedding-LSH
     candidates (warp-invariant key) -> banded-cost DTW verification
@@ -3080,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dtw_verify": _shipped(_q_audio_dtw_verify),
         "audio_vq_tokens": _shipped(_q_audio_vq_tokens),
         "audio_bandwidth": _shipped(_q_audio_bandwidth),
+        "audio_token_ppl": _shipped(_q_audio_token_ppl),
         "audio_token_neardup": _shipped(_q_audio_token_neardup),
         "audio_segments": _shipped(_q_audio_segments),
         "audio_trim": _shipped(_q_audio_trim),
@@ -3148,6 +3176,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_vq_tokens",
     "audio_token_neardup",
     "audio_bandwidth",
+    "audio_token_ppl",
     "pca_components",
     "pca_whiten",
     "webdataset_manifest",

@@ -182,6 +182,7 @@ BENCH_QUERIES = (
     "audio_vq_tokens",        # k-means acoustic tokens (HuBERT-style units)
     "audio_token_neardup",    # token-bridge MinHash near-dup over audio
     "audio_bandwidth",        # fake-wideband spectral-occupancy screen
+    "audio_token_ppl",        # acoustic token-LM perplexity screen
 )
 
 

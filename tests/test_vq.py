@@ -129,3 +129,65 @@ def test_udf_partitioning_invariance(spark, clips_pd, centroids):
     a = sel(sdf.coalesce(1))
     b = sel(sdf.repartition(5))
     assert a.equals(b)
+
+
+# ------------------------------------------------- token-LM perplexity
+
+def test_token_ppl_codegen_matches_python(spark):
+    rng = np.random.default_rng(3)
+    rows = [("c%d" % i, rng.integers(0, 8, size=rng.integers(2, 40))
+             .tolist()) for i in range(20)]
+    rows += [("short", [5]), ("empty", [])]
+    toks = spark.createDataFrame(rows, "clip_id string, tokens array<int>")
+    lm = vq.train_token_lm(toks, k=8)
+    assert len(lm) == 64
+    got = (toks.select("clip_id",
+                       vq.token_ppl_col("tokens", lm, k=8).alias("p"))
+           .toPandas().set_index("clip_id")["p"])
+    for cid, tk in rows:
+        ref = vq.token_ppl_py(tk, lm, k=8)
+        if ref is None:
+            assert pd.isna(got[cid])
+        else:
+            assert abs(got[cid] - ref) < 1e-9
+
+
+def test_token_ppl_degenerate_vs_random(spark):
+    """Closed-form bounds: after training on a mixed corpus, a
+    constant-token clip must score near 1 (its bigram dominates its
+    row) and a uniform-random clip near the vocabulary size — the
+    separation the quality screen relies on."""
+    rng = np.random.default_rng(4)
+    const = [3] * 200
+    rand = rng.integers(0, 8, size=200).tolist()
+    corpus = [("const-%d" % i, const) for i in range(5)]
+    corpus += [("rand-%d" % i,
+                rng.integers(0, 8, size=200).tolist()) for i in range(5)]
+    toks = spark.createDataFrame(
+        corpus, "clip_id string, tokens array<int>")
+    lm = vq.train_token_lm(toks, k=8)
+    p_const = vq.token_ppl_py(const, lm, k=8)
+    p_rand = vq.token_ppl_py(rand, lm, k=8)
+    assert p_const < 1.2
+    assert p_rand > 4.0
+
+
+def test_token_bigram_counts_exact(spark):
+    toks = spark.createDataFrame(
+        [("a", [1, 2, 1, 2]), ("b", [2, 2]), ("c", [7])],
+        "clip_id string, tokens array<int>")
+    got = {(r.t1, r.t2): r.cnt
+           for r in vq.token_bigram_counts(toks).collect()}
+    assert got == {(1, 2): 2, (2, 1): 1, (2, 2): 1}
+
+
+def test_token_ppl_plan_is_pure_codegen(spark):
+    from tiny_lingua_spark.plans.audit import audit
+
+    toks = spark.createDataFrame(
+        [("a", [1, 2, 3])], "clip_id string, tokens array<int>")
+    lm = [0.0] * 64
+    df = toks.select(vq.token_ppl_col("tokens", lm, k=8).alias("p"))
+    a = audit(df)
+    assert a["python_eval_nodes"] == 0
+    assert a["exchanges"] == 0

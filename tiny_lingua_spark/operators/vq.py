@@ -126,3 +126,79 @@ def vq_token_neardup(clips: DataFrame, centroids, threshold: float = 0.5,
         .select("id_a", "id_b", jac.alias("token_jaccard"))
         .where(F.col("token_jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------- token-LM perplexity
+
+# The audio analog of the CCNet/KenLM perplexity filter (Wenzek et al.
+# 2020), running on discrete acoustic tokens instead of words: a
+# bigram LM over the corpus's token stream scores each clip's sequence.
+# Degenerate audio (stuck tones, loops, steady hum) is hyper-predictable
+# → perplexity near 1; structured content sits in the corpus-typical
+# band; decode garbage scores high. Scale shape: bigram counts aggregate
+# to ≤ k² rows (map-side combine does almost all the work), the LM is a
+# k²-double literal, and scoring is a pure-codegen aggregate over each
+# clip's token array — zero Python, zero joins, zero shuffles beyond
+# the bounded count aggregation.
+
+TOKEN_LM_ALPHA = 0.5  # add-alpha smoothing
+
+
+def token_bigram_counts(toks_df: DataFrame,
+                        tokens_col: str = "tokens") -> DataFrame:
+    """(t1, t2, cnt) over every adjacent token pair — codegen transform
+    + explode; output is bounded by k² after the partial-agg combine."""
+    pairs = (f"CASE WHEN size({tokens_col}) < 2"
+             f" THEN cast(array() AS array<struct<t1:int,t2:int>>)"
+             f" ELSE transform(sequence(2, size({tokens_col})),"
+             f" i -> struct(element_at({tokens_col}, i - 1) AS t1,"
+             f"            element_at({tokens_col}, i) AS t2)) END")
+    return (
+        toks_df.select(F.explode(F.expr(pairs)).alias("p"))
+        .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_token_lm(toks_df: DataFrame, k: int = VQ_K,
+                   alpha: float = TOKEN_LM_ALPHA) -> list[float]:
+    """Flat k*k row-major log P(t2|t1) with add-alpha smoothing. The
+    collect is ≤ k² bounded rows — driver traffic independent of corpus
+    size."""
+    import math
+
+    counts = {(r.t1, r.t2): r.cnt
+              for r in token_bigram_counts(toks_df).collect()}
+    lp = []
+    for t1 in range(k):
+        row_total = sum(counts.get((t1, t2), 0) for t2 in range(k))
+        denom = row_total + alpha * k
+        for t2 in range(k):
+            lp.append(math.log((counts.get((t1, t2), 0) + alpha) / denom))
+    return lp
+
+
+def token_ppl_col(tokens_col: str, log_probs: list[float],
+                  k: int = VQ_K):
+    """Pure-codegen per-clip bigram perplexity exp(-mean log P): the LM
+    is an array literal indexed [t1*k + t2]; the sum is one
+    higher-order aggregate over the token array. NULL below 2 tokens."""
+    lp = "array(" + ",".join(repr(float(v)) for v in log_probs) + ")"
+    s = (f"aggregate(sequence(2, size({tokens_col})), 0D, (acc, i) ->"
+         f" acc + element_at({lp},"
+         f" element_at({tokens_col}, i - 1) * {k}"
+         f" + element_at({tokens_col}, i) + 1))")
+    return F.when(
+        F.size(F.col(tokens_col)) >= 2,
+        F.exp(-F.expr(s) / (F.size(F.col(tokens_col)) - 1)),
+    )
+
+
+def token_ppl_py(tokens, log_probs: list[float], k: int = VQ_K):
+    """Reference implementation (equivalence twin for tests)."""
+    import math
+
+    if len(tokens) < 2:
+        return None
+    s = sum(log_probs[a * k + b] for a, b in zip(tokens, tokens[1:]))
+    return math.exp(-s / (len(tokens) - 1))

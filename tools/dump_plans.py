@@ -128,6 +128,7 @@ PLAN_QUERIES = (
     "audio_vq_tokens",
     "audio_token_neardup",
     "audio_bandwidth",
+    "audio_token_ppl",
 )
 
 
