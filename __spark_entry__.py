@@ -279,11 +279,14 @@ def _synth_clips_melody_dups(spark: SparkSession, n: int = 120,
                              sf_dir: str | None = None) -> DataFrame:
     """Melody clips (temporal note sequences — data/clips.py) plus
     planted duplicates for the acoustic-token bridge: 3 µ-law
-    re-encodes and 3 half-gain copies of the first 6 melodies. Gain
-    copies are EXACT token-space duplicates (c0 dropped + spherical
-    assignment → level invariance); µ-law copies differ only by
-    quantization-flipped borderline tokens. Scale curve: reads a
-    pre-materialized clips_melody.parquet from sf_dir when present."""
+    re-encodes, 3 half-gain copies, and 3 arbitrary-offset zero-padded
+    µ-law copies (1234 samples — deliberately not a frame multiple) of
+    the first 9 melodies. Gain copies are EXACT token-space duplicates
+    (c0 dropped + spherical assignment → level invariance); µ-law
+    copies differ only by quantization-flipped borderline tokens;
+    padded copies are recovered by the ONSET-anchored frame grid.
+    Scale curve: reads clips_melody.parquet from sf_dir when
+    present."""
     import pandas as pd
 
     if sf_dir is not None:
@@ -313,6 +316,17 @@ def _synth_clips_melody_dups(spark: SparkSession, n: int = 120,
             "bytes": audio.encode(pcm, "pcm_s16le"),
             "sr_hz": r.sr_hz, "dur_ms": r.dur_ms, "codec": "pcm_s16le",
             "transcript": "",
+        })
+    import numpy as np
+
+    for _, r in mel.iloc[6:9].iterrows():
+        pcm = audio.decode(bytes(r["bytes"]), r.codec)
+        padded = np.concatenate([np.zeros(1234, np.float32), pcm])
+        dup_rows.append({
+            "clip_id": r.clip_id.replace("mel-", "duppad-"),
+            "bytes": audio.encode(padded, "mulaw"),
+            "sr_hz": r.sr_hz, "dur_ms": int(r.dur_ms) + 77,
+            "codec": "mulaw", "transcript": "",
         })
     both = pd.concat([mel, pd.DataFrame(dup_rows)], ignore_index=True)
     return spark.createDataFrame(both)
@@ -413,13 +427,14 @@ def _q_audio_vq_tokens(spark, sf_dir):
 
 
 def _q_audio_token_neardup(spark, sf_dir):
-    """Audio near-dup through the token bridge: tokenize (no shuffle),
-    token-3-gram MinHash-LSH candidates, exact token-Jaccard verify —
-    the text dedup machinery running unchanged on audio. Recovers
-    exactly the planted µ-law and half-gain melody copies (gain copies
-    at Jaccard 1.0 — exact level invariance); arbitrary-offset padding
-    dups are OUT of this tier's reach (frame quantization) and belong
-    to the DTW tier. Golden-parquet oracle."""
+    """Audio near-dup through the token bridge: tokenize (no shuffle,
+    ONSET-anchored frame grid), token-3-gram MinHash-LSH candidates,
+    exact token-Jaccard verify — the text dedup machinery running
+    unchanged on audio. Recovers exactly the planted µ-law, half-gain
+    AND arbitrary-offset padded melody copies (gain at Jaccard 1.0 —
+    exact level invariance; padding recovered because the frame grid
+    anchors at the first active sample, not the container start);
+    time-stretched copies remain the DTW tier's job. Golden oracle."""
     from tiny_lingua_spark.operators.vq import vq_token_neardup, vq_train
 
     clips = _synth_clips_melody_dups(spark, sf_dir=sf_dir)

@@ -99,9 +99,11 @@ def test_token_gram_items_matches_python(spark):
 
 
 def test_planted_dups_recovered_exactly(spark):
-    """The committed golden's semantics, re-derived live: the 6 planted
-    copies (3 µ-law, 3 half-gain) are EXACTLY the pairs at threshold
-    0.3, with gain copies at Jaccard 1.0."""
+    """The committed golden's semantics, re-derived live: the 9 planted
+    copies (3 µ-law, 3 half-gain, 3 arbitrary-offset zero-padded µ-law)
+    are EXACTLY the pairs at threshold 0.3, with gain copies at Jaccard
+    1.0 (relative-peak onset → level invariance survives the anchor)
+    and padded copies recovered by the onset-anchored frame grid."""
     import __spark_entry__ as e
 
     clips = e._synth_clips_melody_dups(spark)
@@ -112,10 +114,38 @@ def test_planted_dups_recovered_exactly(spark):
             for i in range(3)}
     want |= {tuple(sorted((f"mel-{i:06d}", f"dupgain-{i:06d}")))
              for i in range(3, 6)}
+    want |= {tuple(sorted((f"mel-{i:06d}", f"duppad-{i:06d}")))
+             for i in range(6, 9)}
     assert pairs == want
     gain = nd[nd.id_a.str.startswith("dupgain")
               | nd.id_b.str.startswith("dupgain")]
     assert (gain.token_jaccard == 1.0).all()
+
+
+def test_onset_anchor_padding_invariance(clips_pd, centroids):
+    """Zero-padding by an arbitrary non-frame-multiple offset leaves
+    onset-anchored tokens bit-identical (pcm codecs; the pad moves the
+    grid, the relative-peak onset moves it back)."""
+    rows, base_rows = [], []
+    for _, r in clips_pd.head(6).iterrows():
+        pcm = audio.decode(bytes(r["bytes"]), r.codec)
+        base_rows.append(audio.encode(pcm, "pcm_s16le"))
+        rows.append(audio.encode(
+            np.concatenate([np.zeros(1234, np.float32), pcm]),
+            "pcm_s16le"))
+    base = audio._vq_tokens_chunk(
+        pd.Series(base_rows), pd.Series(["pcm_s16le"] * 6),
+        clips_pd["sr_hz"].head(6), np.asarray(centroids), anchor="onset")
+    pad = audio._vq_tokens_chunk(
+        pd.Series(rows), pd.Series(["pcm_s16le"] * 6),
+        clips_pd["sr_hz"].head(6), np.asarray(centroids), anchor="onset")
+    for t0, t1 in zip(base.tokens, pad.tokens):
+        assert t0 == t1
+    # and the rowloop twin agrees in onset mode too
+    rl = audio._vq_tokens_rowloop(
+        pd.Series(rows), pd.Series(["pcm_s16le"] * 6),
+        clips_pd["sr_hz"].head(6), centroids, anchor="onset")
+    assert all(x == y for x, y in zip(pad.tokens, rl.tokens))
 
 
 def test_udf_partitioning_invariance(spark, clips_pd, centroids):

@@ -2918,9 +2918,66 @@ def _token_stats(tok: np.ndarray):
     return int(len(counts)), ent, max_run
 
 
+VQ_ONSET_REL = 0.1  # onset = first |x| above this fraction of the peak
+
+
+def _onset_frame_geometry(samples: np.ndarray, offsets: np.ndarray):
+    """Frame geometry ANCHORED at each row's first sample with
+    |x| > VQ_ONSET_REL * row_peak instead of the container start:
+    prepended silence/padding no longer shifts the frame grid, so
+    onset-anchored tokens are invariant to arbitrary-offset padding
+    (the dup shape the absolute grid is blind to). The threshold is
+    RELATIVE to the clip's own peak so a gain change moves the onset
+    by exactly zero samples — level invariance survives the anchor
+    (an absolute threshold broke it: a half-gain attack ramp crosses
+    later, shifting the grid within-frame). Rows with no active sample
+    keep their container grid (all-silence clips tokenize as
+    before)."""
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    peak = _segment_max(np.abs(samples), offsets)
+    active = np.abs(samples) > np.repeat(peak * VQ_ONSET_REL, lens)
+    total = int(offsets[-1])
+    cand = np.where(active, np.arange(total, dtype=np.int64), total)
+    first = np.full(n, total, dtype=np.int64)
+    nonempty = lens > 0
+    if total:
+        first[nonempty] = np.minimum.reduceat(
+            cand, offsets[:-1][nonempty])
+    rel = np.where(first < offsets[1:], first - offsets[:-1], 0)
+    n_frames = np.maximum((lens - rel) // FRAME_SAMPLES, 0).astype(
+        np.int64)
+    row_of_frame = np.repeat(np.arange(n), n_frames)
+    bounds = np.concatenate([[0], np.cumsum(n_frames)])
+    k_in_row = np.arange(int(bounds[-1]), dtype=np.int64) - np.repeat(
+        bounds[:-1], n_frames)
+    frame_starts = (np.repeat(offsets[:-1] + rel, n_frames)
+                    + k_in_row * FRAME_SAMPLES)
+    return frame_starts, row_of_frame, n_frames
+
+
+def _cc_for_batch_onset(bytes_s, codec_s, sr_s):
+    """_cc_for_batch with onset-anchored frame geometry."""
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    n = len(ok)
+    frame_starts, row_of_frame, n_frames = _onset_frame_geometry(
+        samples, offsets)
+    if not frame_starts.size:
+        return np.zeros((0, N_MFCC)), row_of_frame, n_frames, n
+    idx = frame_starts[:, None] + np.arange(FRAME_SAMPLES)[None, :]
+    frames = samples[idx].astype(np.float64)
+    frames *= np.hanning(FRAME_SAMPLES)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    sr_row = np.asarray(sr_s, dtype=np.int64)
+    cc = _mfcc_frames(power, sr_row[row_of_frame])
+    return cc, row_of_frame, n_frames, n
+
+
 def _vq_tokens_chunk(bytes_s, codec_s, sr_s,
-                     normed: np.ndarray) -> pd.DataFrame:
-    cc, row_of_frame, n_frames, n = _cc_for_batch(bytes_s, codec_s, sr_s)
+                     normed: np.ndarray, anchor: str = "start"
+                     ) -> pd.DataFrame:
+    fn = _cc_for_batch_onset if anchor == "onset" else _cc_for_batch
+    cc, row_of_frame, n_frames, n = fn(bytes_s, codec_s, sr_s)
     tok = (np.argmax(cc[:, 1:] @ normed.T, axis=1).astype(np.int32)
            if len(cc) else np.zeros(0, np.int32))
     bounds = np.concatenate([[0], np.cumsum(n_frames)])
@@ -2940,7 +2997,7 @@ def _vq_tokens_chunk(bytes_s, codec_s, sr_s,
 
 
 def _vq_tokens_rowloop(bytes_s, codec_s, sr_s,
-                       centroids) -> pd.DataFrame:
+                       centroids, anchor: str = "start") -> pd.DataFrame:
     """Per-row/per-frame reference (equivalence twin for tests)."""
     normed = np.asarray(centroids, dtype=np.float64)
     win = np.hanning(FRAME_SAMPLES)
@@ -2951,6 +3008,11 @@ def _vq_tokens_rowloop(bytes_s, codec_s, sr_s,
             pcm = decode(b, c) if b is not None else np.zeros(0, np.float32)
         except Exception:
             pcm = np.zeros(0, dtype=np.float32)
+        if anchor == "onset" and len(pcm):
+            act = np.flatnonzero(
+                np.abs(pcm) > np.abs(pcm).max() * VQ_ONSET_REL)
+            if act.size:
+                pcm = pcm[int(act[0]):]
         k = len(pcm) // FRAME_SAMPLES
         fb = mel_filterbank(int(sr))
         toks = []
@@ -2967,22 +3029,27 @@ def _vq_tokens_rowloop(bytes_s, codec_s, sr_s,
         "n_frames", "tokens", "n_distinct", "token_entropy", "max_run"])
 
 
-def vq_tokens_udf(centroids):
+def vq_tokens_udf(centroids, anchor: str = "start"):
     """Arrow-batched (bytes, codec, sr_hz) → discrete acoustic token
     sequence + per-clip token stats. `centroids` is the k×VQ_DIM
     codebook from operators.vq.vq_train (unit rows); assignment is
     argmax-dot (≡ cosine), so tokens are level-invariant. One chunked
-    pass; frame matrices never enter the plan."""
+    pass; frame matrices never enter the plan. anchor="onset" starts
+    the frame grid at each clip's first active sample, adding
+    padding-shift invariance on top (see _onset_frame_geometry)."""
     normed = np.asarray(centroids, dtype=np.float64)
     if normed.ndim != 2 or normed.shape[1] != VQ_DIM:
         raise ValueError(f"centroids must be (k, {VQ_DIM})")
+    if anchor not in ("start", "onset"):
+        raise ValueError(f"anchor must be 'start' or 'onset': {anchor}")
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(VQ_TOKENS_SCHEMA)
     def audio_vq_tokens(b: pd.Series, codec: pd.Series,
                         sr: pd.Series) -> pd.DataFrame:
         return _chunked_frame_apply(
-            lambda bb, cc, ss: _vq_tokens_chunk(bb, cc, ss, normed),
+            lambda bb, cc, ss: _vq_tokens_chunk(bb, cc, ss, normed,
+                                                anchor),
             b, codec, sr)
 
     return audio_vq_tokens

@@ -92,13 +92,24 @@ def token_gram_items(tokens_df: DataFrame, id_col: str = "clip_id",
 
 def vq_token_neardup(clips: DataFrame, centroids, threshold: float = 0.5,
                      n: int = VQ_NGRAM, id_col: str = "clip_id",
-                     n_hashes: int = 32, band_size: int = 4) -> DataFrame:
+                     n_hashes: int = 32, band_size: int = 2,
+                     anchor: str = "onset") -> DataFrame:
     """Audio near-dup through the TOKEN bridge: tokenize (no shuffle),
     token-n-gram MinHash-LSH candidates (banded bucket join), exact
-    token-n-gram Jaccard verify on the candidate pairs only. A µ-law
-    re-encode keeps ~identical token sequences, so planted copies
-    surface at high Jaccard (pinned by test + golden)."""
-    tk = vq_tokens_udf(centroids)
+    token-n-gram Jaccard verify on the candidate pairs only. Tokens are
+    level-invariant by construction and, with the default onset anchor,
+    padding-shift-invariant too — so re-encodes, gain changes AND
+    arbitrary-offset padded copies all surface (pinned by test +
+    golden); time-STRETCHED copies remain the DTW tier's job.
+
+    LSH geometry: 16 bands of 2 put the candidate knee at j ≈ 0.21 —
+    µ-law re-encodes of onset-anchored token streams land at gram
+    Jaccard 0.4-0.7 (quantization flips borderline tokens), where the
+    8×4 banding that text near-dup uses would recall only ~20%. The
+    coarser bands admit more candidates per bucket; the exact-Jaccard
+    verify (and the threshold) keeps precision, and bucket occupancy
+    stays bounded by the same hot-cap argument as the text chain."""
+    tk = vq_tokens_udf(centroids, anchor=anchor)
     toks = clips.select(
         F.col(id_col).alias("clip_id"),
         tk(F.col("bytes"), F.col("codec"), F.col("sr_hz"))

@@ -53,7 +53,8 @@ SALT_EVERY = 8
 CLIPS_BASE = 300
 CLIPS_DUPS_BASE, CLIPS_DUPS_PLANT = 120, 8
 CLIPS_SPEAKERS_BASE = 60
-CLIPS_MELODY_BASE, CLIPS_MELODY_PLANT = 120, 3  # K*3 mu-law + K*3 gain
+CLIPS_MELODY_BASE = 120
+CLIPS_MELODY_PLANT = 3  # K*3 each: mu-law, half-gain, padded mu-law
 EMB_DIM = 64
 
 
@@ -206,23 +207,32 @@ def write_clips(out_dir: str, k: int) -> None:
 
     mel = generate_melody_clips(n=k * CLIPS_MELODY_BASE, seed=42)
     mel_rows = []
-    step_m = max(1, len(mel) // (2 * k * CLIPS_MELODY_PLANT))
-    picked_m = mel.iloc[::step_m].head(2 * k * CLIPS_MELODY_PLANT)
+    step_m = max(1, len(mel) // (3 * k * CLIPS_MELODY_PLANT))
+    picked_m = mel.iloc[::step_m].head(3 * k * CLIPS_MELODY_PLANT)
     for j, (_, row) in enumerate(picked_m.iterrows()):
         pcm = audio.decode(bytes(row["bytes"]), row.codec)
-        if j % 2 == 0:
+        if j % 3 == 0:
             mel_rows.append({
                 "clip_id": row.clip_id.replace("mel-", "dupmu-"),
                 "bytes": audio.encode(pcm, "mulaw"),
                 "sr_hz": row.sr_hz, "dur_ms": row.dur_ms, "codec": "mulaw",
                 "transcript": "",
             })
-        else:
+        elif j % 3 == 1:
             mel_rows.append({
                 "clip_id": row.clip_id.replace("mel-", "dupgain-"),
                 "bytes": audio.encode(0.5 * pcm, "pcm_s16le"),
                 "sr_hz": row.sr_hz, "dur_ms": row.dur_ms,
                 "codec": "pcm_s16le", "transcript": "",
+            })
+        else:
+            padded = np.concatenate(
+                [np.zeros(1234, np.float32), pcm])
+            mel_rows.append({
+                "clip_id": row.clip_id.replace("mel-", "duppad-"),
+                "bytes": audio.encode(padded, "mulaw"),
+                "sr_hz": row.sr_hz, "dur_ms": int(row.dur_ms) + 77,
+                "codec": "mulaw", "transcript": "",
             })
     mel_both = pd.concat([mel, pd.DataFrame(mel_rows)], ignore_index=True)
     mel_both.to_parquet(os.path.join(out_dir, "clips_melody.parquet"),
