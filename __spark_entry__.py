@@ -440,8 +440,53 @@ def _q_audio_token_neardup(spark, sf_dir):
     clips = _synth_clips_melody_dups(spark, sf_dir=sf_dir)
     cents = vq_train(clips, k=32, n_iter=3, sample_mod=2)
     return (
-        vq_token_neardup(clips, cents, threshold=0.3)
+        vq_token_neardup(clips, cents, threshold=0.5)
         .select("id_a", "id_b",
+                F.round("token_jaccard", 6).alias("token_jaccard"))
+    )
+
+
+def _synth_clips_jingle(spark: SparkSession,
+                        sf_dir: str | None = None) -> DataFrame:
+    """Melody corpus plus 6 HOST clips that each embed the same fixed
+    jingle at a different offset between otherwise-different melodies
+    (data/clips.py::generate_jingle_hosts) — the partial-content dup
+    shape every whole-clip tier is blind to. Scale curve: reads
+    clips_jingle.parquet from sf_dir when present."""
+    import pandas as pd
+
+    if sf_dir is not None:
+        path = os.path.join(sf_dir, "clips_jingle.parquet")
+        if os.path.exists(path):
+            return spark.read.parquet(path)
+
+    from tiny_lingua_spark.data.clips import (generate_jingle_hosts,
+                                              generate_melody_clips)
+    from tiny_lingua_spark.session import ship_package
+
+    ship_package(spark)
+    both = pd.concat([generate_melody_clips(n=120, seed=42),
+                      generate_jingle_hosts(n_hosts=6, seed=42)],
+                     ignore_index=True)
+    return spark.createDataFrame(both)
+
+
+def _q_audio_span_neardup(spark, sf_dir):
+    """Partial-content audio dedup — span_dedup for the audio axis:
+    per-VAD-segment onset-anchored tokens → segment-level token-gram
+    MinHash → cross-clip pairs verified by exact token Jaccard. All 15
+    host pairs sharing the planted jingle surface (min Jaccard 0.92
+    across pcm/µ-law/A-law hosts — the relative mel floor keeps codec
+    distortion out of the codebook); sub-half-second segments are
+    dropped before the chain (min_frames). Golden-parquet oracle."""
+    from tiny_lingua_spark.operators.vq import audio_span_neardup, vq_train
+
+    clips = _synth_clips_jingle(spark, sf_dir=sf_dir)
+    cents = vq_train(clips, k=32, n_iter=3, sample_mod=2)
+    return (
+        audio_span_neardup(clips, cents, threshold=0.5)
+        .select("clip_a", "seg_a", "start_ms_a", "clip_b", "seg_b",
+                "start_ms_b",
                 F.round("token_jaccard", 6).alias("token_jaccard"))
     )
 
@@ -3123,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vq_tokens": _shipped(_q_audio_vq_tokens),
         "audio_bandwidth": _shipped(_q_audio_bandwidth),
         "audio_token_ppl": _shipped(_q_audio_token_ppl),
+        "audio_span_neardup": _shipped(_q_audio_span_neardup),
         "audio_token_neardup": _shipped(_q_audio_token_neardup),
         "audio_segments": _shipped(_q_audio_segments),
         "audio_trim": _shipped(_q_audio_trim),
@@ -3192,6 +3238,7 @@ GOLDEN_ORACLE_QUERIES = (
     "audio_token_neardup",
     "audio_bandwidth",
     "audio_token_ppl",
+    "audio_span_neardup",
     "pca_components",
     "pca_whiten",
     "webdataset_manifest",

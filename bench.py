@@ -183,6 +183,7 @@ BENCH_QUERIES = (
     "audio_token_neardup",    # token-bridge MinHash near-dup over audio
     "audio_bandwidth",        # fake-wideband spectral-occupancy screen
     "audio_token_ppl",        # acoustic token-LM perplexity screen
+    "audio_span_neardup",     # segment-level shared-jingle dedup
 )
 
 

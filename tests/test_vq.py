@@ -101,14 +101,16 @@ def test_token_gram_items_matches_python(spark):
 def test_planted_dups_recovered_exactly(spark):
     """The committed golden's semantics, re-derived live: the 9 planted
     copies (3 µ-law, 3 half-gain, 3 arbitrary-offset zero-padded µ-law)
-    are EXACTLY the pairs at threshold 0.3, with gain copies at Jaccard
+    are EXACTLY the pairs at threshold 0.5, with gain copies at Jaccard
     1.0 (relative-peak onset → level invariance survives the anchor)
-    and padded copies recovered by the onset-anchored frame grid."""
+    and padded copies recovered by the onset-anchored frame grid; the
+    relative mel floor lifts µ-law pairs to 0.88+ and padded to 0.76+
+    while incidental same-note-run pairs stay ≤ 0.36."""
     import __spark_entry__ as e
 
     clips = e._synth_clips_melody_dups(spark)
     cents = vq.vq_train(clips, k=32, n_iter=3, sample_mod=2)
-    nd = vq.vq_token_neardup(clips, cents, threshold=0.3).toPandas()
+    nd = vq.vq_token_neardup(clips, cents, threshold=0.5).toPandas()
     pairs = {tuple(sorted(p)) for p in zip(nd.id_a, nd.id_b)}
     want = {tuple(sorted((f"mel-{i:06d}", f"dupmu-{i:06d}")))
             for i in range(3)}

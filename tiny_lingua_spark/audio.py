@@ -2852,6 +2852,34 @@ def reverb_mix_udf(drr_db: float = REVERB_MIX_DRR_DB,
 # (~1 int per 16 ms) enters the Spark plan — frames never do.
 
 VQ_DIM = N_MFCC - 1  # c1..c12
+# relative mel floor for the TOKEN cepstra (not the MFCC summary
+# kernel): each frame's mel powers are clamped at VQ_MEL_FLOOR_REL x
+# the frame's total mel power before the log. Without it, mel bands
+# that the content leaves EMPTY bottom out at the absolute eps for
+# clean PCM but at the codec's distortion floor (~-40..-50 dB) for
+# mu-law/A-law - a ~10-log-unit swing that made trained codebooks
+# learn CODEC clusters instead of content clusters (measured: the same
+# jingle note tokenized 0 under pcm and 2 under alaw). The floor is
+# RELATIVE to frame power, so a gain change adds the same constant to
+# every band's log - pure c0, which tokens drop: exact level
+# invariance survives.
+VQ_MEL_FLOOR_REL = 1e-3  # -30 dB below frame mel power
+
+
+def _token_cc_frames(power: np.ndarray, frame_sr: np.ndarray) -> np.ndarray:
+    """(F, n_bins) power spectra -> (F, N_MFCC) cepstra with the
+    relative mel floor (token paths only; the MFCC summary kernel keeps
+    the plain absolute-eps cepstra)."""
+    cc = np.empty((power.shape[0], N_MFCC), dtype=np.float64)
+    dct = _dct_matrix()
+    for rate in np.unique(frame_sr):
+        sel = frame_sr == rate
+        fb = mel_filterbank(int(rate))
+        melp = power[sel] @ fb.T
+        floor = melp.sum(axis=1, keepdims=True) * VQ_MEL_FLOOR_REL
+        logmel = np.log(np.maximum(melp, floor) + _MFCC_EPS)
+        cc[sel] = logmel @ dct.T
+    return cc
 VQ_TOKENS_SCHEMA = ("n_frames int, tokens array<int>, n_distinct int,"
                     " token_entropy double, max_run int")
 MFCC_FRAMES_SCHEMA = "n_frames int, frames array<array<double>>"
@@ -2871,7 +2899,7 @@ def _cc_for_batch(bytes_s, codec_s, sr_s):
     frames *= np.hanning(FRAME_SAMPLES)[None, :]
     power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
     sr_row = np.asarray(sr_s, dtype=np.int64)
-    cc = _mfcc_frames(power, sr_row[row_of_frame])
+    cc = _token_cc_frames(power, sr_row[row_of_frame])
     return cc, row_of_frame, n_frames, n
 
 
@@ -2969,7 +2997,7 @@ def _cc_for_batch_onset(bytes_s, codec_s, sr_s):
     frames *= np.hanning(FRAME_SAMPLES)[None, :]
     power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
     sr_row = np.asarray(sr_s, dtype=np.int64)
-    cc = _mfcc_frames(power, sr_row[row_of_frame])
+    cc = _token_cc_frames(power, sr_row[row_of_frame])
     return cc, row_of_frame, n_frames, n
 
 
@@ -3019,8 +3047,9 @@ def _vq_tokens_rowloop(bytes_s, codec_s, sr_s,
         for f in range(k):
             fr = pcm[f * FRAME_SAMPLES:(f + 1) * FRAME_SAMPLES].astype(
                 np.float64) * win
-            ccf = dct @ np.log(fb @ (np.abs(np.fft.rfft(fr)) ** 2)
-                               + _MFCC_EPS)
+            melp = fb @ (np.abs(np.fft.rfft(fr)) ** 2)
+            floor = melp.sum() * VQ_MEL_FLOOR_REL
+            ccf = dct @ np.log(np.maximum(melp, floor) + _MFCC_EPS)
             toks.append(int(np.argmax(ccf[1:] @ normed.T)))
         t = np.asarray(toks, dtype=np.int32)
         d, e, m = _token_stats(t)

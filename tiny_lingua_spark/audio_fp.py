@@ -643,3 +643,135 @@ def audio_decontaminate(corpus: DataFrame, eval_clips: DataFrame,
         F.substring("id_b", 3, 1 << 20).alias("eval_id"),
         "match_frac",
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level acoustic tokens (the audio analog of span-level dedup)
+#
+# Clip-level near-dup (fingerprints, DTW, whole-clip tokens) cannot see
+# PARTIAL-content duplication: the same sponsor jingle / intro music /
+# station ID embedded inside otherwise-different clips — the audio
+# shape of the boilerplate paragraph that C4-style span dedup removes
+# from text. This kernel tokenizes each VAD speech segment separately,
+# with the frame grid anchored at the segment's own relative-peak
+# onset (the same level-invariant, shift-invariant anchoring as
+# audio.vq_tokens_udf anchor="onset", applied per segment): a jingle
+# inserted at ANY offset in any host clip yields the same token
+# sequence, so the text n-gram MinHash chain finds cross-clip shared
+# segments directly.
+#
+# Scale shape: one chunked Arrow pass (decode → VAD runs → batched
+# rfft over all segment frames → mel/DCT → argmax-dot); only
+# (seg_idx, start_ms, tokens) structs enter the plan. Segment count is
+# data-bounded (pause structure), the per-segment assembly loop is
+# O(segments) like the VAD kernel above.
+
+SEG_TOKENS_SCHEMA = (
+    "n_segments int, segments array<struct<seg_idx:int, start_ms:bigint,"
+    " n_frames:int, tokens:array<int>>>"
+)
+_SEG_ONSET_REL = 0.1  # same relative-peak onset rule as whole-clip tokens
+
+
+def _segment_token_spans(samples, offsets, sr):
+    """(row, seg_idx, start_ms, frame_start_list) per VAD run: run
+    detection identical to _segments_chunk, onset anchored at the
+    first |x| > rel*run_peak inside the run."""
+    frame_starts, row_of_frame, n_frames = _frame_geometry(offsets)
+    spans = []
+    if not frame_starts.size:
+        return spans
+    sq = samples.astype(np.float64) ** 2
+    frame_e = _frame_sums(sq, frame_starts)
+    speech = np.sqrt(frame_e / FRAME_SAMPLES) >= SILENCE_RMS
+    first = np.concatenate([[True], row_of_frame[1:] != row_of_frame[:-1]])
+    prev = np.concatenate([[False], speech[:-1]])
+    nxt = np.concatenate([speech[1:], [False]])
+    last = np.concatenate([row_of_frame[1:] != row_of_frame[:-1], [True]])
+    rises = np.flatnonzero(speech & (first | ~prev))
+    falls = np.flatnonzero(speech & (last | ~nxt)) + 1  # exclusive
+    row_first_frame = np.concatenate(
+        [[0], np.cumsum(n_frames)])[:-1]
+    seg_counts: dict[int, int] = {}
+    for kk in range(len(rises)):
+        r = int(row_of_frame[rises[kk]])
+        a = int(frame_starts[rises[kk]])                  # abs sample
+        b = int(frame_starts[falls[kk] - 1]) + FRAME_SAMPLES
+        seg = samples[a:b]
+        peak = float(np.max(np.abs(seg))) if len(seg) else 0.0
+        act = np.flatnonzero(np.abs(seg) > peak * _SEG_ONSET_REL)
+        onset = a + (int(act[0]) if act.size else 0)
+        k = (b - onset) // FRAME_SAMPLES
+        if k <= 0:
+            continue
+        idx = seg_counts.get(r, 0)
+        seg_counts[r] = idx + 1
+        start_f = rises[kk] - row_first_frame[r]
+        start_ms = int(round(start_f * FRAME_SAMPLES * 1000.0 / sr[r]))
+        spans.append((r, idx, start_ms,
+                      onset + FRAME_SAMPLES * np.arange(k)))
+    return spans
+
+
+def _segment_tokens_chunk(bytes_s, codec_s, sr_s,
+                          normed: np.ndarray) -> pd.DataFrame:
+    from .audio import _token_cc_frames
+
+    samples, offsets, ok = decode_concat(bytes_s, codec_s)
+    n = len(ok)
+    sr = np.maximum(np.asarray(sr_s, dtype=np.float64), 1.0)
+    spans = _segment_token_spans(samples, offsets, sr)
+    out: list[list[tuple]] = [[] for _ in range(n)]
+    if spans:
+        all_starts = np.concatenate([s[3] for s in spans])
+        counts = np.array([len(s[3]) for s in spans])
+        idx = all_starts[:, None] + np.arange(FRAME_SAMPLES)[None, :]
+        frames = samples[idx].astype(np.float64)
+        frames *= np.hanning(FRAME_SAMPLES)[None, :]
+        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        span_of_frame = np.repeat(np.arange(len(spans)), counts)
+        sr_frame = np.array([int(sr[s[0]]) for s in spans])[span_of_frame]
+        cc = _token_cc_frames(power, sr_frame)
+        tok = np.argmax(cc[:, 1:] @ normed.T, axis=1).astype(np.int32)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        for si, (r, seg_idx, start_ms, starts) in enumerate(spans):
+            t = tok[bounds[si]:bounds[si + 1]]
+            out[r].append((seg_idx, start_ms, len(t), t.tolist()))
+    return pd.DataFrame({
+        "n_segments": pd.Series([len(x) for x in out], dtype=np.int32),
+        "segments": out,
+    })
+
+
+def _segment_tokens_rowloop(bytes_s, codec_s, sr_s,
+                            centroids) -> pd.DataFrame:
+    """Per-row reference: one clip at a time through the same chunk
+    kernel (the chunk path must be row-decomposable)."""
+    parts = [
+        _segment_tokens_chunk(
+            pd.Series([b]), pd.Series([c]), pd.Series([sr]),
+            np.asarray(centroids, dtype=np.float64))
+        for b, c, sr in zip(bytes_s, codec_s, sr_s)
+    ]
+    return pd.concat(parts, ignore_index=True)
+
+
+def segment_tokens_udf(centroids):
+    """Arrow-batched (bytes, codec, sr_hz) → per-VAD-segment acoustic
+    token sequences, each segment onset-anchored (shift- and
+    level-invariant). Feeds vq.audio_span_neardup."""
+    from .audio import VQ_DIM
+
+    normed = np.asarray(centroids, dtype=np.float64)
+    if normed.ndim != 2 or normed.shape[1] != VQ_DIM:
+        raise ValueError(f"centroids must be (k, {VQ_DIM})")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(SEG_TOKENS_SCHEMA)
+    def audio_segment_tokens(b: pd.Series, codec: pd.Series,
+                             sr: pd.Series) -> pd.DataFrame:
+        return _chunked_frame_apply(
+            lambda bb, cc, ss: _segment_tokens_chunk(bb, cc, ss, normed),
+            b, codec, sr)
+
+    return audio_segment_tokens

@@ -242,3 +242,51 @@ def generate_melody_clips(n: int = 120, seed: int = 42) -> pd.DataFrame:
             "transcript": "",
         })
     return pd.DataFrame(rows)
+
+
+def _jingle_pcm(sr: int = 16000, variant: int = 0) -> np.ndarray:
+    """Fixed 0.75 s three-note 'sponsor jingle' (no noise — per-host
+    codec quantization is the only variation between embeddings).
+    variant rotates the note triple so scale replicas can carry K
+    DIFFERENT jingles (pair count stays linear in K)."""
+    seg = int(sr * 0.25)
+    t = np.arange(seg) / sr
+    env = np.minimum(1.0, np.minimum(np.arange(seg), np.arange(seg)[::-1])
+                     / max(seg // 20, 1))
+    g = len(_MELODY_F0_GRID)
+    notes = ((2 + 5 * variant) % g, (7 + 5 * variant) % g,
+             (4 + 5 * variant) % g)
+    out = []
+    for ni in notes:
+        out.append(0.55 * np.sin(2 * np.pi * _MELODY_F0_GRID[ni] * t) * env)
+    return np.concatenate(out).astype(np.float32)
+
+
+def generate_jingle_hosts(n_hosts: int = 6, seed: int = 42,
+                          sr: int = 16000,
+                          variant: int = 0) -> pd.DataFrame:
+    """Host clips that EMBED the same jingle at different offsets:
+    host-melody A (varying length) + true silence + jingle + true
+    silence + host-melody B. The spans around the jingle are exact
+    zeros so the VAD isolates it as its own segment in every host;
+    everything else differs between hosts."""
+    rng = random.Random(seed + 77 + 1000 * variant)
+    jingle = _jingle_pcm(sr, variant)
+    gap = np.zeros(int(0.3 * sr), dtype=np.float32)
+    rows = []
+    for i in range(n_hosts):
+        a = _melody_pcm(5000 + 10000 * variant + i, sr,
+                        n_segments=3 + i % 4)
+        b = _melody_pcm(6000 + 10000 * variant + i, sr, n_segments=4)
+        pcm = np.concatenate([a, gap, jingle, gap, b])
+        codec = ("pcm_s16le", "mulaw", "alaw")[rng.randrange(3)]
+        rows.append({
+            "clip_id": f"host-{variant:03d}{i:06d}"
+            if variant else f"host-{i:06d}",
+            "bytes": audio.encode(pcm, codec),
+            "sr_hz": sr,
+            "dur_ms": int(1000 * len(pcm) / sr),
+            "codec": codec,
+            "transcript": "",
+        })
+    return pd.DataFrame(rows)

@@ -213,3 +213,75 @@ def token_ppl_py(tokens, log_probs: list[float], k: int = VQ_K):
         return None
     s = sum(log_probs[a * k + b] for a, b in zip(tokens, tokens[1:]))
     return math.exp(-s / (len(tokens) - 1))
+
+
+# ----------------------------------------------- segment-level span dedup
+
+def audio_span_neardup(clips: DataFrame, centroids,
+                       threshold: float = 0.5, n: int = VQ_NGRAM,
+                       min_frames: int = 30, id_col: str = "clip_id",
+                       n_hashes: int = 32,
+                       band_size: int = 2) -> DataFrame:
+    """Partial-content audio dedup — the span_dedup of the audio axis:
+    per-VAD-segment onset-anchored tokens (audio_fp.segment_tokens_udf)
+    → token-n-gram MinHash over SEGMENTS → cross-clip segment pairs
+    verified by exact token Jaccard. Finds the shared sponsor jingle /
+    intro embedded at arbitrary offsets inside otherwise-different
+    clips, which every whole-clip tier is structurally blind to.
+    min_frames drops sub-half-second segments whose tiny gram sets
+    would collide by chance. Plan shape: one Arrow pass + the banded
+    chain, segment id = (clip_id '#' seg_idx)."""
+    from tiny_lingua_spark.audio_fp import segment_tokens_udf
+
+    st = segment_tokens_udf(centroids)
+    segs = (
+        clips.select(F.col(id_col).alias("clip_id"),
+                     st(F.col("bytes"), F.col("codec"),
+                        F.col("sr_hz")).alias("m"))
+        .select("clip_id", F.explode(F.col("m.segments")).alias("s"))
+        .where(F.col("s.n_frames") >= min_frames)
+        .select(
+            F.concat_ws("#", "clip_id", F.col("s.seg_idx").cast("string"))
+             .alias("seg_id"),
+            "clip_id",
+            F.col("s.seg_idx").alias("seg_idx"),
+            F.col("s.start_ms").alias("start_ms"),
+            F.col("s.tokens").alias("tokens"),
+        )
+    )
+    items = token_gram_items(segs, "seg_id", "tokens", n)
+    bands = minhash_bands_from_items(items, n_hashes, band_size)
+    a = bands.hint("shuffle_hash").alias("a")
+    b = bands.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = items.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    av = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    bv = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    meta = segs.select("seg_id", "clip_id", "seg_idx", "start_ms")
+    verified = (
+        pairs.join(av, "id_a").join(bv, "id_b")
+        .select("id_a", "id_b", jac.alias("token_jaccard"))
+        .where(F.col("token_jaccard") >= threshold)
+    )
+    ma = meta.select(F.col("seg_id").alias("id_a"),
+                     F.col("clip_id").alias("clip_a"),
+                     F.col("seg_idx").alias("seg_a"),
+                     F.col("start_ms").alias("start_ms_a"))
+    mb = meta.select(F.col("seg_id").alias("id_b"),
+                     F.col("clip_id").alias("clip_b"),
+                     F.col("seg_idx").alias("seg_b"),
+                     F.col("start_ms").alias("start_ms_b"))
+    return (
+        verified.join(ma, "id_a").join(mb, "id_b")
+        .where(F.col("clip_a") != F.col("clip_b"))
+        .select("clip_a", "seg_a", "start_ms_a",
+                "clip_b", "seg_b", "start_ms_b", "token_jaccard")
+    )

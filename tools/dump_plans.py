@@ -129,6 +129,7 @@ PLAN_QUERIES = (
     "audio_token_neardup",
     "audio_bandwidth",
     "audio_token_ppl",
+    "audio_span_neardup",
 )
 
 

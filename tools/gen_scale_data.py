@@ -238,6 +238,20 @@ def write_clips(out_dir: str, k: int) -> None:
     mel_both.to_parquet(os.path.join(out_dir, "clips_melody.parquet"),
                         index=False)
 
+    # jingle corpus for audio_span_neardup: K-fold melodies + K host
+    # GROUPS, each group of 6 sharing its OWN jingle variant — shared-
+    # segment pairs stay linear in K (one global jingle would grow the
+    # result quadratically)
+    from tiny_lingua_spark.data.clips import generate_jingle_hosts
+
+    jingle_parts = [generate_melody_clips(n=k * CLIPS_MELODY_BASE,
+                                          seed=42)]
+    for v in range(k):
+        jingle_parts.append(
+            generate_jingle_hosts(n_hosts=6, seed=42, variant=v))
+    pd.concat(jingle_parts, ignore_index=True).to_parquet(
+        os.path.join(out_dir, "clips_jingle.parquet"), index=False)
+
     # multi-speaker corpus for audio_diarize: K-fold replica of the
     # planted-turn corpus (seed folds the replica in so waveforms differ)
     from tiny_lingua_spark.data.clips import generate_speaker_clips
