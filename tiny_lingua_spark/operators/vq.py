@@ -109,12 +109,19 @@ def vq_token_neardup(clips: DataFrame, centroids, threshold: float = 0.5,
     coarser bands admit more candidates per bucket; the exact-Jaccard
     verify (and the threshold) keeps precision, and bucket occupancy
     stays bounded by the same hot-cap argument as the text chain."""
+    from pyspark import StorageLevel
+
     tk = vq_tokens_udf(centroids, anchor=anchor)
     toks = clips.select(
         F.col(id_col).alias("clip_id"),
         tk(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
             .alias("m"),
     ).select("clip_id", F.col("m.tokens").alias("tokens"))
+    # tokenization feeds four plan branches (two band sides, the
+    # verify sets, metadata); persist so the decode+MFCC+assign Arrow
+    # pass runs ONCE per clip, not once per branch (same pattern as
+    # audio_fp.audio_decontaminate)
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     items = token_gram_items(toks, "clip_id", "tokens", n)
     bands = minhash_bands_from_items(items, n_hashes, band_size)
     a = bands.hint("shuffle_hash").alias("a")
@@ -233,6 +240,8 @@ def audio_span_neardup(clips: DataFrame, centroids,
     chain, segment id = (clip_id '#' seg_idx)."""
     from tiny_lingua_spark.audio_fp import segment_tokens_udf
 
+    from pyspark import StorageLevel
+
     st = segment_tokens_udf(centroids)
     segs = (
         clips.select(F.col(id_col).alias("clip_id"),
@@ -248,6 +257,9 @@ def audio_span_neardup(clips: DataFrame, centroids,
             F.col("s.start_ms").alias("start_ms"),
             F.col("s.tokens").alias("tokens"),
         )
+        # the segment relation feeds six plan branches; persist so the
+        # decode+VAD+MFCC+assign pass runs once per clip
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     items = token_gram_items(segs, "seg_id", "tokens", n)
     bands = minhash_bands_from_items(items, n_hashes, band_size)
