@@ -828,6 +828,14 @@ def _q_source_stats(spark, sf_dir):
 # the synthetic vectors are near-orthogonal random points (bulk cosine
 # ~0.25-0.45); production embedding decontam runs tau ~0.9+.
 _SEMDECON_TAU = 0.33
+# benchmark side of semantic_decontam: a FIXED slice (base-replica id
+# range; scale replicas offset ids by 10M), because a real eval
+# benchmark has constant size while the corpus grows — the fractional
+# pred alone made bench ∝ corpus and the within-cell cosine work
+# quadratic on the scale curve (measured 122x at 10x data). At
+# sf0.01/sf0.1 every id is below the stride, so behavior and the
+# DuckDB twin are unchanged at oracle scale.
+_SEMDECON_BENCH_PRED = "vec_id % 10 = 0 AND vec_id < 10000000"
 
 
 def _q_semantic_decontam(spark, sf_dir):
@@ -839,10 +847,8 @@ def _q_semantic_decontam(spark, sf_dir):
     from tiny_lingua_spark.operators import decontam
 
     emb = _emb(spark, sf_dir)
-    bench = emb.where(F.expr(_DECONTAM_BENCH_PRED.replace("doc_id",
-                                                          "vec_id")))
-    corpus = emb.where(~F.expr(_DECONTAM_BENCH_PRED.replace("doc_id",
-                                                            "vec_id")))
+    bench = emb.where(F.expr(_SEMDECON_BENCH_PRED))
+    corpus = emb.where(~F.expr(_SEMDECON_BENCH_PRED))
     return decontam.semantic_contamination(
         corpus, bench, tau=_SEMDECON_TAU, nprobe=4, dim=EMB_DIM)
 
@@ -2646,12 +2652,15 @@ def _q_contrastive_pairs(spark, sf_dir):
     similar negative transcripts below the 0.95 near-dup ceiling — the
     planted µ-law re-encodes are false negatives the ceiling must
     exclude (pinned exactly in tests/test_contrastive.py).
+    anchor_cap=40 makes the bounded-anchor tier's bound ABSOLUTE so
+    work stays corpus-linear on the scale curve (at sf0.01 the cap is
+    above the fractional sample size — behavior and golden unchanged).
     Golden-parquet oracle (audio-embedding UDF is not
     SQL-expressible)."""
     from tiny_lingua_spark.operators.contrastive import contrastive_pairs
 
     clips = _synth_clips_with_dups(spark, sf_dir=sf_dir)
-    return contrastive_pairs(clips).select(
+    return contrastive_pairs(clips, anchor_cap=40).select(
         "anchor_id", "neg_id", F.col("sim"),
         F.col("rank").cast("long").alias("rank"),
         F.md5(F.col("pos_text")).alias("pos_text_md5"),
@@ -3452,7 +3461,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decontam": __import__(
             "tiny_lingua_spark.operators.decontam", fromlist=["decontam"]
         ).semantic_contamination_sql(
-            "embeddings", _DECONTAM_BENCH_PRED.replace("doc_id", "vec_id"),
+            "embeddings", _SEMDECON_BENCH_PRED,
             EMB_DIM, tau=_SEMDECON_TAU, nprobe=4),
         "temperature_sample": (
             "SELECT doc_id, lang, source FROM ("

@@ -44,11 +44,20 @@ from .similarity import cosine_expr
 def contrastive_pairs(clips: DataFrame, k: int = 4,
                       neardup_ceiling: float = 0.95,
                       sample_mod: int = 4,
+                      anchor_cap: int | None = None,
                       id_col: str = "clip_id",
                       text_col: str = "transcript") -> DataFrame:
     """(anchor_id, pos_text, neg_id, neg_text, sim, rank) per sampled
     anchor clip: top-k hardest acoustically-similar negatives below the
-    near-dup ceiling, with transcripts joined on."""
+    near-dup ceiling, with transcripts joined on.
+
+    This is the BOUNDED-ANCHOR brute tier (the IVF cell-join shape of
+    operators/negatives.py is the every-clip-an-anchor scale path).
+    anchor_cap makes the bound ABSOLUTE: the cap lowest-xxhash clips
+    anchor (TakeOrderedAndProject — deterministic, partition-
+    independent), so total work stays anchors×corpus = O(corpus) at
+    any scale. The fractional sample_mod gate alone left anchors ∝
+    corpus → a quadratic curve (measured 37× at 10× data)."""
     emb = embedding_udf()
     embedded = clips.select(
         F.col(id_col).alias("cid"),
@@ -57,7 +66,11 @@ def contrastive_pairs(clips: DataFrame, k: int = 4,
     )
     anchors = embedded.where(
         F.pmod(F.xxhash64(F.col("cid")), F.lit(sample_mod)) == 0
-    ).select(
+    )
+    if anchor_cap is not None:
+        anchors = anchors.orderBy(
+            F.xxhash64(F.col("cid")), F.col("cid")).limit(anchor_cap)
+    anchors = anchors.select(
         F.col("cid").alias("anchor_id"),
         F.col("text").alias("pos_text"),
         F.col("emb").alias("anchor_emb"),

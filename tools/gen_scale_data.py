@@ -49,6 +49,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 ID_STRIDE = 10_000_000
+
+# Parquet row-group sizes: pandas/pyarrow default to ONE huge row group
+# per file, and a row group is the unit of Spark read parallelism — a
+# single-group clips file put ~all bytes in one scan task, so the audio
+# kernels ran the whole corpus on one core and the scale curve measured
+# a straggler, not the kernel (measured: audio_pitch sf1 11.9 s raw vs
+# 2.9 s uniformly partitioned). Bounded row groups are the same lever
+# a real 100 TB layout uses (many splittable files).
+CLIPS_ROW_GROUP = 64      # ~5-15 MB of audio bytes per group
+TEXT_ROW_GROUP = 8192
+
+
+def _write(df, path: str, row_group_size: int) -> None:
+    df.to_parquet(path, index=False, row_group_size=row_group_size)
 SALT_EVERY = 8
 CLIPS_BASE = 300
 CLIPS_DUPS_BASE, CLIPS_DUPS_PLANT = 120, 8
@@ -134,7 +148,7 @@ def write_clips(out_dir: str, k: int) -> None:
     from tiny_lingua_spark.data.clips import generate_clips
 
     clips, _ = generate_clips(n=k * CLIPS_BASE, seed=42)
-    clips.to_parquet(os.path.join(out_dir, "clips.parquet"), index=False)
+    _write(clips, os.path.join(out_dir, "clips.parquet"), CLIPS_ROW_GROUP)
 
     from tiny_lingua_spark import audio
 
@@ -153,7 +167,7 @@ def write_clips(out_dir: str, k: int) -> None:
             "transcript": row.transcript,
         })
     both = pd.concat([base, pd.DataFrame(dup_rows)], ignore_index=True)
-    both.to_parquet(os.path.join(out_dir, "clips_dups.parquet"), index=False)
+    _write(both, os.path.join(out_dir, "clips_dups.parquet"), CLIPS_ROW_GROUP)
 
     import numpy as np
 
@@ -181,7 +195,7 @@ def write_clips(out_dir: str, k: int) -> None:
             "transcript": row.transcript,
         })
     warp = pd.concat([base_w, pd.DataFrame(warp_rows)], ignore_index=True)
-    warp.to_parquet(os.path.join(out_dir, "clips_warp.parquet"), index=False)
+    _write(warp, os.path.join(out_dir, "clips_warp.parquet"), CLIPS_ROW_GROUP)
 
     # fake-wideband corpus for audio_bandwidth: the clip corpus plus
     # K*6 8kHz->44.1kHz upsamples claiming 44100, spread like the others
@@ -198,8 +212,8 @@ def write_clips(out_dir: str, k: int) -> None:
             "transcript": row.transcript,
         })
     fw = pd.concat([clips, pd.DataFrame(fw_rows)], ignore_index=True)
-    fw.to_parquet(os.path.join(out_dir, "clips_fakewide.parquet"),
-                  index=False)
+    _write(fw, os.path.join(out_dir, "clips_fakewide.parquet"),
+           CLIPS_ROW_GROUP)
 
     # melody corpus for the acoustic-token queries: K-fold replica with
     # K*3 mu-law + K*3 half-gain planted copies, spread like the others
@@ -235,8 +249,8 @@ def write_clips(out_dir: str, k: int) -> None:
                 "codec": "mulaw", "transcript": "",
             })
     mel_both = pd.concat([mel, pd.DataFrame(mel_rows)], ignore_index=True)
-    mel_both.to_parquet(os.path.join(out_dir, "clips_melody.parquet"),
-                        index=False)
+    _write(mel_both, os.path.join(out_dir, "clips_melody.parquet"),
+           CLIPS_ROW_GROUP)
 
     # jingle corpus for audio_span_neardup: K-fold melodies + K host
     # GROUPS, each group of 6 sharing its OWN jingle variant — shared-
@@ -249,16 +263,17 @@ def write_clips(out_dir: str, k: int) -> None:
     for v in range(k):
         jingle_parts.append(
             generate_jingle_hosts(n_hosts=6, seed=42, variant=v))
-    pd.concat(jingle_parts, ignore_index=True).to_parquet(
-        os.path.join(out_dir, "clips_jingle.parquet"), index=False)
+    _write(pd.concat(jingle_parts, ignore_index=True),
+           os.path.join(out_dir, "clips_jingle.parquet"),
+           CLIPS_ROW_GROUP)
 
     # multi-speaker corpus for audio_diarize: K-fold replica of the
     # planted-turn corpus (seed folds the replica in so waveforms differ)
     from tiny_lingua_spark.data.clips import generate_speaker_clips
 
     spk, _ = generate_speaker_clips(n=k * CLIPS_SPEAKERS_BASE, seed=42)
-    spk.to_parquet(os.path.join(out_dir, "clips_speakers.parquet"),
-                   index=False)
+    _write(spk, os.path.join(out_dir, "clips_speakers.parquet"),
+           CLIPS_ROW_GROUP)
 
 
 def main() -> None:
@@ -276,19 +291,20 @@ def main() -> None:
 
         docs = pd.read_parquet(os.path.join(args.base, "documents.parquet"))
         sd = scale_documents(docs, k)
-        sd.to_parquet(os.path.join(out_dir, "documents.parquet"), index=False)
+        _write(sd, os.path.join(out_dir, "documents.parquet"), TEXT_ROW_GROUP)
         print(f"  documents: {len(docs)} -> {len(sd)}")
 
         emb = pd.read_parquet(os.path.join(args.base, "embeddings.parquet"))
         se = scale_embeddings(emb, k)
         tbl = pa.Table.from_pandas(se, preserve_index=False)
         # match the driver schema: list<float32>
-        pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+        pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"),
+                       row_group_size=TEXT_ROW_GROUP)
         print(f"  embeddings: {len(emb)} -> {len(se)}")
 
         ev = pd.read_parquet(os.path.join(args.base, "events.parquet"))
         sv = scale_events(ev, k)
-        sv.to_parquet(os.path.join(out_dir, "events.parquet"), index=False)
+        _write(sv, os.path.join(out_dir, "events.parquet"), TEXT_ROW_GROUP)
         print(f"  events: {len(ev)} -> {len(sv)}")
 
         write_clips(out_dir, k)
