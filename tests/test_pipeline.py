@@ -412,3 +412,98 @@ def test_prosody_and_diarization_gates_opt_in(spark, registry):
     assert not strict.loc[planted, "keep"]
     others = strict.index != planted
     assert (strict.loc[others, "keep"] == base[others]).all()
+
+
+def test_bandwidth_gate_opt_in(spark, registry):
+    """bandwidth=True adds the occupancy columns and a bandwidth_ok
+    flag; non-binding at defaults; at min_occupancy_wideband=0.8 a
+    planted 8→44.1 kHz upsample (declaring 44100) is dropped and no
+    genuine clip is touched."""
+    import numpy as np
+
+    from tiny_lingua_spark import audio as A
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    clips_pd, _ = generate_clips(n=12, seed=13)
+    narrow = clips_pd[clips_pd.sr_hz == 8000].index[0]
+    pcm = A.decode(bytes(clips_pd.loc[narrow, "bytes"]),
+                   clips_pd.loc[narrow, "codec"])
+    up = A.resample_linear(pcm, 8000, 44100)
+    clips_pd.loc[narrow, "bytes"] = A.encode(up, "pcm_s16le")
+    clips_pd.loc[narrow, "codec"] = "pcm_s16le"
+    clips_pd.loc[narrow, "sr_hz"] = 44100
+    planted = clips_pd.loc[narrow, "clip_id"]
+    clips = spark.createDataFrame(clips_pd)
+
+    base = quality_filter(clips, registry, n_partitions=4).select(
+        "clip_id", "keep").toPandas().set_index("clip_id")["keep"]
+    diag = quality_filter(
+        clips, registry, n_partitions=4, bandwidth=True
+    ).toPandas().set_index("clip_id")
+    for col in ("occupied_hz", "occupancy_ratio", "bandwidth_ok"):
+        assert col in diag.columns, col
+    assert diag["bandwidth_ok"].all()
+    assert (diag["keep"] == base).all()
+    assert diag.loc[planted, "occupancy_ratio"] < 0.6
+
+    strict = quality_filter(
+        clips, registry, n_partitions=4, bandwidth=True,
+        thresholds={"min_occupancy_wideband": 0.8},
+    ).toPandas().set_index("clip_id")
+    assert not strict.loc[planted, "bandwidth_ok"]
+    assert not strict.loc[planted, "keep"]
+    others = strict.index != planted
+    assert (strict.loc[others, "keep"] == base[others]).all()
+
+
+def test_token_ppl_gate_opt_in(spark, registry):
+    """vq_lm=(centroids, log_probs) adds the acoustic token-LM
+    perplexity and a ppl_ok band flag; non-binding at defaults; a
+    min_token_ppl floor drops a planted constant-tone loop (ppl ≈ 1)
+    without touching the rest."""
+    import numpy as np
+
+    from tiny_lingua_spark import audio as A
+    from tiny_lingua_spark.data.clips import generate_clips
+    from tiny_lingua_spark.operators import vq
+    from tiny_lingua_spark.pipeline import quality_filter
+
+    clips_pd, _ = generate_clips(n=12, seed=13)
+    # plant a maximally degenerate loop: constant tone → one token
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    loop = (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    i = clips_pd.index[1]
+    clips_pd.loc[i, "bytes"] = A.encode(loop, "pcm_s16le")
+    clips_pd.loc[i, "codec"] = "pcm_s16le"
+    clips_pd.loc[i, "sr_hz"] = sr
+    planted = clips_pd.loc[i, "clip_id"]
+    clips = spark.createDataFrame(clips_pd)
+
+    cents = vq.vq_train(clips, k=8, n_iter=2, sample_mod=None)
+    tk = A.vq_tokens_udf(cents, anchor="onset")
+    from pyspark.sql import functions as F
+    toks = clips.select(
+        "clip_id", tk(F.col("bytes"), F.col("codec"),
+                      F.col("sr_hz")).alias("m")
+    ).select("clip_id", F.col("m.tokens").alias("tokens"))
+    lm = vq.train_token_lm(toks, k=8)
+
+    base = quality_filter(clips, registry, n_partitions=4).select(
+        "clip_id", "keep").toPandas().set_index("clip_id")["keep"]
+    diag = quality_filter(
+        clips, registry, n_partitions=4, vq_lm=(cents, lm)
+    ).toPandas().set_index("clip_id")
+    assert "token_ppl" in diag.columns and "ppl_ok" in diag.columns
+    assert diag["ppl_ok"].all()
+    assert (diag["keep"] == base).all()
+    planted_ppl = diag.loc[planted, "token_ppl"]
+    floor = float(planted_ppl) + 0.05
+
+    strict = quality_filter(
+        clips, registry, n_partitions=4, vq_lm=(cents, lm),
+        thresholds={"min_token_ppl": floor},
+    ).toPandas().set_index("clip_id")
+    assert not strict.loc[planted, "ppl_ok"]
+    assert not strict.loc[planted, "keep"]

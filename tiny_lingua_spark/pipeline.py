@@ -86,6 +86,17 @@ AUDIO_THRESHOLDS = {
     # speaker-structure cap (only computed with diarization=True);
     # inf = non-binding default — read-speech corpora set 1
     "max_speakers": float("inf"),
+    # fake-wideband screen (only computed with bandwidth=True); the
+    # flag binds only for clips DECLARING >= min_wideband_sr_hz.
+    # 0.0 = non-binding default — upsample screens set 0.8 (genuine
+    # recordings measure 1.0, 8->44.1 kHz upsamples <= 0.65)
+    "min_occupancy_wideband": 0.0,
+    "min_wideband_sr_hz": 32000,
+    # acoustic token-LM perplexity band (only computed with vq_lm);
+    # 0/inf = non-binding defaults — degenerate loops score near 1,
+    # decode garbage far above the corpus band
+    "min_token_ppl": 0.0,
+    "max_token_ppl": float("inf"),
 }
 
 
@@ -170,6 +181,8 @@ def quality_filter(
     music_screen: bool = False,
     prosody: bool = False,
     diarization: bool = False,
+    bandwidth: bool = False,
+    vq_lm: tuple | None = None,
 ) -> DataFrame:
     """Full pipeline → one row per clip with decision + diagnostics.
 
@@ -211,6 +224,18 @@ def quality_filter(
     `speech_score`) plus a `music_ok` flag AND-ed into `keep` —
     non-binding at the default -inf floor; drop-music-beds screens set
     min_speech_score ≈ 0.5.
+
+    ``bandwidth=True`` adds the spectral-occupancy columns
+    (`occupied_hz`, `occupancy_ratio`) plus a `bandwidth_ok` flag
+    AND-ed into `keep` — non-binding at the default 0.0 floor; fake-
+    wideband screens set min_occupancy_wideband ≈ 0.8 (binds only for
+    clips declaring ≥ min_wideband_sr_hz).
+
+    ``vq_lm=(centroids, log_probs)`` (from operators.vq.vq_train +
+    train_token_lm) adds the acoustic token-LM perplexity
+    (`token_ppl`, onset-anchored tokens) plus a `ppl_ok` band flag
+    AND-ed into `keep` — non-binding at the default 0/inf band;
+    degenerate-loop screens set min_token_ppl ≈ 1.5.
 
     ``prosody=True`` adds the syllable-nuclei columns (`n_syllables`,
     `syllable_rate_hz`, `articulation_rate_hz`) plus a `prosody_ok`
@@ -309,6 +334,31 @@ def quality_filter(
             F.col("dia.turn_count").alias("turn_count"),
             F.col("dia.n_speakers_est").alias("n_speakers_est"),
         ]
+    bw_cols = []
+    if bandwidth:
+        from .audio import bandwidth_udf
+
+        bwu = bandwidth_udf()
+        df = df.withColumn("bw", bwu(F.col("bytes"), F.col("codec"),
+                                     F.col("sr_hz")))
+        bw_cols = [
+            F.col("bw.occupied_hz").alias("occupied_hz"),
+            F.col("bw.occupancy_ratio").alias("occupancy_ratio"),
+        ]
+    vq_cols = []
+    if vq_lm is not None:
+        from .audio import vq_tokens_udf
+        from .operators.vq import token_ppl_col
+
+        vq_cents, vq_probs = vq_lm
+        vqu = vq_tokens_udf(vq_cents, anchor="onset")
+        df = df.withColumn("vqt", vqu(F.col("bytes"), F.col("codec"),
+                                      F.col("sr_hz")))
+        vq_cols = [
+            F.col("vqt.n_frames").alias("vq_n_frames"),
+            token_ppl_col("vqt.tokens", vq_probs, k=len(vq_cents))
+            .alias("token_ppl"),
+        ]
     tp_cols = []
     if true_peak:
         from .audio import true_peak_udf
@@ -335,6 +385,8 @@ def quality_filter(
             *music_cols,
             *pro_cols,
             *dia_cols,
+            *bw_cols,
+            *vq_cols,
             "clip_id",
             "sr_hz",
             "dur_ms",
@@ -435,6 +487,21 @@ def quality_filter(
         speakers_ok = F.col("n_speakers_est") <= th["max_speakers"]
         df = df.withColumn("speakers_ok", speakers_ok)
         keep = keep & speakers_ok
+    if bandwidth:
+        bandwidth_ok = ~(
+            (F.col("sr_hz") >= th["min_wideband_sr_hz"])
+            & (F.col("occupancy_ratio") < th["min_occupancy_wideband"])
+        )
+        df = df.withColumn("bandwidth_ok", bandwidth_ok)
+        keep = keep & bandwidth_ok
+    if vq_lm is not None:
+        ppl_ok = (
+            F.col("token_ppl").isNull()  # <2 tokens: no opinion
+            | ((F.col("token_ppl") >= th["min_token_ppl"])
+               & (F.col("token_ppl") <= th["max_token_ppl"]))
+        )
+        df = df.withColumn("ppl_ok", ppl_ok)
+        keep = keep & ppl_ok
     return df.withColumn("keep", keep)
 
 
