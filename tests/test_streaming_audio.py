@@ -1,0 +1,65 @@
+"""Streaming AUDIO near-dup through the token bridge: acoustic tokens
+rendered as single-char strings (token-3-grams ≡ char-3-grams) feed the
+existing stateful streaming LSH unchanged. The stream's candidate set
+must equal the batch band self-join on the same strings, and the
+planted half-gain melody copies (token Jaccard exactly 1.0) must
+surface."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_lingua_spark import audio
+from tiny_lingua_spark.operators import dedup, vq
+from tiny_lingua_spark.streaming import neardup as nd
+
+
+@pytest.fixture(scope="module")
+def token_docs(spark):
+    """Batch-tokenized melody-dup corpus as (doc_id long, text) rows:
+    originals get id 1_000_000+i, copies 2_000_000+i (the streaming
+    API keys state on a long id)."""
+    import __spark_entry__ as e
+
+    clips = e._synth_clips_melody_dups(spark)
+    cents = vq.vq_train(clips, k=32, n_iter=3, sample_mod=2)
+    tk = audio.vq_tokens_udf(cents, anchor="onset")
+    toks = clips.select(
+        "clip_id",
+        tk(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("m"),
+    ).select("clip_id", vq.tokens_to_chars_col("m.tokens").alias("text"))
+    num = F.regexp_extract("clip_id", r"(\d+)$", 1).cast("long")
+    base = F.when(F.col("clip_id").startswith("mel-"), F.lit(1_000_000)) \
+            .otherwise(F.lit(2_000_000))
+    return toks.select((num + base).alias("doc_id"), "text").cache()
+
+
+def test_stream_candidates_equal_batch(spark, tmp_path, token_docs):
+    src = str(tmp_path / "tok_docs")
+    token_docs.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    out = str(tmp_path / "out")
+    q = (nd.stream_neardup_candidates(stream)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["doc_a"], r["doc_b"])
+           for r in spark.read.parquet(out).collect()}
+
+    batch = spark.read.parquet(src)
+    bands = dedup.minhash_bands(batch, "doc_id", "text")
+    a, b = bands.alias("a"), bands.alias("b")
+    want = {(r["da"], r["db"]) for r in a.join(
+        b, (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("da"), F.col("b.id").alias("db"))
+        .collect()}
+    assert got == want
+    # the three half-gain copies are EXACT token-space dups (Jaccard
+    # 1.0) — every band collides, so the stream must surface them
+    for i in (3, 4, 5):
+        assert (1_000_000 + i, 2_000_000 + i) in got

@@ -297,3 +297,19 @@ def audio_span_neardup(clips: DataFrame, centroids,
         .select("clip_a", "seg_a", "start_ms_a",
                 "clip_b", "seg_b", "start_ms_b", "token_jaccard")
     )
+
+
+def tokens_to_chars_col(tokens_col: str):
+    """Acoustic tokens → a space-separated STRING of one-char words
+    (token t → chr(65+t)): collision-free up to k = 32 — shingles
+    lowercase their input, folding chr(65..90) onto chr(97..122), so
+    a k > 32 codebook would alias token t onto token t−32; raise here
+    rather than silently merge:
+    the repo's WORD-level k-gram shingles over this string are exactly
+    token-k-grams, which lets every text near-dup surface — including
+    the stateful STREAMING LSH (streaming/neardup.py) — run on audio
+    unchanged. Pure codegen."""
+    return F.expr(
+        f"array_join(transform({tokens_col}, t ->"
+        f" if(t >= 32, raise_error('tokens_to_chars_col: token id >= 32"
+        f" would alias under shingle lowercasing'), char(65 + t))), ' ')")
