@@ -39,6 +39,22 @@ def test_batch_equals_rowloop(clips_pd):
                        atol=1e-12)
 
 
+def test_silent_clip_batch_equals_rowloop():
+    """All-zero (digital-silence) clip: mean.max()==0 makes every bin
+    'unoccupied'; both kernels must agree on hi_bin=0 → occupancy 0,
+    not crash (the rowloop used to IndexError on the empty argwhere)."""
+    silent = audio.encode(np.zeros(audio.FRAME_SAMPLES * 4, np.float32),
+                          "pcm_s16le")
+    b = pd.Series([silent])
+    c = pd.Series(["pcm_s16le"])
+    sr = pd.Series([16000])
+    out = audio._bandwidth_batch(b, c, sr)
+    rl = audio._bandwidth_rowloop(b, c, sr)
+    assert list(out.n_frames) == list(rl.n_frames) == [4]
+    assert list(out.occupied_hz) == list(rl.occupied_hz) == [0.0]
+    assert list(out.occupancy_ratio) == list(rl.occupancy_ratio) == [0.0]
+
+
 def test_genuine_full_occupancy_fakes_collapse(clips_pd):
     out = audio._bandwidth_batch(clips_pd["bytes"], clips_pd["codec"],
                                  clips_pd["sr_hz"])

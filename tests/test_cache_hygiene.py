@@ -1,0 +1,71 @@
+"""Cache-lifetime hygiene for the multi-branch audio operators.
+
+The four operators that persist a fan-out intermediate (token /
+segment / fingerprint / cepstral-feature relation) must release that
+cache once their result is materialized (caching.materialize_release):
+in a long-lived session running the 156-query driver loop, a leaked
+MEMORY_AND_DISK cache per call accumulates executor storage without
+bound. Contract pinned here: after each operator returns, every RDD
+still registered in the CacheManager that the call added is the
+(GC-reclaimable) localCheckpoint of the small RESULT relation — never
+a plain `.persist()` of the decoded intermediate, which stays
+registered forever.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from tiny_lingua_spark import audio, audio_fp
+from tiny_lingua_spark.data.clips import generate_clips
+from tiny_lingua_spark.operators import audio_dtw, vq
+
+K = 16
+
+
+@pytest.fixture(scope="module")
+def clips_df(spark):
+    pdf, _ = generate_clips(n=12, seed=7)
+    return spark.createDataFrame(
+        pdf[["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]])
+
+
+@pytest.fixture(scope="module")
+def centroids():
+    rng = np.random.default_rng(11)
+    c = rng.standard_normal((K, audio.VQ_DIM))
+    return (c / np.linalg.norm(c, axis=1, keepdims=True)).tolist()
+
+
+def _persistent_ids(spark):
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+
+def _assert_only_checkpoints_added(spark, before, label):
+    """Every cache-registered RDD added since `before` must be a local
+    checkpoint (result relation), not a leaked persisted intermediate."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    leaked = []
+    for rid in set(jmap.keySet()) - before:
+        jrdd = jmap.get(rid)
+        if not jrdd.rdd().isLocallyCheckpointed():
+            leaked.append((rid, jrdd.rdd().name()))
+    assert not leaked, f"{label} leaked persisted intermediates: {leaked}"
+
+
+@pytest.mark.parametrize("opname", [
+    "vq_token_neardup", "audio_span_neardup",
+    "audio_neardup", "audio_dtw_neardup",
+])
+def test_no_leaked_cache(spark, clips_df, centroids, opname):
+    before = _persistent_ids(spark)
+    if opname == "vq_token_neardup":
+        out = vq.vq_token_neardup(clips_df, centroids)
+    elif opname == "audio_span_neardup":
+        out = vq.audio_span_neardup(clips_df, centroids)
+    elif opname == "audio_neardup":
+        out = audio_fp.audio_neardup(clips_df)
+    else:
+        out = audio_dtw.audio_dtw_neardup(clips_df)
+    out.count()  # the operators are eager now, but keep the action explicit
+    _assert_only_checkpoints_added(spark, before, opname)

@@ -3165,7 +3165,10 @@ def _bandwidth_rowloop(bytes_s, codec_s, sr_s) -> pd.DataFrame:
             k, FRAME_SAMPLES) * win
         mean = (np.abs(np.fft.rfft(fr, axis=1)) ** 2).mean(axis=0)
         above = mean > mean.max() * 10.0 ** (-OCC_FLOOR_DB / 10.0)
-        hi = int(np.flatnonzero(above)[-1])
+        # all-zero (silent) clip: mean.max()==0 -> `above` all False;
+        # match the batch kernel (hi_bin=0 via the masked-argmax, so
+        # occupied=ratio=0) instead of indexing an empty array
+        hi = int(np.flatnonzero(above)[-1]) if above.any() else 0
         occ = hi * float(sr) / FRAME_SAMPLES
         rows.append((k, occ, occ / (float(sr) / 2.0)))
     return pd.DataFrame(rows, columns=[

@@ -229,13 +229,21 @@ def audio_neardup(clips: DataFrame, id_col: str = "clip_id",
     decoded exactly once; at production scale, write fingerprints to
     their own table instead and call neardup_from_fingerprints."""
     fps = _fingerprints(clips, id_col, bytes_col, codec_col, sr_col)
-    if persist_fp:
-        from pyspark import StorageLevel
+    if not persist_fp:
+        return neardup_from_fingerprints(
+            fps, threshold=threshold, bin_tol=bin_tol, n_hashes=n_hashes,
+            band_size=band_size, hash_fn=hash_fn)
+    from pyspark import StorageLevel
 
-        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
-    return neardup_from_fingerprints(
+    from tiny_lingua_spark.caching import materialize_release
+
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    result = neardup_from_fingerprints(
         fps, threshold=threshold, bin_tol=bin_tol, n_hashes=n_hashes,
         band_size=band_size, hash_fn=hash_fn)
+    # materialize the bounded pair list eagerly, then release the
+    # fingerprint cache — long-session hygiene (see caching.py)
+    return materialize_release(result, fps)
 
 
 def lsh_candidates(fps: DataFrame, n_hashes: int = FP_N_HASHES,
@@ -638,11 +646,14 @@ def audio_decontaminate(corpus: DataFrame, eval_clips: DataFrame,
         fps, threshold=threshold, bin_tol=bin_tol, n_hashes=n_hashes,
         band_size=band_size, cross_prefix_only=True)
     # canonical pair order put 'c:' ids first (c < e lexically)
-    return pairs.select(
+    result = pairs.select(
         F.substring("id_a", 3, 1 << 20).alias("corpus_id"),
         F.substring("id_b", 3, 1 << 20).alias("eval_id"),
         "match_frac",
     )
+    from tiny_lingua_spark.caching import materialize_release
+
+    return materialize_release(result, fps)
 
 
 # ---------------------------------------------------------------------------

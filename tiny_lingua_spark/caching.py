@@ -1,0 +1,39 @@
+"""Cache-lifetime helpers for multi-branch operator plans.
+
+Several audio operators persist an intermediate relation (tokens,
+fingerprints, cepstral features) because it fans out to 2-6 plan
+branches — without materialization Spark would re-run the Arrow
+decode pass once per branch. Those operators return lazy DataFrames,
+so they cannot unpersist inside themselves without defeating the
+cache; left alone, the cached partitions accumulate across calls in a
+long-lived session (the 156-query driver loop, a REPL).
+
+`materialize_release` closes that leak: it eagerly localCheckpoints
+the *result* relation — which is orders of magnitude smaller than the
+decoded audio (bounded pair lists, token metadata) — cutting its
+lineage off the persisted intermediates, then unpersists them. The
+checkpoint RDD itself is reference-held by the returned DataFrame and
+reclaimed by Spark's ContextCleaner when the caller drops it, unlike
+an explicit persist which stays registered in the CacheManager until
+unpersisted.
+
+Cost model at scale: the eager materialization runs the job at call
+time instead of first-action time — identical total work, and the
+checkpointed result is the small side (pairs, not audio), so executor
+storage holds O(result) instead of O(intermediate) after the call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly materialize `result` (localCheckpoint, lineage cut),
+    then unpersist every DataFrame in `cached`. Returns the
+    checkpointed result, plan-equivalent to `result` for all
+    downstream use."""
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out

@@ -287,7 +287,7 @@ def dtw_verify(feats: DataFrame, candidates: DataFrame,
 def embedding_candidates(emb: DataFrame, dim: int = 2 * DTW_CC,
                          n_bits: int = 24, half_bits: int = 6,
                          min_cos: float = 0.3,
-                         per_anchor_cap: int = 32) -> DataFrame:
+                         per_anchor_cap: int | None = None) -> DataFrame:
     """Warp-tolerant candidate pairs (id_a < id_b, any id type) from
     (vec_id, embedding) rows: sign-LSH half-signature buckets
     (pigeonhole over Hamming ≤ n_bits/2 − 1) with a LOOSE cosine floor
@@ -300,14 +300,19 @@ def embedding_candidates(emb: DataFrame, dim: int = 2 * DTW_CC,
     to keep per-bucket occupancy — the quadratic verify term —
     constant (the standard bands×width S-curve lever).
 
-    per_anchor_cap bounds the DOWNSTREAM quadratic term the bit-width
-    lever cannot: clips that genuinely sound near-identical (same-
-    pitch stationary tones; at web scale, hold music and test tones)
-    land in the same bucket at any width, so each anchor keeps only
-    its top-cap candidates by pooled cosine (the FAISS-style
-    per-query candidate budget). True dups sit at cos ≈ 1 — always
-    inside the cap; verify work becomes ≤ cap × corpus. Measured on
-    the tone-class-flooded warp corpus: 32.3 → 4.2 s at sf1."""
+    per_anchor_cap (opt-in, default None = complete pairs) bounds the
+    DOWNSTREAM quadratic term the bit-width lever cannot: clips that
+    genuinely sound near-identical (same-pitch stationary tones; at
+    web scale, hold music and test tones) land in the same bucket at
+    any width, so each anchor keeps only its top-cap candidates by
+    pooled cosine (the FAISS-style per-query candidate budget). True
+    dups sit at cos ≈ 1 — always inside the cap; verify work becomes
+    ≤ cap × corpus. Measured on the tone-class-flooded warp corpus:
+    32.3 → 4.2 s at sf1. Caveat when set: an anchor with more than
+    cap genuine near-dups drops the excess DIRECT pairs — cluster
+    linkage survives via transitivity, but pair-level consumers see
+    fewer rows — which is why it is off by default and enabled at the
+    bounded-verify call sites (audio_dtw_neardup)."""
     from tiny_lingua_spark.operators.similarity import (_exploded_halves,
                                                         cosine_expr)
 
@@ -336,7 +341,8 @@ def audio_dtw_neardup(clips: DataFrame, id_col: str = "clip_id",
                       bytes_col: str = "bytes", codec_col: str = "codec",
                       sr_col: str = "sr_hz",
                       threshold: float = DTW_DUP_THRESHOLD,
-                      min_cos: float = 0.3) -> DataFrame:
+                      min_cos: float = 0.3,
+                      per_anchor_cap: int | None = 32) -> DataFrame:
     """Warp-tolerant near-dup chain: candidates from the pooled
     (trimmed, c0-free) cepstral key → DTW verification over the same
     feature pass. Complements the rigid fingerprint tier
@@ -345,7 +351,13 @@ def audio_dtw_neardup(clips: DataFrame, id_col: str = "clip_id",
     feature relation feeds both the candidate generator and the two
     verification joins, so it is persisted (it is ~10^3× smaller than
     the audio). At production scale, write features to their own table
-    and call embedding_candidates + dtw_verify on that."""
+    and call embedding_candidates + dtw_verify on that.
+
+    per_anchor_cap=32 (the verify budget) bounds DP work per anchor;
+    an anchor with >32 genuine near-dups reports only its top-32
+    direct pairs (clusters still connect transitively). Pass
+    per_anchor_cap=None for complete pair-level output at quadratic
+    verify risk on dense tone classes."""
     from pyspark import StorageLevel
 
     feats = dtw_features(clips, id_col, bytes_col, codec_col, sr_col)
@@ -353,5 +365,9 @@ def audio_dtw_neardup(clips: DataFrame, id_col: str = "clip_id",
     emb = (feats.where(F.col("n_fr") > 0)
            .select(F.col("id").alias("vec_id"),
                    F.col("pool").alias("embedding")))
-    cand = embedding_candidates(emb, min_cos=min_cos)
-    return dtw_verify(feats, cand, threshold=threshold)
+    cand = embedding_candidates(emb, min_cos=min_cos,
+                                per_anchor_cap=per_anchor_cap)
+    result = dtw_verify(feats, cand, threshold=threshold)
+    from tiny_lingua_spark.caching import materialize_release
+
+    return materialize_release(result, feats)

@@ -139,11 +139,17 @@ def vq_token_neardup(clips: DataFrame, centroids, threshold: float = 0.5,
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
-    return (
+    result = (
         pairs.join(av, "id_a").join(bv, "id_b")
         .select("id_a", "id_b", jac.alias("token_jaccard"))
         .where(F.col("token_jaccard") >= threshold)
     )
+    # materialize the (bounded) verified pairs, then release the token
+    # cache — repeated calls in a long session must not accumulate
+    # cached partitions
+    from tiny_lingua_spark.caching import materialize_release
+
+    return materialize_release(result, toks)
 
 
 # ------------------------------------------------- token-LM perplexity
@@ -291,12 +297,15 @@ def audio_span_neardup(clips: DataFrame, centroids,
                      F.col("clip_id").alias("clip_b"),
                      F.col("seg_idx").alias("seg_b"),
                      F.col("start_ms").alias("start_ms_b"))
-    return (
+    result = (
         verified.join(ma, "id_a").join(mb, "id_b")
         .where(F.col("clip_a") != F.col("clip_b"))
         .select("clip_a", "seg_a", "start_ms_a",
                 "clip_b", "seg_b", "start_ms_b", "token_jaccard")
     )
+    from tiny_lingua_spark.caching import materialize_release
+
+    return materialize_release(result, segs)
 
 
 def tokens_to_chars_col(tokens_col: str):
