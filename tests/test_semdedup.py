@@ -124,9 +124,13 @@ def test_trained_tier_equals_literal_tier_under_shared_centroids(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = ivf_seed_centroids(64, n_cells=16)
-    lit = semdedup_drop(emb, tau=0.4, centroids=cents).collect()
+    lit = semdedup_drop(emb, tau=0.4, centroids=cents,
+                        assignment="literal").collect()
     trn = semdedup_drop_trained(emb, tau=0.4, centroids=cents).collect()
     assert sorted(map(tuple, lit)) == sorted(map(tuple, trn))
+    # the default (BLAS) tier of semdedup_drop is the same rows too
+    blas = semdedup_drop(emb, tau=0.4, centroids=cents).collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, blas))
 
 
 def test_trained_tier_trains_and_runs(spark):

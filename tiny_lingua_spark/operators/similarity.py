@@ -649,10 +649,22 @@ def ivf_train(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
 
 
 def semdedup_drop(emb: DataFrame, tau: float = 0.4,
-                  centroids: list[list[float]] | None = None) -> DataFrame:
+                  centroids: list[list[float]] | None = None,
+                  assignment: str = "blas") -> DataFrame:
     """Dropped vectors: (vec_id, cell, kept_by, max_sim, n_near) where
     kept_by is the lowest-id qualifying neighbor and n_near the number
     of earlier-id within-cell neighbors at round(cos,6) >= tau.
+
+    assignment="blas" (default, the production path): cells come from
+    ivf_assign_udf — one Arrow matmul per batch against broadcast
+    centroids, per-row cost O(dim) regardless of n_cells. "literal"
+    keeps the centroid-literal codegen projection, whose per-row cost
+    grows with the centroid count (measured 13.2× at 10× data on the
+    round-4 curve because n_cells scales with the corpus) — retained
+    as the zero-Python tier the DuckDB oracle twin mirrors. Both
+    tiers share tie semantics (first max wins), so results are
+    row-identical under shared centroids (pinned in
+    tests/test_semdedup.py).
 
     NOTE tau: the synthetic test embeddings are near-orthogonal random
     points (max pairwise cosine ~0.51), so driver queries exercise the
@@ -660,10 +672,15 @@ def semdedup_drop(emb: DataFrame, tau: float = 0.4,
     embeddings uses tau in the 0.93..0.97 range (paper Fig. 3)."""
     if centroids is None:
         centroids = ivf_seed_centroids(64)
+    if assignment == "blas":
+        cell = ivf_assign_udf(emb.sparkSession, centroids)(
+            F.col("embedding"))
+    else:
+        cell = ivf_cell_col("embedding", centroids)
     assigned = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         "embedding",
-        ivf_cell_col("embedding", centroids).alias("cell"),
+        cell.alias("cell"),
     )
     a = assigned.alias("a")
     b = assigned.alias("b").hint("shuffle_hash")
@@ -711,19 +728,28 @@ def semdedup_drop_sql(table: str, tau: float = 0.4, dim: int = 64,
 
 
 def semdedup_stats(emb: DataFrame, tau: float = 0.4,
-                   centroids: list[list[float]] | None = None) -> DataFrame:
+                   centroids: list[list[float]] | None = None,
+                   assignment: str = "blas") -> DataFrame:
     """Per-cell survivor accounting: (cell, n_vectors, n_dropped,
     keep_rate). The report a dedup run emits before committing the
     surviving corpus — survivors themselves are `emb` anti-joined on
-    semdedup_drop's vec_id set."""
+    semdedup_drop's vec_id set. `assignment` as in semdedup_drop
+    ("blas" default; the stats-side assignment uses the same tier so
+    cells agree with the drop set by construction)."""
     if centroids is None:
         centroids = ivf_seed_centroids(64)
+    if assignment == "blas":
+        cell = ivf_assign_udf(emb.sparkSession, centroids)(
+            F.col("embedding"))
+    else:
+        cell = ivf_cell_col("embedding", centroids)
     assigned = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        ivf_cell_col("embedding", centroids).alias("cell"),
+        cell.alias("cell"),
     )
     drops = (
-        semdedup_drop(emb, tau=tau, centroids=centroids)
+        semdedup_drop(emb, tau=tau, centroids=centroids,
+                      assignment=assignment)
         .select("vec_id", F.lit(1).alias("is_drop"))
     )
     return (
