@@ -147,6 +147,34 @@ def _detected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped cache of the synthetic clip INPUT tables (VERDICT r4
+# #8): a 156-query driver loop builds the same deterministic clip
+# corpus dozens of times — once per audio query per rep — and each
+# build re-ships the bytes to the JVM. The input relations are small
+# and bounded (300-6000 clips), so caching them per (helper, args,
+# session) removes pure fixed overhead without touching what each
+# query measures: every audio OPERATOR (decode, MFCC, LSH, ...) still
+# runs in full inside its own plan. Keyed by applicationId so a fresh
+# session never sees another session's relations.
+_INPUT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _session_cached_input(fn):
+    def wrapped(spark: SparkSession, *args, **kwargs) -> DataFrame:
+        key = (fn.__name__, spark.sparkContext.applicationId, args,
+               tuple(sorted(kwargs.items())))
+        df = _INPUT_CACHE.get(key)
+        if df is None:
+            df = fn(spark, *args, **kwargs).persist()
+            _INPUT_CACHE[key] = df
+        return df
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+@_session_cached_input
 def _synth_clips(spark: SparkSession, n: int = 300,
                  sf_dir: str | None = None) -> DataFrame:
     """Audio-clip corpus. The driver testdata dirs carry no clip table,
@@ -167,6 +195,7 @@ def _synth_clips(spark: SparkSession, n: int = 300,
     return spark.createDataFrame(clips_pd)
 
 
+@_session_cached_input
 def _synth_clips_with_dups(spark: SparkSession, n: int = 120,
                            n_dups: int = 8,
                            sf_dir: str | None = None) -> DataFrame:
@@ -201,6 +230,7 @@ def _synth_clips_with_dups(spark: SparkSession, n: int = 120,
     return spark.createDataFrame(both)
 
 
+@_session_cached_input
 def _synth_clips_speakers(spark: SparkSession, n: int = 60,
                           sf_dir: str | None = None) -> DataFrame:
     """Planted multi-speaker corpus (data.clips.generate_speaker_clips):
@@ -222,6 +252,7 @@ def _synth_clips_speakers(spark: SparkSession, n: int = 60,
     return spark.createDataFrame(clips_pd)
 
 
+@_session_cached_input
 def _synth_clips_warp_dups(spark: SparkSession, n: int = 120,
                            n_dups: int = 6,
                            sf_dir: str | None = None) -> DataFrame:
@@ -275,6 +306,7 @@ def _synth_clips_warp_dups(spark: SparkSession, n: int = 120,
     return spark.createDataFrame(both)
 
 
+@_session_cached_input
 def _synth_clips_melody_dups(spark: SparkSession, n: int = 120,
                              sf_dir: str | None = None) -> DataFrame:
     """Melody clips (temporal note sequences — data/clips.py) plus
@@ -332,6 +364,7 @@ def _synth_clips_melody_dups(spark: SparkSession, n: int = 120,
     return spark.createDataFrame(both)
 
 
+@_session_cached_input
 def _synth_clips_fakewide(spark: SparkSession,
                           sf_dir: str | None = None) -> DataFrame:
     """Standard clip corpus plus planted FAKE-WIDEBAND clips: the first
@@ -3027,6 +3060,54 @@ def _ann_recall_oracle() -> str:
     return retrieval.ranked_eval_sql(ranked, truth, k=10)
 
 
+# ---- streaming replay harnesses (VERDICT r4 #6: stateful streaming
+# correctness rides the driver's oracle gate, not just pytest) ----
+
+def _q_streaming_neardup_replay(spark, sf_dir):
+    """Stateful streaming LSH replayed deterministically over the
+    documents table: 3 staged micro-batch files, a REAL stop/restart
+    from the on-disk checkpoint after file 1, bucket state rebuilt
+    from the state store. The accumulated candidate set equals the
+    batch band self-join over the same corpus (uncapped verification
+    mode), so the DuckDB twin is the band join — streaming state,
+    checkpoint resume, and exactly-once sink semantics all sit under
+    the rows+schema+value-hash gate (streaming/neardup.py
+    replay_neardup; restart equivalence also pinned in
+    tests/test_streaming.py)."""
+    from tiny_lingua_spark.streaming.neardup import replay_neardup
+
+    return replay_neardup(spark, _docs(spark, sf_dir))
+
+
+def _streaming_neardup_replay_sql() -> str:
+    bands = dedup.minhash_bands_sql("documents", "doc_id", "text")
+    return f"""
+    WITH bands AS ({bands})
+    SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.band_idx
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.id < b.id
+    """
+
+
+def _q_streaming_drift_replay(spark, sf_dir):
+    """Page-Hinkley drift state replayed over the clip corpus's
+    duration stream (grp=codec, score=dur_s, ordered by clip_id):
+    3 contiguous micro-batch files with a checkpoint stop/restart
+    after file 1; returns each codec's final sequential PH state.
+    Committed-golden oracle (the recurrence has no practical bit-exact
+    SQL twin); independent anchor: ph_reference equality across
+    restarts in tests/test_streaming.py (streaming/drift.py
+    replay_ph_drift)."""
+    from tiny_lingua_spark.streaming.drift import replay_ph_drift
+
+    clips = _synth_clips(spark, sf_dir=sf_dir).select(
+        "clip_id", "codec",
+        (F.col("dur_ms").cast("double") / 1000.0).alias("dur_s"))
+    return replay_ph_drift(spark, clips, "codec", "dur_s", "clip_id",
+                           delta=0.005, lam=1.0)
+
+
 def _shipped(fn: Callable) -> Callable:
     """Ensure executors can import tiny_lingua_spark (UDF closures pickle
     module references; the driver's session may lack our addPyFile)."""
@@ -3198,6 +3279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_words_vad": _shipped(_q_align_words_vad),
         "audio_trim_apply": _shipped(_q_audio_trim_apply),
         "audio_embed_knn": _shipped(_q_audio_embed_knn),
+        "streaming_neardup_replay": _shipped(_q_streaming_neardup_replay),
+        "streaming_drift_replay": _shipped(_q_streaming_drift_replay),
     }
 
 
@@ -3259,6 +3342,7 @@ GOLDEN_ORACLE_QUERIES = (
     "pca_components",
     "pca_whiten",
     "webdataset_manifest",
+    "streaming_drift_replay",
 )
 
 EXPECTED_DIR = os.path.join(_REPO, "expected")
@@ -3787,6 +3871,7 @@ def oracle_sql() -> dict[str, str]:
         "fasttext_lang": ft_sql,
         "detect_trigram_declarative": _trigram_decl_sql(),
         "minhash_bands": dedup.minhash_bands_sql("documents", "doc_id", "text"),
+        "streaming_neardup_replay": _streaming_neardup_replay_sql(),
         "dedup_keeper": dedup.keeper_policy_sql(
             dedup.connected_components_sql(
                 dedup.minhash_pairs_sql("documents", "doc_id", "text")),

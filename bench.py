@@ -184,6 +184,8 @@ BENCH_QUERIES = (
     "audio_bandwidth",        # fake-wideband spectral-occupancy screen
     "audio_token_ppl",        # acoustic token-LM perplexity screen
     "audio_span_neardup",     # segment-level shared-jingle dedup
+    "streaming_neardup_replay",  # stateful LSH replay + checkpoint restart
+    "streaming_drift_replay",    # PH drift state replay + restart
 )
 
 

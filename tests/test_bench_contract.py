@@ -17,3 +17,26 @@ def test_bench_list_covers_all_queries():
 
 def test_bench_list_has_no_duplicates():
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
+
+
+def test_oracles_artifact_pins_full_contract():
+    """ORACLES.json (the committed full self-sweep from
+    tools/check_oracles.py, VERDICT r4 #4) must cover exactly the
+    queries() key set with zero failures — the driver samples ~50
+    queries per round; this artifact is the evidence for the rest."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ORACLES.json")
+    assert os.path.exists(path), (
+        "ORACLES.json missing — run `python tools/check_oracles.py` "
+        "(full sweep, no name filter) and commit the artifact")
+    with open(path) as f:
+        art = json.load(f)
+    qs = set(e.queries().keys())
+    swept = set(art["queries"].keys())
+    assert swept == qs, (
+        f"stale artifact — missing: {sorted(qs - swept)}; "
+        f"extra: {sorted(swept - qs)}; regenerate with check_oracles.py")
+    assert art["failed"] == [], f"sweep failures: {art['failed']}"

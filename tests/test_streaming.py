@@ -421,3 +421,59 @@ def test_ph_drift_resume_mid_stream_matches_reference(spark, tmp_path):
     assert last["mean"] == pytest.approx(ref["mean"], abs=1e-12)
     assert last["ph_dec"] == pytest.approx(ref["ph_dec"], abs=1e-9)
     assert last["ph_inc"] == pytest.approx(ref["ph_inc"], abs=1e-9)
+
+
+def test_replay_neardup_harness_matches_batch(spark, doc_stream_dir):
+    """The driver-contract replay harness (streaming/neardup.py
+    replay_neardup — stage, stream, restart, accumulate) returns
+    exactly the batch band self-join set over the same corpus."""
+    from tiny_lingua_spark.operators import dedup
+    from tiny_lingua_spark.streaming import neardup as nd
+
+    docs = spark.read.parquet(doc_stream_dir)
+    got = {tuple(r) for r in nd.replay_neardup(
+        spark, docs, n_chunks=3, restart_after=1).collect()}
+
+    bands = dedup.minhash_bands(docs, "doc_id", "text")
+    a, b = bands.alias("a"), bands.alias("b")
+    want = {(r["doc_a"], r["doc_b"], r["band_idx"]) for r in a.join(
+        b, (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+                F.col("a.band_idx").cast("long").alias("band_idx"))
+        .distinct().collect()}
+    assert got == want and got
+
+
+def test_replay_ph_drift_harness_matches_reference(spark):
+    """replay_ph_drift's final per-group state equals ph_reference over
+    each group's order-sorted sequence — pinning that the chunking is
+    order-contiguous and the restart resumes the recurrence exactly."""
+    import numpy as np
+
+    from tiny_lingua_spark.streaming import drift as sd
+
+    rng = np.random.default_rng(5)
+    n = 90
+    pdf = pd.DataFrame({
+        "grp": ["a" if i % 2 == 0 else "b" for i in range(n)],
+        "score": np.concatenate([0.8 + 0.01 * rng.standard_normal(n // 2),
+                                 0.2 + 0.01 * rng.standard_normal(
+                                     n - n // 2)]),
+        "ord": range(n),
+    })
+    out = sd.replay_ph_drift(
+        spark, spark.createDataFrame(pdf),
+        "grp", "score", "ord", n_chunks=3, restart_after=1,
+        lam=1.0).toPandas().set_index("grp")
+    for g in ("a", "b"):
+        seq = pdf[pdf.grp == g].sort_values("ord")["score"].tolist()
+        ref = sd.ph_reference(seq, lam=1.0)
+        assert out.loc[g, "n"] == ref["n"]
+        assert out.loc[g, "mean"] == pytest.approx(ref["mean"], abs=1e-6)
+        assert out.loc[g, "ph_inc"] == pytest.approx(ref["ph_inc"],
+                                                     abs=1e-5)
+        assert out.loc[g, "ph_dec"] == pytest.approx(ref["ph_dec"],
+                                                     abs=1e-5)
+        assert bool(out.loc[g, "drift"]) == ref["drift"]

@@ -26,17 +26,30 @@ def ship_package(spark: SparkSession) -> None:
     repo root (pandas UDF closures unpickle the package on workers)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(tempfile.gettempdir(), "tiny_lingua_spark_pkg.zip")
-    # always rebuild — a stale zip silently drops newly added modules
+    # rebuild whenever any source file changed (a stale zip silently
+    # drops newly added modules), but skip the zip write + addPyFile
+    # when the source set is byte-identical to what this process last
+    # shipped to this session — a 156-query driver loop calls this once
+    # per query and the rebuild is pure fixed overhead
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                sources.append((full, st.st_mtime_ns, st.st_size))
+    app_id = spark.sparkContext.applicationId
+    fingerprint = (app_id, tuple(sources))
+    if getattr(ship_package, "_last", None) == fingerprint:
+        return
     tmp = zip_path + f".{os.getpid()}.tmp"
     with zipfile.ZipFile(tmp, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in sorted(files):
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    zf.write(full, rel)
+        for full, _mt, _sz in sources:
+            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+            zf.write(full, rel)
     os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
+    ship_package._last = fingerprint
 
 
 def get_spark(

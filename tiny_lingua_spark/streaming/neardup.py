@@ -148,3 +148,90 @@ def stream_neardup_candidates(docs_stream: DataFrame,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def replay_neardup(spark, docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n_chunks: int = 3,
+                   restart_after: int = 1, n_hashes: int = N_HASHES,
+                   band_size: int = BAND_SIZE, k_shingle: int = 3,
+                   hot_cap: int | None = None,
+                   timeout_s: int = 300) -> DataFrame:
+    """Deterministic replay harness for the stateful streaming LSH —
+    the driver-contract entry that puts streaming correctness under
+    the same rows+schema+value-hash oracle as every batch operator
+    (VERDICT r4 #6).
+
+    Stages `docs` as n_chunks parquet files, streams them one file per
+    micro-batch (availableNow), and — the part a batch test can't
+    fake — STOPS the query after `restart_after` files and resumes a
+    FRESH query from the on-disk checkpoint for the rest, so the
+    emitted set includes pairs whose bucket state crossed a real
+    restart. Returns the accumulated distinct (doc_a, doc_b, band_idx)
+    candidates, eagerly materialized (the staging/checkpoint dirs are
+    deleted before returning).
+
+    The final SET equals the batch band self-join over the same corpus
+    regardless of chunking, arrival order, or where the restart lands
+    — which is what makes a DuckDB twin possible. hot_cap=None runs
+    UNCAPPED for that exactness (verification mode); production
+    ingestion keeps the default bounded cap (HOT_CAP), where emission
+    inside an overflowing bucket becomes arrival-order-dependent by
+    design."""
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tls_replay_")
+    staged = os.path.join(work, "staged")
+    pending = os.path.join(work, "pending")
+    out = os.path.join(work, "pairs")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(staged)
+    os.makedirs(pending)
+
+    rows = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(text_col).alias("text"))
+    # distributed staging: chunk by pmod(doc_id) — one small write job
+    # per chunk, no driver-side collect; the chunk layout only shapes
+    # micro-batch arrival, never the final set
+    chunk_files = []
+    for i in range(n_chunks):
+        d = os.path.join(work, f"chunk{i}")
+        (rows.where(F.pmod(F.col("doc_id"), F.lit(n_chunks)) == i)
+             .coalesce(1).write.parquet(d))
+        part = next(f for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet"))
+        dst = os.path.join(pending, f"chunk{i:03d}.parquet")
+        shutil.move(os.path.join(d, part), dst)
+        chunk_files.append(dst)
+
+    cap = (1 << 30) if hot_cap is None else hot_cap
+
+    def run_available():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(staged))
+        q = (stream_neardup_candidates(
+                stream, n_hashes=n_hashes, band_size=band_size,
+                k_shingle=k_shingle, hot_cap=cap)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError("replay_neardup micro-batch run hung")
+
+    for f in chunk_files[:restart_after]:
+        shutil.move(f, staged)
+    run_available()          # phase 1, then the query object is gone
+    for f in chunk_files[restart_after:]:
+        shutil.move(f, staged)
+    run_available()          # fresh query resumes from the checkpoint
+
+    result = (spark.read.parquet(out)
+              .select("doc_a", "doc_b",
+                      F.col("band_idx").cast("long").alias("band_idx"))
+              .distinct()
+              .localCheckpoint(eager=True))
+    shutil.rmtree(work, ignore_errors=True)
+    return result

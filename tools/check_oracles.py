@@ -1,6 +1,13 @@
 """Driver-mimic: run every __spark_entry__ query at sf0.01 next to its
 DuckDB oracle; compare row count, sorted-column schema, and an
 order-insensitive value hash. Usage: python tools/check_oracles.py [names...]
+
+A FULL run (no name filter) also writes ORACLES.json at the repo root —
+the machine-readable self-sweep artifact (VERDICT r4 #4): one record
+per query {rows, status, seconds}, plus the failure list. The driver
+samples ~50 of the contract per round; this artifact is the committed
+evidence for the rest. tests/test_bench_contract.py pins its key set
+to queries().
 """
 
 from __future__ import annotations
@@ -47,6 +54,7 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     only = set(sys.argv[1:])
     failed = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -56,16 +64,23 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             failed.append(name)
+            records[name] = {"rows": None, "status": f"FAIL: spark: {ex}",
+                             "seconds": round(time.time() - t0, 2)}
             continue
         if name not in oracles:
             print(f"ok   {name}: rows={len(sdf)} (rows-only) "
                   f"[{time.time()-t0:.1f}s]")
+            records[name] = {"rows": len(sdf), "status": "rows-only",
+                             "seconds": round(time.time() - t0, 2)}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failed.append(name)
+            records[name] = {"rows": len(sdf),
+                             "status": f"FAIL: duckdb: {ex}",
+                             "seconds": round(time.time() - t0, 2)}
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -81,9 +96,33 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             failed.append(name)
+            records[name] = {"rows": len(sdf),
+                             "status": "FAIL: " + "; ".join(problems),
+                             "seconds": round(time.time() - t0, 2)}
         else:
             print(f"ok   {name}: rows={len(sdf)} MATCH [{time.time()-t0:.1f}s]")
+            records[name] = {"rows": len(sdf), "status": "MATCH",
+                             "seconds": round(time.time() - t0, 2)}
     print("FAILED:", failed if failed else "none")
+    if not only:  # full sweep → commit-able artifact
+        import json
+
+        artifact = {
+            "sf_dir": sf_dir,
+            "n_queries": len(records),
+            "n_match": sum(1 for r in records.values()
+                           if r["status"] == "MATCH"),
+            "n_rows_only": sum(1 for r in records.values()
+                               if r["status"] == "rows-only"),
+            "failed": failed,
+            "queries": records,
+        }
+        out = os.path.join(REPO, "ORACLES.json")
+        with open(out, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {out}: {artifact['n_match']} MATCH / "
+              f"{artifact['n_rows_only']} rows-only / "
+              f"{len(failed)} failed of {len(records)}")
     return 1 if failed else 0
 
 
