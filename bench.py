@@ -276,8 +276,13 @@ def main() -> None:
     for name in BENCH_QUERIES:
         best = None
         for _ in range(max(reps, 1)):
-            df = qs[name](spark, sf_dir)
+            # time construction + execution: several operators (the
+            # streaming replays, the cache-releasing near-dup chains)
+            # materialize EAGERLY at construction, so timing force()
+            # alone would record ~0 for exactly the queries that do
+            # the most work
             t0 = time.time()
+            df = qs[name](spark, sf_dir)
             force(df)
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)

@@ -1,0 +1,99 @@
+"""Second-decade scale curve for the heavy tail (VERDICT r4 #3).
+
+The full-contract sf0.1/0.5/1.0 curve's 10x ratio is flattered by
+per-query fixed overhead at sf0.1; this tool measures the EXPENSIVE
+queries one decade further — sf1 vs sf2 (.cache/scale replicas from
+tools/gen_scale_data.py --k 20) — where constants are amortized and
+the true asymptote shows. A query is flagged when t(sf2)/t(sf1)
+exceeds LIN_SLACK * 2 (data doubles).
+
+    python tools/heavy_tail_curve.py            # measure + print table
+    python tools/heavy_tail_curve.py --json     # also dump JSON
+
+Single rep per (query, sf): the subset costs ~8 min/decade; the
+first-touch probe gate (same as bench.py) rejects degraded-host
+windows, which r4/r5 showed are the dominant noise source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LIN_SLACK = 1.3
+
+# top of the sf1 cost table + the new streaming replay (slope unknown)
+HEAVY = (
+    "detect_trigram_declarative",
+    "bitext_mine_ann",
+    "semdedup_drop",
+    "jaccard_bottomk",
+    "audio_dtw_verify",
+    "semdedup_stats",
+    "jaccard_pairs",
+    "quality_classifier",
+    "hard_negatives",
+    "classifier_calibration",
+    "winnow_pairs",
+    "semantic_decontam",
+    "classifier_auc",
+    "pq_codes",
+    "edit_pairs",
+    "ann_recall",
+    "bitext_mine_ann_trained",
+    "semdedup_drop_trained",
+    "streaming_neardup_replay",
+)
+
+
+def main() -> None:
+    from bench import _gate_on_host_health, force
+    import __spark_entry__ as e
+    from tiny_lingua_spark.session import get_spark
+
+    probe, degraded = _gate_on_host_health()
+    print(f"probe {probe:.0f} MB/s degraded={degraded}")
+
+    spark = get_spark("heavy-tail-curve", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    e._registry(spark)
+    res: dict[str, dict[str, float]] = {}
+    for sf in ("sf1", "sf2"):
+        d = os.path.join(REPO, ".cache", "scale", sf)
+        for name in HEAVY:
+            # construction inside the timing — eager operators
+            # materialize at construction (see bench.py)
+            t0 = time.time()
+            df = qs[name](spark, d)
+            force(df)
+            dt = round(time.time() - t0, 2)
+            res.setdefault(name, {})[sf] = dt
+            print(f"{name}@{sf}: {dt:.2f}s", flush=True)
+
+    rows = sorted(res.items(), key=lambda kv: -(kv[1]["sf2"] / kv[1]["sf1"]))
+    print(f"\n{'query':28s} {'sf1':>7s} {'sf2':>7s} {'x2 ratio':>8s}")
+    flagged = []
+    for name, t in rows:
+        r = t["sf2"] / max(t["sf1"], 1e-9)
+        flag = "SUPER-LINEAR" if r > LIN_SLACK * 2 else ""
+        if flag:
+            flagged.append(name)
+        print(f"{name:28s} {t['sf1']:7.2f} {t['sf2']:7.2f} {r:8.2f} {flag}")
+    print("flagged:", flagged or "none")
+    if "--json" in sys.argv:
+        out = os.path.join(REPO, ".cache", "scale", "heavy_tail.json")
+        with open(out, "w") as f:
+            json.dump({"probe_mb_s": round(probe, 1), "queries": res}, f,
+                      indent=1)
+        print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
