@@ -1567,9 +1567,19 @@ def _q_edit_pairs(spark, sf_dir):
     right verify for short ASR transcripts where 3-shingle Jaccard
     saturates). Pure codegen verify — length prefilter + Spark's
     bounded levenshtein(a, b, maxd) early-abort DP; byte-level via the
-    ISO-8859-1 reinterpretation keeps the DuckDB twin bit-identical."""
+    ISO-8859-1 reinterpretation keeps the DuckDB twin bit-identical.
+
+    32 hashes in 8 bands of 4 (round-5 heavy-tail fix): width-2 demo
+    bands collide whenever two docs share their two minimum shingles —
+    common-trigram minima make those buckets grow with the corpus, so
+    candidate (and DP) work went quadratic at sf2 (6.7× at 2× data).
+    Width-4 bands need four shared minima, collapsing accidental
+    collisions while the 8-band OR keeps the candidate knee at
+    j ≈ 0.56 — comfortably below where edit_sim ≥ 0.8 pairs live.
+    Re-measured: sf2 100.6 → 34.6 s, x2 ratio 6.69 → 1.60."""
     return dedup.edit_verified_pairs(_docs(spark, sf_dir),
-                                     "doc_id", "text")
+                                     "doc_id", "text",
+                                     n_hashes=32, band_size=4)
 
 
 def _q_neardup_text(spark, sf_dir):
@@ -1708,12 +1718,17 @@ def _semdedup_centroids(spark, sf_dir):
     cell work is quadratic in cell SIZE, so constant expected occupancy
     keeps total work linear). 16 cells up to 2 000 vectors (sf0.01 and
     sf0.1 behavior — and therefore the DuckDB-twin hashes — unchanged),
-    then ~125 vectors/cell, capped at 64 cells (the DuckDB twin must
-    inline these centroids as SQL literals; the Spark side's BLAS
-    assignment has no such budget — a real deployment trains
-    n_cells ∝ N with ivf_train and stores centroids as data)."""
+    then ~125 vectors/cell, capped at 512 cells. Round-5 heavy-tail
+    fix: the old 64-cell cap — a leftover of the literal-centroid
+    codegen budget — bound at sf≥0.8, so cell size grew with the
+    corpus and the within-cell self-join went quadratic (3.9× at 2×
+    data on the sf1→sf2 curve); with the BLAS assignment default the
+    only remaining budget is the DuckDB twin's centroid literals,
+    which the oracle SF never exercises past 16 cells. A real
+    deployment trains n_cells ∝ N with ivf_train and stores centroids
+    as data."""
     n = _emb_count(spark, sf_dir)
-    n_cells = min(64, max(16, n // 125))
+    n_cells = min(512, max(16, n // 125))
     return similarity.ivf_seed_centroids(64, n_cells=n_cells)
 
 
@@ -3934,7 +3949,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "text", "source", k_sketch=64
         ),
         "edit_pairs": dedup.edit_verified_pairs_sql(
-            "documents", "doc_id", "text"
+            "documents", "doc_id", "text", n_hashes=32, band_size=4
         ),
         "validate_docs": validate.check_sql("documents",
                                             _documents_suite()),
