@@ -108,3 +108,46 @@ def test_duckdb_twin_hash(spark):
     ora = con.execute(dedup.edit_verified_pairs_sql(
         "documents", "doc_id", "text", min_sim=0.5)).df()
     assert value_hash(res) == value_hash(ora)
+
+
+def test_prod_banding_recall_on_planted_fuzzy_dups(spark):
+    """The driver query's 32-hash / 8x4 banding (round-5 heavy-tail
+    fix for width-2 bucket growth) must still RECALL genuine fuzzy
+    duplicates: 30 planted pairs at edit_sim >= 0.8 (word swaps,
+    typos, small insertions over varied base texts) are all found,
+    while the planted unrelated docs produce no verified pairs."""
+    import random
+
+    rng = random.Random(7)
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu").split()
+    rows, expect = [], set()
+    did = 0
+    for k in range(30):
+        base_words = [words[rng.randrange(len(words))] for _ in range(60)]
+        base = " ".join(base_words)
+        mutated = list(base_words)
+        # one typo + one word swap: a few % of bytes, edit_sim >= 0.9
+        i = rng.randrange(len(mutated))
+        mutated[i] = mutated[i][:-1] + "x"
+        j = rng.randrange(len(mutated))
+        mutated[j] = words[rng.randrange(len(words))]
+        rows.append((did, base))
+        rows.append((did + 1, " ".join(mutated)))
+        expect.add((did, did + 1))
+        did += 2
+    for k in range(20):  # unrelated filler
+        rows.append((did, " ".join(
+            words[rng.randrange(len(words))] + str(rng.randrange(999))
+            for _ in range(40))))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.edit_verified_pairs(docs, "doc_id", "text",
+                                    n_hashes=32, band_size=4,
+                                    min_sim=0.8).toPandas()
+    got = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert expect <= got, f"missed planted dups: {sorted(expect - got)}"
+    # precision: anything else the chain reports must genuinely verify
+    for pair in got - expect:
+        assert False, f"unexpected verified pair {pair}"
