@@ -168,23 +168,31 @@ def replay_ph_drift(spark, scored: DataFrame, group_col: str,
                       os.path.join(staged, f"chunk{i:03d}.parquet")))
 
     collected = []
+    # right-size the stateful shuffle to the low-cardinality group key
+    # (see replay_neardup — state partitioning is fixed at the first
+    # checkpoint and each micro-batch pays per-partition task overhead)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
 
     def run_available():
         # foreachBatch, not the memory sink: memory cannot recover
         # from a checkpoint, and the restart IS the point here
-        stream = (spark.readStream.schema(stream_schema)
-                  .option("maxFilesPerTrigger", 1).parquet(staged))
-        q = (ph_drift_stateful(stream, "grp", "score", "ord",
-                               delta=delta, lam=lam)
-             .writeStream
-             .foreachBatch(lambda bdf, _bid: collected.append(
-                 bdf.toPandas()))
-             .outputMode("update")
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        if not q.awaitTermination(timeout_s):
-            q.stop()
-            raise TimeoutError("replay_ph_drift micro-batch run hung")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (spark.readStream.schema(stream_schema)
+                      .option("maxFilesPerTrigger", 1).parquet(staged))
+            q = (ph_drift_stateful(stream, "grp", "score", "ord",
+                                   delta=delta, lam=lam)
+                 .writeStream
+                 .foreachBatch(lambda bdf, _bid: collected.append(
+                     bdf.toPandas()))
+                 .outputMode("update")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            if not q.awaitTermination(timeout_s):
+                q.stop()
+                raise TimeoutError("replay_ph_drift micro-batch run hung")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     for src, dst in files[:restart_after]:
         shutil.move(src, dst)

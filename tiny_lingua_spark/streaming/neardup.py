@@ -207,6 +207,12 @@ def replay_neardup(spark, docs: DataFrame, id_col: str = "doc_id",
 
     cap = (1 << 30) if hot_cap is None else hot_cap
 
+    # NOTE: unlike replay_ph_drift (six floats of state per key, where
+    # the shuffle width is pure state-store ceremony), this stream's
+    # micro-batch plan carries the real work — the banded signature
+    # projection and the bucket joins — so it keeps the session's
+    # shuffle width; narrowing it was measured to throttle the sf1
+    # replay 58 → 72 s on 32 cores.
     def run_available():
         stream = (spark.readStream.schema("doc_id long, text string")
                   .option("maxFilesPerTrigger", 1).parquet(staged))
