@@ -157,14 +157,18 @@ def replay_ph_drift(spark, scored: DataFrame, group_col: str,
     stream_schema = rows.schema
     chunked = rows.withColumn(
         "chunk", F.ntile(n_chunks).over(Window.orderBy("ord")) - 1)
+    # one partitionBy write stages every chunk file in a single job
+    # (per-chunk filtered writes would re-run the global-order window
+    # n_chunks times)
+    d = os.path.join(work, "chunked")
+    (chunked.repartition(n_chunks, "chunk")
+            .write.partitionBy("chunk").parquet(d))
     files = []
     for i in range(n_chunks):
-        d = os.path.join(work, f"c{i}")
-        (chunked.where(F.col("chunk") == i).drop("chunk")
-                .coalesce(1).write.parquet(d))
-        part = next(f for f in sorted(os.listdir(d))
+        sub = os.path.join(d, f"chunk={i}")
+        part = next(f for f in sorted(os.listdir(sub))
                     if f.endswith(".parquet"))
-        files.append((os.path.join(d, part),
+        files.append((os.path.join(sub, part),
                       os.path.join(staged, f"chunk{i:03d}.parquet")))
 
     collected = []

@@ -191,18 +191,22 @@ def replay_neardup(spark, docs: DataFrame, id_col: str = "doc_id",
 
     rows = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                        F.col(text_col).alias("text"))
-    # distributed staging: chunk by pmod(doc_id) — one small write job
-    # per chunk, no driver-side collect; the chunk layout only shapes
-    # micro-batch arrival, never the final set
+    # distributed staging in ONE pass: chunk by pmod(doc_id) and
+    # partitionBy-write every chunk file in a single job (n_chunks
+    # filtered scans would read the corpus n_chunks times); the chunk
+    # layout only shapes micro-batch arrival, never the final set
+    d = os.path.join(work, "chunked")
+    (rows.withColumn("chunk",
+                     F.pmod(F.col("doc_id"), F.lit(n_chunks)).cast("int"))
+         .repartition(n_chunks, "chunk")
+         .write.partitionBy("chunk").parquet(d))
     chunk_files = []
     for i in range(n_chunks):
-        d = os.path.join(work, f"chunk{i}")
-        (rows.where(F.pmod(F.col("doc_id"), F.lit(n_chunks)) == i)
-             .coalesce(1).write.parquet(d))
-        part = next(f for f in sorted(os.listdir(d))
+        sub = os.path.join(d, f"chunk={i}")
+        part = next(f for f in sorted(os.listdir(sub))
                     if f.endswith(".parquet"))
         dst = os.path.join(pending, f"chunk{i:03d}.parquet")
-        shutil.move(os.path.join(d, part), dst)
+        shutil.move(os.path.join(sub, part), dst)
         chunk_files.append(dst)
 
     cap = (1 << 30) if hot_cap is None else hot_cap
